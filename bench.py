@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from postgres_scanner_spark import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(cpus=CPUS)
+    qs = entrymod.queries()
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q9_product_profit", "q13_customer_distribution",
+        "q18_large_volume_customer", "q21_suppliers_waiting",
+    ]
+    headline += [k for k in (
+        "d2_minhash_lsh_dedup", "a1_cosine_topk", "e1_hourly_event_rollup",
+        "t3_token_count",
+    ) if k in qs]
+    # warm the JVM + parquet footer caches once so timings measure the
+    # query, not session startup
+    qs["q6_forecast_revenue"](spark, SF_DIR).collect()
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if name.startswith(("d", "a", "e", "t")) else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total", "value": total, "unit": "sec",
+        "queries": timings, "sf": float(sf), "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""postgres_scanner_spark — a PySpark-native engine with the query and
+data-processing capabilities of duckdb/postgres_scanner (reference at
+/root/reference), plus large-scale training-data pipeline operators.
+
+Public API mirrors the reference's function surface:
+  attach / detach            (ATTACH ... TYPE postgres)
+  scan / jdbc_scan           (postgres_scan)
+  pg_query / pg_execute      (postgres_query / postgres_execute)
+  copy_to / copy_from        (COPY ... incl. binary format)
+  SETTINGS                   (pg_* options)
+  ManagedStore               (writable attached storage: DML + txns)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .catalog import AttachedDatabase, Catalog
+from .connection import ConnectionInfo, parse_dsn
+from .copyio import copy_from, copy_to
+from .queryfn import pg_execute, pg_query
+from .scan import build_jdbc_options, jdbc_scan, parquet_scan, plan_scan_tasks
+from .settings import SETTINGS, Settings
+from .storage import ManagedStore
+
+__all__ = [
+    "AttachedDatabase", "Catalog", "ConnectionInfo", "ManagedStore",
+    "SETTINGS", "Settings", "build_jdbc_options", "copy_from", "copy_to",
+    "get_spark", "jdbc_scan", "parse_dsn", "parquet_scan", "pg_execute",
+    "pg_query", "plan_scan_tasks",
+]
+
+
+def get_spark(app: str = "postgres_scanner_spark", *, cpus: str | int = "*",
+              shuffle_partitions: int = 32) -> SparkSession:
+    """Session tuned for the engine: UTC (timestamp determinism vs the
+    DuckDB oracle), AQE on (runtime skew/shuffle re-planning — the
+    100 TB safety net), Arrow on (pandas-UDF fast path)."""
+    return (
+        SparkSession.builder.master(f"local[{cpus}]").appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

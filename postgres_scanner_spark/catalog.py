@@ -1,0 +1,109 @@
+"""Attach/detach catalog — the ATTACH (TYPE postgres) surface.
+
+Parity with reference src/postgres_attach.cpp + src/storage/
+postgres_catalog.cpp: an attached database exposes its tables as
+queryable relations, supports listing, size introspection, a schema
+cache with pg_clear_cache, and (through storage.py) writable DML.
+
+Spark-first: an attached source registers each table as a temp view
+`{alias}_{table}` and in `spark.sql` via those names. Two backends:
+  - "parquet": a directory of {table}.parquet (the test container's
+    stand-in for a database) or a managed store dir (storage.py).
+  - "jdbc": a live Postgres via scan.jdbc_scan (not reachable in the
+    test container; construction logic unit-tested).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .connection import ConnectionInfo, parse_dsn
+from .scan import jdbc_scan, parquet_scan
+
+
+@dataclass
+class AttachedDatabase:
+    alias: str
+    source: str                   # dsn or directory path
+    backend: str                  # "parquet" | "jdbc"
+    read_only: bool = False
+    conn: ConnectionInfo | None = None
+    _table_cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table_names(self) -> list[str]:
+        if self.backend == "parquet":
+            return sorted(
+                f[: -len(".parquet")]
+                for f in os.listdir(self.source)
+                if f.endswith(".parquet")
+            )
+        raise NotImplementedError("jdbc catalog listing needs a live server")
+
+
+class Catalog:
+    """Session-level registry of attached databases
+    (reference: storage/postgres_catalog.cpp)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.attached: dict[str, AttachedDatabase] = {}
+
+    # -- reference: postgres_attach.cpp AttachFunction
+    def attach(self, source: str, alias: str = "pg", *,
+               read_only: bool = False, register_views: bool = True) -> AttachedDatabase:
+        if alias in self.attached:
+            raise ValueError(f"database {alias!r} already attached")
+        if os.path.isdir(source):
+            db = AttachedDatabase(alias, source, "parquet", read_only)
+        else:
+            db = AttachedDatabase(alias, source, "jdbc", read_only,
+                                  conn=parse_dsn(source))
+        self.attached[alias] = db
+        if register_views and db.backend == "parquet":
+            for t in db.table_names():
+                self.table(alias, t).createOrReplaceTempView(f"{alias}_{t}")
+                # also bare name for SQL parity with the oracle's views
+                self.table(alias, t).createOrReplaceTempView(t)
+        return db
+
+    def detach(self, alias: str) -> None:
+        db = self.attached.pop(alias)
+        if db.backend == "parquet":
+            for t in db.table_names():
+                self.spark.catalog.dropTempView(f"{alias}_{t}")
+
+    def table(self, alias: str, name: str) -> DataFrame:
+        db = self.attached[alias]
+        if name in db._table_cache:
+            return db._table_cache[name]
+        if db.backend == "parquet":
+            df = parquet_scan(self.spark, os.path.join(db.source, f"{name}.parquet"))
+        else:
+            df = jdbc_scan(self.spark, db.conn, name)
+        db._table_cache[name] = df
+        return df
+
+    def list_tables(self, alias: str) -> list[str]:
+        """reference: storage/postgres_table_set.cpp LoadEntries"""
+        return self.attached[alias].table_names()
+
+    def database_size(self, alias: str) -> int:
+        """reference: postgres_database_size → pg_database_size();
+        here: bytes on disk of the attached dataset."""
+        db = self.attached[alias]
+        if db.backend != "parquet":
+            raise NotImplementedError
+        total = 0
+        for root, _, files in os.walk(db.source):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def clear_cache(self, alias: str | None = None) -> None:
+        """reference: pg_clear_cache table function
+        (postgres_extension.cpp:133-136)."""
+        targets = [self.attached[alias]] if alias else self.attached.values()
+        for db in targets:
+            db._table_cache.clear()

@@ -1,0 +1,60 @@
+"""Engine settings registry.
+
+Parity with the reference extension options
+(reference: src/postgres_extension.cpp:162-183) — same names and
+defaults, re-expressed as a plain registry that the scan planner and
+catalog consult. On a real cluster these would be set per-session;
+they are process-global here, like DuckDB's config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+DEFAULT_PAGES_PER_TASK = 1000  # reference: postgres_scanner.hpp DEFAULT_PAGES_PER_TASK
+
+
+@dataclass
+class Settings:
+    """pg_* settings (reference: postgres_extension.cpp:162)."""
+
+    pg_use_binary_copy: bool = True
+    pg_use_ctid_scan: bool = True
+    pg_pages_per_task: int = DEFAULT_PAGES_PER_TASK
+    pg_connection_limit: int = 64
+    pg_connection_cache: bool = True
+    pg_array_as_varchar: bool = False
+    pg_experimental_filter_pushdown: bool = True
+    pg_null_byte_replacement: str | None = None
+    pg_debug_show_queries: bool = False
+    _extra: dict[str, Any] = field(default_factory=dict)
+
+    def set(self, name: str, value: Any) -> None:
+        if hasattr(self, name) and not name.startswith("_"):
+            cur = getattr(self, name)
+            if isinstance(cur, bool):
+                value = value in (True, "true", "True", 1, "1", "on")
+            elif isinstance(cur, int) and cur is not None:
+                value = int(value)
+            setattr(self, name, value)
+            if name == "pg_pages_per_task" and self.pg_pages_per_task == 0:
+                # reference: postgres_scanner.cpp:107 — 0 resets to default
+                self.pg_pages_per_task = DEFAULT_PAGES_PER_TASK
+        else:
+            self._extra[name] = value
+
+    def get(self, name: str, default: Any = None) -> Any:
+        if hasattr(self, name) and not name.startswith("_"):
+            return getattr(self, name)
+        return self._extra.get(name, default)
+
+    def reset(self) -> None:
+        fresh = Settings()
+        for k in vars(fresh):
+            if not k.startswith("_"):
+                setattr(self, k, getattr(fresh, k))
+        self._extra.clear()
+
+
+SETTINGS = Settings()

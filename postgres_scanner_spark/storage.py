@@ -1,0 +1,174 @@
+"""Managed writable store — the storage/ DML surface, Spark-style.
+
+Parity with reference src/storage/{postgres_insert,postgres_delete,
+postgres_update,postgres_transaction}.cpp: CREATE TABLE / CTAS,
+INSERT, DELETE, UPDATE, DROP, and transactions on an attached
+database.
+
+Spark has no in-place mutation, so mutation = rewrite, which is also
+the only strategy that scales on immutable columnar storage:
+  INSERT  → append new parquet files (no shuffle, no rewrite)
+  DELETE  → anti-join rewrite into a new snapshot version
+  UPDATE  → projection rewrite into a new snapshot version
+Transactions are snapshot versioning: every table lives under
+  {root}/{table}/v{N}/*.parquet
+with a `_current` pointer file; begin/commit/rollback swap pointers
+atomically — the same MVCC shape Postgres gives the reference, and
+what a lakehouse table format does at 100 TB (append/rewrite + atomic
+pointer swap means writers never block readers).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManagedStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._txn: dict[str, int] | None = None  # table → staged version
+
+    # ---- helpers -------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_current")
+
+    def current_version(self, table: str) -> int:
+        with open(self._pointer(table)) as fh:
+            return int(fh.read().strip())
+
+    def _set_version(self, table: str, v: int) -> None:
+        tmp = self._pointer(table) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self._pointer(table))  # atomic pointer swap
+
+    def _vdir(self, table: str, v: int) -> str:
+        return os.path.join(self._tdir(table), f"v{v}")
+
+    def _read_version(self, table: str, v: int) -> DataFrame:
+        return self.spark.read.parquet(self._vdir(table, v))
+
+    def _write_new_version(self, table: str, df: DataFrame) -> int:
+        v = self.current_version(table) + 1
+        df.write.mode("overwrite").parquet(self._vdir(table, v))
+        if self._txn is not None:
+            self._txn[table] = v
+        else:
+            self._set_version(table, v)
+        return v
+
+    def _visible_version(self, table: str) -> int:
+        if self._txn is not None and table in self._txn:
+            return self._txn[table]
+        return self.current_version(table)
+
+    # ---- catalog ops (reference: storage/postgres_table_set.cpp) --
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, "_current"))
+        )
+
+    def create_table(self, table: str, df: DataFrame, *,
+                     if_not_exists: bool = False) -> None:
+        """CREATE TABLE AS (reference: postgres_insert.cpp AddCast/
+        CreateTableAs path + postgres_table_set.cpp CreateTable)."""
+        if os.path.exists(self._pointer(table)):
+            if if_not_exists:
+                return
+            raise ValueError(f"table {table!r} already exists")
+        os.makedirs(self._tdir(table), exist_ok=True)
+        df.write.mode("overwrite").parquet(self._vdir(table, 0))
+        self._set_version(table, 0)
+        if self._txn is not None:
+            self._txn[table] = 0
+
+    def drop_table(self, table: str, *, if_exists: bool = False) -> None:
+        if not os.path.exists(self._tdir(table)):
+            if if_exists:
+                return
+            raise ValueError(f"no such table {table!r}")
+        shutil.rmtree(self._tdir(table))
+
+    def scan(self, table: str) -> DataFrame:
+        return self._read_version(table, self._visible_version(table))
+
+    # ---- DML (reference: storage/postgres_insert/delete/update) ---
+    def insert(self, table: str, df: DataFrame) -> None:
+        """Append-only insert: new files land in a new snapshot that
+        unions prior data by reference (no rewrite of old files —
+        at 100 TB an insert must never touch existing data)."""
+        v = self._visible_version(table)
+        cur = self._read_version(table, v)
+        new_v = v + 1
+        vdir = self._vdir(table, new_v)
+        # copy prior files by hard link (cheap snapshot), append new part
+        os.makedirs(vdir, exist_ok=True)
+        src = self._vdir(table, v)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(src, f), os.path.join(vdir, f))
+        df.select(*cur.columns).write.mode("append").parquet(vdir)
+        if self._txn is not None:
+            self._txn[table] = new_v
+        else:
+            self._set_version(table, new_v)
+
+    def delete(self, table: str, condition: str) -> int:
+        """DELETE WHERE cond → keep anti-matching rows
+        (reference: storage/postgres_delete.cpp uses ctid batches;
+        rewrite is the columnar-native equivalent)."""
+        cur = self.scan(table)
+        n = cur.filter(condition).count()
+        self._write_new_version(table, cur.filter(f"NOT ({condition})"))
+        return n
+
+    def update(self, table: str, condition: str,
+               assignments: dict[str, str]) -> int:
+        """UPDATE SET col=expr WHERE cond → projection rewrite
+        (reference: storage/postgres_update.cpp)."""
+        from pyspark.sql import functions as F
+        cur = self.scan(table)
+        n = cur.filter(condition).count()
+        cond = F.expr(condition)
+        proj = [
+            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments else F.col(c)
+            for c in cur.columns
+        ]
+        self._write_new_version(table, cur.select(*proj))
+        return n
+
+    # ---- transactions (reference: storage/postgres_transaction.cpp)
+    def begin(self) -> None:
+        if self._txn is not None:
+            raise RuntimeError("transaction already open")
+        self._txn = {}
+
+    def commit(self) -> None:
+        if self._txn is None:
+            raise RuntimeError("no transaction")
+        staged, self._txn = self._txn, None
+        for table, v in staged.items():
+            self._set_version(table, v)
+
+    def rollback(self) -> None:
+        if self._txn is None:
+            raise RuntimeError("no transaction")
+        staged, self._txn = self._txn, None
+        for table, v in staged.items():
+            # drop staged versions newer than the committed pointer
+            cur = self.current_version(table)
+            for cand in range(cur + 1, v + 1):
+                vd = self._vdir(table, cand)
+                if os.path.exists(vd):
+                    shutil.rmtree(vd)

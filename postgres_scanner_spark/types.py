@@ -1,0 +1,190 @@
+"""Postgres type system → Spark DataType mapping.
+
+Parity with the reference's OID map (reference:
+src/include/postgres_type_oids.hpp, src/postgres_utils.cpp
+PostgresUtils::TypeToLogicalType). Arrays map to ArrayType, composite
+types to StructType, numeric to DecimalType (or double when
+precision/scale unknown — same fallback the reference uses), and
+exotic types (uuid/json/range/inet/money/bit) to StringType, matching
+the reference's varchar fallback. `pg_array_as_varchar` flattens
+arrays to their text form (reference: postgres_extension.cpp:171).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from .settings import SETTINGS
+
+# OIDs from reference: src/include/postgres_type_oids.hpp
+BOOLOID = 16
+BYTEAOID = 17
+CHAROID = 18
+NAMEOID = 19
+INT8OID = 20
+INT2OID = 21
+INT4OID = 23
+TEXTOID = 25
+OIDOID = 26
+TIDOID = 27
+JSONOID = 114
+XMLOID = 142
+POINTOID = 600
+FLOAT4OID = 700
+FLOAT8OID = 701
+MONEYOID = 790
+MACADDROID = 829
+INETOID = 869
+CIDROID = 650
+BPCHAROID = 1042
+VARCHAROID = 1043
+DATEOID = 1082
+TIMEOID = 1083
+TIMESTAMPOID = 1114
+TIMESTAMPTZOID = 1184
+INTERVALOID = 1186
+TIMETZOID = 1266
+BITOID = 1560
+VARBITOID = 1562
+NUMERICOID = 1700
+UUIDOID = 2950
+JSONBOID = 3802
+
+# name-keyed map (what you get from information_schema / JDBC metadata)
+_NAME_TO_SPARK: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "bytea": T.BinaryType(),
+    "char": T.StringType(),
+    "bpchar": T.StringType(),
+    "name": T.StringType(),
+    "int2": T.ShortType(),
+    "smallint": T.ShortType(),
+    "int4": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "int8": T.LongType(),
+    "bigint": T.LongType(),
+    "oid": T.LongType(),
+    "tid": T.LongType(),  # ctid surfaces as page*2^16+row (reference: postgres_scanner.cpp:458)
+    "float4": T.FloatType(),
+    "real": T.FloatType(),
+    "float8": T.DoubleType(),
+    "double precision": T.DoubleType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "character varying": T.StringType(),
+    "date": T.DateType(),
+    "time": T.StringType(),       # Spark has no time-of-day type; text form (reference maps to TIME)
+    "timetz": T.StringType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "interval": T.DayTimeIntervalType(),
+    "uuid": T.StringType(),
+    "json": T.StringType(),
+    "jsonb": T.StringType(),
+    "xml": T.StringType(),
+    "money": T.StringType(),
+    "macaddr": T.StringType(),
+    "inet": T.StringType(),
+    "cidr": T.StringType(),
+    "bit": T.StringType(),
+    "varbit": T.StringType(),
+    "point": T.StringType(),
+}
+
+_OID_TO_NAME: dict[int, str] = {
+    BOOLOID: "bool", BYTEAOID: "bytea", CHAROID: "char", NAMEOID: "name",
+    INT8OID: "int8", INT2OID: "int2", INT4OID: "int4", TEXTOID: "text",
+    OIDOID: "oid", TIDOID: "tid", JSONOID: "json", XMLOID: "xml",
+    POINTOID: "point", FLOAT4OID: "float4", FLOAT8OID: "float8",
+    MONEYOID: "money", MACADDROID: "macaddr", INETOID: "inet",
+    CIDROID: "cidr", BPCHAROID: "bpchar", VARCHAROID: "varchar",
+    DATEOID: "date", TIMEOID: "time", TIMESTAMPOID: "timestamp",
+    TIMESTAMPTZOID: "timestamptz", INTERVALOID: "interval",
+    TIMETZOID: "timetz", BITOID: "bit", VARBITOID: "varbit",
+    NUMERICOID: "numeric", UUIDOID: "uuid", JSONBOID: "jsonb",
+}
+
+
+def pg_type_to_spark(
+    type_name: str,
+    *,
+    precision: int | None = None,
+    scale: int | None = None,
+    array_dims: int = 0,
+) -> T.DataType:
+    """Map a Postgres type name (optionally an N-dim array) to Spark.
+
+    Mirrors reference src/postgres_utils.cpp TypeToLogicalType:
+    - numeric with known precision/scale → decimal(p,s); unknown → double
+      (the reference falls back to double for unconstrained NUMERIC)
+    - enum/unknown → varchar
+    - arrays → list (or varchar if pg_array_as_varchar)
+    """
+    base_name = type_name.strip().lower()
+    if base_name.endswith("[]"):
+        array_dims += base_name.count("[]")
+        base_name = base_name.split("[", 1)[0].strip()
+    if base_name == "numeric":
+        if precision is not None and precision > 0 and precision <= 38:
+            dt: T.DataType = T.DecimalType(precision, scale or 0)
+        else:
+            dt = T.DoubleType()
+    else:
+        dt = _NAME_TO_SPARK.get(base_name, T.StringType())  # enum/unknown → varchar
+    if array_dims > 0:
+        if SETTINGS.pg_array_as_varchar:
+            return T.StringType()
+        for _ in range(array_dims):
+            dt = T.ArrayType(dt)
+    return dt
+
+
+def pg_oid_to_spark(oid: int, *, precision: int | None = None,
+                    scale: int | None = None) -> T.DataType:
+    return pg_type_to_spark(_OID_TO_NAME.get(oid, "text"),
+                            precision=precision, scale=scale)
+
+
+def composite_to_struct(fields: list[tuple[str, str]]) -> T.StructType:
+    """Postgres composite type → StructType (reference: postgres_utils.cpp
+    composite handling in TypeToLogicalType)."""
+    return T.StructType([
+        T.StructField(n, pg_type_to_spark(t), True) for n, t in fields
+    ])
+
+
+def spark_type_to_pg(dt: T.DataType) -> str:
+    """Inverse map for DDL generation when writing back
+    (reference: postgres_utils.cpp TypeToPostgres)."""
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.ByteType) or isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.IntegerType):
+        return "INTEGER"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.FloatType):
+        return "REAL"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE PRECISION"
+    if isinstance(dt, T.DecimalType):
+        return f"NUMERIC({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR"
+    if isinstance(dt, T.BinaryType):
+        return "BYTEA"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, (T.TimestampType,)):
+        return "TIMESTAMPTZ"
+    if isinstance(dt, (T.TimestampNTZType,)):
+        return "TIMESTAMP"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "INTERVAL"
+    if isinstance(dt, T.ArrayType):
+        return spark_type_to_pg(dt.elementType) + "[]"
+    if isinstance(dt, T.StructType):
+        return "JSONB"  # structs round-trip as jsonb documents
+    return "VARCHAR"
