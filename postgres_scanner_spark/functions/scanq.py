@@ -1,0 +1,270 @@
+"""Scan-semantics parity queries.
+
+Each mirrors a reference scanner test (reference: test/sql/scanner/*
+and test/sql/storage/*): count(*) scans, NULL handling, decimal
+arithmetic, every pushdown operator, array/list columns, interval
+math, timestamp parts, json extraction, uuid-shaped strings, and a
+full-table verification checksum. All are oracle-checked against
+DuckDB on the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- P1: count(*) (reference: test/sql/scanner/count_star.test)
+def p1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+_P1_SQL = "SELECT COUNT(*) AS n FROM lineitem"
+
+
+# ---- P2: NULL semantics (reference: test/sql/scanner/nulls.test)
+def p2_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    zero_disc = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"),
+             F.count(zero_disc).alias("nonzero_disc"),
+             F.sum(F.when(F.col("l_discount") == 0.0, 1).otherwise(0)).alias("zero_disc"),
+             F.count(F.when(zero_disc.isNull(), 1)).alias("null_marks"))
+        .orderBy("l_returnflag")
+    )
+
+
+_P2_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       COUNT(NULLIF(l_discount, 0.0)) AS nonzero_disc,
+       SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS zero_disc,
+       COUNT(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 END) AS null_marks
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---- P3: decimal arithmetic (reference: test/sql/scanner/decimals.test)
+def p3_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    tax_amt = (F.col("l_extendedprice").cast("decimal(12,2)")
+               * F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        l.groupBy("l_linestatus")
+        .agg(F.sum(tax_amt).cast("double").alias("sum_tax_amt"),
+             F.sum(F.col("l_tax").cast("decimal(4,2)")).cast("double").alias("sum_tax"),
+             F.max(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("max_price"))
+        .orderBy("l_linestatus")
+    )
+
+
+_P3_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_tax_amt,
+  CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_tax,
+  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# ---- P4: every pushdown operator (reference: attach_filter_pushdown.test,
+#      src/postgres_filter_pushdown.cpp)
+def p4_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_size") >= 5) & (F.col("p_size") <= 45)
+        & (F.col("p_size") != 13)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#7", "Brand#19")
+        & F.col("p_name").like("%o%")
+        & F.col("p_type").isNotNull()
+        & ((F.col("p_retailprice") > 500.0) | (F.col("p_size") < 10))
+    )
+    return p.filter(cond).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        F.min("p_partkey").alias("min_key"),
+        F.max("p_partkey").alias("max_key"))
+
+
+_P4_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+FROM part
+WHERE p_size >= 5 AND p_size <= 45 AND p_size <> 13
+  AND p_brand IN ('Brand#1','Brand#2','Brand#7','Brand#19')
+  AND p_name LIKE '%o%'
+  AND p_type IS NOT NULL
+  AND (p_retailprice > 500.0 OR p_size < 10)
+"""
+
+
+# ---- P5: array/list scan (reference: test/sql/scanner/arrays.test)
+def p5_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        e.select("vec_id", F.size("embedding").alias("dim"),
+                 F.posexplode("embedding").alias("pos0", "val_f"))
+        .filter(F.col("pos0") < 3)
+        .select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"),
+                F.col("val_f").cast("double").alias("val"), "dim")
+        .orderBy("vec_id", "pos")
+    )
+
+
+_P5_SQL = """
+SELECT vec_id, i + 1 AS pos, CAST(embedding[i+1] AS DOUBLE) AS val,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings, (SELECT unnest(range(3)) AS i)
+WHERE vec_id < 10
+ORDER BY vec_id, pos
+"""
+
+
+# ---- P6: interval arithmetic (reference: test/sql/scanner/interval.test)
+def p6_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.expr("l_shipdate + interval 30 days")
+                 < F.lit("1997-01-01").cast("timestamp"))
+        .withColumn("ship_month", F.date_format(
+            F.expr("l_shipdate + interval 15 days"), "yyyy-MM"))
+        .groupBy("ship_month")
+        .agg(F.count("*").alias("n"))
+        .orderBy("ship_month")
+    )
+
+
+_P6_SQL = """
+SELECT strftime(l_shipdate + INTERVAL 15 DAY, '%Y-%m') AS ship_month,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate + INTERVAL 30 DAY < TIMESTAMP '1997-01-01'
+GROUP BY ship_month ORDER BY ship_month
+"""
+
+
+# ---- P7: timestamp parts (reference: attach_types_timestamp.test)
+def p7_timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            F.dayofmonth("o_orderdate").cast("int").alias("d"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")),
+                          "yyyy-MM-dd").alias("month_start"))
+        .groupBy("y", "m", "month_start")
+        .agg(F.count("*").alias("n"), F.max("d").alias("max_day"))
+        .orderBy("y", "m")
+    )
+
+
+_P7_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       COUNT(*) AS n, MAX(CAST(day(o_orderdate) AS INT)) AS max_day
+FROM orders GROUP BY y, m, month_start ORDER BY y, m
+"""
+
+
+# ---- P8: json extraction (reference: attach_json.test)
+def p8_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
+_P8_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY k_bucket ORDER BY k_bucket
+"""
+
+
+# ---- P9: uuid-shaped identity (reference: README uuids example,
+#      attach_types_uuid.test)
+def p9_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    uuid = F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                       F.substring(h, 13, 4), F.substring(h, 17, 4),
+                       F.substring(h, 21, 12))
+    return d.select(uuid.alias("u")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("u").alias("n_distinct"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"))
+
+
+_P9_SQL = """
+WITH u AS (
+  SELECT substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'
+         ||substr(h,17,4)||'-'||substr(h,21,12) AS u
+  FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+SELECT COUNT(*) AS n, COUNT(DISTINCT u) AS n_distinct,
+       MIN(u) AS min_u, MAX(u) AS max_u
+FROM u
+"""
+
+
+# ---- P10: full-table verification checksum
+#      (reference: attach_verify_big_table.test_slow)
+def p10_verify_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_orderkey") * F.col("l_linenumber")).alias("sum_ok_ln"),
+        F.sum(F.col("l_partkey") + F.col("l_suppkey")).alias("sum_pk_sk"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+_P10_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS sum_ok_ln,
+       CAST(SUM(l_partkey + l_suppkey) AS BIGINT) AS sum_pk_sk,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "p1_count_star": p1_count_star,
+    "p2_nulls": p2_nulls,
+    "p3_decimals": p3_decimals,
+    "p4_filter_pushdown": p4_filter_pushdown,
+    "p5_arrays": p5_arrays,
+    "p6_interval": p6_interval,
+    "p7_timestamp_parts": p7_timestamp_parts,
+    "p8_json": p8_json,
+    "p9_uuid": p9_uuid,
+    "p10_verify_checksum": p10_verify_checksum,
+}
+
+ORACLE = {
+    "p1_count_star": _P1_SQL,
+    "p2_nulls": _P2_SQL,
+    "p3_decimals": _P3_SQL,
+    "p4_filter_pushdown": _P4_SQL,
+    "p5_arrays": _P5_SQL,
+    "p6_interval": _P6_SQL,
+    "p7_timestamp_parts": _P7_SQL,
+    "p8_json": _P8_SQL,
+    "p9_uuid": _P9_SQL,
+    "p10_verify_checksum": _P10_SQL,
+}
