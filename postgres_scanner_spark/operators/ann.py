@@ -1,0 +1,196 @@
+"""Approximate nearest-neighbor search over the embeddings table
+(SURVEY.md §2 A1-A2).
+
+A1: brute-force cosine top-k — the exact baseline. The (small) query
+set broadcasts against the corpus; the corpus is never shuffled, so
+at 100 TB this is one scan + a per-partition top-k (window over the
+broadcast query id).
+
+A2: random-hyperplane LSH buckets — the scale path. Buckets are
+computed in one scan (signs of dot products against a fixed ±1
+hyperplane matrix); the join is bucket-local, so candidate generation
+touches only same-bucket rows. The hyperplane matrix is derived
+deterministically from md5 parity and embedded as a literal in BOTH
+the Spark plan and the DuckDB oracle, keeping the two bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_QUERIES = 5     # vec_id < 5 are the query vectors
+TOP_K = 3
+N_PLANES = 8
+DIM = 64
+
+
+def _planes() -> list[list[int]]:
+    """±1 hyperplane matrix from md5 parity — deterministic, shared
+    verbatim by the Spark plan and the SQL oracle."""
+    out = []
+    for j in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+PLANES = _planes()
+
+
+def _dot(u: Column, v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, z: acc + z)
+
+
+_SQL_DOT = ("list_sum(list_transform(range(len({u})), i -> "
+            "CAST({u}[i+1] AS DOUBLE) * CAST({v}[i+1] AS DOUBLE)))")
+
+
+def _with_norm(e: DataFrame) -> DataFrame:
+    return e.select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
+
+
+# ------------------------------------------------------ A1 brute force
+def a1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for each query vector (vec_id < 5) over the
+    rest of the corpus. Query side broadcasts; corpus scans once."""
+    e = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"))
+    c = e.filter(F.col("vec_id") >= N_QUERIES)
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(F.col("query_id"), F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_A1_SQL = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT.format(u='q_emb', v='c.embedding')} / (q_norm * c.norm) AS cos_raw
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------- A2 LSH bucketed ANN
+def _bucket(emb: str) -> Column:
+    bits = []
+    for row in PLANES:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        s = _dot(F.col(emb), plane)
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _sql_bucket(emb: str) -> str:
+    bits = []
+    for row in PLANES:
+        plane = "[" + ", ".join(f"{float(x)!r}" for x in row) + "]"
+        s = _SQL_DOT.format(u=emb, v=plane).replace(
+            f"len({emb})", str(DIM))
+        bits.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
+    return "||".join(bits)
+
+
+def a2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's 8-bit
+    hyperplane-sign bucket; exact cosine rerank inside the bucket.
+    Bucket-local join ⇒ no quadratic shuffle at scale."""
+    e = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    e = e.withColumn("bucket", _bucket("embedding"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"), F.col("bucket").alias("q_bucket"))
+    c = e.filter(F.col("vec_id") >= N_QUERIES)
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _a2_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm,
+         {_sql_bucket('embedding')} AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+             bucket AS q_bucket
+      FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT.format(u='q_emb', v='c.embedding')} / (q_norm * c.norm) AS cos_raw
+  FROM c JOIN q ON c.bucket = q.q_bucket),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES = {
+    "a1_cosine_topk": a1_cosine_topk,
+    "a2_lsh_ann": a2_lsh_ann,
+}
+
+ORACLE = {
+    "a1_cosine_topk": _A1_SQL,
+    "a2_lsh_ann": _a2_sql(),
+}

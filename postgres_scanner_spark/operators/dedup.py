@@ -1,0 +1,379 @@
+"""Deduplication operators over the documents table (SURVEY.md §2 D1-D5).
+
+Training-data pipeline staples: exact dedup, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup. All implementations
+are pure DataFrame plans (no Python UDFs) built from engine-agnostic
+primitives (md5) so the DuckDB oracle can replicate them bit-for-bit.
+
+Scale design (100 TB):
+- Exact dedup: one hash-shuffle on the 32-hex fingerprint.
+- MinHash LSH: only (band_id, band_hash, doc_id) tuples shuffle —
+  never the texts; candidate pairs then verify by joining the
+  exploded shingle inverted index (shuffle keyed on shingle).
+- SimHash: 4-nibble blocking makes candidate generation a bucket
+  join; pigeonhole guarantees recall for hamming <= 2.
+- Embedding near-dup keeps the quadratic step per-bucket (A2 is the
+  scaled variant); here the corpus side is broadcast when small.
+
+The test corpus is word-salad with no natural near-dups, so each
+operator unions in deterministic mutated copies of docs 0-24
+(doc_id+100000) — the operator must find exactly those plants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8      # minhash permutations
+N_BANDS = 4        # LSH bands (r = 2 rows/band)
+_DUP_N = 25        # planted duplicates: doc_id < 25 → doc_id+100000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def corpus_with_plants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of doc_id<25 at doc_id+100000."""
+    d = _docs(spark, sf_dir)
+    dup = d.filter(F.col("doc_id") < _DUP_N) \
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    return d.unionByName(dup)
+
+
+_SQL_CORPUS = f"""
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id < {_DUP_N}
+"""
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def _shingles_expr(k: int) -> Column:
+    """Distinct word k-gram shingles of `text` (JVM-side array ops)."""
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>"))
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(1, k + 1)])
+
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def _sql_shingles(k: int) -> str:
+    parts = "||' '||".join(f"t[i+{j}]" for j in range(1, k + 1))
+    return ("list_distinct(list_transform(range(len(t)-" + str(k - 1) +
+            "), i -> " + parts + "))")
+
+
+# ------------------------------------------------------------- D1 exact
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groups; survivor = min doc_id.
+    One shuffle keyed on the fingerprint — at 100 TB this is the
+    canonical hash-groupBy dedup."""
+    c = corpus_with_plants(spark, sf_dir)
+    return (
+        c.groupBy(F.md5(F.col("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("survivor"),
+             F.count("*").alias("n_copies"),
+             F.max("doc_id").alias("max_dup"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("survivor")
+    )
+
+
+_D1_SQL = f"""
+WITH corpus AS ({_SQL_CORPUS})
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS survivor,
+       COUNT(*) AS n_copies, MAX(doc_id) AS max_dup
+FROM corpus
+GROUP BY fingerprint HAVING COUNT(*) > 1
+ORDER BY survivor
+"""
+
+
+# ------------------------------------------------------- D2 minhash LSH
+def minhash_signature() -> list[Column]:
+    """k min-hashes as min-of-md5-strings over the shingle set —
+    string min is engine-portable (no 64-bit int hashing needed)."""
+    return [
+        F.array_min(F.transform(
+            F.col("shingles"),
+            lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+
+
+def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) near-dup pairs, verified at
+    Jaccard ≥ 0.5 on 3-gram shingles.
+
+    Only (band_id, band_hash, doc_id) shuffles for candidate
+    generation; verification joins the shingle inverted index."""
+    c = corpus_with_plants(spark, sf_dir) \
+        .select("doc_id", _shingles_expr(3).alias("shingles")) \
+        .filter(F.size("shingles") > 0)
+    sig = c.select("doc_id", "shingles", *minhash_signature())
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+                     .alias("band_hash"))
+            for b in range(N_BANDS)])).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shx = c.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(shx.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(shx.alias("y"), (F.col("doc_b") == F.col("y.doc_id"))
+              & (F.col("x.s") == F.col("y.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard",
+                    F.col("ni") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d2_sql() -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}:'||x))) AS mh{s}"
+        for s in range(N_MINHASH))
+    bands = ", ".join(
+        f"(SELECT {b} AS band_id, md5(mh{2*b}||mh{2*b+1}) AS band_hash)"
+        for b in range(N_BANDS))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh{2*b}||mh{2*b+1}) AS band_hash FROM sig"
+        for b in range(N_BANDS))
+    return f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles(3)} AS shingles
+       FROM tok WHERE len(t) >= 3),
+sig AS (SELECT doc_id, shingles, {sig} FROM sh),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+          FROM cand c
+          JOIN shx x ON x.doc_id = c.doc_a
+          JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
+          GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------------------------- D3 simhash
+_SIM_BITS = 16
+
+
+def d3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup pairs at hamming ≤ 2.
+
+    Candidate generation blocks on the 4 hex nibbles of the simhash
+    (pigeonhole: hamming ≤ 2 ⟹ ≥ 1 intact nibble), so the pair join
+    is bucket-local — no quadratic shuffle at scale."""
+    c = corpus_with_plants(spark, sf_dir)
+    tok = c.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tk"))
+    h = F.conv(F.substring(F.md5(F.col("tk")), 1, 4), 16, 10).cast("int")
+    tok = tok.withColumn("h", h)
+    aggs = [
+        F.sum(((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1)).alias(f"b{j}")
+        for j in range(_SIM_BITS)
+    ]
+    sim = tok.groupBy("doc_id").agg(*aggs)
+    val = None
+    for j in range(_SIM_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, 1 << j).otherwise(0)
+        val = bit if val is None else val + bit
+    sim = sim.select("doc_id", val.alias("simhash"))
+    nib = sim.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("nk"),
+                     (F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(15))
+                     .alias("nv"))
+            for k in range(4)])).alias("nb")
+    ).select("doc_id", "simhash", "nb.nk", "nb.nv")
+    a, b = nib.alias("a"), nib.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.nk") == F.col("b.nk"))
+               & (F.col("a.nv") == F.col("b.nv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _d3_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_SIM_BITS))
+    val = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIM_BITS))
+    return f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text),' '))) AS tk
+        FROM corpus),
+hs AS (SELECT doc_id, CAST(('0x'||substr(md5(tk),1,4)) AS INTEGER) AS h FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id),
+sim AS (SELECT doc_id, {val} AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------- D4 n-gram Jaccard similarity
+def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard pair similarity via the inverted-index
+    join (shuffle keyed on shingle — candidates only materialize for
+    pairs that share at least one shingle)."""
+    c = corpus_with_plants(spark, sf_dir) \
+        .select("doc_id", _shingles_expr(2).alias("shingles")) \
+        .filter(F.size("shingles") > 0)
+    shx = c.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = shx.alias("x"), shx.alias("y")
+    inter = (
+        x.join(y, (F.col("x.s") == F.col("y.s"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"),
+                 F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard",
+                    F.col("ni") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_D4_SQL = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles(2)} AS shingles FROM tok WHERE len(t) >= 2),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
+          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------- D5 embedding cosine near-dup
+def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (cos > 0.45).
+
+    Element-wise double arithmetic in a fixed left-to-right fold so
+    both engines produce bit-identical doubles; output rounded to 5
+    decimals. Pair generation is a conditioned self-join (the small
+    side broadcasts); the bucketed-at-scale variant is operators.ann.a2."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def dot(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, z: acc + z)
+
+    n = e.select("vec_id", "embedding",
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) \
+        / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 5).alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.45)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_D5_DOT = ("list_sum(list_transform(range(len({u})), i -> "
+           "CAST({u}[i+1] AS DOUBLE) * CAST({v}[i+1] AS DOUBLE)))")
+
+_D5_SQL = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_D5_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_D5_DOT.format(u='a.embedding', v='b.embedding')}
+             / (a.norm * b.norm), 5) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND({_D5_DOT.format(u='a.embedding', v='b.embedding')}
+            / (a.norm * b.norm), 5) > 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
+    "d3_simhash_dedup": d3_simhash_dedup,
+    "d4_ngram_jaccard": d4_ngram_jaccard,
+    "d5_embedding_dedup": d5_embedding_dedup,
+}
+
+ORACLE = {
+    "d1_exact_dedup": _D1_SQL,
+    "d2_minhash_lsh_dedup": _d2_sql(),
+    "d3_simhash_dedup": _d3_sql(),
+    "d4_ngram_jaccard": _D4_SQL,
+    "d5_embedding_dedup": _D5_SQL,
+}

@@ -1,0 +1,200 @@
+"""Event-stream operators (SURVEY.md §2 E1-E5).
+
+The reference's scan surface is batch-only; this module extends the
+engine to Spark's native streaming model. E1/E2/E4/E5 are
+batch-on-events plans with DuckDB oracles; E3 is a genuine Structured
+Streaming pipeline (file source → watermark → windowed agg →
+availableNow drain into a memory sink) checked rows-only by the
+driver.
+
+Scale: windowed aggs shuffle on (window, key) — bounded state via
+watermark; sessionization uses session_window so state is
+per-active-session, not per-event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_GAP_MIN = 30
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------- E1 tumbling-window agg
+def e1_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _ev(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+_E1_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+"""
+
+
+# ------------------------------------------------- E2 sessionization
+def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) via Spark's native session_window;
+    per-user session stats. The oracle replicates the same semantics
+    with lag + cumulative sum."""
+    e = _ev(spark, sf_dir)
+    sess = (
+        e.groupBy(F.session_window("ts", f"{_GAP_MIN} minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.sum("n_events").alias("total_events"))
+        .orderBy("user_id")
+    )
+
+
+_E2_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked),
+per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sess_id)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+       SUM(n_events) AS total_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------- E3 Structured Streaming pipeline
+def e3_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(parquet) → watermark(1h) → tumbling window agg →
+    availableNow drain to a memory sink. Rows-only check (streaming
+    query execution isn't SQL-expressible for the oracle)."""
+    import hashlib
+    import os
+    # Spark's file stream source requires a directory; stage the
+    # single events.parquet behind a symlink dir (testdata is read-only)
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:00").alias("hour"),
+                "event_type", "n")
+    )
+    q = (stream.writeStream.format("memory")
+         .queryName("e3_hourly")
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return spark.table("e3_hourly").orderBy("hour", "event_type")
+
+
+# ------------------------------------------------- E4 top-k by value
+def e4_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _ev(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("total_value"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+_E4_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+# --------------------------------------------------- E5 event funnel
+def e5_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel on first-occurrence
+    ordering per user."""
+    e = _ev(spark, sf_dir)
+    firsts = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.min("ts"))
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.col("view")).alias("n_view"),
+        F.count(F.when(F.col("view") < F.col("click"), 1)).alias("n_view_click"),
+        F.count(F.when((F.col("view") < F.col("click"))
+                       & (F.col("click") < F.col("purchase")), 1))
+        .alias("n_full_funnel"))
+
+
+_E5_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS c,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events
+  WHERE event_type IN ('view','click','purchase')
+  GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       COUNT(v) AS n_view,
+       COUNT(CASE WHEN v < c THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN v < c AND c < p THEN 1 END) AS n_full_funnel
+FROM firsts
+"""
+
+
+QUERIES = {
+    "e1_hourly_event_rollup": e1_hourly_event_rollup,
+    "e2_sessionization": e2_sessionization,
+    "e3_streaming_hourly": e3_streaming_hourly,
+    "e4_top_users": e4_top_users,
+    "e5_event_funnel": e5_event_funnel,
+}
+
+ORACLE = {
+    "e1_hourly_event_rollup": _E1_SQL,
+    "e2_sessionization": _E2_SQL,
+    # e3: streaming — rows-only check
+    "e4_top_users": _E4_SQL,
+    "e5_event_funnel": _E5_SQL,
+}
