@@ -1,0 +1,98 @@
+"""Managed-store DML + transactions (reference: test/sql/storage/
+attach_delete.test, attach_update.test, attach_transactions.test)."""
+
+import pytest
+
+from postgres_scanner_spark.storage import ManagedStore
+from postgres_scanner_spark.copyio import copy_from, copy_to
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ManagedStore(spark, str(tmp_path / "store"))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id BIGINT, name STRING, v DOUBLE")
+
+
+def test_create_insert_scan(spark, store):
+    store.create_table("t", _mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    assert store.scan("t").count() == 2
+    store.insert("t", _mk(spark, [(3, "c", 3.0)]))
+    assert sorted(r.id for r in store.scan("t").collect()) == [1, 2, 3]
+    assert store.tables() == ["t"]
+
+
+def test_create_if_exists(spark, store):
+    store.create_table("t", _mk(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ValueError):
+        store.create_table("t", _mk(spark, [(9, "z", 0.0)]))
+    store.create_table("t", _mk(spark, [(9, "z", 0.0)]), if_not_exists=True)
+    assert store.scan("t").count() == 1
+
+
+def test_delete(spark, store):
+    store.create_table("t", _mk(spark, [(i, "x", float(i)) for i in range(10)]))
+    n = store.delete("t", "id >= 7")
+    assert n == 3
+    assert store.scan("t").count() == 7
+
+
+def test_update(spark, store):
+    store.create_table("t", _mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    n = store.update("t", "id = 2", {"v": "v * 10", "name": "'bb'"})
+    assert n == 1
+    row = {r.id: r for r in store.scan("t").collect()}
+    assert row[2].v == 20.0 and row[2].name == "bb"
+    assert row[1].v == 1.0 and row[1].name == "a"
+
+
+def test_transaction_commit_rollback(spark, store):
+    store.create_table("t", _mk(spark, [(1, "a", 1.0)]))
+    store.begin()
+    store.insert("t", _mk(spark, [(2, "b", 2.0)]))
+    assert store.scan("t").count() == 2       # visible inside txn
+    store.rollback()
+    assert store.scan("t").count() == 1       # rolled back
+    store.begin()
+    store.insert("t", _mk(spark, [(3, "c", 3.0)]))
+    store.commit()
+    assert store.scan("t").count() == 2       # committed
+
+
+def test_drop(spark, store):
+    store.create_table("t", _mk(spark, [(1, "a", 1.0)]))
+    store.drop_table("t")
+    assert store.tables() == []
+    with pytest.raises(ValueError):
+        store.drop_table("t")
+    store.drop_table("t", if_exists=True)
+
+
+def test_copy_roundtrip(spark, tmp_path):
+    df = _mk(spark, [(1, "a", 1.5), (2, "b", 2.5)])
+    p = str(tmp_path / "unload")
+    copy_to(df, p, format="binary")
+    back = copy_from(spark, p, format="binary")
+    assert sorted((r.id, r.name, r.v) for r in back.collect()) == \
+        [(1, "a", 1.5), (2, "b", 2.5)]
+    p2 = str(tmp_path / "unload_text")
+    copy_to(df, p2, format="text")
+    back2 = copy_from(spark, p2, format="text", schema=df.schema)
+    assert back2.count() == 2
+
+
+def test_catalog_attach(spark, sf_dir):
+    from postgres_scanner_spark.catalog import Catalog
+    cat = Catalog(spark)
+    cat.attach(sf_dir, alias="tpch")
+    assert "lineitem" in cat.list_tables("tpch")
+    assert cat.table("tpch", "region").count() == 5
+    assert cat.database_size("tpch") > 0
+    # postgres_query passthrough on the attached alias
+    from postgres_scanner_spark.queryfn import pg_query
+    n = pg_query(cat, "tpch", "SELECT COUNT(*) AS n FROM tpch_orders").collect()[0].n
+    assert n > 0
+    cat.clear_cache()
+    cat.detach("tpch")
