@@ -10,7 +10,7 @@ Scale design (100 TB):
 - MinHash LSH: only (band_id, band_hash, doc_id) tuples shuffle —
   never the texts; candidate pairs then verify by joining the
   exploded shingle inverted index (shuffle keyed on shingle).
-- SimHash: 4-nibble blocking makes candidate generation a bucket
+- SimHash: hex-nibble blocking makes candidate generation a bucket
   join; pigeonhole guarantees recall for hamming <= 2.
 - Embedding near-dup keeps the quadratic step per-bucket (A2 is the
   scaled variant); here the corpus side is broadcast when small.
@@ -35,11 +35,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_with_plants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ exact copies of doc_id<25 at doc_id+100000."""
+    """documents ∪ exact copies of doc_id<25 at doc_id+100000.
+
+    Repartitioned by doc_id: the source is a handful of parquet
+    splits, and the downstream per-row array work (shingling,
+    hashing) must fan out across every core/executor."""
     d = _docs(spark, sf_dir)
     dup = d.filter(F.col("doc_id") < _DUP_N) \
         .withColumn("doc_id", F.col("doc_id") + 100000)
-    return d.unionByName(dup)
+    return d.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
 
 
 _SQL_CORPUS = f"""
@@ -54,18 +59,23 @@ def _tokens() -> Column:
     return F.split(F.lower(F.col("text")), " ")
 
 
-def _shingles_expr(k: int) -> Column:
-    """Distinct word k-gram shingles of `text` (JVM-side array ops)."""
-    toks = _tokens()
-    n = F.size(toks)
+def with_shingles(df: DataFrame, k: int) -> DataFrame:
+    """Add a distinct word-k-gram `shingles` column.
+
+    The token array is materialized as its own column first so the
+    transform lambda reads a per-row attribute; inlining the split()
+    into the lambda makes Catalyst re-evaluate it per element —
+    O(tokens²) per document."""
+    df = df.withColumn("t", _tokens())
+    n = F.size(F.col("t"))
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>"))
 
     def gram(i: Column) -> Column:
         return F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(1, k + 1)])
+            " ", *[F.element_at(F.col("t"), i + j) for j in range(1, k + 1)])
 
-    return F.array_distinct(F.transform(idx, gram))
+    return df.withColumn("shingles", F.array_distinct(F.transform(idx, gram)))
 
 
 def _sql_shingles(k: int) -> str:
@@ -118,9 +128,10 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Only (band_id, band_hash, doc_id) shuffles for candidate
     generation; verification joins the shingle inverted index."""
-    c = corpus_with_plants(spark, sf_dir) \
-        .select("doc_id", _shingles_expr(3).alias("shingles")) \
+    c = with_shingles(corpus_with_plants(spark, sf_dir), 3) \
+        .select("doc_id", "shingles") \
         .filter(F.size("shingles") > 0)
+    c = c.persist()  # reused by signature, inverted index, and sizes
     sig = c.select("doc_id", "shingles", *minhash_signature())
     bands = sig.select(
         "doc_id",
@@ -199,21 +210,29 @@ ORDER BY doc_a, doc_b
 
 
 # ----------------------------------------------------------- D3 simhash
-_SIM_BITS = 16
+_SIM_BITS = 32      # 8 hex nibbles
+_SIM_HAM = 2
 
 
 def d3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup pairs at hamming ≤ 2.
+    """Frequency-weighted 24-bit SimHash (Charikar) near-dup pairs at
+    hamming ≤ 2. Each token contributes its per-doc count (±) to every
+    bit dimension — the weighting is what discriminates documents that
+    share a small vocabulary but differ in distribution.
 
-    Candidate generation blocks on the 4 hex nibbles of the simhash
-    (pigeonhole: hamming ≤ 2 ⟹ ≥ 1 intact nibble), so the pair join
-    is bucket-local — no quadratic shuffle at scale."""
+    Candidate generation blocks on the 6 hex nibbles of the simhash
+    (pigeonhole: 2 bit errors touch ≤ 2 nibbles ⟹ ≥ 1 intact nibble),
+    so the pair join is bucket-local — no quadratic shuffle at scale."""
     c = corpus_with_plants(spark, sf_dir)
-    tok = c.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tk"))
-    h = F.conv(F.substring(F.md5(F.col("tk")), 1, 4), 16, 10).cast("int")
+    tok = (
+        c.select("doc_id", F.explode(_tokens()).alias("tk"))
+        .groupBy("doc_id", "tk").agg(F.count("*").alias("w"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("tk")), 1, 8), 16, 10).cast("bigint")
     tok = tok.withColumn("h", h)
     aggs = [
-        F.sum(((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1)).alias(f"b{j}")
+        F.sum(F.col("w") * ((F.shiftright(F.col("h"), j).bitwiseAND(1)) * 2 - 1))
+        .alias(f"b{j}")
         for j in range(_SIM_BITS)
     ]
     sim = tok.groupBy("doc_id").agg(*aggs)
@@ -228,7 +247,7 @@ def d3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit(k).alias("nk"),
                      (F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(15))
                      .alias("nv"))
-            for k in range(4)])).alias("nb")
+            for k in range(_SIM_BITS // 4)])).alias("nb")
     ).select("doc_id", "simhash", "nb.nk", "nb.nv")
     a, b = nib.alias("a"), nib.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -239,7 +258,7 @@ def d3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= _SIM_HAM)
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -247,21 +266,24 @@ def d3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _d3_sql() -> str:
     bit_sums = ", ".join(
-        f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_SIM_BITS))
+        f"SUM(w * (((h >> {j}) & 1) * 2 - 1)) AS b{j}"
+        for j in range(_SIM_BITS))
     val = " + ".join(
         f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(_SIM_BITS))
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
-tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text),' '))) AS tk
-        FROM corpus),
-hs AS (SELECT doc_id, CAST(('0x'||substr(md5(tk),1,4)) AS INTEGER) AS h FROM tok),
+tok AS (SELECT doc_id, tk, COUNT(*) AS w FROM (
+          SELECT doc_id, unnest(string_split(lower(text),' ')) AS tk
+          FROM corpus) GROUP BY doc_id, tk),
+hs AS (SELECT doc_id, w,
+              CAST(('0x'||substr(md5(tk),1,8)) AS BIGINT) AS h FROM tok),
 bits AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id),
 sim AS (SELECT doc_id, {val} AS simhash FROM bits)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM_HAM}
 ORDER BY doc_a, doc_b
 """
 
@@ -271,10 +293,10 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2-gram Jaccard pair similarity via the inverted-index
     join (shuffle keyed on shingle — candidates only materialize for
     pairs that share at least one shingle)."""
-    c = corpus_with_plants(spark, sf_dir) \
-        .select("doc_id", _shingles_expr(2).alias("shingles")) \
+    c = with_shingles(corpus_with_plants(spark, sf_dir), 2) \
+        .select("doc_id", "shingles") \
         .filter(F.size("shingles") > 0)
-    shx = c.select("doc_id", F.explode("shingles").alias("s"))
+    shx = c.select("doc_id", F.explode("shingles").alias("s")).persist()
     sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = shx.alias("x"), shx.alias("y")
     inter = (
