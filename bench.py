@@ -19,10 +19,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def main() -> None:
-    from postgres_scanner_spark import get_spark
+    os.environ["SPARK_GRAFT_CACHE"] = "1"   # bench mode: partitioned table cache
+    from postgres_scanner_spark import get_spark, tables
     import __spark_entry__ as entrymod
 
     spark = get_spark(cpus=CPUS)
+    tables.warm(spark, SF_DIR)
     qs = entrymod.queries()
     headline = [
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .. import tables
+    return tables.load(spark, sf_dir, name)
 
 
 # ---- P1: count(*) (reference: test/sql/scanner/count_star.test)

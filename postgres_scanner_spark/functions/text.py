@@ -17,7 +17,8 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .. import tables
+    return tables.load(spark, sf_dir, name)
 
 
 def _tokens():

@@ -34,7 +34,8 @@ _PCT = "decimal(4,2)"      # discounts / taxes (0.00-0.99)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .. import tables
+    return tables.load(spark, sf_dir, name)
 
 
 def _dec(col: str):

@@ -64,7 +64,8 @@ def _with_norm(e: DataFrame) -> DataFrame:
 def a1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 for each query vector (vec_id < 5) over the
     rest of the corpus. Query side broadcasts; corpus scans once."""
-    e = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    from .. import tables
+    e = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -135,7 +136,8 @@ def a2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates share the query's 8-bit
     hyperplane-sign bucket; exact cosine rerank inside the bucket.
     Bucket-local join ⇒ no quadratic shuffle at scale."""
-    e = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    from .. import tables
+    e = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     e = e.withColumn("bucket", _bucket("embedding"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),

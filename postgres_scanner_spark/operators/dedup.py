@@ -31,7 +31,8 @@ _DUP_N = 25        # planted duplicates: doc_id < 25 → doc_id+100000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .. import tables
+    return tables.load(spark, sf_dir, "documents")
 
 
 def corpus_with_plants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,11 +41,14 @@ def corpus_with_plants(spark: SparkSession, sf_dir: str) -> DataFrame:
     Repartitioned by doc_id: the source is a handful of parquet
     splits, and the downstream per-row array work (shingling,
     hashing) must fan out across every core/executor."""
+    from .. import tables
     d = _docs(spark, sf_dir)
     dup = d.filter(F.col("doc_id") < _DUP_N) \
         .withColumn("doc_id", F.col("doc_id") + 100000)
-    return d.unionByName(dup).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id")
+    out = d.unionByName(dup)
+    if tables.cache_enabled():
+        return out  # table cache already repartitioned the source
+    return out.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 _SQL_CORPUS = f"""
@@ -344,7 +348,8 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines produce bit-identical doubles; output rounded to 5
     decimals. Pair generation is a conditioned self-join (the small
     side broadcasts); the bucketed-at-scale variant is operators.ann.a2."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .. import tables
+    e = tables.load(spark, sf_dir, "embeddings")
 
     def dot(u: Column, v: Column) -> Column:
         return F.aggregate(

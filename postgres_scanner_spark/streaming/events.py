@@ -22,7 +22,8 @@ _GAP_MIN = 30
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .. import tables
+    return tables.load(spark, sf_dir, "events")
 
 
 # ---------------------------------------------- E1 tumbling-window agg
