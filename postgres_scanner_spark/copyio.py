@@ -27,6 +27,17 @@ def copy_to(df: DataFrame, path: str, *, format: str | None = None,
     partition writes its own file, which is exactly how the reference
     parallelizes COPY (one stream per task)."""
     fmt = format or ("binary" if SETTINGS.pg_use_binary_copy else "text")
+    if SETTINGS.pg_null_byte_replacement is not None:
+        # reference: pg_null_byte_replacement (postgres_extension.cpp:179)
+        # — NUL bytes are illegal in PG text values; scrub string cols
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        repl = SETTINGS.pg_null_byte_replacement
+        df = df.select(*[
+            F.regexp_replace(F.col(f.name), "\x00", repl).alias(f.name)
+            if isinstance(f.dataType, T.StringType) else F.col(f.name)
+            for f in df.schema.fields
+        ])
     if fmt == "binary":
         df.write.mode(mode).parquet(path)
     elif fmt == "text":

@@ -111,6 +111,10 @@ def build_jdbc_options(
     """
     info = parse_dsn(dsn) if isinstance(dsn, str) else dsn
     props = dict(info.jdbc_properties())
+    if not SETTINGS.pg_experimental_filter_pushdown:
+        # reference: pg_experimental_filter_pushdown=false keeps filters
+        # local (Spark still applies them post-scan; semantics identical)
+        filters = None
     inner = render_select(table, columns, filters, schema=schema)
     props["dbtable"] = f"({inner}) AS scan_subq"
     props["fetchsize"] = "10000"

@@ -134,3 +134,16 @@ def test_array_as_varchar_setting():
 def test_inverse_type_map():
     assert spark_type_to_pg(T.DecimalType(12, 2)) == "NUMERIC(12,2)"
     assert spark_type_to_pg(T.ArrayType(T.LongType())) == "BIGINT[]"
+
+
+def test_filter_pushdown_setting_gates_remote_where():
+    SETTINGS.set("pg_experimental_filter_pushdown", False)
+    try:
+        _, props, _ = build_jdbc_options(
+            "host=h dbname=d", "t", filters=[("x", ">", 1)])
+        assert "WHERE" not in props["dbtable"]
+    finally:
+        SETTINGS.set("pg_experimental_filter_pushdown", True)
+    _, props, _ = build_jdbc_options(
+        "host=h dbname=d", "t", filters=[("x", ">", 1)])
+    assert 'WHERE "x" > 1' in props["dbtable"]

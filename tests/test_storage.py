@@ -96,3 +96,16 @@ def test_catalog_attach(spark, sf_dir):
     assert n > 0
     cat.clear_cache()
     cat.detach("tpch")
+
+
+def test_null_byte_replacement(spark, tmp_path):
+    from postgres_scanner_spark.settings import SETTINGS
+    df = spark.createDataFrame([(1, "a\x00b")], "id BIGINT, s STRING")
+    SETTINGS.set("pg_null_byte_replacement", "?")
+    try:
+        p = str(tmp_path / "nul")
+        copy_to(df, p, format="binary")
+        back = copy_from(spark, p, format="binary")
+        assert back.collect()[0].s == "a?b"
+    finally:
+        SETTINGS.pg_null_byte_replacement = None
