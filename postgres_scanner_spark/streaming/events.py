@@ -184,12 +184,81 @@ FROM firsts
 """
 
 
+# -------------------- E6 custom stateful operator (applyInPandasWithState)
+def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running high-value
+    counter via applyInPandasWithState — the Spark-native mechanism
+    for operators the built-in windowed aggs can't express (reference
+    parity: this is the extension point the engine offers where the
+    reference offers none; streams are beyond postgres_scanner's
+    surface).
+
+    State per user: (n_events, n_high, max_value). Emits one row per
+    user per micro-batch with the updated running state. Rows-only
+    check (stateful streaming is not SQL-expressible).
+    """
+    import hashlib
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    schema = spark.read.parquet(src).schema
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_high", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_high", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n_events, n_high, max_value = (
+            state.get if state.exists else (0, 0, 0.0))
+        for pdf in pdfs:
+            n_events += len(pdf)
+            n_high += int((pdf["value"] > 400.0).sum())
+            if len(pdf):
+                max_value = max(max_value, float(pdf["value"].max()))
+        state.update((n_events, n_high, max_value))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n_events],
+                            "n_high": [n_high], "max_value": [max_value]})
+
+    stream = (
+        spark.readStream.schema(schema).parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName("e6_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table("e6_state").orderBy("user_id")
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
     "e3_streaming_hourly": e3_streaming_hourly,
     "e4_top_users": e4_top_users,
     "e5_event_funnel": e5_event_funnel,
+    "e6_stateful_anomaly": e6_stateful_anomaly,
 }
 
 ORACLE = {
