@@ -21,11 +21,13 @@ from .copyio import copy_from, copy_to
 from .queryfn import pg_execute, pg_query
 from .scan import build_jdbc_options, jdbc_scan, parquet_scan, plan_scan_tasks
 from .settings import SETTINGS, Settings
+from .pg_datasource import PostgresScanDataSource
 from .storage import ManagedStore
 
 __all__ = [
     "AttachedDatabase", "Catalog", "ConnectionInfo", "ManagedStore",
-    "SETTINGS", "Settings", "build_jdbc_options", "copy_from", "copy_to",
+    "PostgresScanDataSource", "SETTINGS", "Settings", "build_jdbc_options",
+    "copy_from", "copy_to",
     "get_spark", "jdbc_scan", "parse_dsn", "parquet_scan", "pg_execute",
     "pg_query", "plan_scan_tasks",
 ]
@@ -44,6 +46,7 @@ def get_spark(app: str = "postgres_scanner_spark", *, cpus: str | int = "*",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.ui.enabled", "false")
