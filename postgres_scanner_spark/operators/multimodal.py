@@ -72,8 +72,20 @@ def m1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _binary_corpus(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: executors may not have the package
+        # on sys.path (cloudpickle must serialize everything by value)
+        import hashlib
+
+        def stub(payload):
+            arr = bytearray(payload)
+            return {
+                "n_bytes": len(arr),
+                "checksum": hashlib.md5(bytes(payload)).hexdigest(),
+                "byte_mean": (sum(arr) / len(arr)) if arr else 0.0,
+            }
+
         for pdf in batches:
-            feats = pdf["payload"].map(_decode_stub)
+            feats = pdf["payload"].map(stub)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": [f["n_bytes"] for f in feats],
