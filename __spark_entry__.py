@@ -30,6 +30,7 @@ def _collect_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tpch.QUERIES)
     for mod_name in ("postgres_scanner_spark.functions.scanq",
                      "postgres_scanner_spark.functions.text",
+                     "postgres_scanner_spark.functions.analytics",
                      "postgres_scanner_spark.operators.dedup",
                      "postgres_scanner_spark.operators.ann",
                      "postgres_scanner_spark.operators.multimodal",
@@ -48,6 +49,7 @@ def _collect_oracle() -> dict[str, str]:
     out.update(tpch.ORACLE)
     for mod_name in ("postgres_scanner_spark.functions.scanq",
                      "postgres_scanner_spark.functions.text",
+                     "postgres_scanner_spark.functions.analytics",
                      "postgres_scanner_spark.operators.dedup",
                      "postgres_scanner_spark.operators.ann",
                      "postgres_scanner_spark.operators.multimodal",

@@ -1,0 +1,242 @@
+"""Advanced analytics surface: grouping sets / rollup / cube, window
+functions, and an as-of join (SURVEY.md §2 W1-W6).
+
+The reference proves TPC-DS through its scanner
+(reference: test/sql/scanner/tpcds.test); these queries exercise the
+same analytic SQL machinery — multi-level aggregation and windowed
+computation — Spark-first (native rollup/cube/Window) with DuckDB
+oracles.
+
+Scale: rollup/cube compile to a single expanded aggregate (one
+shuffle); windows partition by their keys — no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .. import tables
+    return tables.load(spark, sf_dir, name)
+
+
+# ---- W1: ROLLUP over (returnflag, linestatus)
+def w1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "n", "sum_qty")
+        .orderBy("rf", "ls")
+    )
+
+
+_W1_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+
+# ---- W2: CUBE over (orderstatus, orderpriority)
+def w2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_price"))
+        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n", "sum_price")
+        .orderBy("status", "priority")
+    )
+
+
+_W2_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# ---- W3: window rank — top-3 orders per priority by totalprice
+def w3_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                F.col("rk").cast("int").alias("rk"))
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+_W3_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+"""
+
+
+# ---- W4: moving aggregate — 3-month trailing revenue per month
+def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    monthly = (
+        l.groupBy(F.date_format(F.date_trunc("month", "l_shipdate"),
+                                "yyyy-MM").alias("month"))
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev_dec"))
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return (
+        monthly
+        .withColumn("revenue", F.col("rev_dec").cast("double"))
+        .withColumn("trailing_3m",
+                    F.sum("rev_dec").over(w).cast("double"))
+        .select("month", "revenue", "trailing_3m")
+        .orderBy("month")
+    )
+
+
+_W4_SQL = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+  FROM lineitem GROUP BY month)
+SELECT month, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY month
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_3m
+FROM monthly ORDER BY month
+"""
+
+
+# ---- W5: lag/lead deltas — per-user event value deltas
+def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .withColumn("delta", F.col("value") - F.col("prev_value"))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(F.count("*").alias("n_deltas"),
+             F.sum(F.col("delta").cast("decimal(16,2)")).cast("double")
+             .alias("sum_delta"),
+             F.max(F.col("delta").cast("decimal(16,2)")).cast("double")
+             .alias("max_delta"))
+        .orderBy("user_id")
+    )
+
+
+_W5_SQL = """
+WITH d AS (
+  SELECT user_id,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS delta
+  FROM events)
+SELECT user_id, COUNT(*) AS n_deltas,
+       CAST(SUM(CAST(delta AS DECIMAL(16,2))) AS DOUBLE) AS sum_delta,
+       CAST(MAX(CAST(delta AS DECIMAL(16,2))) AS DOUBLE) AS max_delta
+FROM d WHERE delta IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---- W6: as-of join — each purchase matched to the user's most
+#      recent prior signup/view (the timeseries staple Spark lacks
+#      as a builtin; expressed as window-over-union, which keeps it
+#      one shuffle on (user_id) instead of a range join)
+def w6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    # union-tag technique: views carry their ts forward via last()
+    tagged = purchases.select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_p"),
+    ).unionByName(views.select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_p")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    asof = (
+        tagged.withColumn(
+            "last_view_ts",
+            F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True)
+            .over(w))
+        .filter(F.col("is_p") == 1)
+    )
+    return (
+        asof.groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"),
+             F.count("last_view_ts").alias("n_matched"),
+             F.sum(F.when(
+                 F.col("last_view_ts").isNotNull(),
+                 (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                  - F.unix_timestamp(F.col("last_view_ts").cast("timestamp"))))
+             ).alias("sum_gap_s"))
+        .orderBy("user_id")
+    )
+
+
+_W6_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS is_p FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS is_p FROM events WHERE event_type = 'view'),
+matched AS (
+  SELECT user_id, ts, is_p,
+         LAST_VALUE(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM tagged)
+SELECT user_id, COUNT(*) AS n_purchases,
+       COUNT(last_view_ts) AS n_matched,
+       SUM(CASE WHEN last_view_ts IS NOT NULL
+                THEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(last_view_ts)) AS BIGINT) END)
+         AS sum_gap_s
+FROM matched WHERE is_p = 1
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "w1_rollup": w1_rollup,
+    "w2_cube": w2_cube,
+    "w3_window_rank": w3_window_rank,
+    "w4_moving_avg": w4_moving_avg,
+    "w5_lag_delta": w5_lag_delta,
+    "w6_asof_join": w6_asof_join,
+}
+
+ORACLE = {
+    "w1_rollup": _W1_SQL,
+    "w2_cube": _W2_SQL,
+    "w3_window_rank": _W3_SQL,
+    "w4_moving_avg": _W4_SQL,
+    "w5_lag_delta": _W5_SQL,
+    "w6_asof_join": _W6_SQL,
+}
