@@ -28,7 +28,9 @@ FRAME_STRIDE = 4      # sample every 4th frame
 def _binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text encoded to a binary payload + typed metadata —
     the schema a real image/audio column would carry."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    d = tables.load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

@@ -106,6 +106,8 @@ def e3_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -212,6 +214,8 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
     schema = spark.read.parquet(src).schema
     out_schema = T.StructType([
         T.StructField("user_id", T.LongType()),

@@ -37,7 +37,20 @@ def cache_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CACHE") == "1"
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the conf the engine's determinism contract needs, even when
+    the caller built its own SparkSession (the external driver does):
+    UTC session time — timestamp literals/epochs then match the
+    DuckDB oracle's naive-timestamp semantics on every query."""
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_defaults(spark)
     path = f"{sf_dir}/{name}.parquet"
     if not cache_enabled():
         return spark.read.parquet(path)
