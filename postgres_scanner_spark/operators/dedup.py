@@ -157,9 +157,14 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shx = c.select("doc_id", F.explode("shingles").alias("s"))
     sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # verification only touches candidate docs — semi-join the inverted
+    # index down first (candidates << corpus at any scale)
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))).distinct()
+    shc = shx.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     inter = (
-        cand.join(shx.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(shx.alias("y"), (F.col("doc_b") == F.col("y.doc_id"))
+        cand.join(shc.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(shc.alias("y"), (F.col("doc_b") == F.col("y.doc_id"))
               & (F.col("x.s") == F.col("y.s")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ni"))
