@@ -223,6 +223,32 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---- W7: exact percentiles (median / p95 per status)
+def w7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the (1-h)*lo + h*hi formula over identically
+    sorted doubles, so results match bit-for-bit (verified)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+             F.expr("percentile(o_totalprice, 0.95)").alias("p95_price"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_W7_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.95) AS p95_price,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -230,6 +256,7 @@ QUERIES = {
     "w4_moving_avg": w4_moving_avg,
     "w5_lag_delta": w5_lag_delta,
     "w6_asof_join": w6_asof_join,
+    "w7_percentiles": w7_percentiles,
 }
 
 ORACLE = {
@@ -239,4 +266,5 @@ ORACLE = {
     "w4_moving_avg": _W4_SQL,
     "w5_lag_delta": _W5_SQL,
     "w6_asof_join": _W6_SQL,
+    "w7_percentiles": _W7_SQL,
 }

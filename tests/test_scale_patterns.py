@@ -1,0 +1,63 @@
+"""Scale-pattern tests: bucketed co-located joins (no Exchange) and
+salted skew joins (SURVEY.md §4). These assert the *plan shape*, not
+just results — the properties that matter at 100 TB."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_correctness(spark):
+    from postgres_scanner_spark.operators.skew import salted_join
+    # hot key: 90% of big rows share key 1
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [(1, "hot"), (950, "cold")], "k BIGINT, name STRING")
+    out = salted_join(big, small, "k")
+    rows = out.collect()
+    assert len(rows) == 901           # 900 hot + 1 cold
+    plain = big.join(small, "k").collect()
+    assert sorted((r.k, r.v, r.name) for r in rows) == \
+        sorted((r.k, r.v, r.name) for r in plain)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from postgres_scanner_spark.operators.skew import salted_join
+    big = spark.range(0, 1000).select(F.lit(1).alias("k"),
+                                      F.col("id").alias("v"))
+    small = spark.createDataFrame([(1, "x")], "k BIGINT, name STRING")
+    out = salted_join(big, small, "k", salt=8)
+    # the hot key must occupy >1 salt bucket
+    n_buckets = (big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(8)))
+        .select("_salt").distinct().count())
+    assert n_buckets > 1
+    assert out.count() == 1000
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Pre-bucketed tables co-locate join keys: the sort-merge join
+    plan contains no shuffle Exchange on either side — at scale this
+    is the difference between a local join and moving the fact table."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
