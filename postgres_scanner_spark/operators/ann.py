@@ -187,12 +187,107 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------- A3 IVF bucketed ANN
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def a3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the corpus is inverted-file partitioned by
+    nearest centroid (deterministic centroids: vec_id < N_CENTROIDS,
+    normalized); queries probe their N_PROBE nearest centroid lists
+    and rerank by exact cosine.
+
+    At scale the centroid assignment is one broadcast-join scan and
+    each query touches ~N_PROBE/N_CENTROIDS of the corpus — the
+    standard IVF trade (recall vs. scan fraction). A real deployment
+    trains centroids with MLlib KMeans; fixed seeds keep the oracle
+    bit-identical here."""
+    from .. import tables
+    e = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"), F.col("norm").alias("c_norm"))
+    # assign every vector to its nearest centroid (cosine)
+    sim = _dot(F.col("embedding"), F.col("c_emb")) \
+        / (F.col("norm") * F.col("c_norm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "cent_id")
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "norm", "cent_id", sim.alias("c_sim"))
+        .withColumn("crk", F.row_number().over(wa))
+    )
+    corpus_lists = assigned.filter(
+        (F.col("crk") == 1) & (F.col("vec_id") >= N_QUERIES)) \
+        .select("vec_id", "embedding", "norm", "cent_id")
+    probes = assigned.filter(
+        (F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("norm").alias("q_norm"), "cent_id")
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        corpus_lists.join(F.broadcast(probes), "cent_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_raw"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _a3_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
+         FROM n WHERE vec_id < {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, embedding, norm, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {_SQL_DOT.format(u='embedding', v='c_emb')} / (norm * c_norm) DESC,
+           cent_id) AS crk
+  FROM n CROSS JOIN cent),
+corpus_lists AS (
+  SELECT vec_id, embedding, norm, cent_id FROM assigned
+  WHERE crk = 1 AND vec_id >= {N_QUERIES}),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cent_id
+  FROM assigned WHERE crk <= {N_PROBE} AND vec_id < {N_QUERIES}),
+scored AS (
+  SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT.format(u='q_emb', v='c.embedding')} / (q_norm * c.norm)
+           AS cos_raw
+  FROM corpus_lists c JOIN probes USING (cent_id)),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
+    "a3_ivf_ann": a3_ivf_ann,
 }
 
 ORACLE = {
     "a1_cosine_topk": _A1_SQL,
     "a2_lsh_ann": _a2_sql(),
+    "a3_ivf_ann": _a3_sql(),
 }
