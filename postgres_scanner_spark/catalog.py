@@ -40,6 +40,13 @@ class AttachedDatabase:
                 for f in os.listdir(self.source)
                 if f.endswith(".parquet")
             )
+        if self.backend == "duckdb":
+            import duckdb
+            con = duckdb.connect(self.source[len("duckdb://"):],
+                                 read_only=True)
+            names = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+            con.close()
+            return sorted(names)
         raise NotImplementedError("jdbc catalog listing needs a live server")
 
 
@@ -58,11 +65,20 @@ class Catalog:
             raise ValueError(f"database {alias!r} already attached")
         if os.path.isdir(source):
             db = AttachedDatabase(alias, source, "parquet", read_only)
+        elif source.startswith("duckdb://"):
+            # live-database stand-in: reads go through the postgres_scan
+            # DataSource connector (partitioned scan + pushdown)
+            db = AttachedDatabase(alias, source, "duckdb", read_only)
+            from .pg_datasource import PostgresScanDataSource
+            try:
+                self.spark.dataSource.register(PostgresScanDataSource)
+            except Exception:
+                pass  # already registered
         else:
             db = AttachedDatabase(alias, source, "jdbc", read_only,
                                   conn=parse_dsn(source))
         self.attached[alias] = db
-        if register_views and db.backend == "parquet":
+        if register_views and db.backend in ("parquet", "duckdb"):
             for t in db.table_names():
                 self.table(alias, t).createOrReplaceTempView(f"{alias}_{t}")
                 # also bare name for SQL parity with the oracle's views
@@ -81,6 +97,13 @@ class Catalog:
             return db._table_cache[name]
         if db.backend == "parquet":
             df = parquet_scan(self.spark, os.path.join(db.source, f"{name}.parquet"))
+        elif db.backend == "duckdb":
+            # pushdown off: attached relations are long-lived (temp views,
+            # repeated queries) and the Python DS API scopes pushed
+            # filters to the relation, not the query (see pg_datasource)
+            df = (self.spark.read.format("postgres_scan")
+                  .option("dsn", db.source).option("table", name)
+                  .option("pushdown", "false").load())
         else:
             df = jdbc_scan(self.spark, db.conn, name)
         db._table_cache[name] = df
@@ -107,3 +130,15 @@ class Catalog:
         targets = [self.attached[alias]] if alias else self.attached.values()
         for db in targets:
             db._table_cache.clear()
+
+    def copy_database(self, alias: str, store) -> list[str]:
+        """COPY FROM DATABASE — snapshot every table of an attached
+        database into a ManagedStore (reference:
+        test/sql/storage/attach_copy_from_database.test). Each table
+        copies as one distributed write; at scale this is the
+        bulk-migration path (per-table parallel scans → parquet)."""
+        copied = []
+        for t in self.list_tables(alias):
+            store.create_table(t, self.table(alias, t), if_not_exists=False)
+            copied.append(t)
+        return copied

@@ -71,8 +71,14 @@ def _duck_type(name: str) -> T.DataType:
 
 
 class _Task(InputPartition):
-    def __init__(self, where: str):
-        self.where = where
+    """Carries the COMPLETE generated SQL for one page range. The SQL
+    is frozen at planning time (partitions()) — read() must not depend
+    on mutable reader state, because Spark reuses the same reader
+    instance across queries built from one load()/view, and a filtered
+    query's pushdown must never leak into the next query's scan."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
 
 
 def _spark_filter_to_tuple(f: Filter):
@@ -110,11 +116,20 @@ class PostgresScanReader(DataSourceReader):
         # separate Python worker, so per-scan overrides travel as options
         self.pages_per_task = int(options.get(
             "pages_per_task", SETTINGS.pg_pages_per_task))
+        # Spark persists the reader's post-pushFilters pickle on the
+        # relation and reuses it for later queries WITHOUT re-calling
+        # pushFilters — so pushed filters are relation-scoped, not
+        # query-scoped. Safe for the typical one-query-per-load()
+        # pattern; for long-lived relations (catalog temp views) set
+        # option("pushdown", "false") and let Spark filter post-scan.
+        self.enable_pushdown = options.get("pushdown", "true") == "true"
         self.pushed: list[tuple] = []
 
     # -- filter pushdown (reference: postgres_filter_pushdown.cpp)
     def pushFilters(self, filters: list[Filter]):
-        if not SETTINGS.pg_experimental_filter_pushdown:
+        self.pushed = []           # fresh per planning pass — no carryover
+        if not self.enable_pushdown or \
+                not SETTINGS.pg_experimental_filter_pushdown:
             yield from filters
             return
         for f in filters:
@@ -130,14 +145,15 @@ class PostgresScanReader(DataSourceReader):
                                 pages_per_task=self.pages_per_task,
                                 max_tasks=SETTINGS.pg_connection_limit)
         if self.dsn.startswith("duckdb://"):
-            if len(tasks) == 1:
-                return [_Task("")]
-            return [
-                _Task(f"rowid >= {t.page_min * _ROWS_PER_PAGE} AND "
-                      f"rowid < {t.page_max * _ROWS_PER_PAGE}")
+            task_wheres = [""] if len(tasks) == 1 else [
+                f"rowid >= {t.page_min * _ROWS_PER_PAGE} AND "
+                f"rowid < {t.page_max * _ROWS_PER_PAGE}"
                 for t in tasks
             ]
-        return [_Task(t.predicate if len(tasks) > 1 else "") for t in tasks]
+        else:
+            task_wheres = [
+                t.predicate if len(tasks) > 1 else "" for t in tasks]
+        return [_Task(self._sql(w)) for w in task_wheres]
 
     def _sql(self, task_where: str) -> str:
         cols = ", ".join(f'"{f.name}"' for f in self.schema_.fields)
@@ -158,7 +174,7 @@ class PostgresScanReader(DataSourceReader):
 
     # -- execution: Arrow batches (the COPY-binary analog)
     def read(self, partition: _Task) -> Iterator:
-        sql = self._sql(partition.where)
+        sql = partition.sql
         if self.dsn.startswith("duckdb://"):
             import duckdb
             path = self.dsn[len("duckdb://"):]

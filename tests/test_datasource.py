@@ -73,3 +73,38 @@ def test_null_semantics_through_source(registered, duck_db):
     df = _scan(registered, duck_db)
     n_null = df.filter(F.col("bucket").isNull()).count()
     assert n_null == 1000
+
+
+def test_attach_duckdb_backend(registered, duck_db, tmp_path):
+    """ATTACH a live-database stand-in: tables scan through the
+    postgres_scan connector; copy_database snapshots into a store
+    (reference: attach_simple.test + attach_copy_from_database.test)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.storage import ManagedStore
+    cat = Catalog(registered)
+    cat.attach(f"duckdb://{duck_db}", alias="pgdb")
+    assert cat.list_tables("pgdb") == ["items"]
+    assert cat.table("pgdb", "items").count() == 10000
+    # SQL over the attached view
+    n = registered.sql(
+        "SELECT COUNT(*) AS n FROM pgdb_items WHERE bucket IS NULL"
+    ).collect()[0].n
+    assert n == 1000
+    store = ManagedStore(registered, str(tmp_path / "migrated"))
+    copied = cat.copy_database("pgdb", store)
+    assert copied == ["items"]
+    assert store.scan("items").count() == 10000
+    cat.detach("pgdb")
+
+
+def test_relation_reuse_no_filter_leak(registered, duck_db):
+    """A filtered query must not poison later full scans of the same
+    load() relation (catalog path: pushdown disabled ⇒ Spark filters
+    post-scan; results stay correct under reuse)."""
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{duck_db}")
+          .option("table", "items")
+          .option("pushdown", "false").load())
+    assert df.count() == 10000
+    assert df.filter(F.col("bucket").isNull()).count() == 1000
+    assert df.count() == 10000    # unchanged after the filtered query
