@@ -24,16 +24,29 @@ from .connection import ConnectionInfo, parse_dsn
 from .scan import jdbc_scan, parquet_scan
 
 
+def _is_store_dir(path: str) -> bool:
+    """A ManagedStore root: subdirectories with a _current pointer."""
+    try:
+        return any(
+            os.path.isfile(os.path.join(path, d, "_current"))
+            for d in os.listdir(path))
+    except OSError:
+        return False
+
+
 @dataclass
 class AttachedDatabase:
     alias: str
     source: str                   # dsn or directory path
-    backend: str                  # "parquet" | "jdbc"
+    backend: str                  # "parquet" | "store" | "duckdb" | "jdbc"
     read_only: bool = False
     conn: ConnectionInfo | None = None
+    store: object = None          # ManagedStore when backend == "store"
     _table_cache: dict[str, DataFrame] = field(default_factory=dict)
 
     def table_names(self) -> list[str]:
+        if self.backend == "store":
+            return self.store.tables()
         if self.backend == "parquet":
             return sorted(
                 f[: -len(".parquet")]
@@ -63,7 +76,12 @@ class Catalog:
                read_only: bool = False, register_views: bool = True) -> AttachedDatabase:
         if alias in self.attached:
             raise ValueError(f"database {alias!r} already attached")
-        if os.path.isdir(source):
+        if os.path.isdir(source) and _is_store_dir(source):
+            # a ManagedStore directory: writable attached database
+            from .storage import ManagedStore
+            db = AttachedDatabase(alias, source, "store", read_only)
+            db.store = ManagedStore(self.spark, source)
+        elif os.path.isdir(source):
             db = AttachedDatabase(alias, source, "parquet", read_only)
         elif source.startswith("duckdb://"):
             # live-database stand-in: reads go through the postgres_scan
@@ -78,7 +96,7 @@ class Catalog:
             db = AttachedDatabase(alias, source, "jdbc", read_only,
                                   conn=parse_dsn(source))
         self.attached[alias] = db
-        if register_views and db.backend in ("parquet", "duckdb"):
+        if register_views and db.backend in ("parquet", "duckdb", "store"):
             for t in db.table_names():
                 self.table(alias, t).createOrReplaceTempView(f"{alias}_{t}")
                 # also bare name for SQL parity with the oracle's views
@@ -95,6 +113,8 @@ class Catalog:
         db = self.attached[alias]
         if name in db._table_cache:
             return db._table_cache[name]
+        if db.backend == "store":
+            return db.store.scan(name)   # never cache: DML moves the pointer
         if db.backend == "parquet":
             df = parquet_scan(self.spark, os.path.join(db.source, f"{name}.parquet"))
         elif db.backend == "duckdb":
@@ -117,7 +137,7 @@ class Catalog:
         """reference: postgres_database_size → pg_database_size();
         here: bytes on disk of the attached dataset."""
         db = self.attached[alias]
-        if db.backend != "parquet":
+        if db.backend not in ("parquet", "store"):
             raise NotImplementedError
         total = 0
         for root, _, files in os.walk(db.source):

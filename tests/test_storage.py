@@ -109,3 +109,47 @@ def test_null_byte_replacement(spark, tmp_path):
         assert back.collect()[0].s == "a?b"
     finally:
         SETTINGS.pg_null_byte_replacement = None
+
+
+def test_attach_store_sql_dml(spark, tmp_path):
+    """SQL-driven DML on an attached writable store (reference:
+    attach_delete.test / attach_update.test / attach_insert semantics
+    driven through postgres_execute)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute, pg_query
+    root = str(tmp_path / "storedb")
+    seed = ManagedStore(spark, root)
+    seed.create_table("accounts", _mk(spark, [
+        (1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="db")
+    assert cat.attached["db"].backend == "store"
+    assert cat.list_tables("db") == ["accounts"]
+
+    pg_execute(cat, "db", "DELETE FROM accounts WHERE id = 2")
+    assert cat.table("db", "accounts").count() == 2
+
+    pg_execute(cat, "db", "UPDATE accounts SET v = v + 5 WHERE id = 1")
+    vals = {r.id: r.v for r in cat.table("db", "accounts").collect()}
+    assert vals[1] == 15.0 and vals[3] == 30.0
+
+    pg_execute(cat, "db",
+               "INSERT INTO accounts VALUES (4, 'dan', 40.0)")
+    assert cat.table("db", "accounts").count() == 3
+
+    pg_execute(cat, "db",
+               "CREATE TABLE rich AS SELECT * FROM db_accounts WHERE v > 20")
+    assert sorted(r.id for r in cat.table("db", "rich").collect()) == [3, 4]
+
+    # view refresh: SQL sees the new snapshot
+    n = pg_query(cat, "db", "SELECT COUNT(*) AS n FROM db_accounts").collect()[0].n
+    assert n == 3
+
+    pg_execute(cat, "db", "DROP TABLE IF EXISTS rich")
+    assert cat.list_tables("db") == ["accounts"]
+
+    # read-only attach refuses writes
+    cat2 = Catalog(spark)
+    cat2.attach(root, alias="ro", read_only=True, register_views=False)
+    with pytest.raises(PermissionError):
+        pg_execute(cat2, "ro", "DELETE FROM accounts WHERE id = 1")
