@@ -79,7 +79,10 @@ def with_shingles(df: DataFrame, k: int) -> DataFrame:
         return F.concat_ws(
             " ", *[F.element_at(F.col("t"), i + j) for j in range(1, k + 1)])
 
-    return df.withColumn("shingles", F.array_distinct(F.transform(idx, gram)))
+    # no array_distinct: minhash is duplicate-insensitive and the
+    # jaccard path dedups via explode().distinct() — array_distinct is
+    # O(len²) per row and its codegen JIT dominates cold-start cost
+    return df.withColumn("shingles", F.transform(idx, gram))
 
 
 def _sql_shingles(k: int) -> str:
@@ -155,7 +158,7 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shx = c.select("doc_id", F.explode("shingles").alias("s"))
+    shx = c.select("doc_id", F.explode("shingles").alias("s")).distinct()
     sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
     # verification only touches candidate docs — semi-join the inverted
     # index down first (candidates << corpus at any scale)
@@ -305,7 +308,8 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = with_shingles(corpus_with_plants(spark, sf_dir), 2) \
         .select("doc_id", "shingles") \
         .filter(F.size("shingles") > 0)
-    shx = c.select("doc_id", F.explode("shingles").alias("s")).persist()
+    shx = c.select("doc_id", F.explode("shingles").alias("s")) \
+        .distinct().persist()
     sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = shx.alias("x"), shx.alias("y")
     inter = (
