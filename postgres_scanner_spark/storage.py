@@ -148,6 +148,36 @@ class ManagedStore:
         self._write_new_version(table, cur.select(*proj))
         return n
 
+
+    # ---- schema evolution (reference: storage/postgres_alter.cpp /
+    #      attach_alter.test) — projection rewrite, the columnar-native
+    #      ALTER strategy
+    def add_column(self, table: str, name: str, expr: str = "NULL",
+                   dtype: str | None = None) -> None:
+        from pyspark.sql import functions as F
+        cur = self.scan(table)
+        col = F.expr(expr)
+        if dtype:
+            col = col.cast(dtype)
+        self._write_new_version(table, cur.withColumn(name, col))
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        self._write_new_version(table,
+                                self.scan(table).withColumnRenamed(old, new))
+
+    def drop_column(self, table: str, name: str) -> None:
+        self._write_new_version(table, self.scan(table).drop(name))
+
+    # ---- CREATE INDEX (reference: storage/postgres_index.cpp /
+    #      attach_create_index.test). Columnar stores have no B-trees;
+    #      the distributed equivalent is clustering: rewrite sorted on
+    #      the key so min/max row-group stats give index-like pruning.
+    def create_index(self, table: str, column: str) -> None:
+        self._write_new_version(
+            table,
+            self.scan(table).repartitionByRange(8, column)
+            .sortWithinPartitions(column))
+
     # ---- transactions (reference: storage/postgres_transaction.cpp)
     def begin(self) -> None:
         if self._txn is not None:

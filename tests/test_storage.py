@@ -153,3 +153,17 @@ def test_attach_store_sql_dml(spark, tmp_path):
     cat2.attach(root, alias="ro", read_only=True, register_views=False)
     with pytest.raises(PermissionError):
         pg_execute(cat2, "ro", "DELETE FROM accounts WHERE id = 1")
+
+
+def test_alter_and_index(spark, store):
+    """ALTER TABLE add/rename/drop column + CREATE INDEX clustering
+    (reference: attach_alter.test, attach_create_index.test)."""
+    store.create_table("t", _mk(spark, [(i, "x", float(i)) for i in range(20)]))
+    store.add_column("t", "doubled", "v * 2", "double")
+    assert store.scan("t").filter("doubled = v * 2").count() == 20
+    store.rename_column("t", "doubled", "v2")
+    assert "v2" in store.scan("t").columns
+    store.drop_column("t", "v2")
+    assert "v2" not in store.scan("t").columns
+    store.create_index("t", "id")
+    assert store.scan("t").count() == 20  # clustering preserves data
