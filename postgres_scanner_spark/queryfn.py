@@ -33,6 +33,15 @@ def pg_query(catalog: Catalog, alias: str, sql: str) -> DataFrame:
         return catalog.spark.read.jdbc(
             info.jdbc_url, f"({sql}) AS pg_query_subq",
             properties=info.jdbc_properties())
+    if db.backend == "duckdb":
+        # true passthrough: the attached engine executes the SQL; Spark
+        # scans the Arrow result (reference: PostgresQueryBind runs the
+        # text on the PG side and streams the result set)
+        import duckdb
+        con = duckdb.connect(db.source[len("duckdb://"):], read_only=True)
+        tbl = con.execute(sql).arrow()
+        con.close()
+        return catalog.spark.createDataFrame(tbl.to_pandas())
     return catalog.spark.sql(sql)
 
 

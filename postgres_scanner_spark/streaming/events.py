@@ -124,7 +124,7 @@ def e3_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return spark.table("e3_hourly").orderBy("hour", "event_type")
 
 
@@ -252,7 +252,7 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (stream.writeStream.format("memory").queryName("e6_state")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    q.awaitTermination(300)
     return spark.table("e6_state").orderBy("user_id")
 
 

@@ -108,3 +108,20 @@ def test_relation_reuse_no_filter_leak(registered, duck_db):
     assert df.count() == 10000
     assert df.filter(F.col("bucket").isNull()).count() == 1000
     assert df.count() == 10000    # unchanged after the filtered query
+
+
+def test_pg_query_passthrough_duckdb(registered, duck_db):
+    """postgres_query parity: the attached engine executes the SQL
+    text; Spark scans the result (reference: postgres_query.cpp)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_query
+    cat = Catalog(registered)
+    cat.attach(f"duckdb://{duck_db}", alias="q", register_views=False)
+    df = pg_query(cat, "q",
+                  "SELECT bucket, COUNT(*) AS n FROM items "
+                  "WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket")
+    rows = df.collect()
+    # i%50 for i not divisible by 10 → 0..49 minus {0,10,20,30,40} = 45
+    assert len(rows) == 45
+    assert all(r.n > 0 for r in rows)
+    cat.detach("q")
