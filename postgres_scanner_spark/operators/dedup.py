@@ -119,12 +119,21 @@ ORDER BY survivor
 
 # ------------------------------------------------------- D2 minhash LSH
 def minhash_signature() -> list[Column]:
-    """k min-hashes as min-of-md5-strings over the shingle set —
-    string min is engine-portable (no 64-bit int hashing needed)."""
+    """k min-hashes as min-of-hash-strings over the shingle set —
+    string min is engine-portable (no 64-bit int hashing needed).
+    The 8 permutations come from 4 hex slices of 2 md5s per shingle
+    (2 hash evaluations instead of 8 — md5 is the dominant cost of
+    signature construction at scale)."""
+    def slicer(base: int, off: int):
+        def fn(x):
+            return F.substring(
+                F.md5(F.concat(F.lit(f"{base}:"), x)), off, 8)
+        return fn
+
     return [
         F.array_min(F.transform(
-            F.col("shingles"),
-            lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))).alias(f"mh{s}")
+            F.col("shingles"), slicer(s // 4, 1 + 8 * (s % 4))))
+        .alias(f"mh{s}")
         for s in range(N_MINHASH)
     ]
 
@@ -186,7 +195,8 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _d2_sql() -> str:
     sig = ", ".join(
-        f"list_min(list_transform(shingles, x -> md5('{s}:'||x))) AS mh{s}"
+        f"list_min(list_transform(shingles, "
+        f"x -> substr(md5('{s // 4}:'||x), {1 + 8 * (s % 4)}, 8))) AS mh{s}"
         for s in range(N_MINHASH))
     bands = ", ".join(
         f"(SELECT {b} AS band_id, md5(mh{2*b}||mh{2*b+1}) AS band_hash)"
