@@ -105,7 +105,7 @@ class Catalog:
 
     def detach(self, alias: str) -> None:
         db = self.attached.pop(alias)
-        if db.backend == "parquet":
+        if db.backend in ("parquet", "duckdb", "store"):
             for t in db.table_names():
                 self.spark.catalog.dropTempView(f"{alias}_{t}")
 

@@ -61,3 +61,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_concurrent_queries(spark):
+    """Concurrent query execution against the same session/tables
+    (reference: attach_concurrent_queries.test, concurrency_test.cpp) —
+    Spark's scheduler interleaves jobs from multiple threads."""
+    from concurrent.futures import ThreadPoolExecutor
+    from postgres_scanner_spark.functions import tpch
+    sf = "/root/testdata/sf0.001"
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(lambda: tpch.q1_pricing_summary(spark, sf).count()),
+            ex.submit(lambda: tpch.q6_forecast_revenue(spark, sf).count()),
+            ex.submit(lambda: tpch.q13_customer_distribution(spark, sf).count()),
+            ex.submit(lambda: tpch.q21_suppliers_waiting(spark, sf).count()),
+        ]
+        results = [f.result(timeout=300) for f in futs]
+    assert all(r > 0 for r in results)
