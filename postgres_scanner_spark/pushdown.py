@@ -55,6 +55,12 @@ def quote_literal(value: Any) -> str:
     if isinstance(value, (bytes, bytearray)):
         return "'\\x" + bytes(value).hex() + "'::bytea"
     s = str(value).replace("'", "''")
+    if "\x00" in s:
+        # NUL is illegal inside PG text values; apply the same
+        # replacement policy the reference exposes
+        # (pg_null_byte_replacement, postgres_extension.cpp:179)
+        from .settings import SETTINGS
+        s = s.replace("\x00", SETTINGS.pg_null_byte_replacement or "")
     return f"'{s}'"
 
 
