@@ -249,6 +249,35 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ---- X1: sketch aggregations (HLL + KLL-style quantiles)
+def x1_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation sketches — HyperLogLog++ distinct
+    counts and approx quantiles — next to their exact values so the
+    result itself audits the sketch error. Rows-only check: sketch
+    internals are engine-specific, so no cross-engine oracle; the
+    driver verifies shape, and rel_err columns verify quality.
+
+    At 100 TB these are the only viable forms of these aggregates:
+    HLL merges are associative (map-side partial, tiny state) where
+    exact COUNT(DISTINCT) would shuffle every key."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("users_hll"),
+             F.countDistinct("user_id").alias("users_exact"),
+             F.expr("approx_percentile(value, 0.5, 1000)").alias("median_approx"),
+             F.expr("percentile(value, 0.5)").alias("median_exact"))
+        .withColumn("hll_rel_err",
+                    F.abs(F.col("users_hll") - F.col("users_exact"))
+                    / F.col("users_exact"))
+        .withColumn("median_rel_err",
+                    F.abs(F.col("median_approx") - F.col("median_exact"))
+                    / F.col("median_exact"))
+        .orderBy("event_type")
+    )
+    return out
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -257,6 +286,7 @@ QUERIES = {
     "w5_lag_delta": w5_lag_delta,
     "w6_asof_join": w6_asof_join,
     "w7_percentiles": w7_percentiles,
+    "x1_sketch_aggregates": x1_sketch_aggregates,
 }
 
 ORACLE = {
