@@ -43,6 +43,7 @@ class AttachedDatabase:
     conn: ConnectionInfo | None = None
     store: object = None          # ManagedStore when backend == "store"
     _table_cache: dict[str, DataFrame] = field(default_factory=dict)
+    views: list[str] = field(default_factory=list)  # every temp view we own
 
     def table_names(self) -> list[str]:
         if self.backend == "store":
@@ -98,16 +99,32 @@ class Catalog:
         self.attached[alias] = db
         if register_views and db.backend in ("parquet", "duckdb", "store"):
             for t in db.table_names():
-                self.table(alias, t).createOrReplaceTempView(f"{alias}_{t}")
-                # also bare name for SQL parity with the oracle's views
-                self.table(alias, t).createOrReplaceTempView(t)
+                self.register_table_views(db, t)
         return db
+
+    def register_table_views(self, db: AttachedDatabase, t: str) -> None:
+        self.table(db.alias, t).createOrReplaceTempView(f"{db.alias}_{t}")
+        # also bare name for SQL parity with the oracle's views
+        self.table(db.alias, t).createOrReplaceTempView(t)
+        for v in (f"{db.alias}_{t}", t):
+            if v not in db.views:
+                db.views.append(v)
+
+    def drop_table_views(self, db: AttachedDatabase, t: str) -> None:
+        """Called when a table disappears (pg_execute DROP TABLE)."""
+        for v in (f"{db.alias}_{t}", t):
+            if v in db.views:
+                self.spark.catalog.dropTempView(v)
+                db.views.remove(v)
 
     def detach(self, alias: str) -> None:
         db = self.attached.pop(alias)
-        if db.backend in ("parquet", "duckdb", "store"):
-            for t in db.table_names():
-                self.spark.catalog.dropTempView(f"{alias}_{t}")
+        # drop every view this attach registered — both the prefixed and
+        # the bare names, tracked at registration time so tables dropped
+        # or created since attach are handled too
+        for v in db.views:
+            self.spark.catalog.dropTempView(v)
+        db.views.clear()
 
     def table(self, alias: str, name: str) -> DataFrame:
         db = self.attached[alias]

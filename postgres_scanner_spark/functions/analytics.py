@@ -214,9 +214,9 @@ matched AS (
   FROM tagged)
 SELECT user_id, COUNT(*) AS n_purchases,
        COUNT(last_view_ts) AS n_matched,
-       SUM(CASE WHEN last_view_ts IS NOT NULL
+       CAST(SUM(CASE WHEN last_view_ts IS NOT NULL
                 THEN CAST(floor(epoch(ts)) AS BIGINT)
-                     - CAST(floor(epoch(last_view_ts)) AS BIGINT) END)
+                     - CAST(floor(epoch(last_view_ts)) AS BIGINT) END) AS BIGINT)
          AS sum_gap_s
 FROM matched WHERE is_p = 1
 GROUP BY user_id ORDER BY user_id
@@ -252,10 +252,12 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 # ---- X1: sketch aggregations (HLL + KLL-style quantiles)
 def x1_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregation sketches — HyperLogLog++ distinct
-    counts and approx quantiles — next to their exact values so the
-    result itself audits the sketch error. Rows-only check: sketch
-    internals are engine-specific, so no cross-engine oracle; the
-    driver verifies shape, and rel_err columns verify quality.
+    counts and approx quantiles — audited against their exact values.
+    The sketch values themselves are engine-specific, so the oracle
+    contract is the *audit*: `hll_ok` / `median_ok` report whether the
+    sketch landed within tolerance, and the DuckDB oracle asserts both
+    are TRUE (plus the exact columns bit-for-bit). A drifting sketch
+    turns the row red.
 
     At 100 TB these are the only viable forms of these aggregates:
     HLL merges are associative (map-side partial, tiny state) where
@@ -265,17 +267,27 @@ def x1_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("users_hll"),
              F.countDistinct("user_id").alias("users_exact"),
-             F.expr("approx_percentile(value, 0.5, 1000)").alias("median_approx"),
+             F.expr("approx_percentile(value, 0.5, 10000)").alias("median_approx"),
              F.expr("percentile(value, 0.5)").alias("median_exact"))
-        .withColumn("hll_rel_err",
-                    F.abs(F.col("users_hll") - F.col("users_exact"))
-                    / F.col("users_exact"))
-        .withColumn("median_rel_err",
-                    F.abs(F.col("median_approx") - F.col("median_exact"))
-                    / F.col("median_exact"))
+        .select(
+            "event_type", "users_exact",
+            F.col("median_exact").cast("double").alias("median_exact"),
+            (F.abs(F.col("users_hll") - F.col("users_exact"))
+             <= 0.1 * F.col("users_exact")).alias("hll_ok"),
+            (F.abs(F.col("median_approx") - F.col("median_exact"))
+             <= 0.1 * F.abs(F.col("median_exact"))).alias("median_ok"))
         .orderBy("event_type")
     )
     return out
+
+
+_X1_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact,
+       CAST(quantile_cont(value, 0.5) AS DOUBLE) AS median_exact,
+       TRUE AS hll_ok, TRUE AS median_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 QUERIES = {
@@ -297,4 +309,5 @@ ORACLE = {
     "w5_lag_delta": _W5_SQL,
     "w6_asof_join": _W6_SQL,
     "w7_percentiles": _W7_SQL,
+    "x1_sketch_aggregates": _X1_SQL,
 }

@@ -44,7 +44,7 @@ def p2_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P2_SQL = """
 SELECT l_returnflag, COUNT(*) AS n_rows,
        COUNT(NULLIF(l_discount, 0.0)) AS nonzero_disc,
-       SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS zero_disc,
+       CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_disc,
        COUNT(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 END) AS null_marks
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -13,6 +13,7 @@ filter expressions; unit tests feed them directly.
 
 from __future__ import annotations
 
+import math
 from datetime import date, datetime
 from typing import Any, Sequence
 
@@ -46,7 +47,15 @@ def quote_literal(value: Any) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "true" if value else "false"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        # repr() renders NaN/Infinity as bare nan/inf — invalid PG SQL;
+        # PG wants the quoted-cast spellings
+        if math.isnan(value):
+            return "'NaN'::float8"
+        if math.isinf(value):
+            return ("'Infinity'" if value > 0 else "'-Infinity'") + "::float8"
+        return repr(value)
+    if isinstance(value, int):
         return repr(value)
     if isinstance(value, datetime):
         return "'" + value.isoformat(sep=" ") + "'"

@@ -84,13 +84,20 @@ def jdbc_scan(
     url, props, predicates = build_jdbc_options(
         dsn, table, schema=schema, columns=columns, filters=filters,
         approx_pages=approx_pages)
+    dbtable = props.pop("dbtable")
+    if predicates:
+        # partitioned read: dbtable is the BASE table (ctid is a system
+        # column — it cannot resolve against a subquery), and the pushed
+        # WHERE filters ride inside each per-partition predicate.
+        # Projection happens via .select — Spark's JDBC relation compiles
+        # the required-column list into its generated SELECT.
+        df = spark.read.jdbc(url, dbtable, predicates=predicates,
+                             properties=props)
+        return df.select(*columns) if columns else df
     reader = spark.read.format("jdbc").option("url", url) \
-        .option("dbtable", props.pop("dbtable"))
+        .option("dbtable", dbtable)
     for k, v in props.items():
         reader = reader.option(k, v)
-    if predicates:
-        return spark.read.jdbc(url, props.get("dbtable", table),
-                               predicates=predicates, properties=props)
     return reader.load()
 
 
@@ -111,19 +118,31 @@ def build_jdbc_options(
     """
     info = parse_dsn(dsn) if isinstance(dsn, str) else dsn
     props = dict(info.jdbc_properties())
+    props["fetchsize"] = "10000"
     if not SETTINGS.pg_experimental_filter_pushdown:
         # reference: pg_experimental_filter_pushdown=false keeps filters
         # local (Spark still applies them post-scan; semantics identical)
         filters = None
-    inner = render_select(table, columns, filters, schema=schema)
-    props["dbtable"] = f"({inner}) AS scan_subq"
-    props["fetchsize"] = "10000"
     predicates: list[str] = []
     if approx_pages and SETTINGS.pg_use_ctid_scan:
         tasks = plan_scan_tasks(approx_pages,
                                 max_tasks=SETTINGS.pg_connection_limit)
         if len(tasks) > 1:
             predicates = [t.predicate for t in tasks]
+    if predicates:
+        # ctid partitioning: dbtable must stay the base table so the
+        # system column resolves; fold pushed filters into each
+        # per-partition predicate instead of a subquery
+        where = transform_filters(filters or [])
+        if where:
+            cond = where[len("WHERE "):]
+            predicates = [f"{p} AND ({cond})" for p in predicates]
+        props["dbtable"] = f'"{schema}"."{table}"'
+        if SETTINGS.pg_debug_show_queries:
+            print(props["dbtable"], predicates[0])
+        return info.jdbc_url, props, predicates
+    inner = render_select(table, columns, filters, schema=schema)
+    props["dbtable"] = f"({inner}) AS scan_subq"
     if SETTINGS.pg_debug_show_queries:
         print(inner)
     return info.jdbc_url, props, predicates

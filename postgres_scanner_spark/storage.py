@@ -24,7 +24,8 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 class ManagedStore:
@@ -58,7 +59,10 @@ class ManagedStore:
         return self.spark.read.parquet(self._vdir(table, v))
 
     def _write_new_version(self, table: str, df: DataFrame) -> int:
-        v = self.current_version(table) + 1
+        # base on the *visible* version: inside a transaction, successive
+        # DML statements must stack on each other's staged versions, and a
+        # table created in-txn has no committed pointer yet
+        v = self._visible_version(table) + 1
         df.write.mode("overwrite").parquet(self._vdir(table, v))
         if self._txn is not None:
             self._txn[table] = v
@@ -82,15 +86,20 @@ class ManagedStore:
                      if_not_exists: bool = False) -> None:
         """CREATE TABLE AS (reference: postgres_insert.cpp AddCast/
         CreateTableAs path + postgres_table_set.cpp CreateTable)."""
-        if os.path.exists(self._pointer(table)):
+        if os.path.exists(self._pointer(table)) or (
+                self._txn is not None and table in self._txn):
             if if_not_exists:
                 return
             raise ValueError(f"table {table!r} already exists")
         os.makedirs(self._tdir(table), exist_ok=True)
         df.write.mode("overwrite").parquet(self._vdir(table, 0))
-        self._set_version(table, 0)
         if self._txn is not None:
+            # stage only: the _current pointer appears at commit(), so
+            # rollback() can remove the directory without a trace
+            # (reference: postgres_table_set.cpp CreateTable in-txn)
             self._txn[table] = 0
+        else:
+            self._set_version(table, 0)
 
     def drop_table(self, table: str, *, if_exists: bool = False) -> None:
         if not os.path.exists(self._tdir(table)):
@@ -117,7 +126,13 @@ class ManagedStore:
         for f in os.listdir(src):
             if f.endswith(".parquet"):
                 os.link(os.path.join(src, f), os.path.join(vdir, f))
-        df.select(*cur.columns).write.mode("append").parquet(vdir)
+        # cast every column to the table's schema before appending —
+        # otherwise an INT32-typed literal lands next to INT64 files and
+        # reads fail/mis-type depending on which footer Spark samples
+        # (reference: postgres_insert.cpp AddCast)
+        df.select([
+            F.col(c).cast(cur.schema[c].dataType) for c in cur.columns
+        ]).write.mode("append").parquet(vdir)
         if self._txn is not None:
             self._txn[table] = new_v
         else:
@@ -128,25 +143,40 @@ class ManagedStore:
         (reference: storage/postgres_delete.cpp uses ctid batches;
         rewrite is the columnar-native equivalent)."""
         cur = self.scan(table)
-        n = cur.filter(condition).count()
-        self._write_new_version(table, cur.filter(f"NOT ({condition})"))
-        return n
+        cond = F.expr(condition)
+        obs = Observation()
+        # single pass: the rewrite action also observes the match count
+        # (no separate .count() scan — at 100 TB that doubles every DML);
+        # NULL-condition rows are kept, matching SQL DELETE semantics
+        kept = (
+            cur.observe(obs, F.sum(F.when(cond, 1).otherwise(0)).alias("n"))
+            .filter(~cond | cond.isNull())
+        )
+        self._write_new_version(table, kept)
+        return int(obs.get["n"] or 0)
 
     def update(self, table: str, condition: str,
                assignments: dict[str, str]) -> int:
         """UPDATE SET col=expr WHERE cond → projection rewrite
         (reference: storage/postgres_update.cpp)."""
-        from pyspark.sql import functions as F
         cur = self.scan(table)
-        n = cur.filter(condition).count()
         cond = F.expr(condition)
+        schema = cur.schema
+        # updated expressions cast back to the column's declared type so a
+        # rewrite can never change the table schema (postgres_insert.cpp
+        # AddCast applies to UPDATE's row refeed as well)
         proj = [
-            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            F.when(cond, F.expr(assignments[c]).cast(schema[c].dataType))
+            .otherwise(F.col(c)).alias(c)
             if c in assignments else F.col(c)
             for c in cur.columns
         ]
-        self._write_new_version(table, cur.select(*proj))
-        return n
+        obs = Observation()
+        out = cur.observe(
+            obs, F.sum(F.when(cond, 1).otherwise(0)).alias("n")
+        ).select(*proj)
+        self._write_new_version(table, out)
+        return int(obs.get["n"] or 0)
 
 
     # ---- schema evolution (reference: storage/postgres_alter.cpp /
@@ -154,7 +184,6 @@ class ManagedStore:
     #      ALTER strategy
     def add_column(self, table: str, name: str, expr: str = "NULL",
                    dtype: str | None = None) -> None:
-        from pyspark.sql import functions as F
         cur = self.scan(table)
         col = F.expr(expr)
         if dtype:
@@ -196,6 +225,11 @@ class ManagedStore:
             raise RuntimeError("no transaction")
         staged, self._txn = self._txn, None
         for table, v in staged.items():
+            if not os.path.exists(self._pointer(table)):
+                # created inside this transaction, never committed —
+                # remove the whole staged table directory
+                shutil.rmtree(self._tdir(table), ignore_errors=True)
+                continue
             # drop staged versions newer than the committed pointer
             cur = self.current_version(table)
             for cand in range(cur + 1, v + 1):

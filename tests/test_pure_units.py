@@ -97,9 +97,21 @@ def test_build_jdbc_options_predicates():
         "host=h dbname=d", "items", columns=["x"],
         filters=[("x", ">", 10)], approx_pages=5000)
     assert url == "jdbc:postgresql://h:5432/d"
-    assert '"x" > 10' in props["dbtable"]
+    # partitioned path: dbtable is the BASE table (ctid can't resolve
+    # against a subquery); pushed filters live inside each predicate
+    assert props["dbtable"] == '"public"."items"'
     assert len(preds) == 5
     assert all("ctid BETWEEN" in p for p in preds)
+    assert all('"x" > 10' in p for p in preds)
+
+
+def test_build_jdbc_options_subquery_when_single_task():
+    _, props, preds = build_jdbc_options(
+        "host=h dbname=d", "items", columns=["x"],
+        filters=[("x", ">", 10)])
+    assert preds == []
+    assert props["dbtable"].startswith("(SELECT")
+    assert '"x" > 10' in props["dbtable"]
 
 
 # ---- types (reference: postgres_utils.cpp, postgres_type_oids.hpp) -
