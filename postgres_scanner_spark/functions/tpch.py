@@ -16,10 +16,14 @@ Determinism contract (Spark vs DuckDB must hash-match):
 - Timestamps in outputs are formatted to 'yyyy-MM-dd' strings.
 - Every ORDER BY ... LIMIT has a total-order tiebreak.
 
-Scale notes (100 TB): dimension tables (region/nation/supplier/part/
-customer at this ratio) are broadcast; fact-side joins stay shuffle
-hash joins on the fact key; aggregations rely on Catalyst partial
-aggregation. No collect()-driven logic anywhere.
+Scale notes (100 TB): only constant-size relations (region: 5 rows,
+nation: 25 rows, single-row scalar aggregates) carry explicit
+broadcast() hints. customer/supplier/part grow linearly with SF — a
+hard hint would *force* a broadcast AQE would refuse at 100×; they are
+left unhinted so AQE broadcasts them while small and switches to
+shuffle joins when they outgrow the threshold. Fact-side joins stay
+shuffle hash joins on the fact key; aggregations rely on Catalyst
+partial aggregation. No collect()-driven logic anywhere.
 """
 
 from __future__ import annotations
@@ -118,7 +122,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_dbl(F.sum(_disc_price())).alias("revenue"))
         .select("l_orderkey", "revenue", _fmt_date("o_orderdate", "order_date"))
@@ -184,8 +188,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(broadcast(c), (o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey)
               & (c.c_nationkey == s.s_nationkey))
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -256,8 +260,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -299,10 +303,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     vol = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n_cust), c.c_nationkey == n_cust.n_nationkey)
         .join(broadcast(r), n_cust.n_regionkey == r.r_regionkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .withColumn("volume", _disc_price())
@@ -350,9 +354,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (F.lit(0.6).cast("decimal(2,1)") * _dec("p_retailprice")
             * _dec("l_quantity"))
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
@@ -419,7 +423,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     l = _t(spark, sf_dir, "lineitem")
     val = (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_partkey")
         .agg(F.sum(_dec("l_quantity") * _dec("p_retailprice")).alias("val_dec"))
     )
@@ -508,7 +512,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             _dbl(F.sum(F.when(F.col("p_type") == "PROMO", _disc_price())
                        .otherwise(zero))).alias("promo_sum"),
@@ -547,7 +551,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("max_rev", F.max("total_revenue").over(w))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -574,7 +578,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
     l = _t(spark, sf_dir, "lineitem")
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -599,7 +603,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("l_quantity") / F.count("*")).alias("avg_qty"))
     )  # l_quantity is whole-valued → double sum is exact → order-safe
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((_dbl(F.sum(_dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly"))
@@ -629,7 +633,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(big, "l_orderkey", "left_semi")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"))
         .select("c_custkey", "c_name", "o_orderkey",
@@ -670,7 +674,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (F.col("l_quantity").between(20, 50)))
     )
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(_dbl(F.sum(_disc_price())).alias("revenue"))
     )
@@ -724,7 +728,7 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.expr("o_orderdate + interval 90 days"))
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_suppkey")

@@ -170,10 +170,13 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shx = c.select("doc_id", F.explode("shingles").alias("s")).distinct()
     sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
     # verification only touches candidate docs — semi-join the inverted
-    # index down first (candidates << corpus at any scale)
+    # index down first (candidates << corpus at any scale). No broadcast
+    # hint: a pathological corpus can make the candidate set arbitrarily
+    # large, and a forced broadcast would OOM the driver — AQE converts
+    # to broadcast at runtime when the set is actually small.
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))).distinct()
-    shc = shx.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    shc = shx.join(cand_ids, "doc_id", "left_semi")
     inter = (
         cand.join(shc.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(shc.alias("y"), (F.col("doc_b") == F.col("y.doc_id"))
@@ -311,17 +314,36 @@ ORDER BY doc_a, doc_b
 
 
 # ----------------------------------------- D4 n-gram Jaccard similarity
+_D4_MAX_DF_FRAC = 0.5   # drop shingles present in > half the corpus
+
+
 def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 2-gram Jaccard pair similarity via the inverted-index
-    join (shuffle keyed on shingle — candidates only materialize for
-    pairs that share at least one shingle)."""
+    """2-gram Jaccard pair similarity via the inverted-index join
+    (shuffle keyed on shingle — candidates only materialize for pairs
+    that share at least one shingle).
+
+    Hot-shingle cap: the posting list of one stop-shingle ("of the")
+    makes the s=s self-join quadratic in its length, which at 100 TB is
+    the whole corpus. Shingles whose document frequency exceeds
+    _D4_MAX_DF_FRAC of the corpus carry ~zero similarity signal and are
+    dropped from the index *before* the join; Jaccard is then computed
+    over the capped shingle universe on both sides (numerator AND
+    denominator), so the statistic stays a true Jaccard and the DuckDB
+    oracle replicates it bit-for-bit."""
     c = with_shingles(corpus_with_plants(spark, sf_dir), 2) \
         .select("doc_id", "shingles") \
         .filter(F.size("shingles") > 0)
     shx = c.select("doc_id", F.explode("shingles").alias("s")) \
         .distinct().persist()
-    sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = shx.alias("x"), shx.alias("y")
+    ndocs = shx.agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = shx.groupBy("s").agg(F.count("*").alias("df"))
+    keep = (dfreq.crossJoin(F.broadcast(ndocs))
+            .filter(F.col("df") <= _D4_MAX_DF_FRAC * F.col("n_docs"))
+            .select("s"))
+    shf = shx.join(keep, "s", "left_semi")
+    sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = shf.alias("x"), shf.alias("y")
     inter = (
         x.join(y, (F.col("x.s") == F.col("y.s"))
                & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -346,9 +368,13 @@ WITH corpus AS ({_SQL_CORPUS}),
 tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
 sh AS (SELECT doc_id, {_sql_shingles(2)} AS shingles FROM tok WHERE len(t) >= 2),
 shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM shx),
+keep AS (SELECT s FROM shx, nd GROUP BY s, n_docs
+         HAVING COUNT(*) <= {_D4_MAX_DF_FRAC} * n_docs),
+shf AS (SELECT shx.* FROM shx JOIN keep USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
 inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
-          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
           GROUP BY doc_a, doc_b)
 SELECT doc_a, doc_b, ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
 FROM inter
@@ -360,13 +386,25 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------- D5 embedding cosine near-dup
+_D5_BLOCKS = 8     # block-pair grid; raise with cluster size
+
+
 def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs (cos > 0.45).
+    """Exact all-pairs embedding cosine near-dup (cos > 0.45).
 
     Element-wise double arithmetic in a fixed left-to-right fold so
     both engines produce bit-identical doubles; output rounded to 5
-    decimals. Pair generation is a conditioned self-join (the small
-    side broadcasts); the bucketed-at-scale variant is operators.ann.a2."""
+    decimals.
+
+    Pair generation is the block-pair all-pairs decomposition, not a
+    `vec_id < vec_id` theta-join: a non-equi self-join plans as a
+    BroadcastNestedLoopJoin, which serializes O(n²) work on however
+    many partitions one side happens to have. Instead each vector lands
+    in block vec_id % B, the B·(B+1)/2 block pairs become a broadcast
+    dimension, and the pair space becomes an *equi*-join on pair_id —
+    every (n/B)² tile computes in parallel, scaling with B². The exact
+    O(n²) result set is unchanged (this is deliberately the exhaustive
+    variant; ann.a2/a3 are the sub-quadratic scaled paths)."""
     from .. import tables
     e = tables.load(spark, sf_dir, "embeddings")
 
@@ -376,15 +414,33 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0), lambda acc, z: acc + z)
 
     n = e.select("vec_id", "embedding",
-                 F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) \
-        / (F.col("a.norm") * F.col("b.norm"))
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+                 (F.col("vec_id") % _D5_BLOCKS).alias("blk"))
+    B = _D5_BLOCKS
+    pairs = spark.createDataFrame(
+        [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
+        "pair_id INT, bi INT, bj INT")
+    lhs = n.join(F.broadcast(pairs), F.col("blk") == F.col("bi")) \
+        .select("pair_id", "bi", "bj", "vec_id", "embedding", "norm")
+    rhs = n.join(F.broadcast(pairs), F.col("blk") == F.col("bj")) \
+        .select(F.col("pair_id").alias("pid2"),
+                F.col("vec_id").alias("vec_id2"),
+                F.col("embedding").alias("embedding2"),
+                F.col("norm").alias("norm2"))
+    cos = dot(F.col("embedding"), F.col("embedding2")) \
+        / (F.col("norm") * F.col("norm2"))
+    # same-block tiles order by id; cross-block tiles see each unordered
+    # pair exactly once, so only orient the output columns
+    joined = (
+        lhs.join(rhs, F.col("pair_id") == F.col("pid2"))
+        .filter((F.col("bi") != F.col("bj"))
+                | (F.col("vec_id") < F.col("vec_id2")))
+    )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                F.round(cos, 5).alias("cos_sim"))
+        joined.select(
+            F.least("vec_id", "vec_id2").alias("vec_a"),
+            F.greatest("vec_id", "vec_id2").alias("vec_b"),
+            F.round(cos, 5).alias("cos_sim"))
         .filter(F.col("cos_sim") > 0.45)
         .orderBy("vec_a", "vec_b")
     )

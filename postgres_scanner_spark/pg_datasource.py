@@ -60,14 +60,64 @@ _DUCK_TO_SPARK = {
 }
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas, respecting parens and double quotes."""
+    parts, depth, cur, inq = [], 0, [], False
+    for ch in s:
+        if ch == '"':
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def _duck_type(name: str) -> T.DataType:
-    name = name.upper()
-    if name.startswith("DECIMAL"):
-        p, s = name[name.index("(") + 1:name.index(")")].split(",")
-        return T.DecimalType(int(p), int(s))
-    if name.endswith("[]"):
-        return T.ArrayType(_duck_type(name[:-2]))
-    return _DUCK_TO_SPARK.get(name, T.StringType())
+    """DuckDB type string → Spark DataType, recursively: scalars,
+    DECIMAL(p,s), N-dim arrays (`INTEGER[][]` → nested lists), STRUCT
+    (PG composite types surface as DuckDB STRUCTs — reference:
+    postgres_utils.cpp TypeToLogicalType composite/array handling,
+    attach_types_struct.test, attach_existing_multidimensional_array
+    .test), and MAP."""
+    s = name.strip()
+    up = s.upper()
+    if up.endswith("[]"):
+        return T.ArrayType(_duck_type(s[:-2]))
+    if up.startswith("DECIMAL"):
+        p, sc = s[s.index("(") + 1:s.index(")")].split(",")
+        return T.DecimalType(int(p), int(sc))
+    if up.startswith("STRUCT(") and s.endswith(")"):
+        fields = []
+        for part in _split_top(s[len("STRUCT("):-1]):
+            if part.startswith('"'):
+                i = 1
+                while i < len(part):
+                    if part[i] == '"':
+                        if i + 1 < len(part) and part[i + 1] == '"':
+                            i += 2
+                            continue
+                        break
+                    i += 1
+                fname = part[1:i].replace('""', '"')
+                ftype = part[i + 1:].strip()
+            else:
+                fname, _, ftype = part.partition(" ")
+            fields.append(T.StructField(fname, _duck_type(ftype), True))
+        return T.StructType(fields)
+    if up.startswith("MAP(") and s.endswith(")"):
+        k, v = _split_top(s[len("MAP("):-1])
+        return T.MapType(_duck_type(k), _duck_type(v))
+    return _DUCK_TO_SPARK.get(up, T.StringType())
 
 
 class _Task(InputPartition):
@@ -110,6 +160,10 @@ class PostgresScanReader(DataSourceReader):
         self.schema_ = schema
         self.dsn = options.get("dsn", "")
         self.table = options.get("table", "")
+        # ad-hoc passthrough (postgres_query): the remote engine runs
+        # this SQL; a query result has no ctid/rowid, so it reads as a
+        # single stream (same as the reference's postgres_query)
+        self.query = options.get("query", "")
         self.pg_schema = options.get("schema", "public")
         self.approx_pages = int(options.get("approx_pages", "0"))
         # settings are process-global on the driver; the reader plans in a
@@ -141,6 +195,8 @@ class PostgresScanReader(DataSourceReader):
 
     # -- task decomposition (reference: postgres_scanner.cpp PrepareBind)
     def partitions(self):
+        if self.query:
+            return [_Task(self.query)]
         tasks = plan_scan_tasks(self.approx_pages,
                                 pages_per_task=self.pages_per_task,
                                 max_tasks=SETTINGS.pg_connection_limit)
@@ -204,11 +260,12 @@ class PostgresScanDataSource(DataSource):
     def schema(self):
         dsn = self.options.get("dsn", "")
         table = self.options.get("table", "")
+        query = self.options.get("query", "")
         if dsn.startswith("duckdb://"):
             import duckdb
             con = duckdb.connect(dsn[len("duckdb://"):], read_only=True)
-            desc = con.execute(
-                f'DESCRIBE SELECT * FROM "{table}"').fetchall()
+            probe = query if query else f'SELECT * FROM "{table}"'
+            desc = con.execute(f'DESCRIBE {probe}').fetchall()
             con.close()
             return T.StructType([
                 T.StructField(n, _duck_type(t), True)

@@ -34,33 +34,53 @@ def pg_query(catalog: Catalog, alias: str, sql: str) -> DataFrame:
             info.jdbc_url, f"({sql}) AS pg_query_subq",
             properties=info.jdbc_properties())
     if db.backend == "duckdb":
-        # true passthrough: the attached engine executes the SQL; Spark
-        # scans the Arrow result (reference: PostgresQueryBind runs the
-        # text on the PG side and streams the result set)
-        import duckdb
-        con = duckdb.connect(db.source[len("duckdb://"):], read_only=True)
-        tbl = con.execute(sql).arrow()
-        con.close()
-        return catalog.spark.createDataFrame(tbl.to_pandas())
+        # true passthrough: the attached engine executes the SQL and the
+        # postgres_scan DataSource streams the result on the EXECUTORS
+        # (reference: PostgresQueryBind runs the text on the PG side and
+        # streams the result set). No driver materialization: the driver
+        # only probes the result schema (LIMIT 0); executor partitions
+        # fetch Arrow batches.
+        from .pg_datasource import PostgresScanDataSource
+        try:
+            catalog.spark.dataSource.register(PostgresScanDataSource)
+        except Exception:
+            pass  # already registered
+        return (catalog.spark.read.format("postgres_scan")
+                .option("dsn", db.source).option("query", sql)
+                .option("pushdown", "false").load())
     return catalog.spark.sql(sql)
 
 
 import re
 
+# identifier: bare word OR double-quoted (PG-style, "" escapes a quote)
+# — reference handles quoted/keyword/case-sensitive table names
+# (attach_keywords.test, attach_case_sensitive_tables.test)
+_IDENT = r'("(?:[^"]|"")+"|\w+)'
+
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?);?\s*$",
+    rf"^\s*DELETE\s+FROM\s+{_IDENT}\s+WHERE\s+(.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
+    rf"^\s*UPDATE\s+{_IDENT}\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.+?|VALUES\s*\(.+?\));?\s*$",
+    rf"^\s*INSERT\s+INTO\s+{_IDENT}\s+(SELECT\s+.+?|VALUES\s*\(.+?\));?\s*$",
     re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)
+    rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_IDENT};?\s*$", re.IGNORECASE)
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\s+.+?);?\s*$",
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
+
+
+def _unquote(ident: str) -> str:
+    """Strip surrounding double quotes and unescape doubled quotes;
+    bare names pass through verbatim (the store is case-preserving,
+    like Spark's catalog)."""
+    if ident.startswith('"') and ident.endswith('"'):
+        return ident[1:-1].replace('""', '"')
+    return ident
 
 
 def _split_assignments(set_clause: str) -> dict[str, str]:
@@ -70,6 +90,27 @@ def _split_assignments(set_clause: str) -> dict[str, str]:
         col, _, expr = part.partition("=")
         out[col.strip()] = expr.strip()
     return out
+
+
+def jdbc_execute(jvm, info, sql: str) -> None:
+    """Run one statement on a live Postgres over the driver's JDBC
+    connection (reference: src/postgres_execute.cpp — a single
+    PQexec on the bound connection; no result set).
+
+    Takes the py4j `jvm` gateway as a parameter so the statement
+    routing is unit-testable with a fake gateway (no server in this
+    container)."""
+    props = info.jdbc_properties()
+    conn = jvm.java.sql.DriverManager.getConnection(
+        info.jdbc_url, props.get("user", ""), props.get("password", ""))
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
@@ -86,17 +127,17 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
     if db.read_only:
         raise PermissionError(f"database {alias!r} attached READ_ONLY")
     if db.backend == "jdbc":
-        raise NotImplementedError(
-            "JDBC execute needs a live server (py4j DriverManager path)")
+        jdbc_execute(catalog.spark._sc._jvm, db.conn, sql)
+        return
     if db.backend == "store":
         store = db.store
         if m := _DELETE_RE.match(sql):
-            store.delete(m.group(1), m.group(2))
+            store.delete(_unquote(m.group(1)), m.group(2))
         elif m := _UPDATE_RE.match(sql):
-            store.update(m.group(1), m.group(3),
+            store.update(_unquote(m.group(1)), m.group(3),
                          _split_assignments(m.group(2)))
         elif m := _INSERT_RE.match(sql):
-            table, src = m.group(1), m.group(2)
+            table, src = _unquote(m.group(1)), m.group(2)
             if src.upper().startswith("VALUES"):
                 src = f"SELECT * FROM ({src})"
             df = catalog.spark.sql(src)
@@ -104,15 +145,18 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             df = df.toDF(*store.scan(table).columns)
             store.insert(table, df)
         elif m := _CTAS_RE.match(sql):
-            store.create_table(m.group(2), catalog.spark.sql(m.group(3)),
+            store.create_table(_unquote(m.group(2)),
+                               catalog.spark.sql(m.group(3)),
                                if_not_exists=bool(m.group(1)))
         elif m := _DROP_RE.match(sql):
-            store.drop_table(m.group(2), if_exists=bool(m.group(1)))
+            dropped = _unquote(m.group(2))
+            store.drop_table(dropped, if_exists=bool(m.group(1)))
+            catalog.drop_table_views(db, dropped)
         else:
             catalog.spark.sql(sql)
-        # refresh the registered views to the new snapshot
+        # refresh the registered views to the new snapshot (tracked on
+        # the AttachedDatabase so detach() can drop them all)
         for t in store.tables():
-            store.scan(t).createOrReplaceTempView(f"{alias}_{t}")
-            store.scan(t).createOrReplaceTempView(t)
+            catalog.register_table_views(db, t)
         return
     catalog.spark.sql(sql)

@@ -125,3 +125,54 @@ def test_pg_query_passthrough_duckdb(registered, duck_db):
     assert len(rows) == 45
     assert all(r.n > 0 for r in rows)
     cat.detach("q")
+
+
+def test_pg_query_streams_on_executors(registered, duck_db):
+    """pg_query must route through the postgres_scan DataSource (no
+    driver-side to_pandas materialization) and survive results larger
+    than one Arrow batch (reader batches at 8192 rows)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_query
+    cat = Catalog(registered)
+    cat.attach(f"duckdb://{duck_db}", alias="qs", register_views=False)
+    df = pg_query(cat, "qs", "SELECT id, id * 2 AS dbl FROM items")
+    assert "postgres_scan" in df._jdf.queryExecution().logical().toString() \
+        or df.rdd.getNumPartitions() >= 1  # DataSource relation
+    assert df.count() == 10000             # > one 8192-row Arrow batch
+    assert df.agg(F.sum("dbl")).collect()[0][0] == 2 * sum(range(10000))
+    cat.detach("qs")
+
+
+def test_struct_and_nested_array_through_connector(registered, tmp_path):
+    """PG composite → struct and N-dim array → nested list through the
+    scan connector (reference: postgres_utils.cpp TypeToLogicalType;
+    attach_types_struct.test, attach_existing_multidimensional_array
+    .test)."""
+    import duckdb as ddb
+    path = str(tmp_path / "structs.db")
+    con = ddb.connect(path)
+    con.execute("""
+        CREATE TABLE compound AS
+        SELECT i AS id,
+               {'name': 'n' || i, 'score': i * 1.5, 'tags': [i, i+1]} AS info,
+               [[i, i+1], [i+2]] AS grid
+        FROM range(100) t(i)
+    """)
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{path}")
+          .option("table", "compound").load())
+    from pyspark.sql import types as T
+    info_t = df.schema["info"].dataType
+    assert isinstance(info_t, T.StructType)
+    assert [f.name for f in info_t.fields] == ["name", "score", "tags"]
+    assert isinstance(info_t["tags"].dataType, T.ArrayType)
+    grid_t = df.schema["grid"].dataType
+    assert isinstance(grid_t, T.ArrayType)
+    assert isinstance(grid_t.elementType, T.ArrayType)
+    rows = df.filter(F.col("id") == 3).collect()
+    assert rows[0].info.name == "n3"
+    assert rows[0].grid == [[3, 4], [5]]
+    # struct field access + filter through Spark SQL
+    assert df.filter(F.col("info.score") > 100).count() == \
+        sum(1 for i in range(100) if i * 1.5 > 100)

@@ -63,6 +63,48 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_d5_plan_has_no_nested_loop_join(spark):
+    """D5's all-pairs cosine must decompose into block-pair equi-joins;
+    a `vec_id < vec_id` theta-join plans as BroadcastNestedLoopJoin,
+    which serializes O(n²) work — the 100 TB killer VERDICT r2 flagged."""
+    from postgres_scanner_spark.operators.dedup import d5_embedding_dedup
+    df = d5_embedding_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_d4_hot_shingle_cap_applied(spark):
+    """The inverted index must drop shingles with df above the corpus
+    fraction cap before the self-join (hot posting lists make the
+    s = s join quadratic in their length)."""
+    from postgres_scanner_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(i, "common common " + ("alpha beta " if i % 2 else "gamma delta ")
+          + f"unique{i} tail{i}") for i in range(10)],
+        "doc_id INT, text STRING")
+    shx = (dedup.with_shingles(docs, 2)
+           .select("doc_id", F.explode("shingles").alias("s")).distinct())
+    # "common common" appears in every doc — over the 0.5 cap
+    hot_df = shx.filter(F.col("s") == "common common").count()
+    assert hot_df == 10
+    import re
+    assert re.search(r"HAVING COUNT\(\*\) <=",
+                     dedup._D4_SQL), "oracle must apply the same cap"
+    import inspect
+    src = inspect.getsource(dedup.d4_ngram_jaccard)
+    assert "_D4_MAX_DF_FRAC" in src
+
+
+def test_d2_candidate_semijoin_no_forced_broadcast():
+    """dedup.py must not hard-hint broadcast on the candidate set —
+    a pathological corpus makes it arbitrarily large; AQE decides."""
+    import inspect
+    from postgres_scanner_spark.operators import dedup
+    src = inspect.getsource(dedup.d2_minhash_lsh_dedup)
+    assert "F.broadcast(cand_ids)" not in src
+
+
 def test_concurrent_queries(spark):
     """Concurrent query execution against the same session/tables
     (reference: attach_concurrent_queries.test, concurrency_test.cpp) —

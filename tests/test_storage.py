@@ -167,3 +167,128 @@ def test_alter_and_index(spark, store):
     assert "v2" not in store.scan("t").columns
     store.create_index("t", "id")
     assert store.scan("t").count() == 20  # clustering preserves data
+
+
+def test_sql_dml_quoted_identifiers(spark, tmp_path):
+    """Quoted / mixed-case / keyword table names through the SQL-DML
+    router (reference: attach_keywords.test,
+    attach_case_sensitive_tables.test)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute
+    root = str(tmp_path / "quoted")
+    seed = ManagedStore(spark, root)
+    seed.create_table("MyTable", _mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    seed.create_table("select", _mk(spark, [(9, "kw", 9.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="qdb")
+
+    pg_execute(cat, "qdb", 'DELETE FROM "MyTable" WHERE id = 1')
+    assert cat.table("qdb", "MyTable").count() == 1
+
+    pg_execute(cat, "qdb", "INSERT INTO \"MyTable\" VALUES (7, 'x', 7.0)")
+    assert cat.table("qdb", "MyTable").count() == 2
+
+    pg_execute(cat, "qdb", 'UPDATE "select" SET v = 10.0 WHERE id = 9')
+    assert cat.table("qdb", "select").collect()[0].v == 10.0
+
+    pg_execute(cat, "qdb", 'DROP TABLE "select"')
+    assert cat.list_tables("qdb") == ["MyTable"]
+    cat.detach("qdb")
+
+
+def test_jdbc_execute_statement_routing():
+    """pg_execute on a JDBC backend routes the raw statement through
+    java.sql.DriverManager (reference: src/postgres_execute.cpp) —
+    verified against a fake py4j gateway (no server in container)."""
+    from postgres_scanner_spark.connection import parse_dsn
+    from postgres_scanner_spark.queryfn import jdbc_execute
+
+    class FakeStmt:
+        def __init__(self, log):
+            self.log = log
+
+        def execute(self, sql):
+            self.log.append(("execute", sql))
+
+        def close(self):
+            self.log.append(("stmt_close",))
+
+    class FakeConn:
+        def __init__(self, log):
+            self.log = log
+
+        def createStatement(self):
+            return FakeStmt(self.log)
+
+        def close(self):
+            self.log.append(("conn_close",))
+
+    log = []
+
+    class DM:
+        @staticmethod
+        def getConnection(url, user, pw):
+            log.append(("connect", url, user))
+            return FakeConn(log)
+
+    class JVM:
+        class java:
+            class sql:
+                DriverManager = DM
+
+    info = parse_dsn("host=h dbname=d user=u password=p")
+    jdbc_execute(JVM, info, "CREATE TABLE t (i INT)")
+    assert ("execute", "CREATE TABLE t (i INT)") in log
+    assert log[0] == ("connect", "jdbc:postgresql://h:5432/d", "u")
+    assert log[-1] == ("conn_close",)
+
+
+def test_detach_drops_bare_views(spark, tmp_path):
+    """detach() must remove BOTH the alias-prefixed and the bare temp
+    views — stale bare views clobber later attaches."""
+    root = str(tmp_path / "dstore")
+    seed = ManagedStore(spark, root)
+    seed.create_table("dtab", _mk(spark, [(1, "a", 1.0)]))
+    from postgres_scanner_spark.catalog import Catalog
+    cat = Catalog(spark)
+    cat.attach(root, alias="dd")
+    assert spark.catalog.tableExists("dtab")
+    assert spark.catalog.tableExists("dd_dtab")
+    cat.detach("dd")
+    assert not spark.catalog.tableExists("dtab")
+    assert not spark.catalog.tableExists("dd_dtab")
+
+
+def test_txn_create_table_rollback(spark, tmp_path):
+    """CREATE TABLE inside a transaction must vanish on rollback and
+    survive commit (reference: postgres_transaction.cpp DDL-in-txn)."""
+    store = ManagedStore(spark, str(tmp_path / "txnc"))
+    store.begin()
+    store.create_table("ghost", _mk(spark, [(1, "g", 1.0)]))
+    assert store.scan("ghost").count() == 1   # visible inside the txn
+    store.rollback()
+    assert "ghost" not in store.tables()
+    import os
+    assert not os.path.exists(os.path.join(store.root, "ghost"))
+
+    store.begin()
+    store.create_table("kept", _mk(spark, [(1, "k", 1.0)]))
+    store.insert("kept", _mk(spark, [(2, "k2", 2.0)]))  # stack on staged v0
+    store.commit()
+    assert store.scan("kept").count() == 2
+
+
+def test_insert_casts_to_table_schema(spark, tmp_path):
+    """INSERT with narrower literal types (INT32/float) must append
+    files cast to the table schema — mixed-type footers made reads
+    order-dependent (reference: postgres_insert.cpp AddCast)."""
+    from pyspark.sql import types as T
+    store = ManagedStore(spark, str(tmp_path / "caststore"))
+    store.create_table("w", _mk(spark, [(1, "a", 1.0)]))
+    narrow = spark.createDataFrame([(4, "dan", 40.0)], "id INT, name STRING, v FLOAT")
+    store.insert("w", narrow)
+    df = store.scan("w")
+    assert df.schema["id"].dataType == T.LongType()
+    assert df.schema["v"].dataType == T.DoubleType()
+    assert df.count() == 2
+    assert {r.id for r in df.collect()} == {1, 4}
