@@ -243,13 +243,32 @@ class PostgresScanReader(DataSourceReader):
                     break
             con.close()
             return
+        yield from self._read_live_pg(sql)
+
+    def _read_live_pg(self, sql: str):
+        """Live Postgres: stream `COPY (sql) TO STDOUT (FORMAT binary)`
+        and decode the PGCOPY frames with pgwire — the same wire path
+        as the reference (postgres_connection.cpp BeginCopyTo +
+        postgres_binary_reader.hpp). Yields plain tuples; Spark
+        converts per the declared schema. Untestable without a server
+        in this container; the frame decoder itself is fixture-tested
+        in tests/test_pgwire.py."""
         try:
-            import psycopg  # noqa: F401
+            import psycopg
         except ImportError as exc:
             raise ImportError(
                 "live Postgres scans need psycopg on the executors; "
                 "use a duckdb:// dsn in this environment") from exc
-        raise NotImplementedError("live Postgres backend")
+        from .pgwire import BinaryCopyReader, ChunkStream, spark_field_oid
+        oids = [spark_field_oid(f.dataType) for f in self.schema_.fields]
+        array_cols = {
+            i for i, f in enumerate(self.schema_.fields)
+            if isinstance(f.dataType, T.ArrayType)}
+        reader = BinaryCopyReader(oids, array_cols)
+        with psycopg.connect(self.dsn) as con, con.cursor() as cur:
+            with cur.copy(
+                    f"COPY ({sql}) TO STDOUT (FORMAT binary)") as cp:
+                yield from reader.read(ChunkStream(cp))
 
 
 class PostgresScanDataSource(DataSource):
@@ -271,9 +290,35 @@ class PostgresScanDataSource(DataSource):
                 T.StructField(n, _duck_type(t), True)
                 for n, t, *_ in desc
             ])
-        raise NotImplementedError(
-            "schema probe for live Postgres needs psycopg; pass .schema() "
-            "explicitly or use a duckdb:// dsn")
+        try:
+            import psycopg
+        except ImportError as exc:
+            raise ImportError(
+                "schema probe for live Postgres needs psycopg; pass "
+                ".schema() explicitly or use a duckdb:// dsn") from exc
+        from .types import pg_type_to_spark
+        pg_schema = self.options.get("schema", "public")
+        with psycopg.connect(dsn) as con, con.cursor() as cur:
+            # information_schema probe — the reference reads the same
+            # catalog via PGQuery (postgres_scanner.cpp GetColumnInfo)
+            cur.execute(
+                "SELECT column_name, data_type, udt_name, "
+                "numeric_precision, numeric_scale "
+                "FROM information_schema.columns "
+                "WHERE table_schema = %s AND table_name = %s "
+                "ORDER BY ordinal_position", (pg_schema, table))
+            fields = []
+            for name, dtyp, udt, prec, scale in cur.fetchall():
+                if dtyp == "ARRAY":
+                    dt = pg_type_to_spark(udt.lstrip("_"), array_dims=1)
+                else:
+                    dt = pg_type_to_spark(
+                        udt or dtyp, precision=prec, scale=scale)
+                fields.append(T.StructField(name, dt, True))
+        if not fields:
+            raise ValueError(
+                f"table {pg_schema}.{table} not found on remote server")
+        return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> PostgresScanReader:
         return PostgresScanReader(schema, self.options)
