@@ -32,6 +32,7 @@ _MODULES = (
     "postgres_scanner_spark.functions.scanq",
     "postgres_scanner_spark.functions.text",
     "postgres_scanner_spark.functions.analytics",
+    "postgres_scanner_spark.functions.tpcds",
     "postgres_scanner_spark.streaming.events",
     "postgres_scanner_spark.operators.ann",
     "postgres_scanner_spark.operators.multimodal",

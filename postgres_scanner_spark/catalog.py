@@ -20,15 +20,18 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .connection import ConnectionInfo, parse_dsn
+from .connection import ConnectionInfo, parse_dsn, resolve_secret
 from .scan import jdbc_scan, parquet_scan
 
 
 def _is_store_dir(path: str) -> bool:
-    """A ManagedStore root: subdirectories with a _current pointer."""
+    """A ManagedStore root: subdirectories with a _current pointer,
+    a _schema namespace marker, or stored view SQL."""
     try:
         return any(
             os.path.isfile(os.path.join(path, d, "_current"))
+            or os.path.isfile(os.path.join(path, d, "_schema"))
+            or d.endswith(".view.sql")
             for d in os.listdir(path))
     except OSError:
         return False
@@ -77,6 +80,14 @@ class Catalog:
                read_only: bool = False, register_views: bool = True) -> AttachedDatabase:
         if alias in self.attached:
             raise ValueError(f"database {alias!r} already attached")
+        if source.startswith("secret:"):
+            # credential-free attach (reference: attach_secret.test):
+            # the DSN comes from the secret registry, never the string
+            info = resolve_secret(source[len("secret:"):])
+            db = AttachedDatabase(alias, source, "jdbc", read_only,
+                                  conn=info)
+            self.attached[alias] = db
+            return db
         if os.path.isdir(source) and _is_store_dir(source):
             # a ManagedStore directory: writable attached database
             from .storage import ManagedStore
@@ -100,19 +111,30 @@ class Catalog:
         if register_views and db.backend in ("parquet", "duckdb", "store"):
             for t in db.table_names():
                 self.register_table_views(db, t)
+            if db.backend == "store":
+                # stored views resolve AFTER their base tables exist
+                # (reference: attach_views.test)
+                for v in db.store.views():
+                    df = db.store.scan_view(v)
+                    for name in (f"{alias}_{v}", v):
+                        df.createOrReplaceTempView(name)
+                        if name not in db.views:
+                            db.views.append(name)
         return db
 
     def register_table_views(self, db: AttachedDatabase, t: str) -> None:
-        self.table(db.alias, t).createOrReplaceTempView(f"{db.alias}_{t}")
+        safe = t.replace(".", "_")   # schema-qualified → underscore form
+        self.table(db.alias, t).createOrReplaceTempView(f"{db.alias}_{safe}")
         # also bare name for SQL parity with the oracle's views
-        self.table(db.alias, t).createOrReplaceTempView(t)
-        for v in (f"{db.alias}_{t}", t):
+        self.table(db.alias, t).createOrReplaceTempView(safe)
+        for v in (f"{db.alias}_{safe}", safe):
             if v not in db.views:
                 db.views.append(v)
 
     def drop_table_views(self, db: AttachedDatabase, t: str) -> None:
         """Called when a table disappears (pg_execute DROP TABLE)."""
-        for v in (f"{db.alias}_{t}", t):
+        safe = t.replace(".", "_")
+        for v in (f"{db.alias}_{safe}", safe):
             if v in db.views:
                 self.spark.catalog.dropTempView(v)
                 db.views.remove(v)

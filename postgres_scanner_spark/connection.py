@@ -85,3 +85,40 @@ def parse_dsn(dsn: str) -> ConnectionInfo:
         else:
             info.options[key] = value
     return info
+
+
+# ---- secrets (reference: test/sql/scanner/attach_secret.test;
+# DuckDB CREATE SECRET (TYPE postgres, HOST ..., ...) + ATTACH '' with
+# SECRET name). A process-level registry: attach() resolves
+# "secret:name" (or an explicit secret= kwarg) to a full DSN so
+# credentials never appear in the attach string.
+_SECRETS: dict[str, ConnectionInfo] = {}
+
+
+def create_secret(name: str, *, host: str = "localhost", port: int = 5432,
+                  database: str = "", user: str | None = None,
+                  password: str | None = None,
+                  replace: bool = False, **options: str) -> None:
+    if name in _SECRETS and not replace:
+        raise ValueError(f"secret {name!r} already exists")
+    _SECRETS[name] = ConnectionInfo(
+        host=host, port=port, dbname=database, user=user,
+        password=password, options=dict(options))
+
+
+def drop_secret(name: str, *, if_exists: bool = False) -> None:
+    if name not in _SECRETS:
+        if if_exists:
+            return
+        raise ValueError(f"no such secret {name!r}")
+    del _SECRETS[name]
+
+
+def list_secrets() -> list[str]:
+    return sorted(_SECRETS)
+
+
+def resolve_secret(name: str) -> ConnectionInfo:
+    if name not in _SECRETS:
+        raise KeyError(f"no such secret {name!r}")
+    return _SECRETS[name]

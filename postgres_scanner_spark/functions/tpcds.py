@@ -1,0 +1,356 @@
+"""TPC-DS-style analytics queries, adapted to the testdata schema.
+
+The reference proves TPC-DS support by running queries 1-9 through the
+scanner (reference: test/sql/scanner/tpcds.test). The testdata has no
+TPC-DS tables, so this module re-expresses the *query shapes* those
+nine exercise — above-segment-average filters (Q1), calendar pivots
+(Q2), brand/year aggregation (Q3), CASE bucket counting (Q9),
+share-of-total windows, top-n-per-group, year-over-year growth, and
+set-operation cohorts — over the TPC-H-ish tables, each with a
+bit-exact DuckDB oracle.
+
+Determinism follows functions/tpch.py's contract: money sums in
+DECIMAL cast to DOUBLE at the end, BIGINT counts, total-order
+tiebreaks on every ORDER BY.
+
+Scale notes: same as tpch.py — only nation/region broadcast hints,
+single-shuffle aggregations, window functions partitioned on
+low-cardinality keys sized to stay in executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+_DEC = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .. import tables
+    return tables.load(spark, sf_dir, name)
+
+
+def _rev(l) -> F.Column:
+    return (F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("rev_dec")
+
+
+# ---- DS1 (TPC-DS Q1 shape): customers above 1.2x their nation's
+#      average order volume
+def ds1_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_dec"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    flagged = per_cust.withColumn(
+        "nation_avg",
+        F.sum("total_dec").over(w) / F.count("*").over(w))
+    return (
+        flagged.filter(F.col("total_dec") > F.lit(1.2) * F.col("nation_avg"))
+        .join(broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", "c_name",
+                F.col("n_name").alias("nation"),
+                F.col("total_dec").cast("double").alias("total_spent"))
+        .orderBy("c_custkey")
+    )
+
+
+_DS1_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_dec
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name, c_nationkey),
+flagged AS (
+  SELECT *, SUM(total_dec) OVER (PARTITION BY c_nationkey)
+            / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+  FROM per_cust)
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(total_dec AS DOUBLE) AS total_spent
+FROM flagged JOIN nation ON c_nationkey = n_nationkey
+WHERE total_dec > 1.2 * nation_avg
+ORDER BY c_custkey
+"""
+
+
+# ---- DS2 (Q2 shape): revenue share per ISO weekday within each year
+def ds2_weekday_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    per = (
+        l.select(F.year("l_shipdate").cast("int").alias("yr"),
+                 (F.weekday("l_shipdate") + 1).cast("int").alias("dow"),
+                 _rev(l))
+        .groupBy("yr", "dow")
+        .agg(F.sum("rev_dec").alias("rev_dec"))
+    )
+    w = Window.partitionBy("yr")
+    return (
+        per.select(
+            "yr", "dow",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.col("rev_dec").cast("double")
+             / F.sum("rev_dec").over(w).cast("double")).alias("share"))
+        .orderBy("yr", "dow")
+    )
+
+
+_DS2_SQL = """
+WITH per AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(isodow(l_shipdate) AS INT) AS dow,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS rev_dec
+  FROM lineitem GROUP BY yr, dow)
+SELECT yr, dow, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS DOUBLE) AS share
+FROM per ORDER BY yr, dow
+"""
+
+
+# ---- DS3 (Q3 shape): revenue by ship year and brand for one p_type
+def ds3_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select(F.year("l_shipdate").cast("int").alias("yr"),
+                F.col("p_brand"), _rev(l))
+        .groupBy("yr", "p_brand")
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
+        .orderBy("yr", F.desc("revenue"), "p_brand")
+    )
+
+
+_DS3_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'PROMO'
+GROUP BY yr, p_brand
+ORDER BY yr, revenue DESC, p_brand
+"""
+
+
+# ---- DS4 (Q9 shape): CASE bucket counts over order totalprice bands
+def ds4_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    def band(lo, hi):
+        return F.sum(
+            F.when((F.col("o_totalprice") >= lo)
+                   & (F.col("o_totalprice") < hi), 1).otherwise(0)
+        ).cast("long")
+    return o.agg(
+        band(0, 50000).alias("band_0_50k"),
+        band(50000, 100000).alias("band_50_100k"),
+        band(100000, 200000).alias("band_100_200k"),
+        band(200000, 10**9).alias("band_200k_up"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+_DS4_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000
+           THEN 1 ELSE 0 END) AS BIGINT) AS band_0_50k,
+  CAST(SUM(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 100000
+           THEN 1 ELSE 0 END) AS BIGINT) AS band_50_100k,
+  CAST(SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000
+           THEN 1 ELSE 0 END) AS BIGINT) AS band_100_200k,
+  CAST(SUM(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 1000000000
+           THEN 1 ELSE 0 END) AS BIGINT) AS band_200k_up,
+  COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+# ---- DS5: share-of-total window (ratio_to_report idiom): each
+#      nation's revenue share within its region
+def ds5_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", _rev(l))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev_dec").alias("rev_dec"))
+    )
+    w = Window.partitionBy("r_name")
+    return (
+        per.select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.col("rev_dec").cast("double")
+             / F.sum("rev_dec").over(w).cast("double")).alias("region_share"))
+        .orderBy("region", F.desc("revenue"), "nation")
+    )
+
+
+_DS5_SQL = """
+WITH per AS (
+  SELECT r_name, n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS rev_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name AS region, n_name AS nation,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS region_share
+FROM per ORDER BY region, revenue DESC, nation
+"""
+
+
+# ---- DS6: top-3 customers per region by spend (top-n-per-group)
+def ds6_top_customers_per_region(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_dec"))
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("total_dec"), F.col("c_custkey"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("r_name").alias("region"), "rnk", "c_custkey",
+                "c_name", F.col("total_dec").cast("double").alias("spent"))
+        .orderBy("region", "rnk")
+    )
+
+
+_DS6_SQL = """
+WITH per AS (
+  SELECT r_name, c_custkey, c_name,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, c_custkey, c_name),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY r_name ORDER BY total_dec DESC, c_custkey) AS rnk
+  FROM per)
+SELECT r_name AS region, rnk, c_custkey, c_name,
+       CAST(total_dec AS DOUBLE) AS spent
+FROM ranked WHERE rnk <= 3 ORDER BY region, rnk
+"""
+
+
+# ---- DS7: year-over-year revenue growth per nation (lag window)
+def ds7_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name"), F.year("l_shipdate").cast("int").alias("yr"),
+                _rev(l))
+        .groupBy("n_name", "yr")
+        .agg(F.sum("rev_dec").alias("rev_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag(F.col("rev_dec")).over(w)
+    return (
+        per.select(
+            F.col("n_name").alias("nation"), "yr",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            ((F.col("rev_dec").cast("double") - prev.cast("double"))
+             / prev.cast("double")).alias("yoy_growth"))
+        .orderBy("nation", "yr")
+    )
+
+
+_DS7_SQL = """
+WITH per AS (
+  SELECT n_name, CAST(year(l_shipdate) AS INT) AS yr,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS rev_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, yr)
+SELECT n_name AS nation, yr, CAST(rev_dec AS DOUBLE) AS revenue,
+       (CAST(rev_dec AS DOUBLE)
+        - CAST(LAG(rev_dec) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE))
+       / CAST(LAG(rev_dec) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
+         AS yoy_growth
+FROM per ORDER BY nation, yr
+"""
+
+
+# ---- DS8 (set-operation cohort): customers active in BOTH 1994 and
+#      1995 (INTERSECT shape) minus those active in 1996 (EXCEPT shape)
+def ds8_customer_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    def active(year):
+        return (o.filter(F.year("o_orderdate") == year)
+                .select("o_custkey").distinct())
+    cohort = (active(1994).intersect(active(1995))
+              .exceptAll(active(1996)))
+    return cohort.select(F.col("o_custkey").alias("c_custkey")) \
+        .orderBy("c_custkey")
+
+
+_DS8_SQL = """
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1994
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "ds1_above_avg_customers": ds1_above_avg_customers,
+    "ds2_weekday_share": ds2_weekday_share,
+    "ds3_brand_year": ds3_brand_year,
+    "ds4_price_buckets": ds4_price_buckets,
+    "ds5_nation_share": ds5_nation_share,
+    "ds6_top_customers_per_region": ds6_top_customers_per_region,
+    "ds7_yoy_growth": ds7_yoy_growth,
+    "ds8_customer_cohort": ds8_customer_cohort,
+}
+
+ORACLE = {
+    "ds1_above_avg_customers": _DS1_SQL,
+    "ds2_weekday_share": _DS2_SQL,
+    "ds3_brand_year": _DS3_SQL,
+    "ds4_price_buckets": _DS4_SQL,
+    "ds5_nation_share": _DS5_SQL,
+    "ds6_top_customers_per_region": _DS6_SQL,
+    "ds7_yoy_growth": _DS7_SQL,
+    "ds8_customer_cohort": _DS8_SQL,
+}

@@ -55,23 +55,37 @@ import re
 
 # identifier: bare word OR double-quoted (PG-style, "" escapes a quote)
 # — reference handles quoted/keyword/case-sensitive table names
-# (attach_keywords.test, attach_case_sensitive_tables.test)
-_IDENT = r'("(?:[^"]|"")+"|\w+)'
+# (attach_keywords.test, attach_case_sensitive_tables.test); tables may
+# be schema-qualified (attach_schemas.test)
+_ID = r'(?:"(?:[^"]|"")+"|\w+)'
+_IDENT = rf"({_ID})"
+_QIDENT = rf"({_ID}(?:\.{_ID})?)"
 
 _DELETE_RE = re.compile(
-    rf"^\s*DELETE\s+FROM\s+{_IDENT}\s+WHERE\s+(.+?);?\s*$",
+    rf"^\s*DELETE\s+FROM\s+{_QIDENT}\s+WHERE\s+(.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
-    rf"^\s*UPDATE\s+{_IDENT}\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
+    rf"^\s*UPDATE\s+{_QIDENT}\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+INTO\s+{_IDENT}\s+(SELECT\s+.+?|VALUES\s*\(.+?\));?\s*$",
+    rf"^\s*INSERT\s+INTO\s+{_QIDENT}\s+(SELECT\s+.+?|VALUES\s*\(.+?\));?\s*$",
     re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(
-    rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_IDENT};?\s*$", re.IGNORECASE)
+    rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_QIDENT};?\s*$", re.IGNORECASE)
 _CTAS_RE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_QIDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
+_CREATE_SCHEMA_RE = re.compile(
+    rf"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT};?\s*$",
+    re.IGNORECASE)
+_DROP_SCHEMA_RE = re.compile(
+    rf"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?{_IDENT}\s*(CASCADE)?;?\s*$",
+    re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+{_IDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_VIEW_RE = re.compile(
+    rf"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?{_IDENT};?\s*$", re.IGNORECASE)
 
 
 def _unquote(ident: str) -> str:
@@ -81,6 +95,23 @@ def _unquote(ident: str) -> str:
     if ident.startswith('"') and ident.endswith('"'):
         return ident[1:-1].replace('""', '"')
     return ident
+
+
+def _unquote_table(ident: str) -> str:
+    """Unquote each dot-separated part of a possibly schema-qualified,
+    possibly quoted table reference."""
+    parts, cur, inq = [], [], False
+    for ch in ident:
+        if ch == '"':
+            inq = not inq
+            cur.append(ch)
+        elif ch == "." and not inq:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return ".".join(_unquote(p) for p in parts)
 
 
 def _split_assignments(set_clause: str) -> dict[str, str]:
@@ -132,12 +163,12 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
     if db.backend == "store":
         store = db.store
         if m := _DELETE_RE.match(sql):
-            store.delete(_unquote(m.group(1)), m.group(2))
+            store.delete(_unquote_table(m.group(1)), m.group(2))
         elif m := _UPDATE_RE.match(sql):
-            store.update(_unquote(m.group(1)), m.group(3),
+            store.update(_unquote_table(m.group(1)), m.group(3),
                          _split_assignments(m.group(2)))
         elif m := _INSERT_RE.match(sql):
-            table, src = _unquote(m.group(1)), m.group(2)
+            table, src = _unquote_table(m.group(1)), m.group(2)
             if src.upper().startswith("VALUES"):
                 src = f"SELECT * FROM ({src})"
             df = catalog.spark.sql(src)
@@ -145,13 +176,36 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             df = df.toDF(*store.scan(table).columns)
             store.insert(table, df)
         elif m := _CTAS_RE.match(sql):
-            store.create_table(_unquote(m.group(2)),
+            store.create_table(_unquote_table(m.group(2)),
                                catalog.spark.sql(m.group(3)),
                                if_not_exists=bool(m.group(1)))
         elif m := _DROP_RE.match(sql):
-            dropped = _unquote(m.group(2))
+            dropped = _unquote_table(m.group(2))
             store.drop_table(dropped, if_exists=bool(m.group(1)))
             catalog.drop_table_views(db, dropped)
+        elif m := _CREATE_SCHEMA_RE.match(sql):
+            store.create_schema(_unquote(m.group(2)),
+                                if_not_exists=bool(m.group(1)))
+        elif m := _DROP_SCHEMA_RE.match(sql):
+            store.drop_schema(_unquote(m.group(2)),
+                              if_exists=bool(m.group(1)),
+                              cascade=bool(m.group(3)))
+        elif m := _CREATE_VIEW_RE.match(sql):
+            vname = _unquote(m.group(2))
+            store.create_view(vname, m.group(3),
+                              or_replace=bool(m.group(1)))
+            df = store.scan_view(vname)
+            for name in (f"{alias}_{vname}", vname):
+                df.createOrReplaceTempView(name)
+                if name not in db.views:
+                    db.views.append(name)
+        elif m := _DROP_VIEW_RE.match(sql):
+            vname = _unquote(m.group(2))
+            store.drop_view(vname, if_exists=bool(m.group(1)))
+            for name in (f"{alias}_{vname}", vname):
+                if name in db.views:
+                    catalog.spark.catalog.dropTempView(name)
+                    db.views.remove(name)
         else:
             catalog.spark.sql(sql)
         # refresh the registered views to the new snapshot (tracked on

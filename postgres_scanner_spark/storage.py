@@ -37,6 +37,13 @@ class ManagedStore:
 
     # ---- helpers -------------------------------------------------
     def _tdir(self, table: str) -> str:
+        """Qualified names ('sales.orders') map to schema subdirs;
+        unqualified names live in the default (root) namespace —
+        reference: storage/postgres_schema_set.cpp exposes PG schemas
+        as sub-namespaces of the attached catalog."""
+        if "." in table:
+            schema, _, name = table.partition(".")
+            return os.path.join(self.root, schema, name)
         return os.path.join(self.root, table)
 
     def _pointer(self, table: str) -> str:
@@ -77,10 +84,89 @@ class ManagedStore:
 
     # ---- catalog ops (reference: storage/postgres_table_set.cpp) --
     def tables(self) -> list[str]:
+        """All tables, qualified ('schema.table') for non-default
+        schemas (reference: postgres_table_set.cpp LoadEntries walks
+        every schema)."""
+        out = []
+        for d in os.listdir(self.root):
+            if os.path.isfile(os.path.join(self.root, d, "_current")):
+                out.append(d)
+            elif os.path.isfile(os.path.join(self.root, d, "_schema")):
+                for t in os.listdir(os.path.join(self.root, d)):
+                    if os.path.isfile(
+                            os.path.join(self.root, d, t, "_current")):
+                        out.append(f"{d}.{t}")
+        return sorted(out)
+
+    # ---- schemas (reference: storage/postgres_schema_set.cpp,
+    #      test/sql/storage/attach_schemas.test)
+    def create_schema(self, name: str, *, if_not_exists: bool = False) -> None:
+        d = os.path.join(self.root, name)
+        marker = os.path.join(d, "_schema")
+        if os.path.exists(marker):
+            if if_not_exists:
+                return
+            raise ValueError(f"schema {name!r} already exists")
+        os.makedirs(d, exist_ok=True)
+        open(marker, "w").close()
+
+    def schemas(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.root)
-            if os.path.isfile(os.path.join(self.root, d, "_current"))
-        )
+            if os.path.isfile(os.path.join(self.root, d, "_schema")))
+
+    def drop_schema(self, name: str, *, cascade: bool = False,
+                    if_exists: bool = False) -> None:
+        d = os.path.join(self.root, name)
+        if not os.path.isfile(os.path.join(d, "_schema")):
+            if if_exists:
+                return
+            raise ValueError(f"no such schema {name!r}")
+        leftover = [t for t in os.listdir(d) if t != "_schema"]
+        if leftover and not cascade:
+            raise ValueError(
+                f"schema {name!r} not empty (use cascade): {leftover}")
+        shutil.rmtree(d)
+
+    # ---- views (reference: storage/postgres_catalog.cpp view entries,
+    #      test/sql/storage/attach_views.test). A view is stored SQL
+    #      text; resolution happens through the session catalog where
+    #      the store's tables are registered as temp views.
+    def _vpath(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.view.sql")
+
+    def create_view(self, name: str, sql: str, *,
+                    or_replace: bool = False) -> None:
+        if os.path.exists(self._vpath(name)) and not or_replace:
+            raise ValueError(f"view {name!r} already exists")
+        with open(self._vpath(name), "w") as fh:
+            fh.write(sql)
+
+    def views(self) -> list[str]:
+        return sorted(
+            f[: -len(".view.sql")] for f in os.listdir(self.root)
+            if f.endswith(".view.sql"))
+
+    def view_sql(self, name: str) -> str:
+        with open(self._vpath(name)) as fh:
+            return fh.read()
+
+    def drop_view(self, name: str, *, if_exists: bool = False) -> None:
+        if not os.path.exists(self._vpath(name)):
+            if if_exists:
+                return
+            raise ValueError(f"no such view {name!r}")
+        os.remove(self._vpath(name))
+
+    def scan_view(self, name: str) -> DataFrame:
+        """Evaluate a stored view. The store's own tables are
+        (re)registered under their bare names first so the view text
+        resolves against the current snapshot."""
+        for t in self.tables():
+            self.scan(t).createOrReplaceTempView(t.replace(".", "_"))
+            if "." not in t:
+                self.scan(t).createOrReplaceTempView(t)
+        return self.spark.sql(self.view_sql(name))
 
     def create_table(self, table: str, df: DataFrame, *,
                      if_not_exists: bool = False) -> None:
@@ -91,6 +177,10 @@ class ManagedStore:
             if if_not_exists:
                 return
             raise ValueError(f"table {table!r} already exists")
+        if "." in table:
+            schema = table.partition(".")[0]
+            if not os.path.isfile(os.path.join(self.root, schema, "_schema")):
+                raise ValueError(f"no such schema {schema!r}")
         os.makedirs(self._tdir(table), exist_ok=True)
         df.write.mode("overwrite").parquet(self._vdir(table, 0))
         if self._txn is not None:

@@ -292,3 +292,108 @@ def test_insert_casts_to_table_schema(spark, tmp_path):
     assert df.schema["v"].dataType == T.DoubleType()
     assert df.count() == 2
     assert {r.id for r in df.collect()} == {1, 4}
+
+
+def test_schema_namespaces(spark, tmp_path):
+    """Schema sub-namespaces in the store (reference:
+    storage/postgres_schema_set.cpp, attach_schemas.test)."""
+    store = ManagedStore(spark, str(tmp_path / "schemadb"))
+    store.create_schema("sales")
+    store.create_schema("sales", if_not_exists=True)
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_schema("sales")
+    store.create_table("sales.orders", _mk(spark, [(1, "a", 1.0)]))
+    store.create_table("toplevel", _mk(spark, [(2, "b", 2.0)]))
+    assert store.schemas() == ["sales"]
+    assert store.tables() == ["sales.orders", "toplevel"]
+    assert store.scan("sales.orders").count() == 1
+    with pytest.raises(ValueError, match="no such schema"):
+        store.create_table("ghost.t", _mk(spark, [(1, "x", 1.0)]))
+    with pytest.raises(ValueError, match="not empty"):
+        store.drop_schema("sales")
+    store.drop_schema("sales", cascade=True)
+    assert store.tables() == ["toplevel"]
+
+
+def test_store_views(spark, tmp_path):
+    """Stored SQL views (reference: attach_views.test) — resolve
+    against the current snapshot, refresh on DML, and register/drop
+    through the SQL router."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute, pg_query
+    root = str(tmp_path / "viewdb")
+    seed = ManagedStore(spark, root)
+    seed.create_table("nums", _mk(spark, [(1, "a", 10.0), (2, "b", 20.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="vdb")
+    pg_execute(cat, "vdb",
+               "CREATE VIEW big AS SELECT id, v FROM nums WHERE v > 15")
+    assert cat.attached["vdb"].store.views() == ["big"]
+    assert [r.id for r in spark.sql("SELECT * FROM vdb_big").collect()] == [2]
+    # view follows DML on the base table
+    pg_execute(cat, "vdb", "INSERT INTO nums VALUES (3, 'c', 30.0)")
+    assert cat.attached["vdb"].store.scan_view("big").count() == 2
+    pg_execute(cat, "vdb", "DROP VIEW big")
+    assert cat.attached["vdb"].store.views() == []
+    assert not spark.catalog.tableExists("vdb_big")
+    cat.detach("vdb")
+
+
+def test_store_views_survive_reattach(spark, tmp_path):
+    """Views persist on disk: a fresh attach re-registers them."""
+    from postgres_scanner_spark.catalog import Catalog
+    root = str(tmp_path / "viewdb2")
+    seed = ManagedStore(spark, root)
+    seed.create_table("base", _mk(spark, [(1, "a", 5.0)]))
+    seed.create_view("v5", "SELECT id FROM base WHERE v = 5.0")
+    cat = Catalog(spark)
+    cat.attach(root, alias="re")
+    assert spark.sql("SELECT * FROM re_v5").count() == 1
+    cat.detach("re")
+    assert not spark.catalog.tableExists("re_v5")
+
+
+def test_secret_attach():
+    """Credential-free attach via the secret registry (reference:
+    attach_secret.test)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.connection import (
+        create_secret, drop_secret, list_secrets)
+    create_secret("corp", host="db.internal", port=5433,
+                  database="prod", user="svc", password="pw",
+                  sslmode="require")
+    try:
+        assert "corp" in list_secrets()
+        cat = Catalog(None)
+        db = cat.attach("secret:corp", alias="sec")
+        assert db.backend == "jdbc"
+        assert db.conn.jdbc_url == "jdbc:postgresql://db.internal:5433/prod"
+        props = db.conn.jdbc_properties()
+        assert props["user"] == "svc" and props["sslmode"] == "require"
+        with pytest.raises(KeyError):
+            cat.attach("secret:nope", alias="x")
+    finally:
+        drop_secret("corp")
+
+
+def test_sql_dml_schema_qualified(spark, tmp_path):
+    """DML against schema-qualified tables through the router."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute
+    root = str(tmp_path / "qualdb")
+    seed = ManagedStore(spark, root)
+    seed.create_schema("s1")
+    seed.create_table("s1.t", _mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="qq")
+    assert spark.sql("SELECT COUNT(*) AS n FROM qq_s1_t").collect()[0].n == 2
+    pg_execute(cat, "qq", "DELETE FROM s1.t WHERE id = 1")
+    assert cat.attached["qq"].store.scan("s1.t").count() == 1
+    pg_execute(cat, "qq", "CREATE SCHEMA s2")
+    pg_execute(cat, "qq",
+               "CREATE TABLE s2.copy AS SELECT * FROM qq_s1_t")
+    assert cat.attached["qq"].store.scan("s2.copy").count() == 1
+    pg_execute(cat, "qq", "DROP TABLE s2.copy")
+    pg_execute(cat, "qq", "DROP SCHEMA s2")
+    assert cat.attached["qq"].store.schemas() == ["s1"]
+    cat.detach("qq")
