@@ -97,7 +97,7 @@ def t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.sum("ws_tokens").alias("total_ws_tokens"),
              F.sum("bpe_tokens").alias("total_bpe_tokens"),
-             F.max("bpe_tokens").alias("max_bpe_tokens"))
+             F.max("bpe_tokens").cast("long").alias("max_bpe_tokens"))
         .orderBy("source")
     )
 
@@ -133,11 +133,89 @@ GROUP BY fingerprint ORDER BY fingerprint
 """
 
 
+# ---- T5: end-to-end quality filter pipeline (the real training-data
+#      shape: chain lang-ID + quality + length + exact-dup filters and
+#      report per-stage attrition)
+def t5_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose T1-T4 into the canonical pre-training filter chain and
+    report the funnel: how many documents survive each gate. One pass
+    over the corpus, all gates as JVM columns (single codegen stage per
+    doc, one tiny aggregation at the end — at 100 TB the filter chain
+    is scan-bound, exactly as it should be)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+    n_upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    quality = (
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (n_alpha / n_chars) * 0.3
+        + (stop_hits / n_toks) * 0.2
+        + (F.lit(1.0) - n_upper / n_chars) * 0.1
+    )
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    staged = d.select(
+        "doc_id",
+        (stop_hits / n_toks >= 0.03).alias("g_lang"),
+        (quality >= 0.5).alias("g_quality"),
+        n_toks.between(5, 10000).alias("g_length"),
+        F.md5(norm).alias("fp"))
+    w_first = F.min("doc_id")
+    firsts = staged.groupBy("fp").agg(w_first.alias("first_doc"))
+    staged = staged.join(firsts, "fp") \
+        .withColumn("g_unique", F.col("doc_id") == F.col("first_doc"))
+    return staged.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("g_lang"), 1).otherwise(0)).alias("pass_lang"),
+        F.sum(F.when(F.col("g_lang") & F.col("g_quality"), 1).otherwise(0))
+        .alias("pass_quality"),
+        F.sum(F.when(F.col("g_lang") & F.col("g_quality")
+                     & F.col("g_length"), 1).otherwise(0))
+        .alias("pass_length"),
+        F.sum(F.when(F.col("g_lang") & F.col("g_quality")
+                     & F.col("g_length") & F.col("g_unique"), 1)
+              .otherwise(0)).alias("pass_dedup"))
+
+
+_T5_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+    len(list_filter(string_split(lower(text),' '),
+        x -> x IN {repr(_EN_STOPWORDS)})) * 1.0
+      / len(string_split(lower(text),' ')) >= 0.03 AS g_lang,
+    ( LEAST(len(string_split(lower(text),' ')) / 100.0, 1.0) * 0.4
+    + (len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / len(text)) * 0.3
+    + (len(list_filter(string_split(lower(text),' '),
+           x -> x IN {repr(_EN_STOPWORDS)})) * 1.0
+         / len(string_split(lower(text),' '))) * 0.2
+    + (1.0 - len(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / len(text)) * 0.1
+    ) >= 0.5 AS g_quality,
+    len(string_split(lower(text),' ')) BETWEEN 5 AND 10000 AS g_length,
+    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+uniq AS (
+  SELECT s.*, s.doc_id = MIN(s.doc_id) OVER (PARTITION BY fp) AS g_unique
+  FROM staged s)
+SELECT COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN g_lang THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+  CAST(SUM(CASE WHEN g_lang AND g_quality THEN 1 ELSE 0 END) AS BIGINT)
+    AS pass_quality,
+  CAST(SUM(CASE WHEN g_lang AND g_quality AND g_length THEN 1 ELSE 0 END)
+    AS BIGINT) AS pass_length,
+  CAST(SUM(CASE WHEN g_lang AND g_quality AND g_length AND g_unique
+    THEN 1 ELSE 0 END) AS BIGINT) AS pass_dedup
+FROM uniq
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
     "t3_token_count": t3_token_count,
     "t4_fingerprint": t4_fingerprint,
+    "t5_filter_pipeline": t5_filter_pipeline,
 }
 
 ORACLE = {
@@ -145,4 +223,5 @@ ORACLE = {
     "t2_quality_score": _T2_SQL,
     "t3_token_count": _T3_SQL,
     "t4_fingerprint": _T4_SQL,
+    "t5_filter_pipeline": _T5_SQL,
 }

@@ -239,7 +239,7 @@ def ds6_top_customers_per_region(spark: SparkSession,
     w = Window.partitionBy("r_name").orderBy(
         F.desc("total_dec"), F.col("c_custkey"))
     return (
-        per.withColumn("rnk", F.row_number().over(w))
+        per.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select(F.col("r_name").alias("region"), "rnk", "c_custkey",
                 "c_name", F.col("total_dec").cast("double").alias("spent"))

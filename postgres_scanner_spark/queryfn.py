@@ -86,6 +86,66 @@ _CREATE_VIEW_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 _DROP_VIEW_RE = re.compile(
     rf"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?{_IDENT};?\s*$", re.IGNORECASE)
+_CREATE_TABLE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_QIDENT}\s*\((.+)\);?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_ALTER_ADD_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+ADD\s+(?:COLUMN\s+)?{_IDENT}\s+([\w() ]+?);?\s*$",
+    re.IGNORECASE)
+_ALTER_RENAME_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+RENAME\s+(?:COLUMN\s+)?{_IDENT}\s+TO\s+{_IDENT};?\s*$",
+    re.IGNORECASE)
+_ALTER_DROP_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+DROP\s+(?:COLUMN\s+)?{_IDENT};?\s*$",
+    re.IGNORECASE)
+_CREATE_INDEX_RE = re.compile(
+    rf"^\s*CREATE\s+INDEX\s+(?:{_ID}\s+)?ON\s+{_QIDENT}\s*\(\s*{_IDENT}\s*\);?\s*$",
+    re.IGNORECASE)
+
+
+def _coldefs_to_schema(coldefs: str):
+    """'id INT, name VARCHAR(20)' → StructType via the PG type map
+    (reference: postgres_table_set.cpp CreateTable DDL path)."""
+    from pyspark.sql import types as T
+    from .types import pg_type_to_spark
+    fields = []
+    depth = 0
+    cur = []
+    parts = []
+    for ch in coldefs:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for part in parts:
+        part = part.strip()
+        if not part or part.upper().startswith(
+                ("PRIMARY ", "UNIQUE", "CHECK", "FOREIGN ", "CONSTRAINT")):
+            continue   # constraints are catalog-only here
+        m = re.match(rf"{_IDENT}\s+(.+)$", part, re.DOTALL)
+        name, typ = _unquote(m.group(1)), m.group(2).strip()
+        typ = re.sub(r"\s+(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT\s+.*)$",
+                     "", typ, flags=re.IGNORECASE | re.DOTALL).strip()
+        prec = scale = None
+        pm = re.match(r"([\w ]+?)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$", typ)
+        if pm:
+            typ = pm.group(1).strip()
+            base = typ.lower()
+            if base in ("numeric", "decimal"):
+                typ = "numeric"
+                prec = int(pm.group(2))
+                scale = int(pm.group(3) or 0)
+            # varchar(n)/char(n) length is advisory, drop it
+        fields.append(T.StructField(
+            name, pg_type_to_spark(typ, precision=prec, scale=scale), True))
+    return T.StructType(fields)
 
 
 def _unquote(ident: str) -> str:
@@ -179,6 +239,26 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             store.create_table(_unquote_table(m.group(2)),
                                catalog.spark.sql(m.group(3)),
                                if_not_exists=bool(m.group(1)))
+        elif m := _CREATE_TABLE_RE.match(sql):
+            schema = _coldefs_to_schema(m.group(3))
+            empty = catalog.spark.createDataFrame([], schema)
+            store.create_table(_unquote_table(m.group(2)), empty,
+                               if_not_exists=bool(m.group(1)))
+        elif m := _ALTER_ADD_RE.match(sql):
+            typ = m.group(3).strip()
+            dt = _coldefs_to_schema(f"c {typ}")["c"].dataType
+            store.add_column(_unquote_table(m.group(1)),
+                             _unquote(m.group(2)), "NULL",
+                             dt.simpleString())
+        elif m := _ALTER_RENAME_RE.match(sql):
+            store.rename_column(_unquote_table(m.group(1)),
+                                _unquote(m.group(2)), _unquote(m.group(3)))
+        elif m := _ALTER_DROP_RE.match(sql):
+            store.drop_column(_unquote_table(m.group(1)),
+                              _unquote(m.group(2)))
+        elif m := _CREATE_INDEX_RE.match(sql):
+            store.create_index(_unquote_table(m.group(1)),
+                               _unquote(m.group(2)))
         elif m := _DROP_RE.match(sql):
             dropped = _unquote_table(m.group(2))
             store.drop_table(dropped, if_exists=bool(m.group(1)))

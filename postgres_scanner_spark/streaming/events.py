@@ -85,7 +85,7 @@ per_sess AS (
   SELECT user_id, sess_id, COUNT(*) AS n_events
   FROM sess GROUP BY user_id, sess_id)
 SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
-       SUM(n_events) AS total_events
+       CAST(SUM(n_events) AS BIGINT) AS total_events
 FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -256,6 +256,48 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("e6_state").orderBy("user_id")
 
 
+# --------------------------- E7 streaming dedup (dropDuplicates)
+def e7_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: readStream → dropDuplicates on
+    (user_id, event_type) → per-type distinct-user counts, drained
+    with availableNow into a complete-mode memory sink.
+
+    This is the training-pipeline "dedup on ingest" shape: the
+    streaming state keeps one entry per distinct key (at 100 TB the
+    key set, not the event volume, bounds memory; add a watermark +
+    dropDuplicatesWithinWatermark to bound it in event time). After a
+    full drain the result equals the batch distinct count, so unlike
+    most streaming ops it has a full DuckDB oracle."""
+    import hashlib
+    import os
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(stage)
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_users"))
+    )
+    q = (stream.writeStream.format("memory").queryName("e7_dedup")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("e7_dedup").orderBy("event_type")
+
+
+_E7_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -263,6 +305,7 @@ QUERIES = {
     "e4_top_users": e4_top_users,
     "e5_event_funnel": e5_event_funnel,
     "e6_stateful_anomaly": e6_stateful_anomaly,
+    "e7_streaming_dedup": e7_streaming_dedup,
 }
 
 ORACLE = {
@@ -271,4 +314,5 @@ ORACLE = {
     # e3: streaming — rows-only check
     "e4_top_users": _E4_SQL,
     "e5_event_funnel": _E5_SQL,
+    "e7_streaming_dedup": _E7_SQL,
 }

@@ -30,3 +30,34 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns[0] == "l_returnflag"
+
+
+_DUCK_NORM = {"BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16",
+              "TINYINT": "i8", "HUGEINT": "i128", "DOUBLE": "f64",
+              "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+              "DATE": "date", "TIMESTAMP": "ts", "BLOB": "bin",
+              "TIMESTAMP WITH TIME ZONE": "tstz", "UBIGINT": "u64"}
+_SPARK_NORM = {"bigint": "i64", "int": "i32", "smallint": "i16",
+               "tinyint": "i8", "double": "f64", "float": "f32",
+               "string": "str", "boolean": "bool", "date": "date",
+               "timestamp_ntz": "ts", "timestamp": "tstz", "binary": "bin"}
+
+
+@pytest.mark.parametrize("name", sorted(OS))
+def test_oracle_types_align(name, spark, sf_dir):
+    """The driver's value hash is type-sensitive: an uncast integer
+    SUM (Spark BIGINT vs DuckDB HUGEINT) hash-fails even when every
+    value matches (round-2 q12/p2/w6 bug class). Pin the normalized
+    result schema of both engines for every oracle query."""
+    import duckdb
+    from oracle_harness import TABLES
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    rel = con.sql(OS[name])
+    duck = {c: _DUCK_NORM.get(str(t).upper(), str(t).upper())
+            for c, t in zip(rel.columns, rel.types)}
+    con.close()
+    df = QS[name](spark, sf_dir)
+    spk = {c: _SPARK_NORM.get(t, t) for c, t in df.dtypes}
+    assert spk == duck

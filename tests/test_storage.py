@@ -397,3 +397,43 @@ def test_sql_dml_schema_qualified(spark, tmp_path):
     pg_execute(cat, "qq", "DROP SCHEMA s2")
     assert cat.attached["qq"].store.schemas() == ["s1"]
     cat.detach("qq")
+
+
+def test_sql_ddl_create_alter_index(spark, tmp_path):
+    """Plain CREATE TABLE (column list), ALTER TABLE ADD/RENAME/DROP
+    COLUMN, and CREATE INDEX through the SQL router (reference:
+    attach_alter.test, attach_create_index.test, CreateTable DDL in
+    postgres_table_set.cpp)."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute
+    root = str(tmp_path / "ddldb")
+    seed = ManagedStore(spark, root)
+    seed.create_table("seedtab", _mk(spark, [(1, "a", 1.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="dl")
+
+    pg_execute(cat, "dl",
+               "CREATE TABLE typed (id BIGINT, name VARCHAR(30), "
+               "price NUMERIC(10,2), created DATE, PRIMARY KEY (id))")
+    st = cat.attached["dl"].store
+    sch = st.scan("typed").schema
+    assert sch["id"].dataType == T.LongType()
+    assert sch["name"].dataType == T.StringType()
+    assert sch["price"].dataType == T.DecimalType(10, 2)
+    assert sch["created"].dataType == T.DateType()
+    assert st.scan("typed").count() == 0
+
+    pg_execute(cat, "dl", "INSERT INTO typed VALUES "
+               "(1, 'x', 9.99, DATE '2024-01-01')")
+    assert st.scan("typed").count() == 1
+
+    pg_execute(cat, "dl", "ALTER TABLE typed ADD COLUMN qty INTEGER")
+    assert st.scan("typed").schema["qty"].dataType == T.IntegerType()
+    pg_execute(cat, "dl", "ALTER TABLE typed RENAME COLUMN qty TO amount")
+    assert "amount" in st.scan("typed").columns
+    pg_execute(cat, "dl", "ALTER TABLE typed DROP COLUMN amount")
+    assert "amount" not in st.scan("typed").columns
+    pg_execute(cat, "dl", "CREATE INDEX idx_id ON typed (id)")
+    assert st.scan("typed").count() == 1
+    cat.detach("dl")
