@@ -290,6 +290,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---- X2: deterministic hash-based sampling (reproducible-pipeline
+#      idiom: sampling keyed on content hash, not RNG state)
+def x2_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% document sample selected by md5(doc_id) bucket — the
+    reproducible sampling idiom for training pipelines. Unlike
+    df.sample(), the selection is a pure function of the key: stable
+    across runs, engines, partitionings, and cluster sizes, and
+    trivially invertible (hold-out = the complement buckets). No
+    shuffle: the filter is embarrassingly parallel; the only exchange
+    is the final per-source rollup."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("bigint") % 100
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 10)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .orderBy("source")
+    )
+
+
+_X2_SQL = """
+SELECT source, COUNT(*) AS n_sampled,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+WHERE bucket < 10
+GROUP BY source ORDER BY source
+"""
+
+
+# ---- X3: vocabulary building (token frequency top-k with tiebreak)
+def x3_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by document frequency then
+    total count — the vocab-building step of a tokenizer pipeline.
+    explode → two-level aggregate (map-side partial combine does the
+    heavy lifting; the shuffle carries one row per distinct token, not
+    per occurrence)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tk"))
+    per = (tok.groupBy("tk")
+           .agg(F.count_distinct("doc_id").alias("df"),
+                F.count("*").alias("tf")))
+    return (per.orderBy(F.desc("df"), F.desc("tf"), "tk").limit(50))
+
+
+_X3_SQL = """
+SELECT tk, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents)
+GROUP BY tk ORDER BY df DESC, tf DESC, tk LIMIT 50
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -299,6 +359,8 @@ QUERIES = {
     "w6_asof_join": w6_asof_join,
     "w7_percentiles": w7_percentiles,
     "x1_sketch_aggregates": x1_sketch_aggregates,
+    "x2_hash_sample": x2_hash_sample,
+    "x3_vocab_topk": x3_vocab_topk,
 }
 
 ORACLE = {
@@ -310,4 +372,6 @@ ORACLE = {
     "w6_asof_join": _W6_SQL,
     "w7_percentiles": _W7_SQL,
     "x1_sketch_aggregates": _X1_SQL,
+    "x2_hash_sample": _X2_SQL,
+    "x3_vocab_topk": _X3_SQL,
 }
