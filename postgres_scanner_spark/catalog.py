@@ -25,9 +25,13 @@ from .scan import jdbc_scan, parquet_scan
 
 
 def _is_store_dir(path: str) -> bool:
-    """A ManagedStore root: subdirectories with a _current pointer,
+    """A ManagedStore root: the _managed_store marker (written by
+    ManagedStore.__init__ so even an empty store attaches writable),
+    or legacy layout markers — subdirectories with a _current pointer,
     a _schema namespace marker, or stored view SQL."""
     try:
+        if os.path.isfile(os.path.join(path, "_managed_store")):
+            return True
         return any(
             os.path.isfile(os.path.join(path, d, "_current"))
             or os.path.isfile(os.path.join(path, d, "_schema"))

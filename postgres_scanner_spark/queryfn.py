@@ -68,12 +68,15 @@ _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+{_QIDENT}\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+INTO\s+{_QIDENT}\s+(SELECT\s+.+?|VALUES\s*\(.+?\));?\s*$",
+    rf"^\s*INSERT\s+INTO\s+{_QIDENT}\s*"
+    rf"(?:\(([^()]*)\)\s*)?"   # optional explicit column list
+    rf"(SELECT\s+.+?|VALUES\s*\(.+?\));?\s*$",
     re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(
     rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_QIDENT};?\s*$", re.IGNORECASE)
 _CTAS_RE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_QIDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    rf"{_QIDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _CREATE_SCHEMA_RE = re.compile(
     rf"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT};?\s*$",
@@ -87,7 +90,8 @@ _CREATE_VIEW_RE = re.compile(
 _DROP_VIEW_RE = re.compile(
     rf"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?{_IDENT};?\s*$", re.IGNORECASE)
 _CREATE_TABLE_RE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_QIDENT}\s*\((.+)\);?\s*$",
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    rf"{_QIDENT}\s*\((.+)\);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _ALTER_ADD_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+ADD\s+(?:COLUMN\s+)?{_IDENT}\s+([\w() ]+?);?\s*$",
@@ -103,16 +107,14 @@ _CREATE_INDEX_RE = re.compile(
     re.IGNORECASE)
 
 
-def _coldefs_to_schema(coldefs: str):
-    """'id INT, name VARCHAR(20)' → StructType via the PG type map
-    (reference: postgres_table_set.cpp CreateTable DDL path)."""
-    from pyspark.sql import types as T
-    from .types import pg_type_to_spark
-    fields = []
-    depth = 0
-    cur = []
-    parts = []
-    for ch in coldefs:
+_CONSTRAINT_KW = re.compile(
+    r"\s+(NOT\s+NULL|NULL\b|PRIMARY\s+KEY|UNIQUE\b|CHECK\s*\(|DEFAULT\s+|"
+    r"REFERENCES\s+)", re.IGNORECASE)
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, cur, depth = [], [], 0
+    for ch in text:
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -124,15 +126,111 @@ def _coldefs_to_schema(coldefs: str):
             cur.append(ch)
     if cur:
         parts.append("".join(cur))
-    for part in parts:
-        part = part.strip()
-        if not part or part.upper().startswith(
-                ("PRIMARY ", "UNIQUE", "CHECK", "FOREIGN ", "CONSTRAINT")):
-            continue   # constraints are catalog-only here
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _balanced_paren(text: str) -> tuple[str, str]:
+    """text starts at '('; return (inner, rest-after-close)."""
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[1:i], text[i + 1:]
+    raise ValueError(f"unbalanced parens in {text!r}")
+
+
+def _parse_col_constraints(name: str, tail: str, meta: dict) -> None:
+    """Scan a column definition's constraint tail: NOT NULL, PRIMARY
+    KEY, UNIQUE, CHECK(expr), DEFAULT expr (reference:
+    attach_constraints.test, attach_defaults.test)."""
+    while tail:
+        tail = tail.strip()
+        if not tail:
+            break
+        up = tail.upper()
+        if up.startswith("NOT"):
+            meta.setdefault("not_null", []).append(name)
+            tail = re.sub(r"^NOT\s+NULL", "", tail, flags=re.IGNORECASE)
+            continue
+        if up.startswith("NULL"):
+            tail = tail[4:]
+            continue
+        if up.startswith("PRIMARY"):
+            meta.setdefault("keys", []).append([name])
+            meta.setdefault("not_null", []).append(name)
+            tail = re.sub(r"^PRIMARY\s+KEY", "", tail, flags=re.IGNORECASE)
+            continue
+        if up.startswith("UNIQUE"):
+            meta.setdefault("keys", []).append([name])
+            tail = tail[6:]
+            continue
+        if up.startswith("CHECK"):
+            after = tail[5:].lstrip()
+            inner, tail = _balanced_paren(after)
+            meta.setdefault("checks", []).append(inner.strip())
+            continue
+        if up.startswith("DEFAULT"):
+            after = tail[7:].lstrip()
+            m = _CONSTRAINT_KW.search(after)
+            expr, tail = (after[:m.start()], after[m.start():]) if m \
+                else (after, "")
+            meta.setdefault("defaults", {})[name] = expr.strip()
+            continue
+        if up.startswith("REFERENCES"):
+            # FK is catalog-only here (reference records but does not
+            # enforce FKs through the scanner either)
+            break
+        break
+
+
+def _coldefs_to_schema(coldefs: str):
+    """Backwards-compatible wrapper: schema only."""
+    return _parse_coldefs(coldefs)[0]
+
+
+def _parse_coldefs(coldefs: str):
+    """'id INT PRIMARY KEY, name VARCHAR(20) DEFAULT ''x''' →
+    (StructType, constraint-meta) via the PG type map (reference:
+    postgres_table_set.cpp CreateTable DDL path +
+    attach_constraints/attach_defaults tests)."""
+    from pyspark.sql import types as T
+    from .types import pg_type_to_spark
+    fields = []
+    meta: dict = {}
+    for part in _split_top_commas(coldefs):
+        up = part.upper()
+        if up.startswith("CONSTRAINT"):
+            part = re.sub(rf"^CONSTRAINT\s+{_ID}\s+", "", part,
+                          flags=re.IGNORECASE)
+            up = part.upper()
+        if up.startswith("PRIMARY"):
+            inner, _ = _balanced_paren(part[part.index("("):])
+            cols = [_unquote(c.strip()) for c in inner.split(",")]
+            meta.setdefault("keys", []).append(cols)
+            meta.setdefault("not_null", []).extend(cols)
+            continue
+        if up.startswith("UNIQUE"):
+            inner, _ = _balanced_paren(part[part.index("("):])
+            meta.setdefault("keys", []).append(
+                [_unquote(c.strip()) for c in inner.split(",")])
+            continue
+        if up.startswith("CHECK"):
+            inner, _ = _balanced_paren(part[part.index("("):])
+            meta.setdefault("checks", []).append(inner.strip())
+            continue
+        if up.startswith("FOREIGN"):
+            continue   # catalog-only
         m = re.match(rf"{_IDENT}\s+(.+)$", part, re.DOTALL)
-        name, typ = _unquote(m.group(1)), m.group(2).strip()
-        typ = re.sub(r"\s+(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT\s+.*)$",
-                     "", typ, flags=re.IGNORECASE | re.DOTALL).strip()
+        name, rest = _unquote(m.group(1)), m.group(2).strip()
+        km = _CONSTRAINT_KW.search(" " + rest)
+        if km:
+            typ = rest[: max(km.start() - 1, 0)].strip()
+            _parse_col_constraints(name, rest[km.start() - 1:], meta)
+        else:
+            typ = rest
         prec = scale = None
         pm = re.match(r"([\w ]+?)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$", typ)
         if pm:
@@ -145,7 +243,7 @@ def _coldefs_to_schema(coldefs: str):
             # varchar(n)/char(n) length is advisory, drop it
         fields.append(T.StructField(
             name, pg_type_to_spark(typ, precision=prec, scale=scale), True))
-    return T.StructType(fields)
+    return T.StructType(fields), meta
 
 
 def _unquote(ident: str) -> str:
@@ -228,22 +326,28 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             store.update(_unquote_table(m.group(1)), m.group(3),
                          _split_assignments(m.group(2)))
         elif m := _INSERT_RE.match(sql):
-            table, src = _unquote_table(m.group(1)), m.group(2)
+            table, collist, src = (_unquote_table(m.group(1)),
+                                   m.group(2), m.group(3))
             if src.upper().startswith("VALUES"):
                 src = f"SELECT * FROM ({src})"
             df = catalog.spark.sql(src)
-            # SQL INSERT without a column list is positional
-            df = df.toDF(*store.scan(table).columns)
-            store.insert(table, df)
+            # explicit column list fills the rest from DEFAULTs
+            # (attach_defaults.test); without one INSERT is positional
+            cols = ([_unquote(c.strip()) for c in collist.split(",")]
+                    if collist else None)
+            store.insert(table, df, columns=cols)
         elif m := _CTAS_RE.match(sql):
-            store.create_table(_unquote_table(m.group(2)),
-                               catalog.spark.sql(m.group(3)),
-                               if_not_exists=bool(m.group(1)))
+            store.create_table(_unquote_table(m.group(3)),
+                               catalog.spark.sql(m.group(4)),
+                               if_not_exists=bool(m.group(2)),
+                               or_replace=bool(m.group(1)))
         elif m := _CREATE_TABLE_RE.match(sql):
-            schema = _coldefs_to_schema(m.group(3))
+            schema, tmeta = _parse_coldefs(m.group(4))
             empty = catalog.spark.createDataFrame([], schema)
-            store.create_table(_unquote_table(m.group(2)), empty,
-                               if_not_exists=bool(m.group(1)))
+            store.create_table(_unquote_table(m.group(3)), empty,
+                               if_not_exists=bool(m.group(2)),
+                               or_replace=bool(m.group(1)),
+                               meta=tmeta or None)
         elif m := _ALTER_ADD_RE.match(sql):
             typ = m.group(3).strip()
             dt = _coldefs_to_schema(f"c {typ}")["c"].dataType

@@ -20,6 +20,7 @@ pointer swap means writers never block readers).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -28,11 +29,21 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConstraintError(ValueError):
+    """Raised when an INSERT violates a table constraint (reference:
+    attach_constraints.test expects 'duplicate key' / 'not-null' /
+    'check constraint' in the error text)."""
+
+
 class ManagedStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # marker so Catalog.attach recognizes an EMPTY store dir too
+        marker = os.path.join(root, "_managed_store")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
         self._txn: dict[str, int] | None = None  # table → staged version
 
     # ---- helpers -------------------------------------------------
@@ -168,10 +179,40 @@ class ManagedStore:
                 self.scan(t).createOrReplaceTempView(t)
         return self.spark.sql(self.view_sql(name))
 
+    # ---- constraints & defaults (reference: postgres_table_set.cpp
+    #      CreateTable constraint handling; attach_constraints.test,
+    #      attach_defaults.test). Metadata lives in _meta.json beside
+    #      the version dirs so it survives every snapshot rewrite.
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_meta.json")
+
+    def table_meta(self, table: str) -> dict:
+        p = self._meta_path(table)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def set_table_meta(self, table: str, meta: dict) -> None:
+        tmp = self._meta_path(table) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path(table))
+
     def create_table(self, table: str, df: DataFrame, *,
-                     if_not_exists: bool = False) -> None:
+                     if_not_exists: bool = False,
+                     or_replace: bool = False,
+                     meta: dict | None = None) -> None:
         """CREATE TABLE AS (reference: postgres_insert.cpp AddCast/
-        CreateTableAs path + postgres_table_set.cpp CreateTable)."""
+        CreateTableAs path + postgres_table_set.cpp CreateTable).
+
+        `meta` carries constraints/defaults:
+          {"not_null": [col], "keys": [[cols], ...],  # PK+UNIQUE
+           "checks": [sql_expr], "defaults": {col: sql_expr}}
+        """
+        if or_replace and (os.path.exists(self._pointer(table)) or (
+                self._txn is not None and table in self._txn)):
+            self.drop_table(table)
         if os.path.exists(self._pointer(table)) or (
                 self._txn is not None and table in self._txn):
             if if_not_exists:
@@ -182,6 +223,8 @@ class ManagedStore:
             if not os.path.isfile(os.path.join(self.root, schema, "_schema")):
                 raise ValueError(f"no such schema {schema!r}")
         os.makedirs(self._tdir(table), exist_ok=True)
+        if meta:
+            self.set_table_meta(table, meta)
         df.write.mode("overwrite").parquet(self._vdir(table, 0))
         if self._txn is not None:
             # stage only: the _current pointer appears at commit(), so
@@ -202,7 +245,80 @@ class ManagedStore:
         return self._read_version(table, self._visible_version(table))
 
     # ---- DML (reference: storage/postgres_insert/delete/update) ---
-    def insert(self, table: str, df: DataFrame) -> None:
+    def _apply_defaults(self, table: str, df: DataFrame, cur: DataFrame,
+                        columns: list[str] | None) -> DataFrame:
+        """INSERT with an explicit column list: named columns come from
+        the batch, missing columns get their DEFAULT expression (or
+        NULL) — reference: attach_defaults.test."""
+        if columns is None:
+            return df.toDF(*cur.columns)
+        seen: set[str] = set()
+        for c in columns:
+            if c in seen:
+                raise ValueError(f'Duplicate column name "{c}"')
+            if c not in cur.columns:
+                raise ValueError(
+                    f'table {table!r} does not have a column with '
+                    f'name "{c}"')
+            seen.add(c)
+        df = df.toDF(*columns)
+        defaults = self.table_meta(table).get("defaults", {})
+        proj = [
+            F.col(c) if c in seen
+            else F.expr(defaults.get(c, "NULL")).alias(c)
+            for c in cur.columns
+        ]
+        return df.select(*proj)
+
+    def _enforce_constraints(self, table: str, batch: DataFrame,
+                             cur: DataFrame) -> None:
+        """Validate an insert batch against the table's declared
+        constraints, fully distributed (reference delegates this to
+        Postgres indexes — attach_constraints.test):
+
+        - NOT NULL + CHECK: ONE aggregate pass over the batch (a
+          single map-side-combined count per rule, no per-rule scan).
+        - PRIMARY KEY / UNIQUE: duplicate detection inside the batch
+          (groupBy the key) and against existing rows (semi-join on
+          the key). At 100 TB the semi-join is the inherent price of
+          uniqueness on columnar storage; the CREATE INDEX clustering
+          rewrite keeps it pruned via row-group stats.
+        """
+        meta = self.table_meta(table)
+        if not meta:
+            return
+        aggs = []
+        labels = []
+        for c in meta.get("not_null", ()):
+            aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
+            labels.append(f'not-null constraint violated: column "{c}"')
+        for expr in meta.get("checks", ()):
+            cond = F.expr(expr)
+            aggs.append(F.sum(F.when(cond | cond.isNull(), 0).otherwise(1)))
+            labels.append(f"check constraint violated: CHECK ({expr})")
+        if aggs:
+            row = batch.agg(*aggs).collect()[0]
+            for n, label in zip(row, labels):
+                if n:
+                    raise ConstraintError(label)
+        for keycols in meta.get("keys", ()):
+            # SQL UNIQUE treats NULL keys as distinct — drop them first
+            keyed = batch
+            for c in keycols:
+                keyed = keyed.filter(F.col(c).isNotNull())
+            keyed = keyed.select(*keycols)
+            dup_in_batch = (keyed.groupBy(*keycols).count()
+                            .filter(F.col("count") > 1))
+            if not dup_in_batch.isEmpty():
+                raise ConstraintError(
+                    f"duplicate key in insert batch on ({', '.join(keycols)})")
+            if not keyed.join(cur, on=list(keycols), how="left_semi").isEmpty():
+                raise ConstraintError(
+                    f"duplicate key value violates unique constraint on "
+                    f"({', '.join(keycols)})")
+
+    def insert(self, table: str, df: DataFrame,
+               columns: list[str] | None = None) -> None:
         """Append-only insert: new files land in a new snapshot that
         unions prior data by reference (no rewrite of old files —
         at 100 TB an insert must never touch existing data)."""
@@ -210,19 +326,23 @@ class ManagedStore:
         cur = self._read_version(table, v)
         new_v = v + 1
         vdir = self._vdir(table, new_v)
+        # cast every column to the table's schema before appending —
+        # otherwise an INT32-typed literal lands next to INT64 files and
+        # reads fail/mis-type depending on which footer Spark samples
+        # (reference: postgres_insert.cpp AddCast)
+        batch = self._apply_defaults(table, df, cur, columns).select([
+            F.col(c).cast(cur.schema[c].dataType) for c in cur.columns
+        ])
+        # validate BEFORE the new snapshot dir exists so a rejected
+        # insert leaves no trace on disk
+        self._enforce_constraints(table, batch, cur)
         # copy prior files by hard link (cheap snapshot), append new part
         os.makedirs(vdir, exist_ok=True)
         src = self._vdir(table, v)
         for f in os.listdir(src):
             if f.endswith(".parquet"):
                 os.link(os.path.join(src, f), os.path.join(vdir, f))
-        # cast every column to the table's schema before appending —
-        # otherwise an INT32-typed literal lands next to INT64 files and
-        # reads fail/mis-type depending on which footer Spark samples
-        # (reference: postgres_insert.cpp AddCast)
-        df.select([
-            F.col(c).cast(cur.schema[c].dataType) for c in cur.columns
-        ]).write.mode("append").parquet(vdir)
+        batch.write.mode("append").parquet(vdir)
         if self._txn is not None:
             self._txn[table] = new_v
         else:

@@ -1,0 +1,130 @@
+"""Constraints + DEFAULT on the managed store, through the SQL
+router — mirrors reference test/sql/storage/attach_constraints.test
+and attach_defaults.test statement-for-statement."""
+
+import os
+
+import pytest
+
+from postgres_scanner_spark.catalog import Catalog
+from postgres_scanner_spark.queryfn import pg_execute, pg_query
+from postgres_scanner_spark.storage import ConstraintError, ManagedStore
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    root = str(tmp_path / "store")
+    ManagedStore(spark, root)          # create the root dir
+    open(os.path.join(root, "_managed_store"), "w").close()
+    cat = Catalog(spark)
+    cat.attach(root, alias="s1")
+    assert cat.attached["s1"].backend == "store"
+    return cat
+
+
+def _rows(cat, sql):
+    return sorted((tuple(r) for r in pg_query(cat, "s1", sql).collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
+
+
+# ---- attach_constraints.test ------------------------------------
+
+def test_primary_key(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE test(i INTEGER PRIMARY KEY)")
+    pg_execute(db, "s1", "INSERT INTO test VALUES (42)")
+    with pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(db, "s1", "INSERT INTO test VALUES (42)")
+    with pytest.raises(ConstraintError, match="not-null"):
+        pg_execute(db, "s1", "INSERT INTO test VALUES (NULL)")
+    assert _rows(db, "SELECT * FROM test") == [(42,)]
+
+
+def test_unique(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE test2(i INTEGER UNIQUE)")
+    pg_execute(db, "s1", "INSERT INTO test2 VALUES (42)")
+    with pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(db, "s1", "INSERT INTO test2 VALUES (42)")
+    # NULLs never conflict under UNIQUE
+    pg_execute(db, "s1", "INSERT INTO test2 VALUES (NULL)")
+    assert _rows(db, "SELECT * FROM test2") == [(42,), (None,)]
+
+
+def test_compound_primary_key(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE test3(i INTEGER, j INTEGER, "
+               "PRIMARY KEY(i, j))")
+    pg_execute(db, "s1", "INSERT INTO test3 VALUES (1, 1)")
+    pg_execute(db, "s1", "INSERT INTO test3 VALUES (1, 2)")
+    with pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(db, "s1", "INSERT INTO test3 VALUES (1, 1)")
+    assert _rows(db, "SELECT * FROM test3") == [(1, 1), (1, 2)]
+
+
+def test_check_constraint(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE test4(i INTEGER CHECK(i < 100))")
+    pg_execute(db, "s1", "INSERT INTO test4 VALUES (42)")
+    with pytest.raises(ConstraintError, match="check constraint"):
+        pg_execute(db, "s1", "INSERT INTO test4 VALUES (142)")
+    assert _rows(db, "SELECT * FROM test4") == [(42,)]
+
+
+def test_not_null(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE test5(i INTEGER NOT NULL)")
+    pg_execute(db, "s1", "INSERT INTO test5 VALUES (42)")
+    with pytest.raises(ConstraintError, match="not-null"):
+        pg_execute(db, "s1", "INSERT INTO test5 VALUES (NULL)")
+    assert _rows(db, "SELECT * FROM test5") == [(42,)]
+
+
+def test_duplicate_inside_one_batch(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE test6(i INTEGER UNIQUE)")
+    with pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(db, "s1",
+                   "INSERT INTO test6 SELECT 7 AS i UNION ALL SELECT 7")
+
+
+# ---- attach_defaults.test ---------------------------------------
+
+def test_defaults(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE test(i INTEGER DEFAULT 42, "
+               "j INTEGER)")
+    pg_execute(db, "s1", "INSERT INTO test (i) VALUES (3)")
+    pg_execute(db, "s1", "INSERT INTO test (j) VALUES (84)")
+    assert _rows(db, "SELECT * FROM test") == [(3, None), (42, 84)]
+    pg_execute(db, "s1", "INSERT INTO test (j, i) VALUES (1, 10)")
+    pg_execute(db, "s1", "INSERT INTO test (i, j) VALUES (100, 1000)")
+    assert _rows(db, "SELECT * FROM test") == [
+        (3, None), (10, 1), (42, 84), (100, 1000)]
+    with pytest.raises(ValueError, match='does not have a column with name'):
+        pg_execute(db, "s1", "INSERT INTO test (zzz) VALUES (3)")
+    with pytest.raises(ValueError, match='Duplicate column name'):
+        pg_execute(db, "s1", "INSERT INTO test (j, j, j) VALUES (1, 2, 3)")
+
+
+def test_default_expression(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE t7(i INTEGER DEFAULT 2 + 3, "
+               "s VARCHAR DEFAULT 'hi' NOT NULL)")
+    pg_execute(db, "s1", "INSERT INTO t7 (i) VALUES (1)")
+    assert _rows(db, "SELECT * FROM t7") == [(1, "hi")]
+    store = db.attached["s1"].store
+    meta = store.table_meta("t7")
+    assert meta["defaults"] == {"i": "2 + 3", "s": "'hi'"}
+    assert meta["not_null"] == ["s"]
+
+
+def test_meta_survives_snapshot_rewrites(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE t8(i INTEGER PRIMARY KEY, "
+               "v INTEGER)")
+    pg_execute(db, "s1", "INSERT INTO t8 VALUES (1, 10)")
+    pg_execute(db, "s1", "UPDATE t8 SET v = 11 WHERE i = 1")
+    pg_execute(db, "s1", "DELETE FROM t8 WHERE v > 100")
+    # constraint still enforced after rewrites
+    with pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(db, "s1", "INSERT INTO t8 VALUES (1, 12)")
+    pg_execute(db, "s1", "INSERT INTO t8 VALUES (2, 20)")
+    assert _rows(db, "SELECT * FROM t8") == [(1, 11), (2, 20)]
