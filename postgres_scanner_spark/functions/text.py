@@ -210,12 +210,115 @@ FROM uniq
 """
 
 
+# ---- T6: PII redaction (emails/phones scrubbed before training).
+#      The synthetic corpus contains no PII, so the op first injects
+#      deterministic PII derived from doc_id — both engines build the
+#      identical string — then redacts it, proving the scrub on data
+#      that actually contains what it scrubs.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def t6_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    # cast to long: DuckDB len() is BIGINT and the driver hash is
+    # type-sensitive (round-2 uncast-SUM bug class)
+    n_emails = F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long")
+    red = F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(red, F.lit(_PHONE_RE)).cast("long")
+    red = F.regexp_replace(red, _PHONE_RE, "<PHONE>")
+    return (
+        d.select("doc_id", n_emails.alias("n_emails"),
+                 n_phones.alias("n_phones"), F.md5(red).alias("red_fp"))
+        .orderBy("doc_id")
+    )
+
+
+_T6_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or call +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+  FROM documents),
+e AS (
+  SELECT doc_id,
+    len(regexp_extract_all(s, '{_EMAIL_RE}')) AS n_emails,
+    regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g') AS s2
+  FROM aug)
+SELECT doc_id, n_emails,
+  len(regexp_extract_all(s2, '{_PHONE_RE}')) AS n_phones,
+  md5(regexp_replace(s2, '{_PHONE_RE}', '<PHONE>', 'g')) AS red_fp
+FROM e ORDER BY doc_id
+"""
+
+
+# ---- T7: repetition statistics (Gopher-style quality rules: a doc
+#      dominated by one repeated word/bigram is boilerplate). Explode→
+#      count→max keeps everything JVM-side; the shuffle keys
+#      (doc_id, token) are high-cardinality and skew-free, and the
+#      per-doc join is co-partitioned on doc_id — linear at 100 TB.
+def t7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    words = d.select("doc_id", F.explode("ws").alias("tok"))
+    wstat = (words.groupBy("doc_id", "tok").count()
+             .groupBy("doc_id")
+             .agg(F.sum("count").alias("n_words"),
+                  F.max("count").alias("max_w")))
+    bigrams = d.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.expr("slice(ws, 1, size(ws)-1)"),
+            F.expr("slice(ws, 2, size(ws)-1)"),
+            lambda a, b: F.concat_ws(" ", a, b))).alias("bg"))
+    bstat = (bigrams.groupBy("doc_id", "bg").count()
+             .groupBy("doc_id")
+             .agg(F.sum("count").alias("n_bg"),
+                  F.max("count").alias("max_b")))
+    return (
+        wstat.join(bstat, "doc_id", "left")
+        .select("doc_id", "n_words",
+                F.round(F.col("max_w") / F.col("n_words"), 6)
+                .alias("rep_word_frac"),
+                F.round(F.col("max_b") / F.col("n_bg"), 6)
+                .alias("rep_bigram_frac"))
+        .orderBy("doc_id")
+    )
+
+
+_T7_SQL = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (SELECT doc_id, unnest(w) AS tok,
+                 generate_subscripts(w, 1) AS i FROM ws),
+wcnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY 1, 2),
+wstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                 MAX(c) AS max_w FROM wcnt GROUP BY 1),
+bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bgr
+       FROM words a JOIN words b
+         ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bcnt AS (SELECT doc_id, bgr, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+                 MAX(c) AS max_b FROM bcnt GROUP BY 1)
+SELECT w.doc_id, w.n_words,
+       ROUND(w.max_w * 1.0 / w.n_words, 6) AS rep_word_frac,
+       ROUND(b.max_b * 1.0 / b.n_bg, 6) AS rep_bigram_frac
+FROM wstat w LEFT JOIN bstat b USING (doc_id) ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
     "t3_token_count": t3_token_count,
     "t4_fingerprint": t4_fingerprint,
     "t5_filter_pipeline": t5_filter_pipeline,
+    "t6_pii_redact": t6_pii_redact,
+    "t7_repetition_stats": t7_repetition_stats,
 }
 
 ORACLE = {
@@ -224,4 +327,6 @@ ORACLE = {
     "t3_token_count": _T3_SQL,
     "t4_fingerprint": _T4_SQL,
     "t5_filter_pipeline": _T5_SQL,
+    "t6_pii_redact": _T6_SQL,
+    "t7_repetition_stats": _T7_SQL,
 }

@@ -464,12 +464,174 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ------------------------------------------ D6 dedup-cluster components
+def _d6_graph(spark: SparkSession, sf_dir: str):
+    """Nodes + star edges for duplicate clustering.
+
+    Two blocking keys per doc — exact md5(text) and md5(first-8-word
+    prefix). Each key bucket contributes STAR edges (bucket-min hub →
+    member), never all pairs: edge count is linear in corpus size, the
+    scalable formulation of connected-components dedup at 100 TB.
+    Extra plants: docs 0-9 reappear at +200000 with a mutated tail, so
+    they share only the PREFIX key with the original while +100000
+    shares the EXACT key — components must merge across key types.
+    """
+    c = corpus_with_plants(spark, sf_dir).withColumn("t", _tokens())
+    prefix_mut = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(
+            F.concat_ws(" ", F.expr("slice(split(lower(text), ' '), 1, 8)")),
+            F.lit(" zzz mutated tail")))
+        .withColumn("t", _tokens()))
+    c = c.unionByName(prefix_mut)
+    nodes = c.select("doc_id")
+    keys = c.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("k")
+    ).unionByName(c.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.expr("slice(t, 1, 8)"))).alias("k")))
+    hubs = keys.groupBy("k").agg(F.min("doc_id").alias("hub"))
+    star = (keys.join(hubs, "k")
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
+            .distinct())
+    edges = star.unionByName(
+        star.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return nodes, edges
+
+
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the duplicate graph → cluster id =
+    min doc_id in the component (the survivor), plus member stats.
+
+    Iterative min-label propagation; the star-edge construction bounds
+    the graph diameter at 2·(#key types), so it converges in ~4 rounds
+    regardless of corpus size. Each round localCheckpoints to keep the
+    plan linear (the standard Spark iterative-graph pattern; at true
+    web scale you'd switch to large-star/small-star, same skeleton).
+    """
+    nodes, edges = _d6_graph(spark, sf_dir)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")) \
+        .localCheckpoint()
+    prev_sum = None
+    for _ in range(12):
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+        labels = (labels.join(prop, labels.doc_id == prop.dst, "left")
+                  .select(labels.doc_id,
+                          F.least("lbl", F.coalesce("nlbl", "lbl"))
+                          .alias("lbl"))
+                  .localCheckpoint())
+        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(F.count("*").cast("long").alias("n_members"),
+             F.max("doc_id").alias("member_max"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+_D6_SQL = f"""
+WITH RECURSIVE
+corpus AS ({_SQL_CORPUS}),
+full_c AS (
+  SELECT doc_id, lower(text) AS text FROM corpus
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(lower(text), ' ')[1:8], ' ')
+           || ' zzz mutated tail'
+  FROM documents WHERE doc_id < 10),
+keys AS (
+  SELECT doc_id, md5(text) AS k FROM full_c
+  UNION ALL
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS k
+  FROM full_c),
+hubs AS (SELECT k, MIN(doc_id) AS hub FROM keys GROUP BY k),
+star AS (SELECT DISTINCT h.hub AS src, k.doc_id AS dst
+         FROM keys k JOIN hubs h USING (k) WHERE k.doc_id <> h.hub),
+bidir AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM full_c
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.doc_id),
+comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT cluster_id, COUNT(*) AS n_members, MAX(doc_id) AS member_max
+FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1 ORDER BY cluster_id
+"""
+
+
+# ------------------------------------------------- D7 contamination scan
+def d7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: what fraction of each eval
+    document's 5-gram shingles appear anywhere in the training split?
+
+    eval = source 'src0'; train = every other source, plus planted
+    copies of eval docs 0-4 (so real contamination exists to find).
+    The train shingle set is deduplicated then joined on the shingle —
+    the shuffle is keyed on high-cardinality 5-grams, so at 100 TB
+    this is one well-balanced semi-join (or a bloom-filter pre-pass).
+    """
+    d = _docs(spark, sf_dir)
+    ev = with_shingles(d.filter(F.col("source") == "src0"), 5) \
+        .select("doc_id", F.explode("shingles").alias("s")).distinct()
+    plants = d.filter((F.col("source") == "src0") & (F.col("doc_id") < 5)) \
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+    train = d.filter(F.col("source") != "src0").unionByName(plants)
+    train_sh = with_shingles(train, 5) \
+        .select(F.explode("shingles").alias("s")).distinct()
+    hits = (ev.join(train_sh, "s", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
+    totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    frac = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select("doc_id", "n_shingles",
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+                .alias("n_hit"),
+                F.round(frac, 6).alias("contam_frac"),
+                (frac >= 0.5).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+_D7_SQL = f"""
+WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+train_docs AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents
+  WHERE source = 'src0' AND doc_id < 5),
+ev_tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM ev_docs),
+ev_sh AS (SELECT DISTINCT doc_id, unnest({_sql_shingles(5)}) AS s
+          FROM ev_tok WHERE len(t) >= 5),
+tr_tok AS (SELECT string_split(lower(text), ' ') AS t FROM train_docs),
+tr_sh AS (SELECT DISTINCT unnest({_sql_shingles(5)}) AS s
+          FROM tr_tok WHERE len(t) >= 5),
+hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM ev_sh
+         WHERE s IN (SELECT s FROM tr_sh) GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev_sh GROUP BY doc_id)
+SELECT t.doc_id, t.n_shingles,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) * 1.0 / t.n_shingles, 6) AS contam_frac,
+       COALESCE(h.n_hit, 0) * 1.0 / t.n_shingles >= 0.5 AS contaminated
+FROM totals t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
     "d3_simhash_dedup": d3_simhash_dedup,
     "d4_ngram_jaccard": d4_ngram_jaccard,
     "d5_embedding_dedup": d5_embedding_dedup,
+    "d6_dedup_clusters": d6_dedup_clusters,
+    "d7_contamination": d7_contamination,
 }
 
 ORACLE = {
@@ -478,4 +640,6 @@ ORACLE = {
     "d3_simhash_dedup": _d3_sql(),
     "d4_ngram_jaccard": _D4_SQL,
     "d5_embedding_dedup": _D5_SQL,
+    "d6_dedup_clusters": _D6_SQL,
+    "d7_contamination": _D7_SQL,
 }

@@ -139,9 +139,102 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M3_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+])
+
+
+def m3_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-stub) multimodal kernel: sniff image format and parse
+    width/height straight out of the binary header — PNG (IHDR,
+    big-endian), GIF (logical screen, little-endian), BMP
+    (BITMAPINFOHEADER, little-endian) — no codec library needed.
+
+    The corpus is synthesized: each doc gets a valid header whose
+    dimensions derive from doc_id, so the parser's output has a FULL
+    SQL oracle (the decoder must invert the encoder bit-for-bit).
+    Encoder and decoder are separate Arrow-batched mapInPandas stages,
+    the exact shape a real decode-and-extract pipeline has at 100 TB.
+    """
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    base = tables.load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def mk(doc_id: int) -> bytes:
+            w = 100 + doc_id % 900
+            h = 50 + doc_id % 500
+            v = doc_id % 3
+            if v == 0:      # PNG: signature + IHDR chunk
+                return (b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", 13) + b"IHDR"
+                        + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00")
+            if v == 1:      # GIF: header + logical screen descriptor
+                return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+            # BMP: file header (14B) + BITMAPINFOHEADER prefix
+            return (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+                    + struct.pack("<IiiHH", 40, w, h, 1, 24))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [mk(int(d)) for d in pdf["doc_id"]],
+            })
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(payload: bytes):
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h = struct.unpack(">II", payload[16:24])
+                return "png", w, h
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = struct.unpack("<HH", payload[6:10])
+                return "gif", w, h
+            if payload[:2] == b"BM":
+                w, h = struct.unpack("<ii", payload[18:26])
+                return "bmp", w, abs(h)
+            return "unknown", 0, 0
+
+        for pdf in batches:
+            parsed = [parse(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "fmt": [p[0] for p in parsed],
+                "width": [p[1] for p in parsed],
+                "height": [p[2] for p in parsed],
+            })
+
+    enc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    return (
+        base.mapInPandas(encode, schema=enc_schema)
+        .mapInPandas(decode, schema=_M3_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+_M3_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            ELSE 'bmp' END AS fmt,
+       100 + doc_id % 900 AS width,
+       50 + doc_id % 500 AS height
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
+    "m3_image_dims": m3_image_dims,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {"m3_image_dims": _M3_SQL}

@@ -298,6 +298,64 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def e8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every view joined to the same
+    user's clicks landing within the next hour, both sides genuine
+    readStream sources with watermarks.
+
+    The watermark + interval condition bound the join state to one
+    hour of events per side (reference has no streaming surface; this
+    is the Spark-native extension of the scan API). Inner interval
+    joins emit matches immediately, so a full availableNow drain
+    equals the batch join — full DuckDB oracle."""
+    import hashlib
+    import os
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    schema = spark.read.parquet(src).schema
+
+    def side(evt: str, pfx: str):
+        return (
+            spark.readStream.schema(schema).parquet(stage)
+            .filter(F.col("event_type") == evt)
+            .select(F.col("user_id").alias(f"{pfx}_user"),
+                    # watermark needs TIMESTAMP (session is pinned
+                    # UTC, so NTZ→TZ is a no-op relabel)
+                    F.col("ts").cast("timestamp").alias(f"{pfx}_ts"),
+                    F.col("event_id").alias(f"{pfx}_id"))
+            .withWatermark(f"{pfx}_ts", "2 hours"))
+
+    joined = side("view", "v").join(
+        side("click", "c"),
+        F.expr("v_user = c_user AND c_ts > v_ts "
+               "AND c_ts <= v_ts + interval 1 hour"))
+    out = joined.select(
+        F.col("v_id").alias("view_id"), F.col("c_id").alias("click_id"),
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"))
+    q = (out.writeStream.format("memory").queryName("e8_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("e8_join").orderBy("view_id", "click_id")
+
+
+_E8_SQL = """
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, click_id
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -306,6 +364,7 @@ QUERIES = {
     "e5_event_funnel": e5_event_funnel,
     "e6_stateful_anomaly": e6_stateful_anomaly,
     "e7_streaming_dedup": e7_streaming_dedup,
+    "e8_stream_stream_join": e8_stream_stream_join,
 }
 
 ORACLE = {
@@ -315,4 +374,5 @@ ORACLE = {
     "e4_top_users": _E4_SQL,
     "e5_event_funnel": _E5_SQL,
     "e7_streaming_dedup": _E7_SQL,
+    "e8_stream_stream_join": _E8_SQL,
 }
