@@ -121,3 +121,33 @@ def test_concurrent_queries(spark):
         ]
         results = [f.result(timeout=300) for f in futs]
     assert all(r > 0 for r in results)
+
+
+def test_new_ops_no_quadratic_joins(spark):
+    """d6/d7/t7 must plan without nested-loop or cartesian joins —
+    the star-edge construction (d6) and shingle semi-join (d7) exist
+    precisely to avoid all-pairs work at 100 TB."""
+    from postgres_scanner_spark.functions import text
+    from postgres_scanner_spark.operators import dedup
+    sf = "/root/testdata/sf0.001"
+    _, edges = dedup._d6_graph(spark, sf)
+    for df in (edges, dedup.d7_contamination(spark, sf),
+               text.t7_repetition_stats(spark, sf)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_d6_converges_in_few_rounds(spark):
+    """The star-edge graph bounds component diameter, so min-label
+    propagation must converge well inside the iteration cap."""
+    from postgres_scanner_spark.operators import dedup
+    df = dedup.d6_dedup_clusters(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    # plants guarantee: cluster 0 holds doc 0, its exact copy
+    # (+100000) and its prefix mutant (+200000) — possibly more if the
+    # tiny corpus has natural dups (the oracle agrees either way)
+    c0 = {r.cluster_id: r for r in rows}.get(0)
+    assert c0 is not None and c0.n_members >= 3
+    assert c0.member_max == 200000
