@@ -49,12 +49,20 @@ class AttachedDatabase:
     read_only: bool = False
     conn: ConnectionInfo | None = None
     store: object = None          # ManagedStore when backend == "store"
+    schema: str | None = None     # attach restricted to one schema
     _table_cache: dict[str, DataFrame] = field(default_factory=dict)
     views: list[str] = field(default_factory=list)  # every temp view we own
 
     def table_names(self) -> list[str]:
         if self.backend == "store":
-            return self.store.tables()
+            tables = self.store.tables()
+            if self.schema is not None:
+                # SCHEMA attach param (attach_schema_param.test):
+                # expose only that schema's tables
+                tables = [t for t in tables
+                          if t.partition(".")[0] == self.schema
+                          and "." in t]
+            return tables
         if self.backend == "parquet":
             return sorted(
                 f[: -len(".parquet")]
@@ -81,7 +89,12 @@ class Catalog:
 
     # -- reference: postgres_attach.cpp AttachFunction
     def attach(self, source: str, alias: str = "pg", *,
-               read_only: bool = False, register_views: bool = True) -> AttachedDatabase:
+               read_only: bool = False, register_views: bool = True,
+               schema: str | None = None) -> AttachedDatabase:
+        """`schema` restricts the attach to one namespace (reference:
+        ATTACH ... (TYPE POSTGRES, SCHEMA 'x'), attach_schema_param
+        .test): only that schema's tables register, addressable both
+        qualified and by bare table name."""
         if alias in self.attached:
             raise ValueError(f"database {alias!r} already attached")
         if source.startswith("secret:"):
@@ -111,6 +124,7 @@ class Catalog:
         else:
             db = AttachedDatabase(alias, source, "jdbc", read_only,
                                   conn=parse_dsn(source))
+        db.schema = schema
         self.attached[alias] = db
         if register_views and db.backend in ("parquet", "duckdb", "store"):
             for t in db.table_names():
@@ -128,10 +142,14 @@ class Catalog:
 
     def register_table_views(self, db: AttachedDatabase, t: str) -> None:
         safe = t.replace(".", "_")   # schema-qualified → underscore form
-        self.table(db.alias, t).createOrReplaceTempView(f"{db.alias}_{safe}")
-        # also bare name for SQL parity with the oracle's views
-        self.table(db.alias, t).createOrReplaceTempView(safe)
-        for v in (f"{db.alias}_{safe}", safe):
+        names = [f"{db.alias}_{safe}", safe]
+        if db.schema is not None and t.startswith(db.schema + "."):
+            # schema-scoped attach: the bare table name resolves too
+            # (attach_schema_param.test: SELECT * FROM s.some_table)
+            names.append(t.partition(".")[2])
+        df = self.table(db.alias, t)
+        for v in names:
+            df.createOrReplaceTempView(v)
             if v not in db.views:
                 db.views.append(v)
 

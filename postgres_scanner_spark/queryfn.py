@@ -48,6 +48,26 @@ def pg_query(catalog: Catalog, alias: str, sql: str) -> DataFrame:
         return (catalog.spark.read.format("postgres_scan")
                 .option("dsn", db.source).option("query", sql)
                 .option("pushdown", "false").load())
+    if db.backend == "store":
+        # DESCRIBE / PRAGMA table_info carry constraint+default info
+        # the session catalog doesn't know (attach_describe.test)
+        if m := re.match(rf"^\s*DESCRIBE\s+{_QIDENT}\s*;?\s*$", sql,
+                         re.IGNORECASE):
+            rows = db.store.describe(_unquote_table(m.group(1)))
+            return catalog.spark.createDataFrame(
+                [(r["column_name"], r["column_type"], r["null"],
+                  r["key"], r["default"], None) for r in rows],
+                "column_name STRING, column_type STRING, null STRING, "
+                "key STRING, default STRING, extra STRING")
+        if m := re.match(r"^\s*PRAGMA\s+table_info\s*\(\s*'(.+?)'\s*\)"
+                         r"\s*;?\s*$", sql, re.IGNORECASE):
+            rows = db.store.describe(_unquote_table(m.group(1)))
+            return catalog.spark.createDataFrame(
+                [(r["cid"], r["column_name"], r["column_type"],
+                  r["null"] == "NO", r["default"], r["key"] == "PRI")
+                 for r in rows],
+                "cid INT, name STRING, type STRING, notnull BOOLEAN, "
+                "dflt_value STRING, pk BOOLEAN")
     return catalog.spark.sql(sql)
 
 
@@ -113,13 +133,18 @@ _CONSTRAINT_KW = re.compile(
 
 
 def _split_top_commas(text: str) -> list[str]:
-    parts, cur, depth = [], [], 0
+    """Split on commas outside parens AND outside single-quoted
+    string literals ('' is the SQL escape for a quote)."""
+    parts, cur, depth, inq = [], [], 0, False
     for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not inq:
             parts.append("".join(cur))
             cur = []
         else:
@@ -272,6 +297,30 @@ def _unquote_table(ident: str) -> str:
     return ".".join(_unquote(p) for p in parts)
 
 
+def _expand_default_values(store, table: str, values_sql: str,
+                           cols: list[str] | None) -> str:
+    """Replace bare DEFAULT tokens in a VALUES list with the target
+    column's stored DEFAULT expression (attach_describe.test:
+    INSERT INTO t VALUES (DEFAULT))."""
+    if not re.search(r"\bDEFAULT\b", values_sql, re.IGNORECASE):
+        return values_sql
+    body = values_sql.strip()[len("VALUES"):].strip()
+    target_cols = cols or store.scan(table).columns
+    defaults = store.table_meta(table).get("defaults", {})
+    out_rows = []
+    for r in _split_top_commas(body):
+        inner, _ = _balanced_paren(r.strip())
+        cells = []
+        for i, cell in enumerate(_split_top_commas(inner)):
+            if cell.strip().upper() == "DEFAULT":
+                col = target_cols[i] if i < len(target_cols) else None
+                cells.append(defaults.get(col, "NULL"))
+            else:
+                cells.append(cell)
+        out_rows.append("(" + ", ".join(cells) + ")")
+    return "VALUES " + ", ".join(out_rows)
+
+
 def _split_assignments(set_clause: str) -> dict[str, str]:
     # split on top-level commas (no nesting expected in SET lists here)
     out = {}
@@ -328,13 +377,14 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         elif m := _INSERT_RE.match(sql):
             table, collist, src = (_unquote_table(m.group(1)),
                                    m.group(2), m.group(3))
-            if src.upper().startswith("VALUES"):
-                src = f"SELECT * FROM ({src})"
-            df = catalog.spark.sql(src)
             # explicit column list fills the rest from DEFAULTs
             # (attach_defaults.test); without one INSERT is positional
             cols = ([_unquote(c.strip()) for c in collist.split(",")]
                     if collist else None)
+            if src.upper().startswith("VALUES"):
+                src = _expand_default_values(store, table, src, cols)
+                src = f"SELECT * FROM ({src})"
+            df = catalog.spark.sql(src)
             store.insert(table, df, columns=cols)
         elif m := _CTAS_RE.match(sql):
             store.create_table(_unquote_table(m.group(3)),

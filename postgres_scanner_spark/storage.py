@@ -199,6 +199,28 @@ class ManagedStore:
             json.dump(meta, fh)
         os.replace(tmp, self._meta_path(table))
 
+    def describe(self, table: str) -> list[dict]:
+        """DESCRIBE/PRAGMA table_info shape (reference:
+        attach_describe.test): column name, engine type, nullability
+        (NO for NOT NULL / PK members), key flag, default expr."""
+        meta = self.table_meta(table)
+        not_null = set(meta.get("not_null", ()))
+        pk_cols = set()
+        for keycols in meta.get("keys", ()):
+            pk_cols.update(keycols)
+        defaults = meta.get("defaults", {})
+        out = []
+        for i, f in enumerate(self.scan(table).schema.fields):
+            out.append({
+                "cid": i,
+                "column_name": f.name,
+                "column_type": f.dataType.simpleString().upper(),
+                "null": "NO" if f.name in not_null else "YES",
+                "key": "PRI" if f.name in pk_cols else None,
+                "default": defaults.get(f.name),
+            })
+        return out
+
     def create_table(self, table: str, df: DataFrame, *,
                      if_not_exists: bool = False,
                      or_replace: bool = False,

@@ -128,3 +128,51 @@ def test_meta_survives_snapshot_rewrites(db):
         pg_execute(db, "s1", "INSERT INTO t8 VALUES (1, 12)")
     pg_execute(db, "s1", "INSERT INTO t8 VALUES (2, 20)")
     assert _rows(db, "SELECT * FROM t8") == [(1, 11), (2, 20)]
+
+
+# ---- attach_describe.test ---------------------------------------
+
+def test_describe_and_table_info(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE test9(i BIGINT PRIMARY KEY, "
+               "j BIGINT DEFAULT 42)")
+    rows = pg_query(db, "s1", "DESCRIBE test9").collect()
+    assert [(r.column_name, r.column_type, r.null, r.key, r.default)
+            for r in rows] == [
+        ("i", "BIGINT", "NO", "PRI", None),
+        ("j", "BIGINT", "YES", None, "42")]
+    ti = pg_query(db, "s1", "PRAGMA table_info('test9')").collect()
+    assert [(r.cid, r.name, r.notnull, r.dflt_value, r.pk)
+            for r in ti] == [
+        (0, "i", True, None, True), (1, "j", False, "42", False)]
+
+
+def test_insert_default_keyword(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE test10(s VARCHAR DEFAULT "
+               "'hello, '||'world')")
+    pg_execute(db, "s1", "INSERT INTO test10 VALUES (DEFAULT)")
+    assert _rows(db, "SELECT * FROM test10") == [("hello, world",)]
+
+
+# ---- attach_schema_param.test -----------------------------------
+
+def test_schema_scoped_attach(spark, tmp_path):
+    from postgres_scanner_spark.storage import ManagedStore
+    root = str(tmp_path / "store2")
+    store = ManagedStore(spark, root)
+    store.create_schema("some_schema")
+    store.create_table("some_schema.some_table",
+                       spark.createDataFrame([("two",)], "val STRING"))
+    store.create_table("other_table",
+                       spark.createDataFrame([("x",)], "val STRING"))
+    cat = Catalog(spark)
+    dbh = cat.attach(root, alias="s", schema="some_schema")
+    assert dbh.table_names() == ["some_schema.some_table"]
+    got = [tuple(r) for r in
+           pg_query(cat, "s", "SELECT * FROM some_table").collect()]
+    assert got == [("two",)]
+    got = [tuple(r) for r in
+           pg_query(cat, "s",
+                    "SELECT * FROM s_some_schema_some_table").collect()]
+    assert got == [("two",)]
