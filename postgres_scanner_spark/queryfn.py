@@ -321,6 +321,23 @@ def _expand_default_values(store, table: str, values_sql: str,
     return "VALUES " + ", ".join(out_rows)
 
 
+def _split_statements(sql: str) -> list[str]:
+    """Split a multi-statement string on semicolons outside quotes
+    (reference: postgres_execute ships the whole string to PQexec,
+    which executes each statement)."""
+    parts, cur, inq = [], [], False
+    for ch in sql:
+        if ch == "'":
+            inq = not inq
+        if ch == ";" and not inq:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _split_assignments(set_clause: str) -> dict[str, str]:
     # split on top-level commas (no nesting expected in SET lists here)
     out = {}
@@ -368,8 +385,26 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         jdbc_execute(catalog.spark._sc._jvm, db.conn, sql)
         return
     if db.backend == "store":
+        # postgres_execute accepts multiple ';'-separated statements
+        # (reference: postgres_execute_transaction.test)
+        stmts = _split_statements(sql)
+        if len(stmts) > 1:
+            for s in stmts:
+                pg_execute(catalog, alias, s)
+            return
         store = db.store
-        if m := _DELETE_RE.match(sql):
+        if re.match(r"^\s*BEGIN(\s+TRANSACTION)?\s*;?\s*$", sql,
+                    re.IGNORECASE):
+            store.begin()
+            return
+        if re.match(r"^\s*COMMIT\s*;?\s*$", sql, re.IGNORECASE):
+            store.commit()
+        elif re.match(r"^\s*ROLLBACK\s*;?\s*$", sql, re.IGNORECASE):
+            store.rollback()
+        elif re.match(r"^\s*CHECKPOINT(\s+\w+)?\s*;?\s*$", sql,
+                      re.IGNORECASE):
+            store.checkpoint()
+        elif m := _DELETE_RE.match(sql):
             store.delete(_unquote_table(m.group(1)), m.group(2))
         elif m := _UPDATE_RE.match(sql):
             store.update(_unquote_table(m.group(1)), m.group(3),

@@ -439,6 +439,26 @@ class ManagedStore:
             self.scan(table).repartitionByRange(8, column)
             .sortWithinPartitions(column))
 
+    # ---- CHECKPOINT (reference: attach_checkpoint.test — forwards
+    #      CHECKPOINT to the attached db). For a snapshot-versioned
+    #      columnar store the equivalent maintenance op is compaction:
+    #      rewrite the live snapshot into fresh files and garbage-
+    #      collect superseded version dirs (deleted/updated rows stop
+    #      occupying disk; hard-linked survivors are unaffected).
+    def checkpoint(self, table: str | None = None) -> None:
+        if self._txn is not None:
+            raise RuntimeError("cannot CHECKPOINT inside a transaction")
+        for t in ([table] if table else self.tables()):
+            cur = self.current_version(t)
+            df = self._read_version(t, cur)
+            new_v = cur + 1
+            df.write.mode("overwrite").parquet(self._vdir(t, new_v))
+            self._set_version(t, new_v)
+            for d in os.listdir(self._tdir(t)):
+                if d.startswith("v") and d != f"v{new_v}":
+                    shutil.rmtree(os.path.join(self._tdir(t), d),
+                                  ignore_errors=True)
+
     # ---- transactions (reference: storage/postgres_transaction.cpp)
     def begin(self) -> None:
         if self._txn is not None:

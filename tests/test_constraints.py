@@ -176,3 +176,34 @@ def test_schema_scoped_attach(spark, tmp_path):
            pg_query(cat, "s",
                     "SELECT * FROM s_some_schema_some_table").collect()]
     assert got == [("two",)]
+
+
+# ---- postgres_execute_transaction.test + attach_checkpoint.test --
+
+def test_execute_transaction_roundtrip(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE pea(i INTEGER)")
+    pg_execute(db, "s1", "BEGIN")
+    pg_execute(db, "s1", "INSERT INTO pea VALUES (42)")
+    pg_execute(db, "s1", "ROLLBACK")
+    assert _rows(db, "SELECT * FROM pea") == []
+    pg_execute(db, "s1", "BEGIN")
+    pg_execute(db, "s1",
+               "INSERT INTO pea VALUES (42); INSERT INTO pea VALUES (84)")
+    pg_execute(db, "s1", "COMMIT")
+    assert _rows(db, "SELECT * FROM pea") == [(42,), (84,)]
+
+
+def test_checkpoint_compacts_versions(db):
+    import os as _os
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE ck(i INTEGER)")
+    pg_execute(db, "s1", "INSERT INTO ck VALUES (1)")
+    pg_execute(db, "s1", "INSERT INTO ck VALUES (2)")
+    pg_execute(db, "s1", "UPDATE ck SET i = 20 WHERE i = 2")
+    store = db.attached["s1"].store
+    tdir = store._tdir("ck")
+    assert len([d for d in _os.listdir(tdir) if d.startswith("v")]) > 1
+    pg_execute(db, "s1", "CHECKPOINT")
+    vdirs = [d for d in _os.listdir(tdir) if d.startswith("v")]
+    assert len(vdirs) == 1
+    assert _rows(db, "SELECT * FROM ck") == [(1,), (20,)]
