@@ -85,6 +85,25 @@ def with_shingles(df: DataFrame, k: int) -> DataFrame:
     return df.withColumn("shingles", F.transform(idx, gram))
 
 
+def shingle_index(df: DataFrame, k: int) -> DataFrame:
+    """Distinct (doc_id, s) word-k-gram rows via posexplode + window
+    lead. Equivalent to exploding `with_shingles` but every operator
+    is whole-stage-codegen'd — array-lambda (higher-order-function)
+    shingling is interpreted per element and measures ~3× slower.
+    The corpus is already partitioned on doc_id, so the window sort
+    needs no exchange."""
+    from pyspark.sql.window import Window
+    tok = df.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, k)]
+    sh = tok.select("doc_id", F.col("tok"), *leads)
+    return (sh.filter(F.col(f"_t{k-1}").isNotNull())
+            .select("doc_id",
+                    F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, k)])
+                    .alias("s"))
+            .distinct())
+
+
 def _sql_shingles(k: int) -> str:
     parts = "||' '||".join(f"t[i+{j}]" for j in range(1, k + 1))
     return ("list_distinct(list_transform(range(len(t)-" + str(k - 1) +
@@ -118,37 +137,31 @@ ORDER BY survivor
 
 
 # ------------------------------------------------------- D2 minhash LSH
-def minhash_signature() -> list[Column]:
-    """k min-hashes as min-of-hash-strings over the shingle set —
-    string min is engine-portable (no 64-bit int hashing needed).
-    The 8 permutations come from 4 hex slices of 2 md5s per shingle
-    (2 hash evaluations instead of 8 — md5 is the dominant cost of
-    signature construction at scale)."""
-    def slicer(base: int, off: int):
-        def fn(x):
-            return F.substring(
-                F.md5(F.concat(F.lit(f"{base}:"), x)), off, 8)
-        return fn
-
-    return [
-        F.array_min(F.transform(
-            F.col("shingles"), slicer(s // 4, 1 + 8 * (s % 4))))
-        .alias(f"mh{s}")
-        for s in range(N_MINHASH)
-    ]
-
-
 def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands × 2 rows) near-dup pairs, verified at
     Jaccard ≥ 0.5 on 3-gram shingles.
 
     Only (band_id, band_hash, doc_id) shuffles for candidate
-    generation; verification joins the shingle inverted index."""
-    c = with_shingles(corpus_with_plants(spark, sf_dir), 3) \
-        .select("doc_id", "shingles") \
-        .filter(F.size("shingles") > 0)
-    c = c.persist()  # reused by signature, inverted index, and sizes
-    sig = c.select("doc_id", "shingles", *minhash_signature())
+    generation; verification joins the shingle inverted index.
+
+    The signature is computed from the EXPLODED shingle index (the
+    same relation the verification step joins), not per-array lambda
+    transforms: each (doc, shingle) row hashes exactly twice and the
+    8 permutation minima fold into ONE map-side-combined aggregation
+    that also yields the shingle-set sizes — md5 runs 2×|shingles|
+    times total, with no higher-order-function interpretation cost."""
+    shx = shingle_index(corpus_with_plants(spark, sf_dir), 3) \
+        .persist()   # reused by signature+sizes AND verification
+    h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
+    h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
+    sig = shx.groupBy("doc_id").agg(
+        *[F.min(F.substring([h0, h1][m // 4], 1 + 8 * (m % 4), 8))
+          .alias(f"mh{m}") for m in range(N_MINHASH)],
+        F.count("*").alias("n"))
+    # one row per doc; read by both sides of the band self-join and
+    # twice more for pair sizes — persist beats 4 recomputations
+    sig = sig.persist()
+    sizes = sig.select("doc_id", "n")
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -167,8 +180,6 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shx = c.select("doc_id", F.explode("shingles").alias("s")).distinct()
-    sizes = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
     # verification only touches candidate docs — semi-join the inverted
     # index down first (candidates << corpus at any scale). No broadcast
     # hint: a pathological corpus can make the candidate set arbitrarily
@@ -330,11 +341,7 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the capped shingle universe on both sides (numerator AND
     denominator), so the statistic stays a true Jaccard and the DuckDB
     oracle replicates it bit-for-bit."""
-    c = with_shingles(corpus_with_plants(spark, sf_dir), 2) \
-        .select("doc_id", "shingles") \
-        .filter(F.size("shingles") > 0)
-    shx = c.select("doc_id", F.explode("shingles").alias("s")) \
-        .distinct().persist()
+    shx = shingle_index(corpus_with_plants(spark, sf_dir), 2).persist()
     ndocs = shx.agg(
         F.count_distinct("doc_id").alias("n_docs"))
     dfreq = shx.groupBy("s").agg(F.count("*").alias("df"))
@@ -578,13 +585,11 @@ def d7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is one well-balanced semi-join (or a bloom-filter pre-pass).
     """
     d = _docs(spark, sf_dir)
-    ev = with_shingles(d.filter(F.col("source") == "src0"), 5) \
-        .select("doc_id", F.explode("shingles").alias("s")).distinct()
+    ev = shingle_index(d.filter(F.col("source") == "src0"), 5)
     plants = d.filter((F.col("source") == "src0") & (F.col("doc_id") < 5)) \
         .withColumn("doc_id", F.col("doc_id") + 300000)
     train = d.filter(F.col("source") != "src0").unionByName(plants)
-    train_sh = with_shingles(train, 5) \
-        .select(F.explode("shingles").alias("s")).distinct()
+    train_sh = shingle_index(train, 5).select("s").distinct()
     hits = (ev.join(train_sh, "s", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
     totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
