@@ -276,7 +276,9 @@ def d3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SIM_BITS):
         bit = F.when(F.col(f"b{j}") > 0, 1 << j).otherwise(0)
         val = bit if val is None else val + bit
-    sim = sim.select("doc_id", val.alias("simhash"))
+    # one row per doc, read by both sides of the nibble-bucket
+    # self-join — persist beats recomputing the token aggregation 2×
+    sim = sim.select("doc_id", val.alias("simhash")).persist()
     nib = sim.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -416,13 +418,18 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.load(spark, sf_dir, "embeddings")
 
     def dot(u: Column, v: Column) -> Column:
+        # HOF fold, NOT an unrolled fixed-dim sum: a 64-term unrolled
+        # expression measured SLOWER end-to-end (codegen compile time
+        # for the giant expression dominates a one-shot run)
         return F.aggregate(
             F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0), lambda acc, z: acc + z)
 
+    # norms are HOF-computed (interpreted) — persist so the lhs/rhs
+    # block expansions don't evaluate every dot product twice
     n = e.select("vec_id", "embedding",
                  F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-                 (F.col("vec_id") % _D5_BLOCKS).alias("blk"))
+                 (F.col("vec_id") % _D5_BLOCKS).alias("blk")).persist()
     B = _D5_BLOCKS
     pairs = spark.createDataFrame(
         [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
