@@ -356,6 +356,60 @@ ORDER BY view_id, click_id
 """
 
 
+def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the managed store: readStream →
+    foreachBatch → ManagedStore.insert, then query the stored table.
+
+    This wires the streaming surface to the storage surface — the
+    shape of a production bronze-layer ingest: each micro-batch lands
+    as an atomic snapshot append (writers never block readers), and
+    after the availableNow drain the stored table equals the batch
+    source, so the aggregate has a full DuckDB oracle."""
+    import hashlib
+    import os
+    import tempfile
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    root = tempfile.mkdtemp(prefix="pg_spark_ingest_")
+    store = ManagedStore(spark, root)
+    schema = spark.read.parquet(src).schema
+    store.create_table(
+        "events_bronze", spark.createDataFrame([], schema))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store.insert("events_bronze", batch_df)
+
+    q = (spark.readStream.schema(schema).parquet(stage)
+         .writeStream.foreachBatch(sink)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(root, "_ckpt"))
+         .start())
+    q.awaitTermination(300)
+    return (
+        store.scan("events_bronze")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+_E9_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -365,6 +419,7 @@ QUERIES = {
     "e6_stateful_anomaly": e6_stateful_anomaly,
     "e7_streaming_dedup": e7_streaming_dedup,
     "e8_stream_stream_join": e8_stream_stream_join,
+    "e9_stream_ingest_store": e9_stream_ingest_store,
 }
 
 ORACLE = {
@@ -375,4 +430,5 @@ ORACLE = {
     "e5_event_funnel": _E5_SQL,
     "e7_streaming_dedup": _E7_SQL,
     "e8_stream_stream_join": _E8_SQL,
+    "e9_stream_ingest_store": _E9_SQL,
 }
