@@ -47,6 +47,10 @@ def parse_dsn(dsn: str) -> ConnectionInfo:
     supported, per libpq rules). Unknown keys are preserved in
     .options, matching libpq's permissive parameter list."""
     info = ConnectionInfo()
+    if dsn.startswith(("postgres:", "postgresql:")) and "://" not in dsn:
+        # bare 'postgres:' prefix selects the engine type without a
+        # URI (reference: attach_prefix.test / postgres_storage.cpp)
+        dsn = dsn.split(":", 1)[1]
     if dsn.startswith("postgres://") or dsn.startswith("postgresql://"):
         rest = dsn.split("://", 1)[1]
         auth, _, hostpart = rest.rpartition("@")

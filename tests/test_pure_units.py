@@ -159,3 +159,15 @@ def test_filter_pushdown_setting_gates_remote_where():
     _, props, _ = build_jdbc_options(
         "host=h dbname=d", "t", filters=[("x", ">", 1)])
     assert 'WHERE "x" > 1' in props["dbtable"]
+
+
+def test_parse_dsn_bare_prefix():
+    """'postgres:dbname=x' selects the engine type without a URI
+    (reference: attach_prefix.test)."""
+    from postgres_scanner_spark.connection import parse_dsn
+    info = parse_dsn("postgres:dbname=postgresscanner host=h1 port=5433")
+    assert info.dbname == "postgresscanner"
+    assert info.host == "h1" and info.port == 5433
+    # URI form is unaffected
+    uri = parse_dsn("postgresql://u:p@h2:5444/db2")
+    assert (uri.user, uri.host, uri.port, uri.dbname) == ("u", "h2", 5444, "db2")
