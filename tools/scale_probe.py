@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Empirical scale probe: replicate the sf0.1 tables R× with key
+offsets and measure wall time of representative operators at
+R = 1, 4, 16. Near-linear growth (ratio ≈ R between rows) is the
+evidence that the plans scale by partitioning, not by luck — the
+same argument PLANS.md makes structurally, measured.
+
+Usage: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def amplify(df: DataFrame, r: int, key: str, stride: int) -> DataFrame:
+    """R copies with offset keys — the cheap stand-in for an R×
+    larger dataset with the same distribution."""
+    out = None
+    for i in range(r):
+        c = df.withColumn(key, F.col(key) + F.lit(i * stride))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def q1_shape(li: DataFrame) -> int:
+    """TPC-H Q1 shape: scan-heavy single-shuffle aggregate."""
+    res = (li.filter(F.col("l_shipdate") <= "1998-09-02")
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+                F.avg("l_discount").alias("ad"),
+                F.count("*").alias("n")))
+    return len(res.collect())
+
+
+def d2_core(docs: DataFrame) -> int:
+    """MinHash signature + band candidates (the d2 hot path)."""
+    from postgres_scanner_spark.operators.dedup import shingle_index
+    shx = shingle_index(docs, 3)
+    h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
+    h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
+    sig = shx.groupBy("doc_id").agg(
+        *[F.min(F.substring([h0, h1][m // 4], 1 + 8 * (m % 4), 8))
+          .alias(f"mh{m}") for m in range(8)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+                     .alias("band_hash"))
+            for b in range(4)])).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+    return cand.count()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from postgres_scanner_spark import get_spark
+    spark = get_spark(cpus="32")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    # warm JIT/codegen so R=1 isn't penalized by compilation
+    q1_shape(li.limit(1000))
+    d2_core(docs.limit(50))
+    print(f"{'op':10} {'R':>3} {'rows':>12} {'sec':>8} {'sec/R':>8}")
+    for name, base, key, stride, fn in (
+            ("q1_agg", li, "l_orderkey", 10_000_000, q1_shape),
+            ("d2_core", docs, "doc_id", 1_000_000, d2_core)):
+        for r in (1, 4, 16):
+            df = amplify(base, r, key, stride)
+            n = df.count()
+            t0 = time.perf_counter()
+            fn(df)
+            dt = time.perf_counter() - t0
+            print(f"{name:10} {r:>3} {n:>12} {dt:>8.2f} {dt / r:>8.2f}",
+                  flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
