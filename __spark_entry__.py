@@ -29,13 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # wall-clock budget cut truncates the expensive dedup tail, not the
 # cheap ann/events/multimodal entries (round-2 run lost a2/a3/e*/m*).
 _MODULES = (
+    # cheapest suites first: if a driver budget cut truncates the
+    # correctness sweep, the expensive tails (streaming drains, dedup
+    # joins) lose rows — not the wide cheap coverage
     "postgres_scanner_spark.functions.scanq",
     "postgres_scanner_spark.functions.text",
     "postgres_scanner_spark.functions.analytics",
     "postgres_scanner_spark.functions.tpcds",
-    "postgres_scanner_spark.streaming.events",
     "postgres_scanner_spark.operators.ann",
     "postgres_scanner_spark.operators.multimodal",
+    "postgres_scanner_spark.streaming.events",
     "postgres_scanner_spark.operators.dedup",
 )
 

@@ -31,10 +31,16 @@ _TEXT_OPTS = {"header": "false", "nullValue": "\\N", "delimiter": "\t",
 
 
 def copy_to(df: DataFrame, path: str, *, format: str | None = None,
-            mode: str = "overwrite") -> None:
+            mode: str = "overwrite",
+            partition_by: list[str] | None = None) -> None:
     """COPY (SELECT ...) TO 'path' — distributed unload; every Spark
     partition writes its own file, which is exactly how the reference
-    parallelizes COPY (one stream per task)."""
+    parallelizes COPY (one stream per task).
+
+    `partition_by`: hive-style directory partitioning on the listed
+    columns (COPY ... (PARTITION_BY ...) in engines that support it) —
+    the layout a 100 TB export needs so downstream scans prune
+    partitions instead of listing every file."""
     fmt = format or ("binary" if SETTINGS.pg_use_binary_copy else "text")
     if SETTINGS.pg_null_byte_replacement is not None:
         # reference: pg_null_byte_replacement (postgres_extension.cpp:179)
@@ -48,11 +54,18 @@ def copy_to(df: DataFrame, path: str, *, format: str | None = None,
             for f in df.schema.fields
         ])
     if fmt == "binary":
-        df.write.mode(mode).parquet(path)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
     elif fmt == "pg_binary":
+        if partition_by:
+            raise ValueError("partition_by requires format='binary'")
         _write_pg_binary(df, path, mode)
     elif fmt == "text":
         w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
         for k, v in _TEXT_OPTS.items():
             w = w.option(k, v)
         w.csv(path)

@@ -437,3 +437,19 @@ def test_sql_ddl_create_alter_index(spark, tmp_path):
     pg_execute(cat, "dl", "CREATE INDEX idx_id ON typed (id)")
     assert st.scan("typed").count() == 1
     cat.detach("dl")
+
+
+def test_copy_to_partitioned(spark, tmp_path):
+    """COPY TO with hive-style partitioning: downstream scans prune
+    on the partition column (the 100 TB export layout)."""
+    import os as _os
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(i)) for i in range(30)],
+        "id BIGINT, src STRING, v DOUBLE")
+    out = str(tmp_path / "part_out")
+    copy_to(df, out, format="binary", partition_by=["src"])
+    assert sorted(d for d in _os.listdir(out) if d.startswith("src=")) == \
+        ["src=s0", "src=s1", "src=s2"]
+    back = copy_from(spark, out, format="binary")
+    assert back.count() == 30
+    assert back.filter(back.src == "s1").count() == 10
