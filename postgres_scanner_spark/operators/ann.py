@@ -280,14 +280,95 @@ ORDER BY query_id, rank
 """
 
 
+# ------------------------------------- A4 k-NN label propagation
+_KNN_QUERIES = 50   # vec_id < 50 get auto-labels from their neighbors
+_KNN_K = 10
+
+
+def a4_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN auto-labeling (weak supervision): each query vector takes
+    the majority label of its 10 nearest labeled neighbors; report
+    the prediction against the held-out true label.
+
+    Same scale shape as A1 — the query set broadcasts, the labeled
+    corpus is scanned once and never shuffled; the vote is a tiny
+    (query, label) aggregation. Ties break (count DESC, label ASC)
+    identically in both engines."""
+    from .. import tables
+    e = tables.load(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
+    q = n.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
+    c = n.filter(F.col("vec_id") >= _KNN_QUERIES)
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("vec_id"))
+    top = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "true_label", "vec_id", "label",
+                cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+    )
+    votes = top.groupBy("query_id", "true_label", "label") \
+        .agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", "true_label",
+                F.col("label").alias("pred_label"),
+                (F.col("label") == F.col("true_label")).alias("correct"))
+        .orderBy("query_id")
+    )
+
+
+_A4_SQL = f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label,
+             embedding AS q_emb, norm AS q_norm
+      FROM n WHERE vec_id < {_KNN_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {_KNN_QUERIES}),
+scored AS (
+  SELECT query_id, true_label, c.vec_id, c.label,
+         {_SQL_DOT.format(u='q_emb', v='c.embedding')} / (q_norm * c.norm)
+           AS cos_raw
+  FROM c CROSS JOIN q),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= {_KNN_K}),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS votes
+  FROM top GROUP BY 1, 2, 3)
+SELECT query_id, true_label, label AS pred_label,
+       label = true_label AS correct
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, label) AS r FROM votes)
+WHERE r = 1 ORDER BY query_id
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
     "a3_ivf_ann": a3_ivf_ann,
+    "a4_knn_label": a4_knn_label,
 }
 
 ORACLE = {
     "a1_cosine_topk": _A1_SQL,
     "a2_lsh_ann": _a2_sql(),
     "a3_ivf_ann": _a3_sql(),
+    "a4_knn_label": _A4_SQL,
 }
