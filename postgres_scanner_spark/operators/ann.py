@@ -1,5 +1,6 @@
 """Approximate nearest-neighbor search over the embeddings table
-(SURVEY.md §2 A1-A2).
+(SURVEY.md §2 A1-A4: brute-force top-k, LSH buckets, IVF lists,
+k-NN label propagation).
 
 A1: brute-force cosine top-k — the exact baseline. The (small) query
 set broadcasts against the corpus; the corpus is never shuffled, so

@@ -1,7 +1,8 @@
-"""Deduplication operators over the documents table (SURVEY.md §2 D1-D5).
+"""Deduplication operators over the documents table (SURVEY.md §2 D1-D7).
 
 Training-data pipeline staples: exact dedup, MinHash+LSH, SimHash,
-n-gram Jaccard, and embedding-cosine near-dup. All implementations
+n-gram Jaccard, embedding-cosine near-dup, connected-components
+dedup clustering, and benchmark-contamination scanning. All implementations
 are pure DataFrame plans (no Python UDFs) built from engine-agnostic
 primitives (md5) so the DuckDB oracle can replicate them bit-for-bit.
 
