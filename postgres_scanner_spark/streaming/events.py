@@ -20,6 +20,29 @@ from pyspark.sql.window import Window
 
 _GAP_MIN = 30
 
+# State-store instances scale with shuffle partitions; size them to
+# the stateful KEY cardinality, not the CPU count (150 users here —
+# 32 stores per stateful op would be 4× instantiation overhead for
+# no parallelism gain; at production cardinalities raise this).
+_STREAM_STATE_PARTITIONS = 8
+
+
+class _stream_shuffle:
+    """Temporarily pin shuffle partitions while a streaming query is
+    planned+drained (the stream captures the setting at start)."""
+
+    def __init__(self, spark: SparkSession,
+                 n: int = _STREAM_STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import tables
@@ -119,12 +142,13 @@ def e3_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("window.start", "yyyy-MM-dd HH:00").alias("hour"),
                 "event_type", "n")
     )
-    q = (stream.writeStream.format("memory")
-         .queryName("e3_hourly")
-         .outputMode("complete")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory")
+             .queryName("e3_hourly")
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
     return spark.table("e3_hourly").orderBy("hour", "event_type")
 
 
@@ -250,9 +274,10 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             update, outputStructType=out_schema, stateStructType=state_schema,
             outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
     )
-    q = (stream.writeStream.format("memory").queryName("e6_state")
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory").queryName("e6_state")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return spark.table("e6_state").orderBy("user_id")
 
 
@@ -286,9 +311,10 @@ def e7_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique_users"))
     )
-    q = (stream.writeStream.format("memory").queryName("e7_dedup")
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory").queryName("e7_dedup")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return spark.table("e7_dedup").orderBy("event_type")
 
 
@@ -339,9 +365,10 @@ def e8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select(
         F.col("v_id").alias("view_id"), F.col("c_id").alias("click_id"),
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"))
-    q = (out.writeStream.format("memory").queryName("e8_join")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (out.writeStream.format("memory").queryName("e8_join")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return spark.table("e8_join").orderBy("view_id", "click_id")
 
 
@@ -387,12 +414,13 @@ def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         store.insert("events_bronze", batch_df)
 
-    q = (spark.readStream.schema(schema).parquet(stage)
-         .writeStream.foreachBatch(sink)
-         .trigger(availableNow=True)
-         .option("checkpointLocation", os.path.join(root, "_ckpt"))
-         .start())
-    q.awaitTermination(300)
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema).parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(root, "_ckpt"))
+             .start())
+        q.awaitTermination(300)
     return (
         store.scan("events_bronze")
         .groupBy("event_type")
