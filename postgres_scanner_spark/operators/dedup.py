@@ -526,19 +526,25 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan linear (the standard Spark iterative-graph pattern; at true
     web scale you'd switch to large-star/small-star, same skeleton).
     """
+    from pyspark.sql import Observation
     nodes, edges = _d6_graph(spark, sf_dir)
+    edges = edges.persist()   # read once per round — never rebuild the graph
     labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")) \
         .localCheckpoint()
     prev_sum = None
-    for _ in range(12):
+    for i in range(12):
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+        obs = Observation(f"d6_round_{i}")
+        # observe() rides the localCheckpoint job: ONE action per
+        # round yields both the new labels and the convergence sum
         labels = (labels.join(prop, labels.doc_id == prop.dst, "left")
                   .select(labels.doc_id,
                           F.least("lbl", F.coalesce("nlbl", "lbl"))
                           .alias("lbl"))
+                  .observe(obs, F.sum("lbl").alias("s"))
                   .localCheckpoint())
-        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        s = obs.get["s"]
         if s == prev_sum:
             break
         prev_sum = s
