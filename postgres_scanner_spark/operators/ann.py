@@ -217,6 +217,7 @@ def a3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "norm", "cent_id", sim.alias("c_sim"))
         .withColumn("crk", F.row_number().over(wa))
+        .persist()   # feeds corpus lists AND query probes — one pass
     )
     corpus_lists = assigned.filter(
         (F.col("crk") == 1) & (F.col("vec_id") >= N_QUERIES)) \
