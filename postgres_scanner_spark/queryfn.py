@@ -155,15 +155,19 @@ def _split_top_commas(text: str) -> list[str]:
 
 
 def _balanced_paren(text: str) -> tuple[str, str]:
-    """text starts at '('; return (inner, rest-after-close)."""
-    depth = 0
+    """text starts at '('; return (inner, rest-after-close).
+    Parens inside single-quoted literals don't count."""
+    depth, inq = 0, False
     for i, ch in enumerate(text):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                return text[1:i], text[i + 1:]
+        if ch == "'":
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return text[1:i], text[i + 1:]
     raise ValueError(f"unbalanced parens in {text!r}")
 
 

@@ -207,3 +207,13 @@ def test_checkpoint_compacts_versions(db):
     vdirs = [d for d in _os.listdir(tdir) if d.startswith("v")]
     assert len(vdirs) == 1
     assert _rows(db, "SELECT * FROM ck") == [(1,), (20,)]
+
+
+def test_check_constraint_with_paren_literal(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE t11(s VARCHAR CHECK (s <> ')('))")
+    pg_execute(db, "s1", "INSERT INTO t11 VALUES ('fine')")
+    with pytest.raises(ConstraintError, match="check constraint"):
+        pg_execute(db, "s1", "INSERT INTO t11 VALUES (')(')")
+    meta = db.attached["s1"].store.table_meta("t11")
+    assert meta["checks"] == ["s <> ')('"]
