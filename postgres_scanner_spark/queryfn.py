@@ -408,6 +408,10 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         elif re.match(r"^\s*CHECKPOINT(\s+\w+)?\s*;?\s*$", sql,
                       re.IGNORECASE):
             store.checkpoint()
+        elif m := re.match(rf"^\s*VACUUM(\s+{_ID})?\s*;?\s*$", sql,
+                           re.IGNORECASE):
+            store.vacuum(_unquote(m.group(1).strip()) if m.group(1)
+                         else None)
         elif m := _DELETE_RE.match(sql):
             store.delete(_unquote_table(m.group(1)), m.group(2))
         elif m := _UPDATE_RE.match(sql):

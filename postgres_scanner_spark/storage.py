@@ -439,6 +439,56 @@ class ManagedStore:
             self.scan(table).repartitionByRange(8, column)
             .sortWithinPartitions(column))
 
+    # ---- time travel. Snapshot versioning gives historical reads
+    #      for free (Postgres exposes MVCC snapshots the same way
+    #      inside a transaction); every DML/DDL statement creates a
+    #      new version dir until CHECKPOINT/VACUUM reclaims them.
+    def scan_at(self, table: str, version: int) -> DataFrame:
+        """Read a historical snapshot (time travel). Raises if the
+        version was garbage-collected by CHECKPOINT/VACUUM."""
+        vd = self._vdir(table, version)
+        if not os.path.isdir(vd):
+            raise ValueError(
+                f"table {table!r} has no version {version} "
+                f"(vacuumed or never existed)")
+        return self._read_version(table, version)
+
+    def history(self, table: str) -> list[dict]:
+        """Retained versions, oldest first, with file stats."""
+        out = []
+        cur = self.current_version(table)
+        for d in sorted(os.listdir(self._tdir(table))):
+            if not d.startswith("v") or not d[1:].isdigit():
+                continue
+            v = int(d[1:])
+            vd = self._vdir(table, v)
+            files = [f for f in os.listdir(vd) if f.endswith(".parquet")]
+            out.append({
+                "version": v,
+                "is_current": v == cur,
+                "n_files": len(files),
+                "bytes": sum(os.path.getsize(os.path.join(vd, f))
+                             for f in files),
+            })
+        return out
+
+    def vacuum(self, table: str | None = None) -> int:
+        """Reclaim superseded snapshot versions WITHOUT rewriting the
+        current one (PG parity: VACUUM frees dead tuples in place;
+        CHECKPOINT additionally compacts). Returns dirs removed."""
+        if self._txn is not None:
+            raise RuntimeError("cannot VACUUM inside a transaction")
+        removed = 0
+        for t in ([table] if table else self.tables()):
+            cur = self.current_version(t)
+            for d in os.listdir(self._tdir(t)):
+                if d.startswith("v") and d[1:].isdigit() \
+                        and int(d[1:]) != cur:
+                    shutil.rmtree(os.path.join(self._tdir(t), d),
+                                  ignore_errors=True)
+                    removed += 1
+        return removed
+
     # ---- CHECKPOINT (reference: attach_checkpoint.test — forwards
     #      CHECKPOINT to the attached db). For a snapshot-versioned
     #      columnar store the equivalent maintenance op is compaction:

@@ -217,3 +217,50 @@ def test_check_constraint_with_paren_literal(db):
         pg_execute(db, "s1", "INSERT INTO t11 VALUES (')(')")
     meta = db.attached["s1"].store.table_meta("t11")
     assert meta["checks"] == ["s <> ')('"]
+
+
+# ---- time travel + VACUUM ---------------------------------------
+
+def test_time_travel_and_vacuum(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE tt(i INTEGER)")
+    pg_execute(db, "s1", "INSERT INTO tt VALUES (1)")
+    pg_execute(db, "s1", "INSERT INTO tt VALUES (2)")
+    pg_execute(db, "s1", "DELETE FROM tt WHERE i = 1")
+    store = db.attached["s1"].store
+    hist = store.history("tt")
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert hist[-1]["is_current"]
+    # v2 (before the delete) still readable
+    assert sorted(r.i for r in store.scan_at("tt", 2).collect()) == [1, 2]
+    assert [r.i for r in store.scan("tt").collect()] == [2]
+    pg_execute(db, "s1", "VACUUM tt")
+    assert [h["version"] for h in store.history("tt")] == [3]
+    with pytest.raises(ValueError, match="vacuumed or never existed"):
+        store.scan_at("tt", 2)
+    # current data untouched, no rewrite happened (same version id)
+    assert [r.i for r in store.scan("tt").collect()] == [2]
+
+
+# ---- attach_multi_join.test (federation across attached dbs) ----
+
+def test_join_across_attached_databases(spark, tmp_path, sf_dir):
+    """Join a read-only parquet attach against a writable store
+    attach in one SQL query — the reference's multi-database
+    federation surface (attach_multi_join.test)."""
+    from postgres_scanner_spark.storage import ManagedStore
+    root = str(tmp_path / "fed_store")
+    store = ManagedStore(spark, root)
+    store.create_table("region_notes", spark.createDataFrame(
+        [(0, "africa note"), (1, "america note")],
+        "r_regionkey BIGINT, note STRING"))
+    cat = Catalog(spark)
+    cat.attach(sf_dir, alias="tpch")
+    cat.attach(root, alias="notes")
+    got = sorted(tuple(r) for r in spark.sql(
+        """SELECT r.r_name, n.note
+           FROM tpch_region r JOIN notes_region_notes n
+             ON r.r_regionkey = n.r_regionkey
+           ORDER BY r.r_name""").collect())
+    assert len(got) == 2 and all(note.endswith("note") for _, note in got)
+    cat.detach("tpch")
+    cat.detach("notes")
