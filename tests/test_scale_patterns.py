@@ -151,3 +151,32 @@ def test_d6_converges_in_few_rounds(spark):
     c0 = {r.cluster_id: r for r in rows}.get(0)
     assert c0 is not None and c0.n_members >= 3
     assert c0.member_max == 200000
+
+
+def test_plan_lint_all_queries(spark):
+    """Engine-wide plan lint: NO CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only where a tiny side is broadcast BY
+    DESIGN (scalar aggregates, brute-force query sets, centroid
+    tables). Any new query that accidentally plans a quadratic join
+    fails here before it ever reaches the driver."""
+    import __spark_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    # intentional broadcast-crossJoins (small side bounded by design)
+    nlj_ok = {
+        "a1_cosine_topk",      # query set (5 rows) × corpus
+        "a3_ivf_ann",          # corpus × 8 centroids, probes × lists
+        "a4_knn_label",        # query set (50 rows) × corpus
+        "d4_ngram_jaccard",    # scalar n_docs bound into the DF cap
+        "q11_important_stock",     # scalar total-value threshold
+        "q22_global_sales_opportunity",  # scalar avg balance
+    }
+    streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
+                 "e7_streaming_dedup", "e8_stream_stream_join",
+                 "e9_stream_ingest_store"}
+    for name, fn in sorted(entry.queries().items()):
+        if name in streaming:      # plans materialize at drain time
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in nlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
