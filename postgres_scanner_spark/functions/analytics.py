@@ -350,6 +350,80 @@ GROUP BY tk ORDER BY df DESC, tf DESC, tk LIMIT 50
 """
 
 
+# ---- X4: domain mixing (weighted source sampling to a token budget)
+_X4_BUDGET_FRAC = 0.2    # keep ~20% of corpus tokens
+
+
+def x4_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: give each source a weight
+    (even-numbered sources 2.0, odd 1.0), split a global token budget
+    (20% of the corpus) across sources proportionally, then fill each
+    source's quota in a deterministic md5 order — the domain-mixing
+    recipe step of a pre-training pipeline, reproducible across runs,
+    engines, and cluster sizes.
+
+    Scale shape: one aggregate for the corpus totals (broadcast as a
+    scalar), one window per source for the greedy fill — the window
+    key is the source, so 100 TB spreads across sources; an extremely
+    hot source would be salted by hash-range instead."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " "))
+    w = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0,
+               F.lit(2.0)).otherwise(F.lit(1.0))
+    base = d.select("doc_id", "source", tok.alias("n_tok"), w.alias("w"))
+    per_src = base.groupBy("source", "w").agg(
+        F.sum("n_tok").alias("src_tok"))
+    totals = per_src.agg(
+        F.sum("src_tok").alias("total_tok"), F.sum("w").alias("total_w"))
+    quota = (F.col("total_tok") * _X4_BUDGET_FRAC
+             * F.col("w") / F.col("total_w"))
+    quotas = per_src.crossJoin(F.broadcast(totals)) \
+        .select("source", quota.alias("quota"))
+    ww = Window.partitionBy("source") \
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = (base.withColumn("cum_tok", F.sum("n_tok").over(ww))
+              .join(quotas, "source")
+              .filter(F.col("cum_tok") <= F.col("quota")))
+    return (
+        filled.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("tokens_kept"))
+        .join(quotas, "source")
+        .select("source", "n_docs", "tokens_kept",
+                F.round("quota", 3).alias("quota"))
+        .orderBy("source")
+    )
+
+
+_X4_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+              THEN 2.0 ELSE 1.0 END AS w
+  FROM documents),
+per_src AS (SELECT source, w, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+            FROM base GROUP BY source, w),
+totals AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS total_tok,
+                  SUM(w) AS total_w FROM per_src),
+quotas AS (SELECT source,
+                  total_tok * {_X4_BUDGET_FRAC} * w / total_w AS quota
+           FROM per_src CROSS JOIN totals),
+filled AS (
+  SELECT b.source, b.n_tok,
+         SUM(b.n_tok) OVER (PARTITION BY b.source
+             ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum_tok,
+         q.quota
+  FROM base b JOIN quotas q USING (source))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+       ROUND(ANY_VALUE(quota), 3) AS quota
+FROM filled WHERE cum_tok <= quota
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -361,6 +435,7 @@ QUERIES = {
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
+    "x4_source_mix": x4_source_mix,
 }
 
 ORACLE = {
@@ -374,4 +449,5 @@ ORACLE = {
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,
+    "x4_source_mix": _X4_SQL,
 }
