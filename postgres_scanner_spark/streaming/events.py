@@ -116,8 +116,10 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 # ------------------------------------- E3 Structured Streaming pipeline
 def e3_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(parquet) → watermark(1h) → tumbling window agg →
-    availableNow drain to a memory sink. Rows-only check (streaming
-    query execution isn't SQL-expressible for the oracle)."""
+    availableNow drain to a memory sink. Complete output mode keeps
+    every window in state, so a full drain equals the batch hourly
+    rollup — full DuckDB oracle (the watermark only bounds state in
+    append mode)."""
     import hashlib
     import os
     # Spark's file stream source requires a directory; stage the
@@ -453,9 +455,13 @@ QUERIES = {
 ORACLE = {
     "e1_hourly_event_rollup": _E1_SQL,
     "e2_sessionization": _E2_SQL,
-    # e3: streaming — rows-only check
     "e4_top_users": _E4_SQL,
     "e5_event_funnel": _E5_SQL,
+    "e3_streaming_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+""",
     "e7_streaming_dedup": _E7_SQL,
     "e8_stream_stream_join": _E8_SQL,
     "e9_stream_ingest_store": _E9_SQL,
