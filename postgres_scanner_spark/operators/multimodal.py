@@ -60,11 +60,23 @@ def _decode_stub(payload: bytes) -> dict:
 
 _M1_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
     T.StructField("checksum", T.StringType()),
     T.StructField("byte_mean", T.DoubleType()),
     T.StructField("mime", T.StringType()),
 ])
+
+# The payload is encode(text, UTF-8) and the corpus is pure ASCII, so
+# every byte-level feature the mapInPandas kernel computes is also
+# SQL-expressible (bytes == codepoints) — giving the Arrow plumbing a
+# FULL cross-engine oracle instead of a rows-only check.
+_M1_SQL = """
+SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS checksum,
+       list_avg(list_transform(range(strlen(text)),
+                               i -> ord(text[i+1]))) AS byte_mean,
+       'text/plain' AS mime
+FROM documents ORDER BY doc_id
+"""
 
 
 def m1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,10 +116,24 @@ def m1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _M2_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("frame_idx", T.IntegerType()),
-    T.StructField("frame_len", T.IntegerType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_len", T.LongType()),
     T.StructField("frame_checksum", T.StringType()),
 ])
+
+_M2_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0)
+                              AS BIGINT), {FRAME_STRIDE})) AS frame_idx
+  FROM documents)
+SELECT doc_id, frame_idx,
+       strlen(substr(text, frame_idx * {FRAME_BYTES} + 1,
+                     {FRAME_BYTES})) AS frame_len,
+       md5(substr(text, frame_idx * {FRAME_BYTES} + 1,
+                  {FRAME_BYTES})) AS frame_checksum
+FROM f ORDER BY doc_id, frame_idx
+"""
 
 
 def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,4 +263,8 @@ QUERIES = {
     "m3_image_dims": m3_image_dims,
 }
 
-ORACLE: dict[str, str] = {"m3_image_dims": _M3_SQL}
+ORACLE: dict[str, str] = {
+    "m1_decode_features": _M1_SQL,
+    "m2_frame_sample": _M2_SQL,
+    "m3_image_dims": _M3_SQL,
+}
