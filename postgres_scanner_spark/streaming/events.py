@@ -221,9 +221,12 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference offers none; streams are beyond postgres_scanner's
     surface).
 
-    State per user: (n_events, n_high, max_value). Emits one row per
-    user per micro-batch with the updated running state. Rows-only
-    check (stateful streaming is not SQL-expressible).
+    State per user: (n_events, n_high, max_value). Each micro-batch
+    emits the updated running state; the returned result keeps each
+    user's FINAL state, which after a full drain equals the batch
+    aggregate — so even the custom stateful operator gets a full
+    cross-engine oracle (the per-batch emissions still exercise the
+    incremental state machinery).
     """
     import hashlib
     import os
@@ -280,7 +283,21 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (stream.writeStream.format("memory").queryName("e6_state")
              .outputMode("update").trigger(availableNow=True).start())
         q.awaitTermination(300)
-    return spark.table("e6_state").orderBy("user_id")
+    # final state per user (n_events is monotone across emissions)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (spark.table("e6_state")
+            .withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+            .select("user_id", "n_events", "n_high", "max_value")
+            .orderBy("user_id"))
+
+
+_E6_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
 
 
 # --------------------------- E7 streaming dedup (dropDuplicates)
@@ -457,6 +474,7 @@ ORACLE = {
     "e2_sessionization": _E2_SQL,
     "e4_top_users": _E4_SQL,
     "e5_event_funnel": _E5_SQL,
+    "e6_stateful_anomaly": _E6_SQL,
     "e3_streaming_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type, COUNT(*) AS n
