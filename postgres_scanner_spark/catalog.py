@@ -103,6 +103,7 @@ class Catalog:
             info = resolve_secret(source[len("secret:"):])
             db = AttachedDatabase(alias, source, "jdbc", read_only,
                                   conn=info)
+            db.schema = schema
             self.attached[alias] = db
             return db
         if os.path.isdir(source) and _is_store_dir(source):
@@ -154,9 +155,14 @@ class Catalog:
                 db.views.append(v)
 
     def drop_table_views(self, db: AttachedDatabase, t: str) -> None:
-        """Called when a table disappears (pg_execute DROP TABLE)."""
+        """Called when a table disappears (pg_execute DROP TABLE) —
+        must drop EVERY name register_table_views created, including
+        the bare short name a schema-scoped attach registers."""
         safe = t.replace(".", "_")
-        for v in (f"{db.alias}_{safe}", safe):
+        names = [f"{db.alias}_{safe}", safe]
+        if db.schema is not None and t.startswith(db.schema + "."):
+            names.append(t.partition(".")[2])
+        for v in names:
             if v in db.views:
                 self.spark.catalog.dropTempView(v)
                 db.views.remove(v)

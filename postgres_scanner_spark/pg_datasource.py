@@ -301,16 +301,31 @@ class PostgresScanDataSource(DataSource):
         with psycopg.connect(dsn) as con, con.cursor() as cur:
             # information_schema probe — the reference reads the same
             # catalog via PGQuery (postgres_scanner.cpp GetColumnInfo)
+            # attndims gives the DECLARED dimensionality so the probe
+            # types int[][] as array<array<int>> — decode_array emits
+            # nested lists for ndim>1 frames and the declared schema
+            # must match (reference: postgres_utils.cpp
+            # TypeToLogicalType walks the same catalog dims;
+            # attach_existing_multidimensional_array.test)
             cur.execute(
-                "SELECT column_name, data_type, udt_name, "
-                "numeric_precision, numeric_scale "
-                "FROM information_schema.columns "
-                "WHERE table_schema = %s AND table_name = %s "
-                "ORDER BY ordinal_position", (pg_schema, table))
+                "SELECT c.column_name, c.data_type, c.udt_name, "
+                "c.numeric_precision, c.numeric_scale, "
+                "COALESCE(a.attndims, 1) "
+                "FROM information_schema.columns c "
+                "JOIN pg_catalog.pg_class pc ON pc.relname = c.table_name "
+                "JOIN pg_catalog.pg_namespace pn "
+                "  ON pn.oid = pc.relnamespace "
+                " AND pn.nspname = c.table_schema "
+                "JOIN pg_catalog.pg_attribute a "
+                "  ON a.attrelid = pc.oid "
+                " AND a.attname = c.column_name "
+                "WHERE c.table_schema = %s AND c.table_name = %s "
+                "ORDER BY c.ordinal_position", (pg_schema, table))
             fields = []
-            for name, dtyp, udt, prec, scale in cur.fetchall():
+            for name, dtyp, udt, prec, scale, ndims in cur.fetchall():
                 if dtyp == "ARRAY":
-                    dt = pg_type_to_spark(udt.lstrip("_"), array_dims=1)
+                    dt = pg_type_to_spark(udt.lstrip("_"),
+                                          array_dims=max(ndims, 1))
                 else:
                     dt = pg_type_to_spark(
                         udt or dtyp, precision=prec, scale=scale)

@@ -35,15 +35,6 @@ _PG_EPOCH_ORD = date(2000, 1, 1).toordinal()
 _PG_EPOCH_NAIVE = datetime(2000, 1, 1)
 _PG_EPOCH_UTC = datetime(2000, 1, 1, tzinfo=timezone.utc)
 
-NAME_TO_OID = {name: oid for oid, name in pgt._OID_TO_NAME.items()}
-
-# element OID for 1-D array encoding (subset we emit)
-_ARRAY_ELEM_OIDS = {
-    pgt.INT4OID, pgt.INT8OID, pgt.FLOAT4OID, pgt.FLOAT8OID,
-    pgt.TEXTOID, pgt.VARCHAROID,
-}
-
-
 # --------------------------------------------------------------- encode
 def _enc_numeric(v: Decimal) -> bytes:
     """Decimal → PG numeric binary: int16 ndigits, weight, sign,
@@ -52,6 +43,10 @@ def _enc_numeric(v: Decimal) -> bytes:
     sign_code = 0x0000
     if v.is_nan():
         return struct.pack("!HhHH", 0, 0, 0xC000, 0)
+    if v.is_infinite():
+        # PG 14+ wire codes for numeric ±Infinity
+        return struct.pack("!HhHH", 0, 0,
+                           0xD000 if v > 0 else 0xF000, 0)
     if v < 0:
         sign_code = 0x4000
         v = -v
@@ -116,12 +111,18 @@ def encode_field(oid: int, v: Any) -> bytes | None:
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
         delta = v - _PG_EPOCH_NAIVE
-        return struct.pack("!q", round(delta.total_seconds() * 1e6))
+        # integer arithmetic: total_seconds() is a float and loses
+        # microsecond precision ~100 years from the 2000 epoch
+        return struct.pack(
+            "!q", (delta.days * 86400 + delta.seconds) * 10**6
+            + delta.microseconds)
     if oid == pgt.TIMESTAMPTZOID:
         if v.tzinfo is None:
             v = v.replace(tzinfo=timezone.utc)
         delta = v - _PG_EPOCH_UTC
-        return struct.pack("!q", round(delta.total_seconds() * 1e6))
+        return struct.pack(
+            "!q", (delta.days * 86400 + delta.seconds) * 10**6
+            + delta.microseconds)
     if oid == pgt.NUMERICOID:
         return _enc_numeric(v if isinstance(v, Decimal) else Decimal(str(v)))
     if oid == pgt.INTERVALOID:
@@ -184,6 +185,10 @@ def _dec_numeric(b: bytes) -> Decimal:
     ndigits, weight, sign, dscale = struct.unpack_from("!HhHH", b, 0)
     if sign == 0xC000:
         return Decimal("NaN")
+    if sign == 0xD000:        # +Infinity (PG 14+ wire code)
+        return Decimal("Infinity")
+    if sign == 0xF000:        # -Infinity
+        return Decimal("-Infinity")
     digits = struct.unpack_from(f"!{ndigits}H", b, 8)
     val = Decimal(0)
     for i, d in enumerate(digits):

@@ -132,6 +132,20 @@ _CONSTRAINT_KW = re.compile(
     r"REFERENCES\s+)", re.IGNORECASE)
 
 
+def _search_outside_quotes(pattern: re.Pattern, text: str):
+    """First regex match whose start lies OUTSIDE single-quoted SQL
+    string literals — a DEFAULT like 'no default given' must not be
+    split at the ' default ' inside the literal."""
+    pos = 0
+    while True:
+        m = pattern.search(text, pos)
+        if m is None:
+            return None
+        if text.count("'", 0, m.start()) % 2 == 0:
+            return m
+        pos = m.start() + 1
+
+
 def _split_top_commas(text: str) -> list[str]:
     """Split on commas outside parens AND outside single-quoted
     string literals ('' is the SQL escape for a quote)."""
@@ -203,7 +217,7 @@ def _parse_col_constraints(name: str, tail: str, meta: dict) -> None:
             continue
         if up.startswith("DEFAULT"):
             after = tail[7:].lstrip()
-            m = _CONSTRAINT_KW.search(after)
+            m = _search_outside_quotes(_CONSTRAINT_KW, after)
             expr, tail = (after[:m.start()], after[m.start():]) if m \
                 else (after, "")
             meta.setdefault("defaults", {})[name] = expr.strip()
@@ -254,7 +268,7 @@ def _parse_coldefs(coldefs: str):
             continue   # catalog-only
         m = re.match(rf"{_IDENT}\s+(.+)$", part, re.DOTALL)
         name, rest = _unquote(m.group(1)), m.group(2).strip()
-        km = _CONSTRAINT_KW.search(" " + rest)
+        km = _search_outside_quotes(_CONSTRAINT_KW, " " + rest)
         if km:
             typ = rest[: max(km.start() - 1, 0)].strip()
             _parse_col_constraints(name, rest[km.start() - 1:], meta)
@@ -486,8 +500,10 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         else:
             catalog.spark.sql(sql)
         # refresh the registered views to the new snapshot (tracked on
-        # the AttachedDatabase so detach() can drop them all)
-        for t in store.tables():
+        # the AttachedDatabase so detach() can drop them all);
+        # db.table_names() honors a SCHEMA-scoped attach — iterating
+        # store.tables() here would leak out-of-schema tables
+        for t in db.table_names():
             catalog.register_table_views(db, t)
         return
     catalog.spark.sql(sql)

@@ -413,7 +413,7 @@ def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, so the aggregate has a full DuckDB oracle."""
     import hashlib
     import os
-    import tempfile
+    import shutil
     from ..storage import ManagedStore
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
@@ -424,7 +424,11 @@ def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    root = tempfile.mkdtemp(prefix="pg_spark_ingest_")
+    # deterministic per-source root, wiped on entry: repeated runs
+    # reuse ONE directory instead of leaking a fresh mkdtemp each call
+    root = os.path.join(
+        "/tmp", "pg_spark_ingest_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
     store = ManagedStore(spark, root)
     schema = spark.read.parquet(src).schema
     store.create_table(

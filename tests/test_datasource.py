@@ -136,8 +136,12 @@ def test_pg_query_streams_on_executors(registered, duck_db):
     cat = Catalog(registered)
     cat.attach(f"duckdb://{duck_db}", alias="qs", register_views=False)
     df = pg_query(cat, "qs", "SELECT id, id * 2 AS dbl FROM items")
-    assert "postgres_scan" in df._jdf.queryExecution().logical().toString() \
-        or df.rdd.getNumPartitions() >= 1  # DataSource relation
+    # must be a DataSource relation — a regression back to driver-side
+    # to_pandas materialization would plan as LocalRelation/LogicalRDD
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "DataSource" in plan or "postgres_scan" in plan, plan[:500]
+    assert "LocalRelation" not in plan and "LogicalRDD" not in plan, \
+        plan[:500]
     assert df.count() == 10000             # > one 8192-row Arrow batch
     assert df.agg(F.sum("dbl")).collect()[0][0] == 2 * sum(range(10000))
     cat.detach("qs")

@@ -210,3 +210,31 @@ def test_copy_pg_binary_requires_schema(spark, tmp_path):
     from postgres_scanner_spark.copyio import copy_from
     with pytest.raises(ValueError, match="schema"):
         copy_from(spark, str(tmp_path), format="pg_binary")
+
+
+def test_timestamp_microsecond_precision_far_from_epoch():
+    """total_seconds()-based encoding drifted ±1us beyond ~2100;
+    integer arithmetic must round-trip exactly at any date."""
+    from datetime import datetime
+    from postgres_scanner_spark import pgwire
+    from postgres_scanner_spark import types as pgt
+    for dt in (datetime(2290, 1, 1, 0, 0, 0, 1),
+               datetime(2150, 6, 5, 12, 34, 56, 789123),
+               datetime(1890, 2, 3, 4, 5, 6, 7),
+               datetime(2000, 1, 1, 0, 0, 0, 0)):
+        b = pgwire.encode_field(pgt.TIMESTAMPOID, dt)
+        assert pgwire.decode_field(pgt.TIMESTAMPOID, b) == dt, dt
+
+
+def test_numeric_infinity_wire_codes():
+    """PG 14+ numeric ±Infinity: 0xD000/0xF000 — must round-trip, not
+    silently decode as 0."""
+    from decimal import Decimal
+    from postgres_scanner_spark import pgwire
+    from postgres_scanner_spark import types as pgt
+    for v in (Decimal("Infinity"), Decimal("-Infinity")):
+        b = pgwire.encode_field(pgt.NUMERICOID, v)
+        assert pgwire.decode_field(pgt.NUMERICOID, b) == v
+    import struct
+    raw = struct.pack("!HhHH", 0, 0, 0xD000, 0)
+    assert pgwire.decode_field(pgt.NUMERICOID, raw) == Decimal("Infinity")
