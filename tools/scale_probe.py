@@ -64,6 +64,43 @@ def d2_core(docs: DataFrame) -> int:
     return cand.count()
 
 
+def t7_shape(docs: DataFrame) -> int:
+    """Explode-heavy repetition stats (word + bigram aggregations)."""
+    from postgres_scanner_spark.operators.dedup import shingle_index
+    words = docs.select("doc_id",
+                        F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    wstat = (words.groupBy("doc_id", "t").count()
+             .groupBy("doc_id").agg(F.sum("count").alias("n"),
+                                    F.max("count").alias("mx")))
+    bg = shingle_index(docs, 2)
+    bstat = bg.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    return wstat.join(bstat, "doc_id").count()
+
+
+def cc_shape(docs: DataFrame) -> int:
+    """Iterative connected components over exact-hash star edges."""
+    keys = docs.select("doc_id", F.md5(F.lower("text")).alias("k"))
+    hubs = keys.groupBy("k").agg(F.min("doc_id").alias("hub"))
+    star = (keys.join(hubs, "k")
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst")))
+    edges = star.unionByName(
+        star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")) \
+        .localCheckpoint()
+    for _ in range(3):
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+        labels = (labels.join(prop, labels.doc_id == prop.dst, "left")
+                  .select(labels.doc_id,
+                          F.least("lbl", F.coalesce("nlbl", "lbl"))
+                          .alias("lbl")).localCheckpoint())
+    n = labels.select("lbl").distinct().count()
+    edges.unpersist()
+    return n
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from postgres_scanner_spark import get_spark
@@ -74,10 +111,14 @@ def main() -> None:
     # warm JIT/codegen so R=1 isn't penalized by compilation
     q1_shape(li.limit(1000))
     d2_core(docs.limit(50))
+    t7_shape(docs.limit(50))
+    cc_shape(docs.limit(50))
     print(f"{'op':10} {'R':>3} {'rows':>12} {'sec':>8} {'sec/R':>8}")
     for name, base, key, stride, fn in (
             ("q1_agg", li, "l_orderkey", 10_000_000, q1_shape),
-            ("d2_core", docs, "doc_id", 1_000_000, d2_core)):
+            ("d2_core", docs, "doc_id", 1_000_000, d2_core),
+            ("t7_stats", docs, "doc_id", 1_000_000, t7_shape),
+            ("cc_iter", docs, "doc_id", 1_000_000, cc_shape)):
         for r in (1, 4, 16):
             df = amplify(base, r, key, stride)
             n = df.count()
