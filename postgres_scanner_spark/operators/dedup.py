@@ -351,7 +351,8 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (dfreq.crossJoin(F.broadcast(ndocs))
             .filter(F.col("df") <= _D4_MAX_DF_FRAC * F.col("n_docs"))
             .select("s"))
-    shf = shx.join(keep, "s", "left_semi")
+    # capped index feeds the self-join (twice) and the sizes — persist
+    shf = shx.join(keep, "s", "left_semi").persist()
     sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = shf.alias("x"), shf.alias("y")
     inter = (
