@@ -94,25 +94,33 @@ def copy_from(spark: SparkSession, path: str, *, format: str | None = None,
 
 
 def _pg_binary_layout(schema):
-    """(oids, array_elem_oids, array_cols) for a Spark schema."""
+    """(oids, array_elem_oids, array_ndims, array_cols) for a Spark
+    schema. Nested ArrayTypes unwrap to the LEAF element OID plus a
+    dimension count — an array<array<int>> column emits a genuine 2-D
+    PG array frame, never a text-serialized inner list."""
     from pyspark.sql import types as T
     from .pgwire import spark_field_oid
-    oids, array_elem, array_cols = [], {}, set()
+    oids, array_elem, array_ndims, array_cols = [], {}, {}, set()
     for i, f in enumerate(schema.fields):
         if isinstance(f.dataType, T.ArrayType):
+            inner, depth = f.dataType, 0
+            while isinstance(inner, T.ArrayType):
+                inner = inner.elementType
+                depth += 1
             oids.append(0)
-            array_elem[i] = spark_field_oid(f.dataType.elementType)
+            array_elem[i] = spark_field_oid(inner)
+            array_ndims[i] = depth
             array_cols.add(i)
         else:
             oids.append(spark_field_oid(f.dataType))
-    return oids, array_elem, array_cols
+    return oids, array_elem, array_ndims, array_cols
 
 
 def _write_pg_binary(df: DataFrame, path: str, mode: str) -> None:
     """Each partition emits one PGCOPY stream file (part-N.pgcopy) —
     per-partition imperative sink, the one place mapPartitions is the
     right tool (a custom binary wire format Spark has no writer for)."""
-    oids, array_elem, _ = _pg_binary_layout(df.schema)
+    oids, array_elem, array_ndims, _ = _pg_binary_layout(df.schema)
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
     elif os.path.exists(path) and mode == "error":
@@ -123,7 +131,7 @@ def _write_pg_binary(df: DataFrame, path: str, mode: str) -> None:
         from postgres_scanner_spark.pgwire import BinaryCopyWriter
         fn = os.path.join(path, f"part-{idx:05d}.pgcopy")
         with open(fn, "wb") as fh:
-            n = BinaryCopyWriter(oids, array_elem).write(
+            n = BinaryCopyWriter(oids, array_elem, array_ndims).write(
                 fh, (tuple(r) for r in rows))
         yield idx, n
 
@@ -131,7 +139,7 @@ def _write_pg_binary(df: DataFrame, path: str, mode: str) -> None:
     if not counts:  # zero-partition frame still yields a valid stream
         from .pgwire import BinaryCopyWriter
         with open(os.path.join(path, "part-00000.pgcopy"), "wb") as fh:
-            BinaryCopyWriter(oids, array_elem).write(fh, [])
+            BinaryCopyWriter(oids, array_elem, array_ndims).write(fh, [])
 
 
 def _read_pg_binary(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -143,7 +151,7 @@ def _read_pg_binary(spark: SparkSession, path: str, schema) -> DataFrame:
             "format='pg_binary' needs an explicit schema: the PGCOPY "
             "frame carries field bytes, not types (same contract as "
             "COPY table FROM ... (FORMAT binary))")
-    oids, _, array_cols = _pg_binary_layout(schema)
+    oids, _, _, array_cols = _pg_binary_layout(schema)
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.pgcopy")).select("content")
 

@@ -182,6 +182,12 @@ class PostgresScanReader(DataSourceReader):
     # -- filter pushdown (reference: postgres_filter_pushdown.cpp)
     def pushFilters(self, filters: list[Filter]):
         self.pushed = []           # fresh per planning pass — no carryover
+        if self.query:
+            # ad-hoc query mode has no table to rewrite a WHERE into —
+            # decline pushdown so Spark evaluates every filter itself
+            # (accepting them here would silently drop them)
+            yield from filters
+            return
         if not self.enable_pushdown or \
                 not SETTINGS.pg_experimental_filter_pushdown:
             yield from filters
@@ -196,7 +202,14 @@ class PostgresScanReader(DataSourceReader):
     # -- task decomposition (reference: postgres_scanner.cpp PrepareBind)
     def partitions(self):
         if self.query:
-            return [_Task(self.query)]
+            if self.dsn.startswith("duckdb://"):
+                return [_Task(self.query)]
+            # live PG: wrap so every output column is cast to the wire
+            # format the decoder expects (same as the table path)
+            cols = ", ".join(
+                f'"{f.name}"{self._pg_cast(f.dataType)} AS "{f.name}"'
+                for f in self.schema_.fields)
+            return [_Task(f"SELECT {cols} FROM ({self.query}) AS q")]
         tasks = plan_scan_tasks(self.approx_pages,
                                 pages_per_task=self.pages_per_task,
                                 max_tasks=SETTINGS.pg_connection_limit)
@@ -211,8 +224,53 @@ class PostgresScanReader(DataSourceReader):
                 t.predicate if len(tasks) > 1 else "" for t in tasks]
         return [_Task(self._sql(w)) for w in task_wheres]
 
+    @staticmethod
+    def _pg_cast(dt: T.DataType) -> str:
+        """Server-side cast so every column arrives over COPY binary
+        in EXACTLY the wire format the Spark-type→OID decode expects
+        (a uuid/json/inet column probed as StringType must ship as
+        text, not its native 16-byte/uvarlena send format)."""
+        if isinstance(dt, T.ArrayType):
+            inner = dt
+            depth = 0
+            while isinstance(inner, T.ArrayType):
+                inner = inner.elementType
+                depth += 1
+            base = PostgresScanReader._pg_cast(inner)
+            return (base or "::text") + "[]" * depth
+        if isinstance(dt, T.StringType):
+            return "::text"
+        if isinstance(dt, T.DoubleType):
+            return "::float8"
+        if isinstance(dt, T.FloatType):
+            return "::float4"
+        if isinstance(dt, T.LongType):
+            return "::int8"
+        if isinstance(dt, T.IntegerType):
+            return "::int4"
+        if isinstance(dt, (T.ShortType, T.ByteType)):
+            return "::int2"
+        if isinstance(dt, T.BooleanType):
+            return "::bool"
+        if isinstance(dt, T.BinaryType):
+            return "::bytea"
+        if isinstance(dt, T.DateType):
+            return "::date"
+        if isinstance(dt, T.TimestampType):
+            return "::timestamptz"
+        if isinstance(dt, T.TimestampNTZType):
+            return "::timestamp"
+        if isinstance(dt, T.DecimalType):
+            return f"::numeric({dt.precision},{dt.scale})"
+        return ""
+
     def _sql(self, task_where: str) -> str:
-        cols = ", ".join(f'"{f.name}"' for f in self.schema_.fields)
+        if self.dsn.startswith("duckdb://"):
+            cols = ", ".join(f'"{f.name}"' for f in self.schema_.fields)
+        else:
+            cols = ", ".join(
+                f'"{f.name}"{self._pg_cast(f.dataType)} AS "{f.name}"'
+                for f in self.schema_.fields)
         where = transform_filters(self.pushed)
         preds = []
         if task_where:
@@ -235,13 +293,18 @@ class PostgresScanReader(DataSourceReader):
             import duckdb
             path = self.dsn[len("duckdb://"):]
             con = duckdb.connect(path, read_only=True)
-            reader = con.execute(sql).fetch_record_batch(8192)
-            while True:
-                try:
-                    yield reader.read_next_batch()
-                except StopIteration:
-                    break
-            con.close()
+            try:
+                reader = con.execute(sql).fetch_record_batch(8192)
+                while True:
+                    try:
+                        yield reader.read_next_batch()
+                    except StopIteration:
+                        break
+            finally:
+                # close even when the query errors or Spark abandons
+                # the generator (limit/take) — an open read_only handle
+                # blocks later writers to the same file
+                con.close()
             return
         yield from self._read_live_pg(sql)
 
@@ -283,13 +346,20 @@ class PostgresScanDataSource(DataSource):
         if dsn.startswith("duckdb://"):
             import duckdb
             con = duckdb.connect(dsn[len("duckdb://"):], read_only=True)
-            probe = query if query else f'SELECT * FROM "{table}"'
-            desc = con.execute(f'DESCRIBE {probe}').fetchall()
-            con.close()
+            try:
+                probe = query if query else f'SELECT * FROM "{table}"'
+                desc = con.execute(f'DESCRIBE {probe}').fetchall()
+            finally:
+                con.close()
             return T.StructType([
                 T.StructField(n, _duck_type(t), True)
                 for n, t, *_ in desc
             ])
+        if query:
+            raise NotImplementedError(
+                "query mode over a live libpq DSN requires an explicit "
+                ".schema(...) — the information_schema probe only covers "
+                "tables")
         try:
             import psycopg
         except ImportError as exc:

@@ -118,6 +118,10 @@ def encode_field(oid: int, v: Any) -> bytes | None:
             + delta.microseconds)
     if oid == pgt.TIMESTAMPTZOID:
         if v.tzinfo is None:
+            # engine contract: sessions are pinned UTC (get_spark /
+            # tables.ensure_session_defaults), so naive datetimes
+            # Spark hands per-row ARE UTC wall times; a non-UTC
+            # session would need astimezone here first
             v = v.replace(tzinfo=timezone.utc)
         delta = v - _PG_EPOCH_UTC
         return struct.pack(
@@ -136,18 +140,30 @@ def encode_field(oid: int, v: Any) -> bytes | None:
     return str(v).encode("utf-8")
 
 
-def encode_array(elem_oid: int, values: Sequence) -> bytes:
-    """1-D array → PG array binary: ndim, hasnull, elemtype, dim+lbound,
-    then per element int32 length + payload."""
-    hasnull = 1 if any(x is None for x in values) else 0
-    out = [struct.pack("!iii", 1, hasnull, elem_oid),
-           struct.pack("!ii", len(values), 1)]
-    for x in values:
-        p = encode_field(elem_oid, x)
-        if p is None:
+def encode_array(elem_oid: int, values: Sequence, ndim: int = 1) -> bytes:
+    """N-D array → PG array binary: ndim, hasnull, elemtype, then one
+    dim+lbound pair per dimension, then flattened row-major elements
+    as int32 length + payload (decode_array's exact inverse; PG
+    requires regular/rectangular arrays)."""
+    dims = []
+    v: Any = values
+    for _ in range(ndim):
+        dims.append(len(v))
+        v = v[0] if len(v) else []
+    flat = values
+    for _ in range(ndim - 1):
+        flat = [x for sub in flat for x in
+                (sub if sub is not None else [])]
+    hasnull = 1 if any(x is None for x in flat) else 0
+    out = [struct.pack("!iii", ndim, hasnull, elem_oid)]
+    for d in dims:
+        out.append(struct.pack("!ii", d, 1))
+    for x in flat:
+        if x is None:
             out.append(struct.pack("!i", -1))
-        else:
-            out.append(struct.pack("!i", len(p)) + p)
+            continue
+        p = encode_field(elem_oid, x)
+        out.append(struct.pack("!i", len(p)) + p)
     return b"".join(out)
 
 
@@ -155,22 +171,32 @@ class BinaryCopyWriter:
     """Emit one PGCOPY stream (reference: postgres_binary_copy.cpp)."""
 
     def __init__(self, oids: Sequence[int],
-                 array_elem_oids: dict[int, int] | None = None):
+                 array_elem_oids: dict[int, int] | None = None,
+                 array_ndims: dict[int, int] | None = None):
         self.oids = list(oids)
         self.array_elem = array_elem_oids or {}
+        self.array_ndims = array_ndims or {}
 
     def write(self, out: BinaryIO, rows: Iterable[Sequence]) -> int:
         out.write(SIGNATURE)
         out.write(struct.pack("!II", 0, 0))       # flags, extension len
         n = 0
         for row in rows:
+            if len(row) != len(self.oids):
+                # fail fast: zip-truncation would write fewer fields
+                # than the declared count — a corrupt stream that only
+                # misparses rows later
+                raise ValueError(
+                    f"row {n} has {len(row)} fields, schema has "
+                    f"{len(self.oids)}")
             out.write(struct.pack("!h", len(self.oids)))
             for i, (oid, v) in enumerate(zip(self.oids, row)):
                 if v is None:
                     out.write(struct.pack("!i", -1))
                     continue
                 if i in self.array_elem:
-                    payload = encode_array(self.array_elem[i], v)
+                    payload = encode_array(self.array_elem[i], v,
+                                           self.array_ndims.get(i, 1))
                 else:
                     payload = encode_field(oid, v)
                 out.write(struct.pack("!i", len(payload)))
@@ -190,12 +216,19 @@ def _dec_numeric(b: bytes) -> Decimal:
     if sign == 0xF000:        # -Infinity
         return Decimal("-Infinity")
     digits = struct.unpack_from(f"!{ndigits}H", b, 8)
-    val = Decimal(0)
-    for i, d in enumerate(digits):
-        val += Decimal(d) * (Decimal(10000) ** (weight - i))
-    if sign == 0x4000:
-        val = -val
-    return val.quantize(Decimal(1).scaleb(-dscale)) if dscale else val
+    # exact integer accumulation + a context wide enough for any
+    # value PG can send — the default 28-digit context silently
+    # rounds (or raises on quantize) beyond 28 significant digits
+    intval = 0
+    for d in digits:
+        intval = intval * 10000 + d
+    from decimal import localcontext
+    with localcontext() as ctx:
+        ctx.prec = max(4 * ndigits + dscale + 10, 40)
+        val = Decimal(intval).scaleb(4 * (weight - ndigits + 1))
+        if sign == 0x4000:
+            val = -val
+        return val.quantize(Decimal(1).scaleb(-dscale)) if dscale else val
 
 
 def decode_field(oid: int, b: bytes) -> Any:
@@ -216,12 +249,26 @@ def decode_field(oid: int, b: bytes) -> Any:
     if oid == pgt.BYTEAOID:
         return b
     if oid == pgt.DATEOID:
-        return date.fromordinal(struct.unpack("!i", b)[0] + _PG_EPOCH_ORD)
+        d = struct.unpack("!i", b)[0]
+        # PG 'infinity'::date sentinels — clamp to Python's range
+        if d == 0x7FFFFFFF:
+            return date.max
+        if d == -0x80000000:
+            return date.min
+        return date.fromordinal(d + _PG_EPOCH_ORD)
     if oid == pgt.TIMESTAMPOID:
         us = struct.unpack("!q", b)[0]
+        if us == 0x7FFFFFFFFFFFFFFF:      # 'infinity'::timestamp
+            return datetime.max
+        if us == -0x8000000000000000:
+            return datetime.min
         return _PG_EPOCH_NAIVE + timedelta(microseconds=us)
     if oid == pgt.TIMESTAMPTZOID:
         us = struct.unpack("!q", b)[0]
+        if us == 0x7FFFFFFFFFFFFFFF:
+            return datetime.max.replace(tzinfo=timezone.utc)
+        if us == -0x8000000000000000:
+            return datetime.min.replace(tzinfo=timezone.utc)
         return _PG_EPOCH_UTC + timedelta(microseconds=us)
     if oid == pgt.NUMERICOID:
         return _dec_numeric(b)
@@ -334,7 +381,7 @@ def spark_field_oid(dt) -> int:
     from pyspark.sql import types as T
     if isinstance(dt, T.BooleanType):
         return pgt.BOOLOID
-    if isinstance(dt, T.ShortType):
+    if isinstance(dt, (T.ShortType, T.ByteType)):
         return pgt.INT2OID
     if isinstance(dt, T.IntegerType):
         return pgt.INT4OID

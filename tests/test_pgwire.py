@@ -238,3 +238,53 @@ def test_numeric_infinity_wire_codes():
     import struct
     raw = struct.pack("!HhHH", 0, 0, 0xD000, 0)
     assert pgwire.decode_field(pgt.NUMERICOID, raw) == Decimal("Infinity")
+
+
+def test_numeric_wide_precision_roundtrip():
+    """38-digit decimals (legal DecimalType(38,0) / PG numeric) must
+    survive the wire bit-for-bit — the default 28-digit context
+    silently rounded them."""
+    from decimal import Decimal
+    from postgres_scanner_spark import pgwire
+    from postgres_scanner_spark import types as pgt
+    for v in (Decimal("12345678901234567890123456789012345678"),
+              Decimal("123456789012345678.90123456789012345678"),
+              Decimal("-0.00000000000000000000000000000000000001")):
+        b = pgwire.encode_field(pgt.NUMERICOID, v)
+        assert pgwire.decode_field(pgt.NUMERICOID, b) == v, v
+
+
+def test_datetime_infinity_sentinels():
+    """PG 'infinity' timestamps/dates decode to Python's max/min
+    instead of raising OverflowError mid-scan."""
+    import struct
+    from datetime import date, datetime
+    from postgres_scanner_spark import pgwire
+    from postgres_scanner_spark import types as pgt
+    assert pgwire.decode_field(
+        pgt.TIMESTAMPOID, struct.pack("!q", 0x7FFFFFFFFFFFFFFF)) \
+        == datetime.max
+    assert pgwire.decode_field(
+        pgt.DATEOID, struct.pack("!i", 0x7FFFFFFF)) == date.max
+    assert pgwire.decode_field(
+        pgt.DATEOID, struct.pack("!i", -0x80000000)) == date.min
+
+
+def test_writer_rejects_short_rows():
+    import io
+    import pytest as _pytest
+    from postgres_scanner_spark import pgwire
+    from postgres_scanner_spark import types as pgt
+    w = pgwire.BinaryCopyWriter([pgt.INT4OID, pgt.TEXTOID])
+    with _pytest.raises(ValueError, match="has 1 fields"):
+        w.write(io.BytesIO(), [(1,)])
+
+
+def test_multidim_array_roundtrip():
+    """2-D arrays emit genuine ndim=2 frames (not text-serialized
+    inner lists) and decode back to nested lists."""
+    from postgres_scanner_spark import pgwire
+    from postgres_scanner_spark import types as pgt
+    payload = pgwire.encode_array(pgt.INT4OID, [[1, 2, 3], [4, 5, 6]],
+                                  ndim=2)
+    assert pgwire.decode_array(payload) == [[1, 2, 3], [4, 5, 6]]
