@@ -134,7 +134,7 @@ class Catalog:
                 # stored views resolve AFTER their base tables exist
                 # (reference: attach_views.test)
                 for v in db.store.views():
-                    df = db.store.scan_view(v)
+                    df = db.store.scan_view(v, register=False)
                     for name in (f"{alias}_{v}", v):
                         df.createOrReplaceTempView(name)
                         if name not in db.views:
@@ -164,16 +164,40 @@ class Catalog:
             names.append(t.partition(".")[2])
         for v in names:
             if v in db.views:
-                self.spark.catalog.dropTempView(v)
+                self._release_view(db, v)
                 db.views.remove(v)
+
+    def _release_view(self, db: AttachedDatabase, name: str) -> None:
+        """Drop a temp view this attach owns — unless another attached
+        database also registered the same (bare) name, in which case
+        that database's binding is restored instead of destroyed."""
+        for other in self.attached.values():
+            if other is db or name not in other.views:
+                continue
+            try:
+                if other.backend == "store":
+                    if name in other.store.tables():
+                        src = other.store.scan(name)
+                    elif name in other.store.views():
+                        src = other.store.scan_view(name, register=False)
+                    else:
+                        continue
+                else:
+                    src = self.table(other.alias, name)
+                src.createOrReplaceTempView(name)
+                return
+            except Exception:
+                continue
+        self.spark.catalog.dropTempView(name)
 
     def detach(self, alias: str) -> None:
         db = self.attached.pop(alias)
         # drop every view this attach registered — both the prefixed and
         # the bare names, tracked at registration time so tables dropped
-        # or created since attach are handled too
+        # or created since attach are handled too; bare names shared
+        # with another attached database re-bind to that database
         for v in db.views:
-            self.spark.catalog.dropTempView(v)
+            self._release_view(db, v)
         db.views.clear()
 
     def table(self, alias: str, name: str) -> DataFrame:
@@ -226,6 +250,11 @@ class Catalog:
         bulk-migration path (per-table parallel scans → parquet)."""
         copied = []
         for t in self.list_tables(alias):
+            if "." in t:
+                # schema-qualified source tables need their namespace
+                # created in the target first
+                store.create_schema(t.partition(".")[0],
+                                    if_not_exists=True)
             store.create_table(t, self.table(alias, t), if_not_exists=False)
             copied.append(t)
         return copied

@@ -82,10 +82,10 @@ _IDENT = rf"({_ID})"
 _QIDENT = rf"({_ID}(?:\.{_ID})?)"
 
 _DELETE_RE = re.compile(
-    rf"^\s*DELETE\s+FROM\s+{_QIDENT}\s+WHERE\s+(.+?);?\s*$",
+    rf"^\s*DELETE\s+FROM\s+{_QIDENT}(?:\s+WHERE\s+(.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
-    rf"^\s*UPDATE\s+{_QIDENT}\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
+    rf"^\s*UPDATE\s+{_QIDENT}\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+INTO\s+{_QIDENT}\s*"
@@ -114,7 +114,7 @@ _CREATE_TABLE_RE = re.compile(
     rf"{_QIDENT}\s*\((.+)\);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _ALTER_ADD_RE = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+ADD\s+(?:COLUMN\s+)?{_IDENT}\s+([\w() ]+?);?\s*$",
+    rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+ADD\s+(?:COLUMN\s+)?{_IDENT}\s+([\w(), ]+?);?\s*$",
     re.IGNORECASE)
 _ALTER_RENAME_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+RENAME\s+(?:COLUMN\s+)?{_IDENT}\s+TO\s+{_IDENT};?\s*$",
@@ -357,11 +357,12 @@ def _split_statements(sql: str) -> list[str]:
 
 
 def _split_assignments(set_clause: str) -> dict[str, str]:
-    # split on top-level commas (no nesting expected in SET lists here)
+    # quote/paren-aware split: SET v = greatest(a, b), s = 'x,y' must
+    # not break at the commas inside the call or the literal
     out = {}
-    for part in set_clause.split(","):
+    for part in _split_top_commas(set_clause):
         col, _, expr = part.partition("=")
-        out[col.strip()] = expr.strip()
+        out[_unquote(col.strip())] = expr.strip()
     return out
 
 
@@ -427,9 +428,10 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             store.vacuum(_unquote(m.group(1).strip()) if m.group(1)
                          else None)
         elif m := _DELETE_RE.match(sql):
-            store.delete(_unquote_table(m.group(1)), m.group(2))
+            # no WHERE = whole-table delete (standard SQL)
+            store.delete(_unquote_table(m.group(1)), m.group(2) or "true")
         elif m := _UPDATE_RE.match(sql):
-            store.update(_unquote_table(m.group(1)), m.group(3),
+            store.update(_unquote_table(m.group(1)), m.group(3) or "true",
                          _split_assignments(m.group(2)))
         elif m := _INSERT_RE.match(sql):
             table, collist, src = (_unquote_table(m.group(1)),
@@ -485,7 +487,7 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             vname = _unquote(m.group(2))
             store.create_view(vname, m.group(3),
                               or_replace=bool(m.group(1)))
-            df = store.scan_view(vname)
+            df = store.scan_view(vname, register=False)
             for name in (f"{alias}_{vname}", vname):
                 df.createOrReplaceTempView(name)
                 if name not in db.views:
@@ -505,5 +507,14 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         # store.tables() here would leak out-of-schema tables
         for t in db.table_names():
             catalog.register_table_views(db, t)
+        # stored views must rebind too: a stale DataFrame pins the OLD
+        # snapshot (wrong rows after DML; FileNotFound after a
+        # CHECKPOINT/VACUUM garbage-collects its version dir)
+        for v in store.views():
+            vdf = store.scan_view(v, register=False)
+            for name in (f"{alias}_{v}", v):
+                vdf.createOrReplaceTempView(name)
+                if name not in db.views:
+                    db.views.append(name)
         return
     catalog.spark.sql(sql)

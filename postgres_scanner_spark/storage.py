@@ -169,14 +169,18 @@ class ManagedStore:
             raise ValueError(f"no such view {name!r}")
         os.remove(self._vpath(name))
 
-    def scan_view(self, name: str) -> DataFrame:
-        """Evaluate a stored view. The store's own tables are
-        (re)registered under their bare names first so the view text
-        resolves against the current snapshot."""
-        for t in self.tables():
-            self.scan(t).createOrReplaceTempView(t.replace(".", "_"))
-            if "." not in t:
-                self.scan(t).createOrReplaceTempView(t)
+    def scan_view(self, name: str, *, register: bool = True) -> DataFrame:
+        """Evaluate a stored view. With register=True (standalone use)
+        the store's tables are (re)registered under bare names so the
+        view text resolves; Catalog callers pass register=False — they
+        own the session's view namespace and registering here would
+        clobber same-named views of OTHER attached databases and leak
+        untracked names detach() never drops."""
+        if register:
+            for t in self.tables():
+                self.scan(t).createOrReplaceTempView(t.replace(".", "_"))
+                if "." not in t:
+                    self.scan(t).createOrReplaceTempView(t)
         return self.spark.sql(self.view_sql(name))
 
     # ---- constraints & defaults (reference: postgres_table_set.cpp
@@ -234,6 +238,13 @@ class ManagedStore:
         """
         if or_replace and (os.path.exists(self._pointer(table)) or (
                 self._txn is not None and table in self._txn)):
+            if self._txn is not None and os.path.exists(
+                    self._pointer(table)):
+                raise RuntimeError(
+                    "CREATE OR REPLACE of a committed table inside a "
+                    "transaction is not supported: the replace removes "
+                    "the committed snapshot immediately and ROLLBACK "
+                    "could not restore it")
             self.drop_table(table)
         if os.path.exists(self._pointer(table)) or (
                 self._txn is not None and table in self._txn):
@@ -261,6 +272,15 @@ class ManagedStore:
             if if_exists:
                 return
             raise ValueError(f"no such table {table!r}")
+        if self._txn is not None and os.path.exists(self._pointer(table)):
+            # a committed table's dir would be rmtree'd NOW — rollback
+            # could not undo it; only tables created inside this txn
+            # (no committed pointer yet) may be dropped transactionally
+            raise RuntimeError(
+                "DROP TABLE of a committed table inside a transaction "
+                "is not supported (destructive DDL is immediate here)")
+        if self._txn is not None:
+            self._txn.pop(table, None)
         shutil.rmtree(self._tdir(table))
 
     def scan(self, table: str) -> DataFrame:
@@ -375,6 +395,14 @@ class ManagedStore:
         (reference: storage/postgres_delete.cpp uses ctid batches;
         rewrite is the columnar-native equivalent)."""
         cur = self.scan(table)
+        if condition.strip().lower() in ("true", "1=1", "1 = 1"):
+            # whole-table DELETE: a constant-true filter would fold the
+            # plan to an empty relation and drop the observe node —
+            # truncate explicitly instead
+            n = cur.count()
+            self._write_new_version(
+                table, self.spark.createDataFrame([], cur.schema))
+            return n
         cond = F.expr(condition)
         obs = Observation()
         # single pass: the rewrite action also observes the match count
@@ -390,10 +418,17 @@ class ManagedStore:
     def update(self, table: str, condition: str,
                assignments: dict[str, str]) -> int:
         """UPDATE SET col=expr WHERE cond → projection rewrite
-        (reference: storage/postgres_update.cpp)."""
+        (reference: storage/postgres_update.cpp). Declared constraints
+        are enforced on the rewritten rows (Postgres enforces them on
+        UPDATE exactly as on INSERT)."""
         cur = self.scan(table)
         cond = F.expr(condition)
         schema = cur.schema
+        for c in assignments:
+            if c not in cur.columns:
+                raise ValueError(
+                    f'table {table!r} does not have a column with '
+                    f'name "{c}"')
         # updated expressions cast back to the column's declared type so a
         # rewrite can never change the table schema (postgres_insert.cpp
         # AddCast applies to UPDATE's row refeed as well)
@@ -407,6 +442,13 @@ class ManagedStore:
         out = cur.observe(
             obs, F.sum(F.when(cond, 1).otherwise(0)).alias("n")
         ).select(*proj)
+        # constraints hold under UPDATE too: validate only the rows
+        # the rewrite touches, against the untouched remainder — the
+        # same checks insert() runs, keyed to the DELTA, not the table
+        if self.table_meta(table):
+            updated = cur.filter(cond).select(*proj)
+            kept = cur.filter(~cond | cond.isNull())
+            self._enforce_constraints(table, updated, kept)
         self._write_new_version(table, out)
         return int(obs.get["n"] or 0)
 

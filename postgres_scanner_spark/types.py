@@ -62,6 +62,7 @@ _NAME_TO_SPARK: dict[str, T.DataType] = {
     "smallint": T.ShortType(),
     "int4": T.IntegerType(),
     "integer": T.IntegerType(),
+    "int": T.IntegerType(),
     "int8": T.LongType(),
     "bigint": T.LongType(),
     "oid": T.LongType(),
@@ -69,7 +70,10 @@ _NAME_TO_SPARK: dict[str, T.DataType] = {
     "float4": T.FloatType(),
     "real": T.FloatType(),
     "float8": T.DoubleType(),
+    "float": T.DoubleType(),
     "double precision": T.DoubleType(),
+    "double": T.DoubleType(),
+    "decimal": T.DoubleType(),   # bare DECIMAL w/o (p,s), like NUMERIC
     "text": T.StringType(),
     "varchar": T.StringType(),
     "character varying": T.StringType(),

@@ -264,3 +264,87 @@ def test_join_across_attached_databases(spark, tmp_path, sf_dir):
     assert len(got) == 2 and all(note.endswith("note") for _, note in got)
     cat.detach("tpch")
     cat.detach("notes")
+
+
+# ---- review-fix regressions -------------------------------------
+
+def test_update_with_function_call_and_no_where(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE uf(a INT, b INT)")
+    pg_execute(db, "s1", "INSERT INTO uf VALUES (1, 5)")
+    pg_execute(db, "s1", "INSERT INTO uf VALUES (7, 2)")
+    # comma inside the SET expression must not split the assignment
+    pg_execute(db, "s1", "UPDATE uf SET a = greatest(a, b) WHERE true")
+    assert _rows(db, "SELECT * FROM uf") == [(5, 5), (7, 2)]
+    # whole-table forms (no WHERE)
+    pg_execute(db, "s1", "UPDATE uf SET b = 0")
+    assert _rows(db, "SELECT * FROM uf") == [(5, 0), (7, 0)]
+    pg_execute(db, "s1", "DELETE FROM uf")
+    assert _rows(db, "SELECT * FROM uf") == []
+
+
+def test_update_enforces_constraints(db):
+    pg_execute(db, "s1",
+               "CREATE OR REPLACE TABLE uc(i INT PRIMARY KEY, "
+               "v INT CHECK (v < 100))")
+    pg_execute(db, "s1", "INSERT INTO uc VALUES (1, 10)")
+    pg_execute(db, "s1", "INSERT INTO uc VALUES (2, 20)")
+    with pytest.raises(ConstraintError, match="not-null"):
+        pg_execute(db, "s1", "UPDATE uc SET i = NULL WHERE i = 1")
+    with pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(db, "s1", "UPDATE uc SET i = 2 WHERE i = 1")
+    with pytest.raises(ConstraintError, match="check constraint"):
+        pg_execute(db, "s1", "UPDATE uc SET v = 142 WHERE i = 1")
+    pg_execute(db, "s1", "UPDATE uc SET v = 42 WHERE i = 1")
+    assert _rows(db, "SELECT * FROM uc") == [(1, 42), (2, 20)]
+    with pytest.raises(ValueError, match="does not have a column"):
+        pg_execute(db, "s1", "UPDATE uc SET vv = 1 WHERE i = 1")
+
+
+def test_alter_add_decimal_column(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE ad(i INT)")
+    pg_execute(db, "s1", "INSERT INTO ad VALUES (1)")
+    pg_execute(db, "s1", "ALTER TABLE ad ADD COLUMN price numeric(10,2)")
+    cols = dict((r.column_name, r.column_type) for r in
+                pg_query(db, "s1", "DESCRIBE ad").collect())
+    assert cols["price"] == "DECIMAL(10,2)"
+
+
+def test_drop_committed_table_in_txn_rejected(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE dt(i INT)")
+    pg_execute(db, "s1", "INSERT INTO dt VALUES (1)")
+    pg_execute(db, "s1", "BEGIN")
+    with pytest.raises(RuntimeError, match="transaction"):
+        pg_execute(db, "s1", "DROP TABLE dt")
+    pg_execute(db, "s1", "ROLLBACK")
+    assert _rows(db, "SELECT * FROM dt") == [(1,)]
+
+
+def test_stored_view_tracks_dml_and_checkpoint(db):
+    pg_execute(db, "s1", "CREATE OR REPLACE TABLE vb(i INT)")
+    pg_execute(db, "s1", "INSERT INTO vb VALUES (1)")
+    pg_execute(db, "s1", "INSERT INTO vb VALUES (9)")
+    pg_execute(db, "s1", "CREATE VIEW vview AS SELECT i FROM vb WHERE i > 2")
+    assert _rows(db, "SELECT * FROM vview") == [(9,)]
+    pg_execute(db, "s1", "INSERT INTO vb VALUES (5)")
+    # view must see the new snapshot, not the one it was bound to
+    assert _rows(db, "SELECT * FROM vview") == [(5,), (9,)]
+    pg_execute(db, "s1", "CHECKPOINT")
+    # and survive garbage collection of superseded versions
+    assert _rows(db, "SELECT * FROM vview") == [(5,), (9,)]
+
+
+def test_detach_restores_shared_bare_name(spark, tmp_path):
+    from postgres_scanner_spark.storage import ManagedStore
+    r1, r2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    ManagedStore(spark, r1).create_table(
+        "shared", spark.createDataFrame([(1,)], "v INT"))
+    ManagedStore(spark, r2).create_table(
+        "shared", spark.createDataFrame([(2,)], "v INT"))
+    cat = Catalog(spark)
+    cat.attach(r1, alias="a")
+    cat.attach(r2, alias="b")     # overwrites bare 'shared' with b's
+    assert [r.v for r in spark.sql("SELECT * FROM shared").collect()] == [2]
+    cat.detach("b")
+    # a's binding must be restored, not destroyed
+    assert [r.v for r in spark.sql("SELECT * FROM shared").collect()] == [1]
+    cat.detach("a")
