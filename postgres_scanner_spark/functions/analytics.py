@@ -424,6 +424,68 @@ GROUP BY source ORDER BY source
 """
 
 
+# ---- X5: sequence packing manifest (context-window layout)
+_X5_CTX = 2048     # tokens per packed training sequence
+
+
+def x5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: lay every document out on one
+    contiguous token tape (deterministic md5 order), cut the tape into
+    fixed 2048-token context windows, and report per-window occupancy —
+    the packing step that turns a filtered corpus into training
+    sequences. Documents crossing a window boundary are the
+    chunk-split points a loader needs to know.
+
+    One global running-sum window over (hash, doc_id) — at 100 TB this
+    would be a per-shard tape (partition by source/date, same plan) to
+    avoid the single global ordering; the manifest math is identical."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " "))
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    laid = d.select("doc_id", tok.alias("n_tok")) \
+        .withColumn("end_off", F.sum("n_tok").over(w)) \
+        .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
+    # integer division (DIV), not float floor: exact at any tape
+    # offset, matching DuckDB's // operator bit-for-bit
+    first_bin = F.expr(f"start_off DIV {_X5_CTX}")
+    last_bin = F.expr(f"(end_off - 1) DIV {_X5_CTX}")
+    spans = laid.select(
+        "doc_id", "n_tok", first_bin.alias("b0"), last_bin.alias("b1"),
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin"))
+    return (
+        spans.groupBy("bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("b0") != F.col("b1"), 1).otherwise(0))
+             .cast("long").alias("n_split_docs"),
+             F.min("doc_id").alias("first_doc"))
+        .orderBy("bin")
+    )
+
+
+_X5_SQL = f"""
+WITH laid AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         SUM(len(string_split(text, ' '))) OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM documents),
+spans AS (
+  SELECT doc_id, n_tok,
+         CAST((end_off - n_tok) // {_X5_CTX} AS BIGINT) AS b0,
+         CAST((end_off - 1) // {_X5_CTX} AS BIGINT) AS b1
+  FROM laid),
+expanded AS (
+  SELECT doc_id, n_tok, b0, b1, unnest(range(b0, b1 + 1)) AS bin
+  FROM spans)
+SELECT bin, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN b0 <> b1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_split_docs,
+       MIN(doc_id) AS first_doc
+FROM expanded GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -436,6 +498,7 @@ QUERIES = {
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
     "x4_source_mix": x4_source_mix,
+    "x5_sequence_pack": x5_sequence_pack,
 }
 
 ORACLE = {
@@ -450,4 +513,5 @@ ORACLE = {
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,
     "x4_source_mix": _X4_SQL,
+    "x5_sequence_pack": _X5_SQL,
 }
