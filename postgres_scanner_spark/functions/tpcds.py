@@ -4,10 +4,11 @@ The reference proves TPC-DS support by running queries 1-9 through the
 scanner (reference: test/sql/scanner/tpcds.test). The testdata has no
 TPC-DS tables, so this module re-expresses the *query shapes* those
 nine exercise — above-segment-average filters (Q1), calendar pivots
-(Q2), brand/year aggregation (Q3), CASE bucket counting (Q9),
-share-of-total windows, top-n-per-group, year-over-year growth, and
-set-operation cohorts — over the TPC-H-ish tables, each with a
-bit-exact DuckDB oracle.
+(Q2), brand/year aggregation (Q3), year-over-year cohort growth (Q4),
+union-of-channels rollup (Q5), multi-measure demographic averages
+(Q7), CASE bucket counting (Q9), share-of-total windows,
+top-n-per-group, and set-operation cohorts — over the TPC-H-ish
+tables, each with a bit-exact DuckDB oracle.
 
 Determinism follows functions/tpch.py's contract: money sums in
 DECIMAL cast to DOUBLE at the end, BIGINT counts, total-order
@@ -333,6 +334,103 @@ ORDER BY c_custkey
 """
 
 
+# ---- DS9 (Q5 shape): UNION ALL of two "channels" rolled up together.
+#      TPC-DS Q5 unions store/catalog/web sales then aggregates the
+#      union with a rollup; here the two channels are supply-side
+#      revenue (lineitem→supplier nation) and demand-side order volume
+#      (orders→customer nation), rolled up over (channel, nation).
+def ds9_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    supply = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.lit("supply").alias("channel"),
+                F.col("n_name").alias("nation"), _rev(l))
+    )
+    demand = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.lit("demand").alias("channel"),
+                F.col("n_name").alias("nation"),
+                F.col("o_totalprice").cast(_DEC).alias("rev_dec"))
+    )
+    return (
+        supply.unionByName(demand)
+        .rollup("channel", "nation")
+        .agg(F.sum("rev_dec").cast("double").alias("amount"),
+             F.count("*").alias("n_rows"))
+        .select(F.coalesce("channel", F.lit("ALL")).alias("channel"),
+                F.coalesce("nation", F.lit("ALL")).alias("nation"),
+                "amount", "n_rows")
+        .orderBy("channel", "nation")
+    )
+
+
+_DS9_SQL = """
+WITH u AS (
+  SELECT 'supply' AS channel, n_name AS nation,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           AS rev_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'demand' AS channel, n_name AS nation,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS rev_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT COALESCE(channel, 'ALL') AS channel,
+       COALESCE(nation, 'ALL') AS nation,
+       CAST(SUM(rev_dec) AS DOUBLE) AS amount,
+       COUNT(*) AS n_rows
+FROM u GROUP BY ROLLUP(channel, nation)
+ORDER BY channel, nation
+"""
+
+
+# ---- DS10 (Q7 shape): multi-measure averages per group under a
+#      dimension filter — TPC-DS Q7 averages quantity/list price/
+#      discount/sales price by item for one demographic slice.
+def ds10_avg_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("p_brand")
+        .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+              .cast("double") / F.count("*")).alias("avg_qty"),
+             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double") / F.count("*")).alias("avg_price"),
+             (F.sum(F.col("l_discount").cast("decimal(18,2)"))
+              .cast("double") / F.count("*")).alias("avg_disc"),
+             F.count("*").alias("n_lines"))
+        .orderBy("p_brand")
+    )
+
+
+_DS10_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_disc,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag IN ('A', 'R')
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "ds1_above_avg_customers": ds1_above_avg_customers,
     "ds2_weekday_share": ds2_weekday_share,
@@ -342,6 +440,8 @@ QUERIES = {
     "ds6_top_customers_per_region": ds6_top_customers_per_region,
     "ds7_yoy_growth": ds7_yoy_growth,
     "ds8_customer_cohort": ds8_customer_cohort,
+    "ds9_channel_rollup": ds9_channel_rollup,
+    "ds10_avg_measures": ds10_avg_measures,
 }
 
 ORACLE = {
@@ -353,4 +453,6 @@ ORACLE = {
     "ds6_top_customers_per_region": _DS6_SQL,
     "ds7_yoy_growth": _DS7_SQL,
     "ds8_customer_cohort": _DS8_SQL,
+    "ds9_channel_rollup": _DS9_SQL,
+    "ds10_avg_measures": _DS10_SQL,
 }
