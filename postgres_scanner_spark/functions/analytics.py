@@ -486,6 +486,48 @@ FROM expanded GROUP BY bin ORDER BY bin
 """
 
 
+# ---- X6: deterministic global training shuffle -----------------------
+def x6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a global shuffle position in a
+    deterministic pseudo-random order (md5 of the id) — how training
+    examples are globally shuffled before packing/sharding.
+
+    Scale design: a naive ROW_NUMBER() OVER (ORDER BY hash) funnels
+    100 TB through ONE window partition. Instead: (1) bucket by the
+    hash's first byte (256 buckets), (2) rank within each bucket —
+    window partitioned by bucket, parallel — and (3) add the exclusive
+    prefix-sum of bucket sizes, a 256-row window that costs nothing.
+    position = bucket_offset + in-bucket rank. Identical output to the
+    single-partition formulation (the oracle IS that formulation), but
+    every heavy stage is partition-parallel; at 100 TB the bucket
+    count just grows (first 2-3 hash bytes).
+    """
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ranked = hashed.withColumn("r", F.row_number().over(w_in))
+    sizes = hashed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_pre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1)
+    offsets = sizes.withColumn(
+        "off", F.coalesce(F.sum("n").over(w_pre), F.lit(0)))
+    return (
+        ranked.join(F.broadcast(offsets.select("bucket", "off")), "bucket")
+        .select("doc_id", (F.col("off") + F.col("r")).alias("shuffle_pos"))
+        .orderBy("shuffle_pos")
+    )
+
+
+_X6_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos
+FROM documents ORDER BY shuffle_pos
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -499,6 +541,7 @@ QUERIES = {
     "x3_vocab_topk": x3_vocab_topk,
     "x4_source_mix": x4_source_mix,
     "x5_sequence_pack": x5_sequence_pack,
+    "x6_global_shuffle": x6_global_shuffle,
 }
 
 ORACLE = {
@@ -514,4 +557,5 @@ ORACLE = {
     "x3_vocab_topk": _X3_SQL,
     "x4_source_mix": _X4_SQL,
     "x5_sequence_pack": _X5_SQL,
+    "x6_global_shuffle": _X6_SQL,
 }

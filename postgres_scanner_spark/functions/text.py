@@ -311,6 +311,51 @@ FROM wstat w LEFT JOIN bstat b USING (doc_id) ORDER BY doc_id
 """
 
 
+# ---- T8: character-entropy quality signal. Low-entropy docs are
+#      boilerplate/garbage (aaaaa...), abnormally high-entropy ones are
+#      random blobs — both are standard pre-training filters. Counting
+#      per-(doc, char) then folding H = log2(n) - Σ c·log2(c) / n keeps
+#      the whole thing in two map-side-combined aggregations; the
+#      (doc_id, char) shuffle key is high-cardinality and skew-free.
+def t8_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.lower(F.col("text")).alias("lc"))
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("lc"))).alias("i"),
+        F.col("lc")
+    ).select("doc_id", F.expr("substr(lc, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    log2 = lambda x: F.log(x) / F.log(F.lit(2.0))  # noqa: E731
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * log2(F.col("c"))).alias("clogc"),
+        F.count("*").alias("n_distinct_chars"))
+    return (
+        per_doc.select(
+            "doc_id", F.col("n").alias("n_chars_lc"), "n_distinct_chars",
+            F.round(log2(F.col("n")) - F.col("clogc") / F.col("n"), 4)
+            .alias("char_entropy"))
+        .orderBy("doc_id")
+    )
+
+
+_T8_SQL = """
+WITH chars AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INT), 1) AS ch
+  FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i)),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n, SUM(c * log2(c)) AS clogc,
+         COUNT(*) AS n_distinct_chars
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_lc, n_distinct_chars,
+       ROUND(log2(n) - clogc / n, 4) AS char_entropy
+FROM per_doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
@@ -319,6 +364,7 @@ QUERIES = {
     "t5_filter_pipeline": t5_filter_pipeline,
     "t6_pii_redact": t6_pii_redact,
     "t7_repetition_stats": t7_repetition_stats,
+    "t8_entropy_quality": t8_entropy_quality,
 }
 
 ORACLE = {
@@ -329,4 +375,5 @@ ORACLE = {
     "t5_filter_pipeline": _T5_SQL,
     "t6_pii_redact": _T6_SQL,
     "t7_repetition_stats": _T7_SQL,
+    "t8_entropy_quality": _T8_SQL,
 }

@@ -644,6 +644,59 @@ FROM totals t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id
 """
 
 
+# ------------------------------------------------- D8 incremental dedup
+def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe an INCOMING batch against the EXISTING corpus — the
+    steady-state ingestion path: the corpus is petabytes, the batch is
+    a day's crawl.
+
+    Scale design: the corpus side NEVER shuffles. The batch's distinct
+    content hashes are broadcast; the corpus is probed map-side with a
+    left-semi join (each corpus split checks its rows against the
+    in-memory hash set), and only the tiny collision set flows back.
+    The batch then anti-joins that broadcast collision set. Total
+    network traffic: 2 × |batch hashes|, zero corpus movement. (A
+    hash-bucketed corpus layout would even let the probe prune files;
+    the plan keeps the probe map-side either way.)
+
+    batch = source 'src1' docs re-identified, plus planted copies of
+    corpus docs 0-9 — exactly those must flag dup_in_corpus.
+    """
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("source") != "src1")
+    plants = corpus.filter(F.col("doc_id") < 10) \
+        .withColumn("doc_id", F.col("doc_id") + 400000)
+    batch = d.filter(F.col("source") == "src1").unionByName(plants)
+
+    h = F.md5(F.lower(F.col("text"))).alias("h")
+    batch_h = batch.select("doc_id", h)
+    probe = batch_h.select("h").distinct()
+    # corpus scans in place; broadcast semi-join = map-side hash probe
+    hits = (corpus.select(h)
+            .join(F.broadcast(probe), "h", "left_semi").distinct())
+    return (
+        batch_h.join(F.broadcast(hits.withColumn("dup", F.lit(True))),
+                     "h", "left")
+        .select("doc_id",
+                F.coalesce(F.col("dup"), F.lit(False))
+                .alias("dup_in_corpus"))
+        .orderBy("doc_id")
+    )
+
+
+_D8_SQL = """
+WITH corpus AS (SELECT * FROM documents WHERE source <> 'src1'),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT doc_id + 400000, text FROM corpus WHERE doc_id < 10),
+corpus_h AS (SELECT DISTINCT md5(lower(text)) AS h FROM corpus)
+SELECT b.doc_id,
+       md5(lower(b.text)) IN (SELECT h FROM corpus_h) AS dup_in_corpus
+FROM batch b ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
@@ -652,6 +705,7 @@ QUERIES = {
     "d5_embedding_dedup": d5_embedding_dedup,
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_contamination": d7_contamination,
+    "d8_incremental_dedup": d8_incremental_dedup,
 }
 
 ORACLE = {
@@ -662,4 +716,5 @@ ORACLE = {
     "d5_embedding_dedup": _D5_SQL,
     "d6_dedup_clusters": _D6_SQL,
     "d7_contamination": _D7_SQL,
+    "d8_incremental_dedup": _D8_SQL,
 }
