@@ -199,6 +199,10 @@ class Catalog:
         for v in db.views:
             self._release_view(db, v)
         db.views.clear()
+        if db.backend == "store":
+            # session temp tables die with the session (reference:
+            # attach_temporary_table.test — pg_temp is per-connection)
+            db.store.drop_schema("pg_temp", if_exists=True, cascade=True)
 
     def table(self, alias: str, name: str) -> DataFrame:
         db = self.attached[alias]

@@ -94,6 +94,13 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(
     rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_QIDENT};?\s*$", re.IGNORECASE)
+# CREATE TEMP/TEMPORARY TABLE x → CREATE TABLE pg_temp.x (reference:
+# attach_temporary_table.test — PG session temp tables live in the
+# lazily-created pg_temp schema, dropped at session end / detach)
+_TEMP_TABLE_RE = re.compile(
+    rf"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)(?:TEMP|TEMPORARY)\s+TABLE\s+"
+    rf"((?:IF\s+NOT\s+EXISTS\s+)?)(?!pg_temp\.)({_ID})(?!\.)",
+    re.IGNORECASE)
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     rf"{_QIDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
@@ -406,6 +413,7 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
     if db.backend == "store":
         # postgres_execute accepts multiple ';'-separated statements
         # (reference: postgres_execute_transaction.test)
+        sql = _TEMP_TABLE_RE.sub(r"\1TABLE \2pg_temp.\3", sql)
         stmts = _split_statements(sql)
         if len(stmts) > 1:
             for s in stmts:

@@ -254,7 +254,13 @@ class ManagedStore:
         if "." in table:
             schema = table.partition(".")[0]
             if not os.path.isfile(os.path.join(self.root, schema, "_schema")):
-                raise ValueError(f"no such schema {schema!r}")
+                if schema == "pg_temp":
+                    # the temp namespace materializes on first use
+                    # (reference: attach_temporary_table.test — PG
+                    # creates pg_temp lazily per session)
+                    self.create_schema("pg_temp", if_not_exists=True)
+                else:
+                    raise ValueError(f"no such schema {schema!r}")
         os.makedirs(self._tdir(table), exist_ok=True)
         if meta:
             self.set_table_meta(table, meta)

@@ -453,3 +453,46 @@ def test_copy_to_partitioned(spark, tmp_path):
     back = copy_from(spark, out, format="binary")
     assert back.count() == 30
     assert back.filter(back.src == "s1").count() == 10
+
+
+def test_temporary_tables(spark, tmp_path):
+    """Session temp tables in the lazily-created pg_temp namespace
+    (reference: test/sql/storage/attach_temporary_table.test:
+    CREATE TABLE s.pg_temp.my_datasets → INSERT → SELECT; temp tables
+    die with the session, here modeled by detach)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute, pg_query
+    root = str(tmp_path / "tempdb")
+    ManagedStore(spark, root).create_table(
+        "base", _mk(spark, [(1, "a", 1.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="s")
+
+    # CREATE TEMP TABLE rewrites into pg_temp; the schema materializes
+    pg_execute(cat, "s", "CREATE TEMPORARY TABLE my_datasets(val VARCHAR)")
+    store = cat.attached["s"].store
+    assert "pg_temp" in store.schemas()
+    assert "pg_temp.my_datasets" in store.tables()
+    assert store.scan("pg_temp.my_datasets").count() == 0
+
+    pg_execute(cat, "s",
+               "INSERT INTO pg_temp.my_datasets VALUES ('hello world')")
+    rows = pg_query(cat, "s", "SELECT * FROM s_pg_temp_my_datasets").collect()
+    assert [r.val for r in rows] == ["hello world"]
+
+    # TEMP spelling + IF NOT EXISTS + CTAS all route through the rewrite
+    pg_execute(cat, "s", "CREATE TEMP TABLE IF NOT EXISTS my_datasets"
+                         "(val VARCHAR)")
+    pg_execute(cat, "s", "CREATE TEMP TABLE scratch AS "
+                         "SELECT * FROM s_base")
+    assert store.scan("pg_temp.scratch").count() == 1
+
+    # qualified names never double-prefix
+    pg_execute(cat, "s", "DROP TABLE pg_temp.scratch")
+    assert "pg_temp.scratch" not in store.tables()
+
+    # detach = session end: the whole temp namespace is gone, base stays
+    cat.detach("s")
+    store2 = ManagedStore(spark, root)
+    assert "pg_temp" not in store2.schemas()
+    assert store2.tables() == ["base"]
