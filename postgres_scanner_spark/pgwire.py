@@ -280,6 +280,23 @@ def decode_field(oid: int, b: bytes) -> Any:
         return str(_uuid.UUID(bytes=b))
     if oid == pgt.JSONBOID:
         return b[1:].decode("utf-8")              # strip version byte
+    # built-in geometry (reference: postgres_binary_reader.hpp
+    # ReadGeometry): point → {x,y}; line/circle = 3 doubles,
+    # lseg/box = 4; path = closed-flag + count + points (flag
+    # dropped, like the reference); polygon = count + points
+    if oid == pgt.POINTOID:
+        x, y = struct.unpack("!dd", b)
+        return {"x": x, "y": y}
+    if oid in (pgt.LINEOID, pgt.CIRCLEOID):
+        return list(struct.unpack("!3d", b))
+    if oid in (pgt.LSEGOID, pgt.BOXOID):
+        return list(struct.unpack("!4d", b))
+    if oid == pgt.PATHOID:
+        (npts,) = struct.unpack_from("!i", b, 1)  # skip closed flag
+        return list(struct.unpack_from(f"!{2 * npts}d", b, 5))
+    if oid == pgt.POLYGONOID:
+        (npts,) = struct.unpack_from("!i", b, 0)
+        return list(struct.unpack_from(f"!{2 * npts}d", b, 4))
     return b.decode("utf-8")
 
 

@@ -30,6 +30,12 @@ TIDOID = 27
 JSONOID = 114
 XMLOID = 142
 POINTOID = 600
+LSEGOID = 601
+PATHOID = 602
+BOXOID = 603
+POLYGONOID = 604
+LINEOID = 628
+CIRCLEOID = 718
 FLOAT4OID = 700
 FLOAT8OID = 701
 MONEYOID = 790
@@ -93,14 +99,26 @@ _NAME_TO_SPARK: dict[str, T.DataType] = {
     "cidr": T.StringType(),
     "bit": T.StringType(),
     "varbit": T.StringType(),
-    "point": T.StringType(),
+    # built-in geometry (reference: postgres_utils.cpp TypeToLogicalType
+    # GEOM_* annotations; test attach_geometry.test): point → {x,y}
+    # struct, every other planar type → list<double>
+    "point": T.StructType([T.StructField("x", T.DoubleType(), True),
+                           T.StructField("y", T.DoubleType(), True)]),
+    "line": T.ArrayType(T.DoubleType()),
+    "lseg": T.ArrayType(T.DoubleType()),
+    "box": T.ArrayType(T.DoubleType()),
+    "path": T.ArrayType(T.DoubleType()),
+    "polygon": T.ArrayType(T.DoubleType()),
+    "circle": T.ArrayType(T.DoubleType()),
 }
 
 _OID_TO_NAME: dict[int, str] = {
     BOOLOID: "bool", BYTEAOID: "bytea", CHAROID: "char", NAMEOID: "name",
     INT8OID: "int8", INT2OID: "int2", INT4OID: "int4", TEXTOID: "text",
     OIDOID: "oid", TIDOID: "tid", JSONOID: "json", XMLOID: "xml",
-    POINTOID: "point", FLOAT4OID: "float4", FLOAT8OID: "float8",
+    POINTOID: "point", LSEGOID: "lseg", PATHOID: "path", BOXOID: "box",
+    POLYGONOID: "polygon", LINEOID: "line", CIRCLEOID: "circle",
+    FLOAT4OID: "float4", FLOAT8OID: "float8",
     MONEYOID: "money", MACADDROID: "macaddr", INETOID: "inet",
     CIDROID: "cidr", BPCHAROID: "bpchar", VARCHAROID: "varchar",
     DATEOID: "date", TIMEOID: "time", TIMESTAMPOID: "timestamp",

@@ -288,3 +288,38 @@ def test_multidim_array_roundtrip():
     payload = pgwire.encode_array(pgt.INT4OID, [[1, 2, 3], [4, 5, 6]],
                                   ndim=2)
     assert pgwire.decode_array(payload) == [[1, 2, 3], [4, 5, 6]]
+
+
+def test_geometry_decode_fixture_bytes():
+    """Geometry wire fixtures built from the PG send functions' layout
+    (reference: postgres_binary_reader.hpp ReadGeometry): point = 2
+    float8s → {x,y}; line/circle = 3; lseg/box = 4; path = closed flag
+    + count + points (flag dropped); polygon = count + points."""
+    assert decode_field(pgt.POINTOID, struct.pack("!dd", 1.0, 2.0)) == \
+        {"x": 1.0, "y": 2.0}
+    assert decode_field(pgt.LINEOID, struct.pack("!3d", 1.0, -1.0, 0.5)) == \
+        [1.0, -1.0, 0.5]
+    assert decode_field(pgt.CIRCLEOID, struct.pack("!3d", 0.0, 0.0, 2.5)) == \
+        [0.0, 0.0, 2.5]
+    assert decode_field(pgt.LSEGOID,
+                        struct.pack("!4d", 0.0, 0.0, 1.0, 1.0)) == \
+        [0.0, 0.0, 1.0, 1.0]
+    assert decode_field(pgt.BOXOID,
+                        struct.pack("!4d", 2.0, 2.0, 0.0, 0.0)) == \
+        [2.0, 2.0, 0.0, 0.0]
+    path = struct.pack("!bi", 1, 2) + struct.pack("!4d", 0., 0., 3., 4.)
+    assert decode_field(pgt.PATHOID, path) == [0.0, 0.0, 3.0, 4.0]
+    poly = struct.pack("!i", 3) + struct.pack("!6d", 0., 0., 1., 0., 0., 1.)
+    assert decode_field(pgt.POLYGONOID, poly) == \
+        [0.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+
+
+def test_geometry_spark_type_mapping():
+    from postgres_scanner_spark.types import pg_type_to_spark
+    from pyspark.sql import types as T
+    pt = pg_type_to_spark("point")
+    assert isinstance(pt, T.StructType)
+    assert [f.name for f in pt.fields] == ["x", "y"]
+    for name in ("line", "lseg", "box", "path", "polygon", "circle"):
+        dt = pg_type_to_spark(name)
+        assert dt == T.ArrayType(T.DoubleType()), name
