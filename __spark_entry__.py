@@ -60,8 +60,20 @@ def _collect(attr: str) -> dict:
     return out
 
 
+def _wrap_release(fn: Callable) -> Callable:
+    """Release the previous query's scratch-persisted intermediates
+    before building the next plan: cached dedup intermediates left in
+    the CacheManager slow every subsequent query (plan-subsumption
+    checks against huge cached trees) — see runtime.py."""
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from postgres_scanner_spark.runtime import release_scratch
+        release_scratch()
+        return fn(spark, sf_dir)
+    return inner
+
+
 def _collect_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _collect("QUERIES")
+    return {k: _wrap_release(v) for k, v in _collect("QUERIES").items()}
 
 
 def _collect_oracle() -> dict[str, str]:

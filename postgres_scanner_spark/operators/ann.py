@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..runtime import scratch_persist
+
 N_QUERIES = 5     # vec_id < 5 are the query vectors
 TOP_K = 3
 N_PLANES = 8
@@ -213,12 +215,11 @@ def a3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _dot(F.col("embedding"), F.col("c_emb")) \
         / (F.col("norm") * F.col("c_norm"))
     wa = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "cent_id")
-    assigned = (
+    assigned = scratch_persist(
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "norm", "cent_id", sim.alias("c_sim"))
         .withColumn("crk", F.row_number().over(wa))
-        .persist()   # feeds corpus lists AND query probes — one pass
-    )
+    )   # feeds corpus lists AND query probes — one pass
     corpus_lists = assigned.filter(
         (F.col("crk") == 1) & (F.col("vec_id") >= N_QUERIES)) \
         .select("vec_id", "embedding", "norm", "cent_id")

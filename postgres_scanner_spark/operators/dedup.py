@@ -24,6 +24,8 @@ operator unions in deterministic mutated copies of docs 0-24
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..runtime import scratch_persist
 from pyspark.sql import functions as F
 
 N_MINHASH = 8      # minhash permutations
@@ -151,8 +153,9 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 permutation minima fold into ONE map-side-combined aggregation
     that also yields the shingle-set sizes — md5 runs 2×|shingles|
     times total, with no higher-order-function interpretation cost."""
-    shx = shingle_index(corpus_with_plants(spark, sf_dir), 3) \
-        .persist()   # reused by signature+sizes AND verification
+    shx = scratch_persist(
+        shingle_index(corpus_with_plants(spark, sf_dir), 3)
+    )   # reused by signature+sizes AND verification
     h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
     h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
     sig = shx.groupBy("doc_id").agg(
@@ -161,7 +164,7 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"))
     # one row per doc; read by both sides of the band self-join and
     # twice more for pair sizes — persist beats 4 recomputations
-    sig = sig.persist()
+    sig = scratch_persist(sig)
     sizes = sig.select("doc_id", "n")
     bands = sig.select(
         "doc_id",
@@ -279,7 +282,7 @@ def d3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         val = bit if val is None else val + bit
     # one row per doc, read by both sides of the nibble-bucket
     # self-join — persist beats recomputing the token aggregation 2×
-    sim = sim.select("doc_id", val.alias("simhash")).persist()
+    sim = scratch_persist(sim.select("doc_id", val.alias("simhash")))
     nib = sim.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -344,7 +347,7 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the capped shingle universe on both sides (numerator AND
     denominator), so the statistic stays a true Jaccard and the DuckDB
     oracle replicates it bit-for-bit."""
-    shx = shingle_index(corpus_with_plants(spark, sf_dir), 2).persist()
+    shx = scratch_persist(shingle_index(corpus_with_plants(spark, sf_dir), 2))
     ndocs = shx.agg(
         F.count_distinct("doc_id").alias("n_docs"))
     dfreq = shx.groupBy("s").agg(F.count("*").alias("df"))
@@ -352,7 +355,7 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("df") <= _D4_MAX_DF_FRAC * F.col("n_docs"))
             .select("s"))
     # capped index feeds the self-join (twice) and the sizes — persist
-    shf = shx.join(keep, "s", "left_semi").persist()
+    shf = scratch_persist(shx.join(keep, "s", "left_semi"))
     sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = shf.alias("x"), shf.alias("y")
     inter = (
@@ -429,9 +432,10 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # norms are HOF-computed (interpreted) — persist so the lhs/rhs
     # block expansions don't evaluate every dot product twice
-    n = e.select("vec_id", "embedding",
-                 F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-                 (F.col("vec_id") % _D5_BLOCKS).alias("blk")).persist()
+    n = scratch_persist(e.select(
+        "vec_id", "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        (F.col("vec_id") % _D5_BLOCKS).alias("blk")))
     B = _D5_BLOCKS
     pairs = spark.createDataFrame(
         [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
@@ -529,7 +533,7 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Observation
     nodes, edges = _d6_graph(spark, sf_dir)
-    edges = edges.persist()   # read once per round — never rebuild the graph
+    edges = scratch_persist(edges)   # read once per round — never rebuild the graph
     labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")) \
         .localCheckpoint()
     prev_sum = None
