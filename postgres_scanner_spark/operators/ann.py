@@ -1,6 +1,6 @@
 """Approximate nearest-neighbor search over the embeddings table
-(SURVEY.md §2 A1-A4: brute-force top-k, LSH buckets, IVF lists,
-k-NN label propagation).
+(SURVEY.md §2 A1-A5: brute-force top-k, LSH buckets, IVF lists,
+k-NN label propagation, product quantization).
 
 A1: brute-force cosine top-k — the exact baseline. The (small) query
 set broadcasts against the corpus; the corpus is never shuffled, so
@@ -362,11 +362,172 @@ WHERE r = 1 ORDER BY query_id
 """
 
 
+# ------------------------------------- A5 product-quantization ANN
+_PQ_M = 8          # subspaces (64 dims → 8 × 8)
+_PQ_SUB = DIM // _PQ_M
+_PQ_K = 16         # sub-centroids per subspace
+_PQ_RERANK = 10    # ADC candidates reranked exactly
+
+
+def a5_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the memory-compression scale path.
+
+    Each 64-dim vector splits into 8 subvectors; each subvector
+    quantizes to the nearest of 16 sub-centroids, so the corpus
+    compresses to 8 small codes per vector (8 bytes vs 256 — the
+    enabler for holding a 100 TB embedding corpus's index in RAM).
+    Queries score candidates by asymmetric distance (ADC): a per-query
+    16×8 distance table, looked up per code and folded. The top
+    ADC candidates rerank by exact cosine.
+
+    Scale shape: sub-centroids are tiny and broadcast; the corpus is
+    encoded in one scan (codes = map-side struct-min aggregation, no
+    window); ADC scoring touches only the code table, never the full
+    vectors; exact vectors are fetched just for the rerank set. Real
+    deployments train centroids with KMeans — here they are
+    deterministic corpus seeds so the DuckDB oracle is bit-identical.
+    The ADC fold adds subspace distances in fixed m-order on BOTH
+    engines (ordered fold, not SUM) for bit-exact doubles."""
+    from .. import tables
+    e = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    sub_ids = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = F.slice("embedding", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
+    # sub-centroids: subvectors of corpus seeds (vec_id 5..20)
+    cent = (
+        e.filter((F.col("vec_id") >= N_QUERIES)
+                 & (F.col("vec_id") < N_QUERIES + _PQ_K))
+        .crossJoin(F.broadcast(sub_ids))
+        .select((F.col("vec_id") - N_QUERIES).cast("int").alias("k"),
+                F.col("m"), sub.alias("c_sub"))
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("v_sub"), F.col("c_sub"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, z: acc + z)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    # encode: argmin_k L2(sub, centroid) per (vec, m) — struct-min
+    # aggregates map-side (ties break on smallest k via struct order)
+    codes = (
+        corpus.crossJoin(F.broadcast(sub_ids))
+        .select("vec_id", "m", sub.alias("v_sub"))
+        .join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "k", l2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("best"))
+        .select("vec_id", "m", F.col("best.k").alias("code"))
+    )
+    # per-query distance table: 5 queries × 8 subspaces × 16 centroids
+    dt = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(sub_ids))
+        .select(F.col("vec_id").alias("query_id"), "m", sub.alias("v_sub"))
+        .join(F.broadcast(cent), "m")
+        .select("query_id", "m", "k", l2.alias("dtv"))
+    )
+    # ADC: ordered fold over the 8 subspace entries (bit-deterministic)
+    adc = (
+        codes.join(F.broadcast(dt), (codes.m == dt.m) & (codes.code == dt.k))
+        .select("vec_id", "query_id", codes.m.alias("m"), "dtv")
+        .groupBy("query_id", "vec_id")
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", "dtv"))),
+            F.lit(0.0), lambda acc, x: acc + x["dtv"]).alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    shortlist = adc.withColumn("ark", F.row_number().over(w_adc)) \
+        .filter(F.col("ark") <= _PQ_RERANK) \
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    # exact rerank of the ADC shortlist
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        shortlist
+        .join(e, shortlist.neighbor_id == e.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _a5_sql() -> str:
+    sub = ("list_transform(range({n}), i -> "
+           "CAST(embedding[m * {n} + i + 1] AS DOUBLE))").format(n=_PQ_SUB)
+    l2 = ("list_sum(list_transform(range({n}), i -> "
+          "(v_sub[i+1] - c_sub[i+1]) * (v_sub[i+1] - c_sub[i+1])))"
+          ).format(n=_PQ_SUB)
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
+cent AS (
+  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS k, m, {sub} AS c_sub
+  FROM n CROSS JOIN ms
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + _PQ_K}),
+corpus_sub AS (
+  SELECT vec_id, m, {sub} AS v_sub FROM n CROSS JOIN ms
+  WHERE vec_id >= {N_QUERIES}),
+enc AS (
+  SELECT vec_id, m, k, {l2} AS d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY {l2}, k) AS rn
+  FROM corpus_sub JOIN cent USING (m)),
+codes AS (SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
+query_sub AS (
+  SELECT vec_id AS query_id, m, {sub} AS v_sub FROM n CROSS JOIN ms
+  WHERE vec_id < {N_QUERIES}),
+dt AS (
+  SELECT query_id, m, k, {l2} AS dtv
+  FROM query_sub JOIN cent USING (m)),
+adc AS (
+  SELECT query_id, vec_id,
+         list_sum(list(dtv ORDER BY c.m)) AS adc
+  FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.k
+  GROUP BY query_id, vec_id),
+shortlist AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS ark
+  FROM adc),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM n WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_SQL_DOT.format(u='q_emb', v='c.embedding')} / (q_norm * c.norm)
+           AS cos_raw
+  FROM shortlist s
+  JOIN n c ON s.neighbor_id = c.vec_id
+  JOIN q ON s.query_id = q.query_id
+  WHERE s.ark <= {_PQ_RERANK}),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
     "a3_ivf_ann": a3_ivf_ann,
     "a4_knn_label": a4_knn_label,
+    "a5_pq_ann": a5_pq_ann,
 }
 
 ORACLE = {
@@ -374,4 +535,5 @@ ORACLE = {
     "a2_lsh_ann": _a2_sql(),
     "a3_ivf_ann": _a3_sql(),
     "a4_knn_label": _A4_SQL,
+    "a5_pq_ann": _a5_sql(),
 }
