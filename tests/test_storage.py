@@ -496,3 +496,16 @@ def test_temporary_tables(spark, tmp_path):
     store2 = ManagedStore(spark, root)
     assert "pg_temp" not in store2.schemas()
     assert store2.tables() == ["base"]
+
+
+def test_alter_rollback(spark, store):
+    """ALTER TABLE inside a transaction is undone by ROLLBACK
+    (reference: test/sql/storage/attach_alter_rollback.test)."""
+    store.create_table("test", _mk(spark, [(42, "x", 1.0)]))
+    store.begin()
+    store.add_column("test", "j", "NULL", "int")
+    assert "j" in store.scan("test").columns      # visible inside txn
+    assert store.scan("test").collect()[0].j is None
+    store.rollback()
+    assert "j" not in store.scan("test").columns  # gone after rollback
+    assert store.scan("test").count() == 1
