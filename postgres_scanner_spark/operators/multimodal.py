@@ -1,14 +1,14 @@
-"""Multimodal binary-column operators (SURVEY.md §2 M1-M3).
+"""Multimodal binary-column operators (SURVEY.md §2 M1-M4).
 
 Treats media as opaque `binary` columns with typed metadata, the way
 a 100 TB training-data lake stores images/audio/video next to text.
-The codec libraries aren't in this container, so the decode kernel is
-a clearly-marked deterministic stub — but the Spark-side plumbing is
-real: binary schema, Arrow-batched mapInPandas with an explicit
-output schema, and per-batch vectorized processing.
-
-No SQL oracle (mapInPandas pipelines are not SQL-expressible) —
-driver records rows-only checks.
+Heavy codec libraries aren't in this container, so M1/M2's decode
+kernel is a clearly-marked deterministic stub; M3 (image headers) and
+M4 (RIFF/WAV + PCM) are REAL parsers over the raw bytes. The
+Spark-side plumbing is real everywhere: binary schema, Arrow-batched
+mapInPandas with explicit output schemas, per-batch vectorized
+processing. Every op carries a FULL cross-engine SQL oracle — the
+corpora are synthesized so byte-level results are SQL-expressible.
 """
 
 from __future__ import annotations
@@ -257,14 +257,113 @@ FROM documents ORDER BY doc_id
 """
 
 
+_M4_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def m4_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio kernel: build a valid 16-bit mono RIFF/WAV per doc,
+    then parse the header (sample rate, bit depth) and the PCM data
+    chunk from the raw bytes — no audio library — and compute
+    per-clip features (peak amplitude, RMS energy).
+
+    Samples derive deterministically from doc_id, so the decoder's
+    output has a FULL SQL oracle (it must invert the encoder exactly:
+    header fields bit-for-bit, PCM via the same formula). RMS sums
+    squares in exact int64 before the single double division+sqrt, so
+    both engines produce identical doubles. Same two-stage Arrow
+    mapInPandas shape a 100 TB audio lake uses: decode streams
+    batch-at-a-time, features stay vectorized per batch."""
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    base = tables.load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def mk(doc_id: int) -> bytes:
+            n = 64 + doc_id % 64
+            pcm = b"".join(
+                struct.pack("<h", (doc_id * 31 + i * 17) % 2048 - 1024)
+                for i in range(n))
+            sr = 8000
+            hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                           sr * 2, 2, 16)
+                   + b"data" + struct.pack("<I", len(pcm)))
+            return hdr + pcm
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [mk(int(d)) for d in pdf["doc_id"]],
+            })
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(payload: bytes):
+            assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+            (_sz, _fmt, _ch, sr, _bps, _align, bits) = struct.unpack(
+                "<IHHIIHH", payload[16:36])
+            (data_len,) = struct.unpack("<I", payload[40:44])
+            n = data_len // (bits // 8)
+            xs = struct.unpack(f"<{n}h", payload[44:44 + data_len])
+            sq = sum(x * x for x in xs)          # exact int64 sum
+            rms = (sq / n) ** 0.5 if n else 0.0
+            return sr, n, max(abs(x) for x in xs) if xs else 0, rms
+
+        for pdf in batches:
+            parsed = [parse(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": [p[0] for p in parsed],
+                "n_samples": [p[1] for p in parsed],
+                "peak": [p[2] for p in parsed],
+                "rms": [round(p[3], 6) for p in parsed],
+            })
+
+    enc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    return (
+        base.mapInPandas(encode, schema=enc_schema)
+        .mapInPandas(features, schema=_M4_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+_M4_SQL = """
+WITH s AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n,
+         list_transform(range(64 + doc_id % 64),
+                        i -> (doc_id * 31 + i * 17) % 2048 - 1024) AS xs
+  FROM documents)
+SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak,
+       ROUND(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE)
+                  / n), 6) AS rms
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
     "m3_image_dims": m3_image_dims,
+    "m4_wav_features": m4_wav_features,
 }
 
 ORACLE: dict[str, str] = {
     "m1_decode_features": _M1_SQL,
     "m2_frame_sample": _M2_SQL,
     "m3_image_dims": _M3_SQL,
+    "m4_wav_features": _M4_SQL,
 }
