@@ -502,10 +502,12 @@ def x6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     every heavy stage is partition-parallel; at 100 TB the bucket
     count just grows (first 2-3 hash bytes).
     """
+    from ..runtime import scratch_persist
     d = _t(spark, sf_dir, "documents")
-    hashed = d.select(
+    # read twice (ranking + bucket sizes): persist to hash/scan once
+    hashed = scratch_persist(d.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
-    ).withColumn("bucket", F.substring("h", 1, 2))
+    ).withColumn("bucket", F.substring("h", 1, 2)))
     w_in = Window.partitionBy("bucket").orderBy("h", "doc_id")
     ranked = hashed.withColumn("r", F.row_number().over(w_in))
     sizes = hashed.groupBy("bucket").agg(F.count("*").alias("n"))

@@ -320,10 +320,14 @@ FROM wstat w LEFT JOIN bstat b USING (doc_id) ORDER BY doc_id
 def t8_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents") \
         .select("doc_id", F.lower(F.col("text")).alias("lc"))
+    # guard: sequence(1, 0) yields [1, 0] (descending), NOT empty —
+    # an empty text must explode to zero rows to match the oracle's
+    # empty range(1, 1)
+    idx = F.when(F.length("lc") > 0,
+                 F.sequence(F.lit(1), F.length("lc"))
+                 ).otherwise(F.array().cast("array<int>"))
     chars = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("lc"))).alias("i"),
-        F.col("lc")
+        "doc_id", F.explode(idx).alias("i"), F.col("lc")
     ).select("doc_id", F.expr("substr(lc, i, 1)").alias("ch"))
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
     log2 = lambda x: F.log(x) / F.log(F.lit(2.0))  # noqa: E731

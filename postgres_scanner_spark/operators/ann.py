@@ -389,7 +389,9 @@ def a5_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ADC fold adds subspace distances in fixed m-order on BOTH
     engines (ordered fold, not SUM) for bit-exact doubles."""
     from .. import tables
-    e = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    # five subtrees read the HOF-computed norms (centroids, corpus
+    # encode, query table, query side, rerank fetch) — persist once
+    e = scratch_persist(_with_norm(tables.load(spark, sf_dir, "embeddings")))
     sub_ids = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
     sub = F.slice("embedding", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
     # sub-centroids: subvectors of corpus seeds (vec_id 5..20)

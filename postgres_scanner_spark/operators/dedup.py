@@ -694,9 +694,14 @@ batch AS (
   SELECT doc_id, text FROM documents WHERE source = 'src1'
   UNION ALL
   SELECT doc_id + 400000, text FROM corpus WHERE doc_id < 10),
-corpus_h AS (SELECT DISTINCT md5(lower(text)) AS h FROM corpus)
+corpus_h AS (SELECT DISTINCT md5(lower(text)) AS h FROM corpus
+             WHERE text IS NOT NULL)
+-- COALESCE(..., FALSE): a NULL-text batch row is NOT a duplicate,
+-- matching the Spark plan's coalesce(dup, false) (NULL IN (...) is
+-- NULL in SQL, which would otherwise diverge)
 SELECT b.doc_id,
-       md5(lower(b.text)) IN (SELECT h FROM corpus_h) AS dup_in_corpus
+       COALESCE(md5(lower(b.text)) IN (SELECT h FROM corpus_h), FALSE)
+         AS dup_in_corpus
 FROM batch b ORDER BY b.doc_id
 """
 

@@ -178,6 +178,15 @@ class PostgresScanReader(DataSourceReader):
         # option("pushdown", "false") and let Spark filter post-scan.
         self.enable_pushdown = options.get("pushdown", "true") == "true"
         self.pushed: list[tuple] = []
+        # PG-declared type names from the schema probe (JSON col→udt):
+        # geometry columns (point/box/...) surface as Struct/Array
+        # Spark types, which spark_field_oid cannot disambiguate from
+        # real composites/float8[] — the udt picks the wire OID and
+        # suppresses the server-side cast so the native send format
+        # arrives (reference: postgres_binary_reader.hpp ReadGeometry)
+        import json as _json
+        self.pg_udts: dict[str, str] = _json.loads(
+            options.get("pg_udts", "{}"))
 
     # -- filter pushdown (reference: postgres_filter_pushdown.cpp)
     def pushFilters(self, filters: list[Filter]):
@@ -207,7 +216,7 @@ class PostgresScanReader(DataSourceReader):
             # live PG: wrap so every output column is cast to the wire
             # format the decoder expects (same as the table path)
             cols = ", ".join(
-                f'"{f.name}"{self._pg_cast(f.dataType)} AS "{f.name}"'
+                f'"{f.name}"{self._col_cast(f)} AS "{f.name}"'
                 for f in self.schema_.fields)
             return [_Task(f"SELECT {cols} FROM ({self.query}) AS q")]
         tasks = plan_scan_tasks(self.approx_pages,
@@ -223,6 +232,16 @@ class PostgresScanReader(DataSourceReader):
             task_wheres = [
                 t.predicate if len(tasks) > 1 else "" for t in tasks]
         return [_Task(self._sql(w)) for w in task_wheres]
+
+    def _col_cast(self, f: T.StructField) -> str:
+        """Per-column server-side cast; geometry columns (known from
+        the probe's udt) ship their NATIVE send format — the decoder
+        has dedicated branches — instead of an invalid ::float8[]/
+        struct cast derived from the Spark type."""
+        from .types import GEOMETRY_OIDS
+        if self.pg_udts.get(f.name) in GEOMETRY_OIDS:
+            return ""
+        return self._pg_cast(f.dataType)
 
     @staticmethod
     def _pg_cast(dt: T.DataType) -> str:
@@ -269,7 +288,7 @@ class PostgresScanReader(DataSourceReader):
             cols = ", ".join(f'"{f.name}"' for f in self.schema_.fields)
         else:
             cols = ", ".join(
-                f'"{f.name}"{self._pg_cast(f.dataType)} AS "{f.name}"'
+                f'"{f.name}"{self._col_cast(f)} AS "{f.name}"'
                 for f in self.schema_.fields)
         where = transform_filters(self.pushed)
         preds = []
@@ -323,10 +342,15 @@ class PostgresScanReader(DataSourceReader):
                 "live Postgres scans need psycopg on the executors; "
                 "use a duckdb:// dsn in this environment") from exc
         from .pgwire import BinaryCopyReader, ChunkStream, spark_field_oid
-        oids = [spark_field_oid(f.dataType) for f in self.schema_.fields]
+        from .types import GEOMETRY_OIDS
+        oids = [
+            GEOMETRY_OIDS.get(self.pg_udts.get(f.name),
+                              spark_field_oid(f.dataType))
+            for f in self.schema_.fields]
         array_cols = {
             i for i, f in enumerate(self.schema_.fields)
-            if isinstance(f.dataType, T.ArrayType)}
+            if isinstance(f.dataType, T.ArrayType)
+            and self.pg_udts.get(f.name) not in GEOMETRY_OIDS}
         reader = BinaryCopyReader(oids, array_cols)
         with psycopg.connect(self.dsn) as con, con.cursor() as cur:
             with cur.copy(
@@ -339,7 +363,10 @@ class PostgresScanDataSource(DataSource):
     def name(cls) -> str:
         return "postgres_scan"
 
+    _pg_udts: dict  # probed col → PG udt name (live-PG attach only)
+
     def schema(self):
+        self._pg_udts = {}
         dsn = self.options.get("dsn", "")
         table = self.options.get("table", "")
         query = self.options.get("query", "")
@@ -399,6 +426,7 @@ class PostgresScanDataSource(DataSource):
                 else:
                     dt = pg_type_to_spark(
                         udt or dtyp, precision=prec, scale=scale)
+                self._pg_udts[name] = (udt or dtyp or "").lower()
                 fields.append(T.StructField(name, dt, True))
         if not fields:
             raise ValueError(
@@ -406,4 +434,9 @@ class PostgresScanDataSource(DataSource):
         return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> PostgresScanReader:
-        return PostgresScanReader(schema, self.options)
+        import json
+        opts = dict(self.options)
+        udts = getattr(self, "_pg_udts", {})
+        if udts:
+            opts["pg_udts"] = json.dumps(udts)
+        return PostgresScanReader(schema, opts)

@@ -101,6 +101,12 @@ _TEMP_TABLE_RE = re.compile(
     rf"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)(?:TEMP|TEMPORARY)\s+TABLE\s+"
     rf"((?:IF\s+NOT\s+EXISTS\s+)?)(?!pg_temp\.)({_ID})(?!\.)",
     re.IGNORECASE)
+# explicit qualifier (CREATE TEMP TABLE pg_temp.t ...): just strip the
+# TEMP keyword — the name already routes to the temp namespace
+_TEMP_QUALIFIED_RE = re.compile(
+    r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)(?:TEMP|TEMPORARY)\s+TABLE\s+"
+    r"(?=(?:IF\s+NOT\s+EXISTS\s+)?pg_temp\.)",
+    re.IGNORECASE)
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     rf"{_QIDENT}\s+AS\s+(SELECT\s+.+?);?\s*$",
@@ -414,6 +420,7 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         # postgres_execute accepts multiple ';'-separated statements
         # (reference: postgres_execute_transaction.test)
         sql = _TEMP_TABLE_RE.sub(r"\1TABLE \2pg_temp.\3", sql)
+        sql = _TEMP_QUALIFIED_RE.sub(r"\1TABLE ", sql)
         stmts = _split_statements(sql)
         if len(stmts) > 1:
             for s in stmts:

@@ -112,6 +112,12 @@ _NAME_TO_SPARK: dict[str, T.DataType] = {
     "circle": T.ArrayType(T.DoubleType()),
 }
 
+# geometry udt name → wire OID (decode_field has a branch per entry)
+GEOMETRY_OIDS: dict[str, int] = {
+    "point": POINTOID, "lseg": LSEGOID, "path": PATHOID, "box": BOXOID,
+    "polygon": POLYGONOID, "line": LINEOID, "circle": CIRCLEOID,
+}
+
 _OID_TO_NAME: dict[int, str] = {
     BOOLOID: "bool", BYTEAOID: "bytea", CHAROID: "char", NAMEOID: "name",
     INT8OID: "int8", INT2OID: "int2", INT4OID: "int4", TEXTOID: "text",

@@ -180,3 +180,62 @@ def test_struct_and_nested_array_through_connector(registered, tmp_path):
     # struct field access + filter through Spark SQL
     assert df.filter(F.col("info.score") > 100).count() == \
         sum(1 for i in range(100) if i * 1.5 > 100)
+
+
+def test_geometry_columns_decode_by_udt_not_spark_type():
+    """Geometry columns surface as Struct/Array(Double) Spark types,
+    which are ambiguous (composite? float8[]?). The probed PG udt
+    must drive BOTH the wire OID and the cast suppression so the
+    native send format arrives and decodes (regression: point columns
+    crashed utf-8 decode; box columns generated invalid ::float8[]
+    server casts)."""
+    import json
+    import struct
+    from pyspark.sql import types as T
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.pg_datasource import PostgresScanReader
+    from postgres_scanner_spark.pgwire import BinaryCopyReader
+    from postgres_scanner_spark.types import GEOMETRY_OIDS
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("p", T.StructType([
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType())])),
+        T.StructField("b", T.ArrayType(T.DoubleType())),
+        T.StructField("fs", T.ArrayType(T.DoubleType())),  # real float8[]
+    ])
+    udts = {"p": "point", "b": "box"}
+    r = PostgresScanReader(schema, {
+        "dsn": "host=h dbname=d", "table": "t",
+        "pg_udts": json.dumps(udts)})
+    # cast: geometry ships native; the true array still casts
+    assert r._col_cast(schema["p"]) == ""
+    assert r._col_cast(schema["b"]) == ""
+    assert r._col_cast(schema["fs"]) == "::float8[]"
+    # the OID/array-col derivation _read_live_pg performs
+    from postgres_scanner_spark.pgwire import spark_field_oid
+    oids = [GEOMETRY_OIDS.get(udts.get(f.name),
+                              spark_field_oid(f.dataType))
+            for f in schema.fields]
+    assert oids == [pgt.INT8OID, pgt.POINTOID, pgt.BOXOID, pgt.TEXTOID]
+    array_cols = {i for i, f in enumerate(schema.fields)
+                  if isinstance(f.dataType, T.ArrayType)
+                  and udts.get(f.name) not in GEOMETRY_OIDS}
+    assert array_cols == {3}
+    # and the wire decode of a full row in those native formats
+    from tests.test_pgwire import _field, _header, TRAILER
+    row = (struct.pack("!h", 4)
+           + _field(struct.pack("!q", 7))
+           + _field(struct.pack("!dd", 1.0, 2.0))
+           + _field(struct.pack("!4d", 2.0, 2.0, 0.0, 0.0))
+           + _field(struct.pack("!iii", 1, 0, pgt.FLOAT8OID)
+                    + struct.pack("!ii", 2, 1)
+                    + struct.pack("!i", 8) + struct.pack("!d", 0.5)
+                    + struct.pack("!i", 8) + struct.pack("!d", 1.5)))
+    stream = _header() + row + TRAILER
+    import io
+    reader = BinaryCopyReader(oids, array_cols)
+    rows = list(reader.read(io.BytesIO(stream)))
+    assert rows == [(7, {"x": 1.0, "y": 2.0},
+                     [2.0, 2.0, 0.0, 0.0], [0.5, 1.5])]

@@ -491,6 +491,11 @@ def test_temporary_tables(spark, tmp_path):
     pg_execute(cat, "s", "DROP TABLE pg_temp.scratch")
     assert "pg_temp.scratch" not in store.tables()
 
+    # explicit qualifier WITH the TEMP keyword (valid PG): the
+    # rewrite strips TEMP instead of skipping the statement
+    pg_execute(cat, "s", "CREATE TEMP TABLE pg_temp.q2(val VARCHAR)")
+    assert "pg_temp.q2" in store.tables()
+
     # detach = session end: the whole temp namespace is gone, base stays
     cat.detach("s")
     store2 = ManagedStore(spark, root)
