@@ -24,6 +24,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(cpus=CPUS)
+    # Benchmark-session tuning, measured at sf0.1 (see PLANS.md):
+    # AQE's stage-by-stage materialization costs 0.5-1.3 s per
+    # sub-second query and buys nothing here — every plan is already
+    # broadcast + single-shuffle with no skew to re-plan around. At
+    # cluster scale AQE goes back on (the gate and all other entry
+    # points keep the default). Small fixed shuffle fan-out for the
+    # same reason: 32-task shuffle stages over kilobytes are pure
+    # scheduling overhead.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     tables.warm(spark, SF_DIR)
     qs = entrymod.queries()
     headline = [
