@@ -101,6 +101,39 @@ def cc_shape(docs: DataFrame) -> int:
     return n
 
 
+def d8_shape(docs: DataFrame) -> int:
+    """Incremental dedup: batch-hash broadcast probe of the corpus
+    (the corpus side must stay exchange-free at any R)."""
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    h = F.md5(F.lower(F.col("text"))).alias("h")
+    probe = batch.select(h).distinct()
+    hits = (corpus.select(h)
+            .join(F.broadcast(probe), "h", "left_semi").distinct())
+    kept = batch.select("doc_id", h).join(
+        F.broadcast(hits), "h", "left_anti")
+    return kept.count()
+
+
+def x6_shape(docs: DataFrame) -> int:
+    """Bucket-parallel global shuffle-position assignment."""
+    from pyspark.sql.window import Window
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ranked = hashed.withColumn("r", F.row_number().over(w_in))
+    sizes = hashed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_pre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1)
+    offsets = sizes.withColumn(
+        "off", F.coalesce(F.sum("n").over(w_pre), F.lit(0)))
+    out = ranked.join(F.broadcast(offsets.select("bucket", "off")),
+                      "bucket").select(
+        "doc_id", (F.col("off") + F.col("r")).alias("pos"))
+    return out.count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from postgres_scanner_spark import get_spark
@@ -113,18 +146,28 @@ def main() -> None:
     d2_core(docs.limit(50))
     t7_shape(docs.limit(50))
     cc_shape(docs.limit(50))
+    d8_shape(docs.limit(50))
+    x6_shape(docs.limit(50))
     print(f"{'op':10} {'R':>3} {'rows':>12} {'sec':>8} {'sec/R':>8}")
     for name, base, key, stride, fn in (
             ("q1_agg", li, "l_orderkey", 10_000_000, q1_shape),
             ("d2_core", docs, "doc_id", 1_000_000, d2_core),
             ("t7_stats", docs, "doc_id", 1_000_000, t7_shape),
-            ("cc_iter", docs, "doc_id", 1_000_000, cc_shape)):
+            ("cc_iter", docs, "doc_id", 1_000_000, cc_shape),
+            ("d8_incr", docs, "doc_id", 1_000_000, d8_shape),
+            ("x6_shuf", docs, "doc_id", 1_000_000, x6_shape)):
         for r in (1, 4, 16):
-            df = amplify(base, r, key, stride)
+            # persist the amplified input: a real R×-sized table is
+            # materialized storage, while the amplify() union would
+            # otherwise be re-scanned once per plan subtree (an op
+            # with nested broadcasts re-reads it 3×, charging harness
+            # cost to the operator)
+            df = amplify(base, r, key, stride).persist()
             n = df.count()
             t0 = time.perf_counter()
             fn(df)
             dt = time.perf_counter() - t0
+            df.unpersist()
             print(f"{name:10} {r:>3} {n:>12} {dt:>8.2f} {dt / r:>8.2f}",
                   flush=True)
     spark.stop()
