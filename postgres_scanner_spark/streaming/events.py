@@ -461,6 +461,95 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------- E10 watermark late-data drop accounting
+_E10_SPLIT = "2024-01-16 00:00:00"   # batch boundary (events span Jan)
+_E10_LATE_N = 200                    # planted late copies (earliest events)
+
+
+def e10_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode hourly counts under a 1-hour watermark with LATE
+    DATA INJECTED — pins the exact drop/finalize semantics:
+
+    Three micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+    batch 1 = events before Jan 16; batch 2 = the rest; batch 3 =
+    copies of the 200 earliest events — by then the watermark stands
+    at max(ts) − 1 h ≈ Jan 30 and their windows are already finalized
+    and emitted, so every planted copy is LATE and must be dropped
+    (measured: the watermark's late-row filter takes effect only once
+    the target window's state has been EVICTED, which lags the
+    watermark update by a batch — hence the dedicated third batch).
+    availableNow's trailing no-data batch advances the watermark and
+    emits every finalized window (end ≤ final watermark).
+
+    Oracle: hourly counts over the ORIGINAL events (plants dropped ⇒
+    they never inflate the early windows, which DO get emitted — the
+    discriminating check), restricted to finalized windows. All
+    boundaries fall mid-hour in this dataset, so <= vs < ties cannot
+    occur. Deterministic end-to-end."""
+    import hashlib
+    import os
+    import time as _time
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        "/tmp", "pg_spark_late_"
+        + hashlib.md5(f"v2:{src}".encode()).hexdigest()[:8])
+    done = os.path.join(stage, "_staged")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        os.makedirs(stage, exist_ok=True)
+        t = pq.read_table(src)
+        import datetime as _dt
+        split = pa.scalar(_dt.datetime.fromisoformat(_E10_SPLIT),
+                          type=t["ts"].type)
+        first = t.filter(pc.less(t["ts"], split))
+        rest = t.filter(pc.greater_equal(t["ts"], split))
+        early = t.sort_by("ts").slice(0, _E10_LATE_N)
+        late = early.set_column(
+            early.schema.get_field_index("event_id"), "event_id",
+            pc.add(early["event_id"], 10_000_000))
+        pq.write_table(first, os.path.join(stage, "b1.parquet"))
+        pq.write_table(rest, os.path.join(stage, "b2.parquet"))
+        pq.write_table(late, os.path.join(stage, "b3.parquet"))
+        now = _time.time()
+        for i, f in enumerate(("b1.parquet", "b2.parquet", "b3.parquet")):
+            os.utime(os.path.join(stage, f),
+                     (now - 60 + 30 * i, now - 60 + 30 * i))
+        open(done, "w").close()
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:00")
+                .alias("hour"), "n")
+    )
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory")
+             .queryName("e10_late")
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+    return spark.table("e10_late").orderBy("hour")
+
+
+_E10_SQL = f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+agg AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events GROUP BY h)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n
+FROM agg, wm WHERE h + INTERVAL 1 HOUR <= w ORDER BY hour
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -471,6 +560,7 @@ QUERIES = {
     "e7_streaming_dedup": e7_streaming_dedup,
     "e8_stream_stream_join": e8_stream_stream_join,
     "e9_stream_ingest_store": e9_stream_ingest_store,
+    "e10_late_data_policy": e10_late_data_policy,
 }
 
 ORACLE = {
@@ -487,4 +577,5 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
     "e7_streaming_dedup": _E7_SQL,
     "e8_stream_stream_join": _E8_SQL,
     "e9_stream_ingest_store": _E9_SQL,
+    "e10_late_data_policy": _E10_SQL,
 }
