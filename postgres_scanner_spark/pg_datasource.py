@@ -332,9 +332,10 @@ class PostgresScanReader(DataSourceReader):
         and decode the PGCOPY frames with pgwire — the same wire path
         as the reference (postgres_connection.cpp BeginCopyTo +
         postgres_binary_reader.hpp). Yields plain tuples; Spark
-        converts per the declared schema. Untestable without a server
-        in this container; the frame decoder itself is fixture-tested
-        in tests/test_pgwire.py."""
+        converts per the declared schema. Tested end-to-end against a
+        mocked psycopg feeding recorded PGCOPY chunks
+        (tests/test_datasource.py) plus fixture-level decoder tests
+        (tests/test_pgwire.py) — everything but the TCP socket."""
         try:
             import psycopg
         except ImportError as exc:
