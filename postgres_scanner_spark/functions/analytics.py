@@ -486,6 +486,98 @@ FROM expanded GROUP BY bin ORDER BY bin
 """
 
 
+# ---- W8: range join (banded) -----------------------------------------
+# Non-uniform value bands; a naive `v BETWEEN lo AND hi` theta-join
+# plans as BroadcastNestedLoopJoin (O(n·bands) serialized). The scale
+# path decomposes each band into fixed-width buckets, explodes the
+# tiny band table to (bucket, band) rows, and equi-joins events on
+# floor(value/width) — then refines with the exact predicate. Every
+# probe touches exactly one bucket; the join is a hash join however
+# large the fact side grows.
+_W8_BANDS = [  # (band, lo, hi) — deliberately non-uniform, half-open
+    ("micro", 0.0, 5.0), ("small", 5.0, 25.0),
+    ("mid", 25.0, 60.0), ("large", 60.0, 1000.0),
+]
+_W8_BUCKET = 5.0
+
+
+def w8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in _W8_BANDS],
+        "band STRING, lo DOUBLE, hi DOUBLE")
+    # band → covered fixed-width buckets (tiny explode, band table side)
+    bands_b = bands.select(
+        "band", "lo", "hi",
+        F.explode(F.sequence(
+            (F.col("lo") / _W8_BUCKET).cast("long"),
+            ((F.col("hi") - 1e-9) / _W8_BUCKET).cast("long"))).alias("b"))
+    ev = e.select("event_id", "value",
+                  (F.col("value") / _W8_BUCKET).cast("long").alias("b"))
+    return (
+        ev.join(F.broadcast(bands_b), "b")
+        .filter((F.col("value") >= F.col("lo"))
+                & (F.col("value") < F.col("hi")))     # exact refine
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("band")
+    )
+
+
+def _w8_sql() -> str:
+    rows = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _W8_BANDS)
+    return f"""
+WITH bands(band, lo, hi) AS (VALUES {rows})
+SELECT band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band ORDER BY band
+"""
+
+
+# ---- W9: hypertable continuous aggregate ------------------------------
+_W9_CUTOVER = "2024-01-25 00:00:00"
+
+
+def w9_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style continuous aggregate: hourly rollups for the
+    'materialized' region (ts < cutover) come from a pre-aggregated
+    relation; the live tail (ts ≥ cutover) aggregates from raw at
+    query time; the result is their union — identical to aggregating
+    everything, which is exactly what the oracle checks.
+
+    At 100 TB the materialized half is a stored table maintained by
+    E9-style streaming ingest (here it is derived in-plan so the
+    operator stays self-contained); query cost is O(tail) + O(buckets
+    read), never O(history). Both halves are single-shuffle rollups.
+    """
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+    agg = lambda df: (df.groupBy(hour.alias("hour"))     # noqa: E731
+                      .agg(F.count("*").alias("n"),
+                           F.sum(F.col("value").cast("decimal(14,2)"))
+                           .alias("sv")))
+    materialized = agg(e.filter(F.col("ts") < _W9_CUTOVER))
+    tail = agg(e.filter(F.col("ts") >= _W9_CUTOVER))
+    return (
+        materialized.unionByName(tail)
+        # hour buckets never straddle the cutover (it is on the hour),
+        # so the union IS the final rollup — no re-aggregation needed
+        .select("hour", "n", F.col("sv").cast("double").alias("sum_value"))
+        .orderBy("hour")
+    )
+
+
+_W9_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY hour ORDER BY hour
+"""
+
+
 # ---- X6: deterministic global training shuffle -----------------------
 def x6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document a global shuffle position in a
@@ -538,6 +630,8 @@ QUERIES = {
     "w5_lag_delta": w5_lag_delta,
     "w6_asof_join": w6_asof_join,
     "w7_percentiles": w7_percentiles,
+    "w8_range_join": w8_range_join,
+    "w9_continuous_aggregate": w9_continuous_aggregate,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -554,6 +648,8 @@ ORACLE = {
     "w5_lag_delta": _W5_SQL,
     "w6_asof_join": _W6_SQL,
     "w7_percentiles": _W7_SQL,
+    "w8_range_join": _w8_sql(),
+    "w9_continuous_aggregate": _W9_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,
