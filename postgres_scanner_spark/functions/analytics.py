@@ -1,5 +1,7 @@
-"""Advanced analytics surface: grouping sets / rollup / cube, window
-functions, and an as-of join (SURVEY.md §2 W1-W6).
+"""Advanced analytics surface (SURVEY.md §2 W1-W9, X1-X6): grouping
+sets / rollup / cube, window functions, as-of join, banded range
+join, continuous aggregate, sketches, sampling, vocab, domain mixing,
+sequence packing, and the global training shuffle.
 
 The reference proves TPC-DS through its scanner
 (reference: test/sql/scanner/tpcds.test); these queries exercise the

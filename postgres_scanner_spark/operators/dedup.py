@@ -1,8 +1,9 @@
-"""Deduplication operators over the documents table (SURVEY.md §2 D1-D7).
+"""Deduplication operators over the documents table (SURVEY.md §2 D1-D8).
 
 Training-data pipeline staples: exact dedup, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup, connected-components
-dedup clustering, and benchmark-contamination scanning. All implementations
+dedup clustering, benchmark-contamination scanning, and incremental
+batch-vs-corpus dedup. All implementations
 are pure DataFrame plans (no Python UDFs) built from engine-agnostic
 primitives (md5) so the DuckDB oracle can replicate them bit-for-bit.
 
