@@ -44,6 +44,18 @@ class _stream_shuffle:
         return False
 
 
+def _drain(q, timeout_s: int = 300) -> None:
+    """Await an availableNow drain; fail LOUDLY on timeout instead of
+    letting callers read a partially-filled memory sink from a query
+    that is still running (a truncated result would surface as a
+    baffling oracle mismatch far from the cause)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_s}s; partial results "
+            "discarded")
+
+
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import tables
     return tables.load(spark, sf_dir, "events")
@@ -150,7 +162,7 @@ def e3_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("complete")
              .trigger(availableNow=True)
              .start())
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table("e3_hourly").orderBy("hour", "event_type")
 
 
@@ -282,7 +294,7 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         q = (stream.writeStream.format("memory").queryName("e6_state")
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _drain(q)
     # final state per user (n_events is monotone across emissions)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (spark.table("e6_state")
@@ -333,7 +345,7 @@ def e7_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         q = (stream.writeStream.format("memory").queryName("e7_dedup")
              .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table("e7_dedup").orderBy("event_type")
 
 
@@ -387,7 +399,7 @@ def e8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         q = (out.writeStream.format("memory").queryName("e8_join")
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table("e8_join").orderBy("view_id", "click_id")
 
 
@@ -443,7 +455,7 @@ def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True)
              .option("checkpointLocation", os.path.join(root, "_ckpt"))
              .start())
-        q.awaitTermination(300)
+        _drain(q)
     return (
         store.scan("events_bronze")
         .groupBy("event_type")
@@ -488,19 +500,27 @@ def e10_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     occur. Deterministic end-to-end."""
     import hashlib
     import os
+    import shutil
     import time as _time
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     src = f"{sf_dir}/events.parquet"
+    # stage key covers the source CONTENT (mtime+size) and the batch
+    # tunables: regenerated testdata or retuned constants must never
+    # replay stale batches against a fresh oracle
+    st = os.stat(src)
+    key = f"v3:{src}:{st.st_mtime_ns}:{st.st_size}:{_E10_SPLIT}:{_E10_LATE_N}"
     stage = os.path.join(
-        "/tmp", "pg_spark_late_"
-        + hashlib.md5(f"v2:{src}".encode()).hexdigest()[:8])
-    done = os.path.join(stage, "_staged")
-    if not os.path.exists(done):
+        "/tmp", "pg_spark_late_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.isdir(stage):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        os.makedirs(stage, exist_ok=True)
+        # build in a private tmp dir, then rename into place — the
+        # file-stream source must never list half-written parquet,
+        # and concurrent stagers race harmlessly (loser discards)
+        tmp = f"{stage}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src)
         import datetime as _dt
         split = pa.scalar(_dt.datetime.fromisoformat(_E10_SPLIT),
@@ -511,14 +531,17 @@ def e10_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         late = early.set_column(
             early.schema.get_field_index("event_id"), "event_id",
             pc.add(early["event_id"], 10_000_000))
-        pq.write_table(first, os.path.join(stage, "b1.parquet"))
-        pq.write_table(rest, os.path.join(stage, "b2.parquet"))
-        pq.write_table(late, os.path.join(stage, "b3.parquet"))
+        pq.write_table(first, os.path.join(tmp, "b1.parquet"))
+        pq.write_table(rest, os.path.join(tmp, "b2.parquet"))
+        pq.write_table(late, os.path.join(tmp, "b3.parquet"))
         now = _time.time()
         for i, f in enumerate(("b1.parquet", "b2.parquet", "b3.parquet")):
-            os.utime(os.path.join(stage, f),
+            os.utime(os.path.join(tmp, f),
                      (now - 60 + 30 * i, now - 60 + 30 * i))
-        open(done, "w").close()
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -537,7 +560,7 @@ def e10_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append")
              .trigger(availableNow=True)
              .start())
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table("e10_late").orderBy("hour")
 
 
