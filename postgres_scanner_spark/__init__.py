@@ -6,6 +6,7 @@ Public API mirrors the reference's function surface:
   attach / detach            (ATTACH ... TYPE postgres)
   scan / jdbc_scan           (postgres_scan)
   pg_query / pg_execute      (postgres_query / postgres_execute)
+  execute_statement          (session SQL: ATTACH / USE / DETACH / DML)
   copy_to / copy_from        (COPY ... incl. binary format)
   SETTINGS                   (pg_* options)
   ManagedStore               (writable attached storage: DML + txns)
@@ -18,7 +19,7 @@ from pyspark.sql import SparkSession
 from .catalog import AttachedDatabase, Catalog
 from .connection import ConnectionInfo, parse_dsn
 from .copyio import copy_from, copy_to
-from .queryfn import pg_execute, pg_query
+from .queryfn import execute_statement, pg_execute, pg_query
 from .scan import build_jdbc_options, jdbc_scan, parquet_scan, plan_scan_tasks
 from .settings import SETTINGS, Settings
 from .pg_datasource import PostgresScanDataSource
@@ -27,7 +28,7 @@ from .storage import ManagedStore
 __all__ = [
     "AttachedDatabase", "Catalog", "ConnectionInfo", "ManagedStore",
     "PostgresScanDataSource", "SETTINGS", "Settings", "build_jdbc_options",
-    "copy_from", "copy_to",
+    "copy_from", "copy_to", "execute_statement",
     "get_spark", "jdbc_scan", "parse_dsn", "parquet_scan", "pg_execute",
     "pg_query", "plan_scan_tasks",
 ]

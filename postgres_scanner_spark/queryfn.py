@@ -533,3 +533,72 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                     db.views.append(name)
         return
     catalog.spark.sql(sql)
+
+
+# ---------------------------------------------------------------------
+# Session-level SQL: the reference is driven entirely through SQL —
+# `ATTACH 'dsn' AS s (TYPE POSTGRES, ...)`, `USE s`, `DETACH s` — so
+# the engine accepts the same statements (reference:
+# postgres_attach.cpp AttachFunction; test/sql/storage/attach_*.test).
+_ATTACH_RE = re.compile(
+    rf"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']*)'\s+AS\s+{_IDENT}\s*"
+    rf"(?:\(([^()]*)\))?\s*;?\s*$", re.IGNORECASE)
+_DETACH_RE = re.compile(
+    rf"^\s*DETACH\s+(?:DATABASE\s+)?{_IDENT}\s*;?\s*$", re.IGNORECASE)
+_USE_RE = re.compile(rf"^\s*USE\s+{_IDENT}\s*;?\s*$", re.IGNORECASE)
+
+
+def _parse_attach_options(opts: str) -> dict:
+    """`TYPE POSTGRES, READ_ONLY, SCHEMA 'x'` → kwargs. Unknown
+    options raise (matching the reference's binder errors)."""
+    out: dict = {}
+    for raw in opts.split(","):
+        o = raw.strip()
+        if not o:
+            continue
+        up = o.upper()
+        if up.startswith("TYPE"):
+            typ = o.split(None, 1)[1].strip().strip("'\"").upper()
+            if typ != "POSTGRES":
+                raise ValueError(f"unsupported ATTACH type {typ!r}")
+        elif up == "READ_ONLY" or up == "READ_ONLY TRUE":
+            out["read_only"] = True
+        elif up.startswith("SCHEMA") or up.startswith("SOURCE_SCHEMA"):
+            out["schema"] = o.split(None, 1)[1].strip().strip("'\"")
+        else:
+            raise ValueError(f"unknown ATTACH option {o!r}")
+    return out
+
+
+def execute_statement(catalog: Catalog, sql: str):
+    """Single SQL entry point for session statements: routes
+    ATTACH/DETACH/USE here, everything else to `pg_execute` against
+    the current database (set by USE, else the sole attached one)."""
+    if m := _ATTACH_RE.match(sql):
+        source, alias, opts = m.group(1), _unquote(m.group(2)), m.group(3)
+        kwargs = _parse_attach_options(opts or "")
+        db = catalog.attach(source, alias=alias, **kwargs)
+        if getattr(catalog, "current", None) is None:
+            catalog.current = alias
+        return db
+    if m := _DETACH_RE.match(sql):
+        alias = _unquote(m.group(1))
+        catalog.detach(alias)
+        if getattr(catalog, "current", None) == alias:
+            catalog.current = None
+        return None
+    if m := _USE_RE.match(sql):
+        alias = _unquote(m.group(1))
+        if alias not in catalog.attached:
+            raise KeyError(f"no attached database {alias!r}")
+        catalog.current = alias
+        return None
+    current = getattr(catalog, "current", None)
+    if current is None:
+        if len(catalog.attached) == 1:
+            current = next(iter(catalog.attached))
+        else:
+            raise ValueError(
+                "no current database — run USE <alias> (or attach "
+                "exactly one database)")
+    return pg_execute(catalog, current, sql)

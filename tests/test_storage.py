@@ -514,3 +514,38 @@ def test_alter_rollback(spark, store):
     store.rollback()
     assert "j" not in store.scan("test").columns  # gone after rollback
     assert store.scan("test").count() == 1
+
+
+def test_sql_attach_use_detach(spark, tmp_path):
+    """Pure-SQL session driving, the reference's own surface:
+    ATTACH 'src' AS s (TYPE POSTGRES) / USE s / DML / DETACH s
+    (reference: postgres_attach.cpp; attach_simple.test,
+    attach_read_only.test)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import execute_statement
+    root = str(tmp_path / "sqldb")
+    ManagedStore(spark, root).create_table(
+        "t", _mk(spark, [(1, "a", 1.0)]))
+    cat = Catalog(spark)
+    execute_statement(cat, f"ATTACH '{root}' AS s (TYPE POSTGRES)")
+    assert "s" in cat.attached
+    execute_statement(cat, "USE s")
+    execute_statement(cat, "INSERT INTO t VALUES (2, 'b', 2.0)")
+    assert cat.attached["s"].store.scan("t").count() == 2
+    # read-only second attach rejects writes
+    root2 = str(tmp_path / "rodb")
+    ManagedStore(spark, root2).create_table(
+        "r", _mk(spark, [(9, "z", 0.0)]))
+    execute_statement(cat, f"ATTACH '{root2}' AS ro "
+                           f"(TYPE POSTGRES, READ_ONLY)")
+    execute_statement(cat, "USE ro")
+    with pytest.raises(PermissionError):
+        execute_statement(cat, "DELETE FROM r")
+    execute_statement(cat, "DETACH ro")
+    assert "ro" not in cat.attached
+    # current fell back to None; USE s restores
+    execute_statement(cat, "USE s")
+    execute_statement(cat, "DELETE FROM t WHERE id = 1")
+    assert cat.attached["s"].store.scan("t").count() == 1
+    with pytest.raises(ValueError):
+        execute_statement(cat, "ATTACH 'x' AS bad (TYPE MYSQL)")
