@@ -26,8 +26,15 @@ def pg_query(catalog: Catalog, alias: str, sql: str) -> DataFrame:
     reference: src/postgres_query.cpp PostgresQueryBind — validates
     the db handle, strips trailing ';', requires a SELECT.
     """
+    if alias not in catalog.attached:
+        raise KeyError(f"Failed to find attached database {alias!r}")
     db = catalog.attached[alias]
-    sql = sql.strip().rstrip(";")
+    # strip any run of trailing semicolons/whitespace ('SELECT ...; ; ')
+    # — the reference's PostgresQueryBind does the same before wrapping
+    sql = sql.strip().rstrip("; \t\r\n")
+    if not sql:
+        raise ValueError(
+            "postgres_query: input must be a SELECT statement")
     if db.backend == "jdbc":
         info = db.conn
         return catalog.spark.read.jdbc(

@@ -549,3 +549,24 @@ def test_sql_attach_use_detach(spark, tmp_path):
     assert cat.attached["s"].store.scan("t").count() == 1
     with pytest.raises(ValueError):
         execute_statement(cat, "ATTACH 'x' AS bad (TYPE MYSQL)")
+
+
+def test_pg_query_semicolons_and_errors(spark, tmp_path):
+    """pg_query parity with reference postgres_query.test tail: runs
+    of trailing semicolons are stripped, empty statements and unknown
+    aliases error with the reference's messages."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_query
+    root = str(tmp_path / "qdb")
+    ManagedStore(spark, root).create_table(
+        "cars", _mk(spark, [(1, "red", 1.0), (2, "blue", 2.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="s1")
+    n = pg_query(cat, "s1", "SELECT * FROM s1_cars; ;   ").count()
+    assert n == 2
+    with pytest.raises(ValueError, match="SELECT statement"):
+        pg_query(cat, "s1", ";;")
+    with pytest.raises(ValueError, match="SELECT statement"):
+        pg_query(cat, "s1", "")
+    with pytest.raises(KeyError, match="Failed to find attached"):
+        pg_query(cat, "xx", "SELECT 1")
