@@ -106,7 +106,12 @@ _DROP_RE = re.compile(
 # lazily-created pg_temp schema, dropped at session end / detach)
 _TEMP_TABLE_RE = re.compile(
     rf"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)(?:TEMP|TEMPORARY)\s+TABLE\s+"
-    rf"((?:IF\s+NOT\s+EXISTS\s+)?)(?!pg_temp\.)({_ID})(?!\.)",
+    # the (?!IF\s+NOT\s+EXISTS) guard stops backtracking from treating
+    # the keyword IF as the table name when the optional group fails
+    # ('... IF NOT EXISTS pg_temp.t' must fall through to the
+    # qualified rewrite, not become 'pg_temp.IF NOT EXISTS ...')
+    rf"((?:IF\s+NOT\s+EXISTS\s+)?)(?!pg_temp\.)(?!IF\s+NOT\s+EXISTS)"
+    rf"({_ID})(?!\.)",
     re.IGNORECASE)
 # explicit qualifier (CREATE TEMP TABLE pg_temp.t ...): just strip the
 # TEMP keyword — the name already routes to the temp namespace

@@ -104,3 +104,49 @@ def test_split_statements_ignores_quoted_semicolons(stmts):
 def test_split_top_commas_quote_aware():
     assert _split_top_commas("a 'x,y', b (1,2), c") == \
         ["a 'x,y'", "b (1,2)", "c"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.booleans(),                      # READ_ONLY present
+    st.one_of(st.none(), _ident),       # SCHEMA value
+    st.sampled_from(["POSTGRES", "postgres", "'POSTGRES'"]),
+    st.booleans(),                      # option order flipped
+)
+def test_parse_attach_options_properties(ro, schema, typ, flip):
+    from postgres_scanner_spark.queryfn import _parse_attach_options
+    opts = [f"TYPE {typ}"]
+    if ro:
+        opts.append("READ_ONLY")
+    if schema is not None:
+        opts.append(f"SCHEMA '{schema}'")
+    if flip:
+        opts = opts[::-1]
+    got = _parse_attach_options(", ".join(opts))
+    assert got.get("read_only", False) is ro
+    assert got.get("schema") == schema
+    try:
+        _parse_attach_options("TYPE MYSQL")
+        raise AssertionError("TYPE MYSQL must be rejected")
+    except ValueError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ident, st.booleans(), st.booleans(), st.booleans())
+def test_temp_table_rewrite_properties(name, or_replace, if_nx, spell_temp):
+    """Any CREATE TEMP[ORARY] TABLE lands in pg_temp exactly once,
+    whether or not the statement already qualifies the name."""
+    from postgres_scanner_spark.queryfn import (
+        _TEMP_QUALIFIED_RE, _TEMP_TABLE_RE)
+    kw = "TEMP" if spell_temp else "TEMPORARY"
+    orr = "OR REPLACE " if or_replace else ""
+    inx = "IF NOT EXISTS " if if_nx else ""
+    for qualified in (False, True):
+        tname = f"pg_temp.{name}" if qualified else name
+        sql = f"CREATE {orr}{kw} TABLE {inx}{tname}(i INT)"
+        out = _TEMP_TABLE_RE.sub(r"\1TABLE \2pg_temp.\3", sql)
+        out = _TEMP_QUALIFIED_RE.sub(r"\1TABLE ", out)
+        assert " TEMP " not in f" {out} " and " TEMPORARY " not in f" {out} ", out
+        assert out.count("pg_temp.") == 1, out
+        assert f"CREATE {orr}TABLE {inx}pg_temp." in out, out
