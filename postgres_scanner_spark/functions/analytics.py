@@ -580,6 +580,55 @@ FROM events GROUP BY hour ORDER BY hour
 """
 
 
+# ---- X7: dataset card — per-source corpus statistics ------------------
+def x7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "dataset card" a training-data pipeline publishes
+    with every snapshot: volume, token counts, exact-dup rate,
+    language mix, and the token-length distribution. ONE pass over the
+    corpus — a single groupBy(source) with map-side-combined
+    aggregates (the distinct counts expand to partial distincts, still
+    one shuffle keyed on the high-cardinality (source, value) pairs).
+    At 100 TB this is the cheapest full-corpus report possible:
+    everything computes from the same scan that any ingest already
+    performs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    per = d.select(
+        "source", "lang", toks.alias("n_tok"),
+        F.md5(F.col("text")).alias("h"))
+    return (
+        per.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("total_tokens"),
+             F.countDistinct("h").alias("n_unique_docs"),
+             (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+             F.countDistinct("lang").alias("n_langs"),
+             F.min("n_tok").alias("min_tok"),
+             F.expr("percentile(n_tok, 0.5)").alias("median_tok"),
+             F.expr("percentile(n_tok, 0.95)").alias("p95_tok"),
+             F.max("n_tok").alias("max_tok"))
+        .orderBy("source")
+    )
+
+
+_X7_SQL = """
+WITH per AS (
+  SELECT source, lang, len(string_split(text, ' ')) AS n_tok,
+         md5(text) AS h
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT h) AS n_unique_docs,
+       COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+       COUNT(DISTINCT lang) AS n_langs,
+       MIN(n_tok) AS min_tok,
+       quantile_cont(n_tok, 0.5) AS median_tok,
+       quantile_cont(n_tok, 0.95) AS p95_tok,
+       MAX(n_tok) AS max_tok
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 # ---- X6: deterministic global training shuffle -----------------------
 def x6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document a global shuffle position in a
@@ -640,6 +689,7 @@ QUERIES = {
     "x4_source_mix": x4_source_mix,
     "x5_sequence_pack": x5_sequence_pack,
     "x6_global_shuffle": x6_global_shuffle,
+    "x7_dataset_card": x7_dataset_card,
 }
 
 ORACLE = {
@@ -658,4 +708,5 @@ ORACLE = {
     "x4_source_mix": _X4_SQL,
     "x5_sequence_pack": _X5_SQL,
     "x6_global_shuffle": _X6_SQL,
+    "x7_dataset_card": _X7_SQL,
 }
