@@ -603,10 +603,10 @@ def x7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("h").alias("n_unique_docs"),
              (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
              F.countDistinct("lang").alias("n_langs"),
-             F.min("n_tok").alias("min_tok"),
+             F.min("n_tok").cast("long").alias("min_tok"),
              F.expr("percentile(n_tok, 0.5)").alias("median_tok"),
              F.expr("percentile(n_tok, 0.95)").alias("p95_tok"),
-             F.max("n_tok").alias("max_tok"))
+             F.max("n_tok").cast("long").alias("max_tok"))
         .orderBy("source")
     )
 
@@ -621,10 +621,10 @@ SELECT source, COUNT(*) AS n_docs,
        COUNT(DISTINCT h) AS n_unique_docs,
        COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
        COUNT(DISTINCT lang) AS n_langs,
-       MIN(n_tok) AS min_tok,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tok,
        quantile_cont(n_tok, 0.5) AS median_tok,
        quantile_cont(n_tok, 0.95) AS p95_tok,
-       MAX(n_tok) AS max_tok
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok
 FROM per GROUP BY source ORDER BY source
 """
 
