@@ -655,14 +655,15 @@ def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     steady-state ingestion path: the corpus is petabytes, the batch is
     a day's crawl.
 
-    Scale design: the corpus side NEVER shuffles. The batch's distinct
-    content hashes are broadcast; the corpus is probed map-side with a
-    left-semi join (each corpus split checks its rows against the
-    in-memory hash set), and only the tiny collision set flows back.
-    The batch then anti-joins that broadcast collision set. Total
-    network traffic: 2 × |batch hashes|, zero corpus movement. (A
-    hash-bucketed corpus layout would even let the probe prune files;
-    the plan keeps the probe map-side either way.)
+    Scale design: the corpus TEXT never shuffles. The batch's distinct
+    content hashes probe the corpus with a left-semi join — AQE
+    broadcasts the probe while it fits (map-side probe, zero corpus
+    movement), and degrades to a shuffle semi-join on the 32-byte
+    hash when a huge batch would blow the broadcast limit (corpus
+    then ships only hashes, never text). No forced broadcast hint: a
+    hint would OOM the driver at exactly the batch size where the
+    fallback matters. The anti-join against the collision set is
+    batch-sized on both sides.
 
     batch = source 'src1' docs re-identified, plus planted copies of
     corpus docs 0-9 — exactly those must flag dup_in_corpus.
@@ -676,12 +677,12 @@ def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.lower(F.col("text"))).alias("h")
     batch_h = batch.select("doc_id", h)
     probe = batch_h.select("h").distinct()
-    # corpus scans in place; broadcast semi-join = map-side hash probe
+    # corpus scans in place; AQE broadcasts the (batch-bounded) probe
+    # while small → map-side hash probe with zero corpus movement
     hits = (corpus.select(h)
-            .join(F.broadcast(probe), "h", "left_semi").distinct())
+            .join(probe, "h", "left_semi").distinct())
     return (
-        batch_h.join(F.broadcast(hits.withColumn("dup", F.lit(True))),
-                     "h", "left")
+        batch_h.join(hits.withColumn("dup", F.lit(True)), "h", "left")
         .select("doc_id",
                 F.coalesce(F.col("dup"), F.lit(False))
                 .alias("dup_in_corpus"))
