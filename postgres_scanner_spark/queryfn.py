@@ -613,4 +613,10 @@ def execute_statement(catalog: Catalog, sql: str):
             raise ValueError(
                 "no current database — run USE <alias> (or attach "
                 "exactly one database)")
+    # SELECT / DESCRIBE / PRAGMA return result sets → pg_query; DDL/DML
+    # routes through pg_execute (single SQL entry point, like the
+    # reference's DuckDB shell)
+    if re.match(r"^\s*(SELECT|WITH|DESCRIBE|PRAGMA|SHOW)\b", sql,
+                re.IGNORECASE):
+        return pg_query(catalog, current, sql)
     return pg_execute(catalog, current, sql)

@@ -549,6 +549,11 @@ def test_sql_attach_use_detach(spark, tmp_path):
     assert cat.attached["s"].store.scan("t").count() == 1
     with pytest.raises(ValueError):
         execute_statement(cat, "ATTACH 'x' AS bad (TYPE MYSQL)")
+    # SELECT routes to pg_query and returns a DataFrame
+    rows = execute_statement(cat, "SELECT * FROM s_t").collect()
+    assert [r.id for r in rows] == [2]
+    desc = execute_statement(cat, "DESCRIBE t")
+    assert "column_name" in desc.columns
 
 
 def test_pg_query_semicolons_and_errors(spark, tmp_path):
