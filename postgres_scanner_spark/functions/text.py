@@ -360,6 +360,61 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+# ---- T9: corpus bigram LM scoring (perplexity-proxy quality filter,
+#      the KenLM-style step real pipelines run). Two corpus-keyed
+#      aggregations build the LM (unigram + bigram counts); each doc's
+#      bigram stream joins the model and folds log-probs IN POSITION
+#      ORDER (array_sort + aggregate), so the FP sum is bit-identical
+#      across engines. Scale: the (w1) join key is Zipf-skewed — at
+#      100 TB the hot-word keys go through AQE skew-join or the salted
+#      join helper (operators/skew.py); counts tables are corpus-wide
+#      aggregates a real deployment materializes once and reuses.
+def t9_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.posexplode(_tokens()).alias("pos", "w"))
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tok.select("doc_id", "pos", F.col("w").alias("w1"),
+                     F.lead("w").over(wn).alias("w2"))
+          .filter(F.col("w2").isNotNull()))
+    # the last token of each doc starts no bigram — the conditional
+    # denominator counts CONTEXT occurrences, i.e. bigram starts
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+              .select("doc_id", "pos",
+                      (F.log("c2") - F.log("c1")).alias("logp")))
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                    F.lit(0.0), lambda a, x: a + x["logp"]).alias("s"))
+    return (per.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("s") / F.col("n_bigrams"), 6).alias("avg_logp"))
+        .orderBy("doc_id"))
+
+
+_T9_SQL = """
+WITH tok AS (
+  SELECT doc_id, i AS pos, t[CAST(i AS INT) + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents), UNNEST(range(len(t))) AS u(i)),
+bg AS (
+  SELECT doc_id, pos, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok QUALIFY w2 IS NOT NULL),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT doc_id, pos, ln(c2) - ln(c1) AS logp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(list_sum(list(logp ORDER BY pos)) / COUNT(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
@@ -369,6 +424,7 @@ QUERIES = {
     "t6_pii_redact": t6_pii_redact,
     "t7_repetition_stats": t7_repetition_stats,
     "t8_entropy_quality": t8_entropy_quality,
+    "t9_bigram_logprob": t9_bigram_logprob,
 }
 
 ORACLE = {
@@ -380,4 +436,5 @@ ORACLE = {
     "t6_pii_redact": _T6_SQL,
     "t7_repetition_stats": _T7_SQL,
     "t8_entropy_quality": _T8_SQL,
+    "t9_bigram_logprob": _T9_SQL,
 }
