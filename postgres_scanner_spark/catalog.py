@@ -86,6 +86,9 @@ class Catalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.attached: dict[str, AttachedDatabase] = {}
+        # session's current database (SQL USE); owned here so the
+        # direct API and the SQL router stay consistent
+        self.current: str | None = None
 
     # -- reference: postgres_attach.cpp AttachFunction
     def attach(self, source: str, alias: str = "pg", *,
@@ -192,6 +195,8 @@ class Catalog:
 
     def detach(self, alias: str) -> None:
         db = self.attached.pop(alias)
+        if self.current == alias:
+            self.current = None
         # drop every view this attach registered — both the prefixed and
         # the bare names, tracked at registration time so tables dropped
         # or created since attach are handled too; bare names shared

@@ -32,7 +32,9 @@ def pg_query(catalog: Catalog, alias: str, sql: str) -> DataFrame:
     # strip any run of trailing semicolons/whitespace ('SELECT ...; ; ')
     # — the reference's PostgresQueryBind does the same before wrapping
     sql = sql.strip().rstrip("; \t\r\n")
-    if not sql:
+    if not sql or not _READ_STMT_RE.match(sql):
+        # reference: PostgresQueryBind rejects non-SELECT input — and
+        # routing DDL here would bypass pg_execute's READ_ONLY gate
         raise ValueError(
             "postgres_query: input must be a SELECT statement")
     if db.backend == "jdbc":
@@ -553,30 +555,39 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
 # the engine accepts the same statements (reference:
 # postgres_attach.cpp AttachFunction; test/sql/storage/attach_*.test).
 _ATTACH_RE = re.compile(
-    rf"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']*)'\s+AS\s+{_IDENT}\s*"
-    rf"(?:\(([^()]*)\))?\s*;?\s*$", re.IGNORECASE)
+    rf"^\s*ATTACH\s+(?:DATABASE\s+)?'((?:[^']|'')*)'\s+AS\s+{_IDENT}\s*"
+    rf"(?:\(([^()]*)\))?\s*;*\s*$", re.IGNORECASE)
 _DETACH_RE = re.compile(
     rf"^\s*DETACH\s+(?:DATABASE\s+)?{_IDENT}\s*;?\s*$", re.IGNORECASE)
 _USE_RE = re.compile(rf"^\s*USE\s+{_IDENT}\s*;?\s*$", re.IGNORECASE)
+# statements that produce a result set without mutating anything —
+# safe on READ_ONLY attaches, routed to pg_query
+_READ_STMT_RE = re.compile(
+    r"^\s*(?:SELECT|WITH|VALUES|TABLE|DESCRIBE|PRAGMA|SHOW|EXPLAIN|\()",
+    re.IGNORECASE)
 
 
 def _parse_attach_options(opts: str) -> dict:
-    """`TYPE POSTGRES, READ_ONLY, SCHEMA 'x'` → kwargs. Unknown
-    options raise (matching the reference's binder errors)."""
+    """`TYPE POSTGRES, READ_ONLY, SCHEMA 'x'` → kwargs. Unknown or
+    malformed options raise ValueError (matching the reference's
+    binder errors). Quote-aware split: SCHEMA 'a,b' stays one option."""
+    def value_of(o: str) -> str:
+        parts = o.split(None, 1)
+        if len(parts) < 2 or not parts[1].strip():
+            raise ValueError(f"ATTACH option {parts[0]!r} needs a value")
+        return parts[1].strip().strip("'\"")
+
     out: dict = {}
-    for raw in opts.split(","):
-        o = raw.strip()
-        if not o:
-            continue
+    for o in _split_top_commas(opts):
         up = o.upper()
         if up.startswith("TYPE"):
-            typ = o.split(None, 1)[1].strip().strip("'\"").upper()
+            typ = value_of(o).upper()
             if typ != "POSTGRES":
                 raise ValueError(f"unsupported ATTACH type {typ!r}")
         elif up == "READ_ONLY" or up == "READ_ONLY TRUE":
             out["read_only"] = True
         elif up.startswith("SCHEMA") or up.startswith("SOURCE_SCHEMA"):
-            out["schema"] = o.split(None, 1)[1].strip().strip("'\"")
+            out["schema"] = value_of(o)
         else:
             raise ValueError(f"unknown ATTACH option {o!r}")
     return out
@@ -587,17 +598,17 @@ def execute_statement(catalog: Catalog, sql: str):
     ATTACH/DETACH/USE here, everything else to `pg_execute` against
     the current database (set by USE, else the sole attached one)."""
     if m := _ATTACH_RE.match(sql):
-        source, alias, opts = m.group(1), _unquote(m.group(2)), m.group(3)
+        source = m.group(1).replace("''", "'")
+        alias, opts = _unquote(m.group(2)), m.group(3)
         kwargs = _parse_attach_options(opts or "")
         db = catalog.attach(source, alias=alias, **kwargs)
-        if getattr(catalog, "current", None) is None:
+        if catalog.current is None:
+            # first attach becomes current; later attaches do NOT
+            # hijack routing away from a database already in use
             catalog.current = alias
         return db
     if m := _DETACH_RE.match(sql):
-        alias = _unquote(m.group(1))
-        catalog.detach(alias)
-        if getattr(catalog, "current", None) == alias:
-            catalog.current = None
+        catalog.detach(_unquote(m.group(1)))
         return None
     if m := _USE_RE.match(sql):
         alias = _unquote(m.group(1))
@@ -605,7 +616,7 @@ def execute_statement(catalog: Catalog, sql: str):
             raise KeyError(f"no attached database {alias!r}")
         catalog.current = alias
         return None
-    current = getattr(catalog, "current", None)
+    current = catalog.current
     if current is None:
         if len(catalog.attached) == 1:
             current = next(iter(catalog.attached))
@@ -613,10 +624,9 @@ def execute_statement(catalog: Catalog, sql: str):
             raise ValueError(
                 "no current database — run USE <alias> (or attach "
                 "exactly one database)")
-    # SELECT / DESCRIBE / PRAGMA return result sets → pg_query; DDL/DML
-    # routes through pg_execute (single SQL entry point, like the
-    # reference's DuckDB shell)
-    if re.match(r"^\s*(SELECT|WITH|DESCRIBE|PRAGMA|SHOW)\b", sql,
-                re.IGNORECASE):
+    # read statements return result sets → pg_query (works on
+    # READ_ONLY attaches); DDL/DML routes through pg_execute — a
+    # single SQL entry point, like the reference's DuckDB shell
+    if _READ_STMT_RE.match(sql):
         return pg_query(catalog, current, sql)
     return pg_execute(catalog, current, sql)

@@ -554,6 +554,22 @@ def test_sql_attach_use_detach(spark, tmp_path):
     assert [r.id for r in rows] == [2]
     desc = execute_statement(cat, "DESCRIBE t")
     assert "column_name" in desc.columns
+    # review regressions: detach clears current; a later ATTACH must
+    # not hijack routing; read statements work on READ_ONLY attaches
+    execute_statement(cat, "DETACH s")
+    assert cat.current is None
+    root3 = str(tmp_path / "db3")
+    ManagedStore(spark, root3).create_table("t3", _mk(spark, [(7, "q", 7.0)]))
+    execute_statement(cat, f"ATTACH '{root3}' AS s3 "
+                           f"(TYPE POSTGRES, READ_ONLY)")
+    assert cat.current == "s3"      # first attach with no current
+    n = execute_statement(cat, "EXPLAIN SELECT * FROM s3_t3").count()
+    assert n >= 1                    # read stmt allowed on READ_ONLY
+    with pytest.raises(ValueError, match="needs a value"):
+        execute_statement(cat, "ATTACH 'x' AS b2 (TYPE)")
+    with pytest.raises(ValueError, match="SELECT statement"):
+        from postgres_scanner_spark.queryfn import pg_query
+        pg_query(cat, "s3", "DROP VIEW s3_t3")
 
 
 def test_pg_query_semicolons_and_errors(spark, tmp_path):
