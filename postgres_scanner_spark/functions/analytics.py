@@ -629,6 +629,38 @@ FROM per GROUP BY source ORDER BY source
 """
 
 
+# ---- W10: salted skew join (graded demonstration of operators/skew) --
+def w10_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe join through `operators.skew.salted_join`: the big
+    side is salted 8 ways and the small dim replicates per salt, so a
+    pathological key spreads over 8 tasks instead of one straggler.
+    Results are salt-invariant (the salt only routes rows), which is
+    exactly what the oracle checks — a plain join aggregate."""
+    from ..operators.skew import salted_join
+    e = _t(spark, sf_dir, "events")
+    seg = (e.select("user_id").distinct()
+           .withColumn("segment", (F.col("user_id") % 5).cast("int")))
+    joined = salted_join(e.select("user_id", "value"), seg, "user_id",
+                         salt=8)
+    return (
+        joined.groupBy("segment")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("segment")
+    )
+
+
+_W10_SQL = """
+WITH seg AS (SELECT DISTINCT user_id,
+                    CAST(user_id % 5 AS INT) AS segment FROM events)
+SELECT segment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events JOIN seg USING (user_id)
+GROUP BY segment ORDER BY segment
+"""
+
+
 # ---- X6: deterministic global training shuffle -----------------------
 def x6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document a global shuffle position in a
@@ -683,6 +715,7 @@ QUERIES = {
     "w7_percentiles": w7_percentiles,
     "w8_range_join": w8_range_join,
     "w9_continuous_aggregate": w9_continuous_aggregate,
+    "w10_skew_join": w10_skew_join,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -702,6 +735,7 @@ ORACLE = {
     "w7_percentiles": _W7_SQL,
     "w8_range_join": _w8_sql(),
     "w9_continuous_aggregate": _W9_SQL,
+    "w10_skew_join": _W10_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,
