@@ -1,4 +1,4 @@
-"""Deduplication operators over the documents table (SURVEY.md §2 D1-D8).
+"""Deduplication operators over the documents table (SURVEY.md §2 D1-D9).
 
 Training-data pipeline staples: exact dedup, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup, connected-components
@@ -708,6 +708,125 @@ FROM batch b ORDER BY b.doc_id
 """
 
 
+# --------------------------------------------- D9 incremental LSH dedup
+def d9_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingest path: NEW batch vs EXISTING corpus through the
+    LSH band index — the incremental analog of d2, paired with d8's
+    exact-hash path.
+
+    Scale design: in steady state the corpus's band index (8 minhash
+    values + 4 band hashes per doc — tens of bytes) is a materialized
+    table maintained at ingest; only the BATCH is shingled per run,
+    and the candidate join is keyed on (band_id, band_hash) — band
+    hashes of corpus text never require re-reading corpus text.
+    Verification re-shingles only candidate corpus docs (semi-join
+    narrowed), so corpus text I/O is proportional to the collision
+    set, not the corpus. Here both indexes derive in-plan (the store
+    materialization is an orthogonal concern e9 demonstrates).
+
+    batch = source 'src1' docs + copies of 10 other-source docs
+    (doc_id+500000) — exactly those must surface at jaccard 1.0.
+    """
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("source") != "src1")
+    plants = corpus.filter(F.col("doc_id") < 10) \
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+    batch = d.filter(F.col("source") == "src1").unionByName(plants)
+
+    def index(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        shx = scratch_persist(shingle_index(df, 3))
+        h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
+        h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
+        sig = shx.groupBy("doc_id").agg(
+            *[F.min(F.substring([h0, h1][m // 4], 1 + 8 * (m % 4), 8))
+              .alias(f"mh{m}") for m in range(N_MINHASH)],
+            F.count("*").alias("n"))
+        bands = sig.select(
+            "doc_id", "n",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band_id"),
+                         F.md5(F.concat(F.col(f"mh{2*b}"),
+                                        F.col(f"mh{2*b+1}")))
+                         .alias("band_hash"))
+                for b in range(N_BANDS)])).alias("bd")
+        ).select("doc_id", "n", "bd.band_id", "bd.band_hash")
+        return shx, bands
+
+    shx_c, bands_c = index(corpus)
+    shx_b, bands_b = index(batch)
+    cand = (
+        bands_b.alias("b")
+        .join(bands_c.alias("c"),
+              (F.col("b.band_id") == F.col("c.band_id"))
+              & (F.col("b.band_hash") == F.col("c.band_hash")))
+        .select(F.col("b.doc_id").alias("batch_id"),
+                F.col("c.doc_id").alias("corpus_id"),
+                F.col("b.n").alias("nb"), F.col("c.n").alias("nc"))
+        .distinct()
+    )
+    shx_c2 = shx_c.select(F.col("doc_id").alias("cid"),
+                          F.col("s").alias("s2"))
+    inter = (
+        cand.join(shx_b.withColumnRenamed("doc_id", "batch_id"), "batch_id")
+        .join(shx_c2, (F.col("corpus_id") == F.col("cid"))
+              & (F.col("s") == F.col("s2")))
+        .groupBy("batch_id", "corpus_id", "nb", "nc")
+        .agg(F.count("*").alias("ni"))
+    )
+    jac = F.col("ni") / (F.col("nb") + F.col("nc") - F.col("ni"))
+    return (
+        inter.filter(jac >= 0.5)
+        .select("batch_id", "corpus_id", jac.alias("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+    )
+
+
+def _d9_sql() -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(shingles, "
+        f"x -> substr(md5('{s // 4}:'||x), {1 + 8 * (s % 4)}, 8))) AS mh{s}"
+        for s in range(N_MINHASH))
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, len(shingles) AS n, {b} AS band_id, "
+            f"md5(mh{2*b}||mh{2*b+1}) AS band_hash FROM {src}"
+            for b in range(N_BANDS))
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src1'),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT doc_id + 500000, text FROM corpus WHERE doc_id < 10),
+tok_c AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+tok_b AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM batch),
+sh_c AS (SELECT doc_id, {_sql_shingles(3)} AS shingles
+         FROM tok_c WHERE len(t) >= 3),
+sh_b AS (SELECT doc_id, {_sql_shingles(3)} AS shingles
+         FROM tok_b WHERE len(t) >= 3),
+sig_c AS (SELECT doc_id, shingles, {sig} FROM sh_c),
+sig_b AS (SELECT doc_id, shingles, {sig} FROM sh_b),
+bands_c AS ({band_rows('sig_c')}),
+bands_b AS ({band_rows('sig_b')}),
+cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                b.n AS nb, c.n AS nc
+         FROM bands_b b JOIN bands_c c
+           ON b.band_id = c.band_id AND b.band_hash = c.band_hash),
+shx_b AS (SELECT doc_id, unnest(shingles) AS s FROM sh_b),
+shx_c AS (SELECT doc_id, unnest(shingles) AS s FROM sh_c),
+inter AS (SELECT cand.batch_id, cand.corpus_id, cand.nb, cand.nc,
+                 COUNT(*) AS ni
+          FROM cand
+          JOIN shx_b x ON x.doc_id = cand.batch_id
+          JOIN shx_c y ON y.doc_id = cand.corpus_id AND y.s = x.s
+          GROUP BY cand.batch_id, cand.corpus_id, cand.nb, cand.nc)
+SELECT batch_id, corpus_id, ni * 1.0 / (nb + nc - ni) AS jaccard
+FROM inter WHERE ni * 1.0 / (nb + nc - ni) >= 0.5
+ORDER BY batch_id, corpus_id
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
@@ -717,6 +836,7 @@ QUERIES = {
     "d6_dedup_clusters": d6_dedup_clusters,
     "d7_contamination": d7_contamination,
     "d8_incremental_dedup": d8_incremental_dedup,
+    "d9_incremental_lsh": d9_incremental_lsh,
 }
 
 ORACLE = {
@@ -728,4 +848,5 @@ ORACLE = {
     "d6_dedup_clusters": _D6_SQL,
     "d7_contamination": _D7_SQL,
     "d8_incremental_dedup": _D8_SQL,
+    "d9_incremental_lsh": _d9_sql(),
 }
