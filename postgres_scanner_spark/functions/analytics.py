@@ -1,7 +1,8 @@
-"""Advanced analytics surface (SURVEY.md §2 W1-W9, X1-X6): grouping
+"""Advanced analytics surface (SURVEY.md §2 W1-W10, X1-X7): grouping
 sets / rollup / cube, window functions, as-of join, banded range
-join, continuous aggregate, sketches, sampling, vocab, domain mixing,
-sequence packing, and the global training shuffle.
+join, continuous aggregate, salted skew join, sketches, sampling,
+vocab, domain mixing, sequence packing, global training shuffle, and
+the per-source dataset card.
 
 The reference proves TPC-DS through its scanner
 (reference: test/sql/scanner/tpcds.test); these queries exercise the

@@ -1,7 +1,9 @@
 """Text analysis operators over the documents table.
 
-Training-data pipeline staples (SURVEY.md §2 T1-T4): language ID,
-quality scoring, token counting, fingerprinting. Everything stays
+Training-data pipeline staples (SURVEY.md §2 T1-T9): language ID,
+quality scoring, token counting, fingerprinting, the chained filter
+pipeline, PII redaction, repetition stats, character entropy, and
+corpus bigram-LM scoring. Everything stays
 JVM-side (built-in string/regex/array functions — no Python UDFs), so
 the hot path is whole-stage-codegen'd and scales linearly with
 partitions at 100 TB.
