@@ -171,3 +171,36 @@ def test_parse_dsn_bare_prefix():
     # URI form is unaffected
     uri = parse_dsn("postgresql://u:p@h2:5444/db2")
     assert (uri.user, uri.host, uri.port, uri.dbname) == ("u", "h2", 5444, "db2")
+
+
+def test_scratch_persist_lifecycle():
+    """runtime.scratch_persist registers; release_scratch unpersists
+    everything exactly once, is idempotent, and never raises (the
+    session may already be gone when the next query releases)."""
+    from postgres_scanner_spark import runtime
+
+    class _FakeDF:
+        def __init__(self):
+            self.persisted = 0
+        def persist(self):
+            self.persisted += 1
+            return self
+        def unpersist(self):
+            if self.persisted <= 0:
+                raise RuntimeError("double unpersist")
+            self.persisted -= 1
+
+    a, b = _FakeDF(), _FakeDF()
+    assert runtime.scratch_persist(a) is a
+    runtime.scratch_persist(b)
+    assert (a.persisted, b.persisted) == (1, 1)
+    assert runtime.release_scratch() == 2
+    assert (a.persisted, b.persisted) == (0, 0)
+    assert runtime.release_scratch() == 0      # idempotent
+
+    class _Dead(_FakeDF):
+        def unpersist(self):
+            raise RuntimeError("session stopped")
+
+    runtime.scratch_persist(_Dead())
+    assert runtime.release_scratch() == 1      # swallows, still clears
