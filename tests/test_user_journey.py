@@ -67,5 +67,6 @@ def test_reference_user_journey(spark, tmp_path, sf_dir):
 
     # 7. clean exit: DETACH drops views and the temp namespace
     execute_statement(cat, "DETACH wh")
-    assert "wh" not in cat.attached
+    execute_statement(cat, "DETACH src")   # no leaked views in the session
+    assert cat.attached == {}
     assert "pg_temp" not in ManagedStore(spark, root).schemas()
