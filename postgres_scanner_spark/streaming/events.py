@@ -1,4 +1,4 @@
-"""Event-stream operators (SURVEY.md §2 E1-E10).
+"""Event-stream operators (SURVEY.md §2 E1-E11).
 
 The reference's scan surface is batch-only; this module extends the
 engine to Spark's native streaming model. E1/E2/E4/E5 are
@@ -573,6 +573,52 @@ FROM agg, wm WHERE h + INTERVAL 1 HOUR <= w ORDER BY hour
 """
 
 
+# --------------------------- E11 streaming sessionization (genuine)
+def e11_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE streaming sessionization: readStream → watermark →
+    `session_window` (gap-merging stateful op) → complete-mode drain;
+    per-user session stats computed from the drained session table.
+    Oracle = the batch sessionization SQL (e2): a complete drain of
+    the session-window state over the full input must equal the batch
+    computation — the strongest cross-check a stateful streaming op
+    can have. At scale the watermark evicts closed sessions in append
+    mode; state is per ACTIVE session, not per event."""
+    import hashlib
+    import os
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    sess = (
+        spark.readStream.schema(schema).parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{_GAP_MIN} minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    with _stream_shuffle(spark):
+        q = (sess.writeStream.format("memory")
+             .queryName("e11_sessions")
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    return (
+        spark.table("e11_sessions")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.sum("n_events").alias("total_events"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -584,6 +630,7 @@ QUERIES = {
     "e8_stream_stream_join": e8_stream_stream_join,
     "e9_stream_ingest_store": e9_stream_ingest_store,
     "e10_late_data_policy": e10_late_data_policy,
+    "e11_streaming_sessions": e11_streaming_sessions,
 }
 
 ORACLE = {
@@ -601,4 +648,5 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
     "e8_stream_stream_join": _E8_SQL,
     "e9_stream_ingest_store": _E9_SQL,
     "e10_late_data_policy": _E10_SQL,
+    "e11_streaming_sessions": _E2_SQL,
 }
