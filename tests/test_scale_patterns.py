@@ -182,3 +182,25 @@ def test_plan_lint_all_queries(spark):
         assert "CartesianProduct" not in plan, name
         if name not in nlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_partition_pruned_time_scan(spark, tmp_path):
+    """Hive-partitioned time layout prunes at planning: a one-day
+    filter over a date-partitioned events copy must push a partition
+    filter and scan ~1/30th of the files — the layout a 100 TB event
+    lake uses so W9-style tail queries cost O(day), not O(history)."""
+    import re
+    from postgres_scanner_spark import tables
+    src = tables.load(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_day")
+    (src.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day").mode("overwrite").parquet(out))
+    df = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan[:500]
+    # the pruned scan reads only the one day's rows
+    import datetime
+    expect = src.filter(F.to_date("ts") == datetime.date(2024, 1, 5)).count()
+    assert df.count() == expect > 0
