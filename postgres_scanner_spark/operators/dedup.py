@@ -114,6 +114,48 @@ def _sql_shingles(k: int) -> str:
             "), i -> " + parts + "))")
 
 
+def minhash_bands(shx: DataFrame) -> DataFrame:
+    """(doc_id, s) shingle index → LSH band rows
+    (doc_id, n, band_id, band_hash): the ONE implementation of the
+    minhash signature + banding scheme, shared by d2 (self-dedup) and
+    d9 (incremental) so Spark-vs-oracle parity cannot drift between
+    them. Each shingle hashes twice; the 8 permutation minima and the
+    shingle-set size fold in one map-side-combined aggregation."""
+    h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
+    h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
+    sig = shx.groupBy("doc_id").agg(
+        *[F.min(F.substring([h0, h1][m // 4], 1 + 8 * (m % 4), 8))
+          .alias(f"mh{m}") for m in range(N_MINHASH)],
+        F.count("*").alias("n"))
+    # one row per doc; band joins and size lookups re-read it
+    sig = scratch_persist(sig)
+    return sig.select(
+        "doc_id", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+                     .alias("band_hash"))
+            for b in range(N_BANDS)])).alias("bd")
+    ).select("doc_id", "n", "bd.band_id", "bd.band_hash")
+
+
+def _sql_sig_clause() -> str:
+    """DuckDB clause computing mh0..mh7 from a `shingles` array —
+    shared by _d2_sql and _d9_sql (same scheme as minhash_bands)."""
+    return ", ".join(
+        f"list_min(list_transform(shingles, "
+        f"x -> substr(md5('{m // 4}:'||x), {1 + 8 * (m % 4)}, 8))) AS mh{m}"
+        for m in range(N_MINHASH))
+
+
+def _sql_band_rows(src: str) -> str:
+    """DuckDB band rows (doc_id, n, band_id, band_hash) from a sig CTE."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, len(shingles) AS n, {b} AS band_id, "
+        f"md5(mh{2*b}||mh{2*b+1}) AS band_hash FROM {src}"
+        for b in range(N_BANDS))
+
+
 # ------------------------------------------------------------- D1 exact
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5(text) groups; survivor = min doc_id.
@@ -157,24 +199,9 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shx = scratch_persist(
         shingle_index(corpus_with_plants(spark, sf_dir), 3)
     )   # reused by signature+sizes AND verification
-    h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
-    h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
-    sig = shx.groupBy("doc_id").agg(
-        *[F.min(F.substring([h0, h1][m // 4], 1 + 8 * (m % 4), 8))
-          .alias(f"mh{m}") for m in range(N_MINHASH)],
-        F.count("*").alias("n"))
-    # one row per doc; read by both sides of the band self-join and
-    # twice more for pair sizes — persist beats 4 recomputations
-    sig = scratch_persist(sig)
-    sizes = sig.select("doc_id", "n")
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"),
-                     F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
-                     .alias("band_hash"))
-            for b in range(N_BANDS)])).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    band_rows = scratch_persist(minhash_bands(shx))
+    sizes = band_rows.select("doc_id", "n").distinct()
+    bands = band_rows.select("doc_id", "band_id", "band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -213,16 +240,8 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d2_sql() -> str:
-    sig = ", ".join(
-        f"list_min(list_transform(shingles, "
-        f"x -> substr(md5('{s // 4}:'||x), {1 + 8 * (s % 4)}, 8))) AS mh{s}"
-        for s in range(N_MINHASH))
-    bands = ", ".join(
-        f"(SELECT {b} AS band_id, md5(mh{2*b}||mh{2*b+1}) AS band_hash)"
-        for b in range(N_BANDS))
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh{2*b}||mh{2*b+1}) AS band_hash FROM sig"
-        for b in range(N_BANDS))
+    sig = _sql_sig_clause()
+    band_rows = _sql_band_rows("sig")
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
 tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
@@ -735,22 +754,7 @@ def d9_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def index(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         shx = scratch_persist(shingle_index(df, 3))
-        h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
-        h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
-        sig = shx.groupBy("doc_id").agg(
-            *[F.min(F.substring([h0, h1][m // 4], 1 + 8 * (m % 4), 8))
-              .alias(f"mh{m}") for m in range(N_MINHASH)],
-            F.count("*").alias("n"))
-        bands = sig.select(
-            "doc_id", "n",
-            F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band_id"),
-                         F.md5(F.concat(F.col(f"mh{2*b}"),
-                                        F.col(f"mh{2*b+1}")))
-                         .alias("band_hash"))
-                for b in range(N_BANDS)])).alias("bd")
-        ).select("doc_id", "n", "bd.band_id", "bd.band_hash")
-        return shx, bands
+        return shx, minhash_bands(shx)
 
     shx_c, bands_c = index(corpus)
     shx_b, bands_b = index(batch)
@@ -764,8 +768,15 @@ def d9_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.n").alias("nb"), F.col("c.n").alias("nc"))
         .distinct()
     )
-    shx_c2 = shx_c.select(F.col("doc_id").alias("cid"),
-                          F.col("s").alias("s2"))
+    # verification touches only COLLISION-SET corpus docs: semi-join
+    # the corpus shingle index down before the intersection join, so
+    # corpus text I/O stays proportional to candidates (same pattern
+    # as d2; without this every batch re-shuffles the whole corpus
+    # index — exactly the cost the incremental path exists to avoid)
+    hit_ids = cand.select(F.col("corpus_id").alias("doc_id")).distinct()
+    shx_c2 = (shx_c.join(hit_ids, "doc_id", "left_semi")
+              .select(F.col("doc_id").alias("cid"),
+                      F.col("s").alias("s2")))
     inter = (
         cand.join(shx_b.withColumnRenamed("doc_id", "batch_id"), "batch_id")
         .join(shx_c2, (F.col("corpus_id") == F.col("cid"))
@@ -782,17 +793,8 @@ def d9_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d9_sql() -> str:
-    sig = ", ".join(
-        f"list_min(list_transform(shingles, "
-        f"x -> substr(md5('{s // 4}:'||x), {1 + 8 * (s % 4)}, 8))) AS mh{s}"
-        for s in range(N_MINHASH))
-
-    def band_rows(src: str) -> str:
-        return " UNION ALL ".join(
-            f"SELECT doc_id, len(shingles) AS n, {b} AS band_id, "
-            f"md5(mh{2*b}||mh{2*b+1}) AS band_hash FROM {src}"
-            for b in range(N_BANDS))
-
+    sig = _sql_sig_clause()
+    band_rows = _sql_band_rows
     return f"""
 WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src1'),
 batch AS (

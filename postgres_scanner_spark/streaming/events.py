@@ -56,6 +56,30 @@ def _drain(q, timeout_s: int = 300) -> None:
             "discarded")
 
 
+def _stage_symlink(src: str) -> str:
+    """Spark's file-stream source needs a DIRECTORY; stage the single
+    source parquet behind a /tmp symlink dir (testdata is read-only).
+    One implementation for every streaming op: lexists handles a
+    dangling symlink left by a deleted-and-recreated source, and the
+    FileExistsError guard tolerates two sessions staging concurrently.
+    A symlink always resolves to the CURRENT source content, so no
+    content keying is needed (unlike e10's materialized batches)."""
+    import hashlib
+    import os
+    stage = os.path.join(
+        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)                   # dangling: retarget
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass                          # concurrent stager won
+    return stage
+
+
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import tables
     return tables.load(spark, sf_dir, "events")
@@ -137,12 +161,7 @@ def e3_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's file stream source requires a directory; stage the
     # single events.parquet behind a symlink dir (testdata is read-only)
     src = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_symlink(src)
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     schema = spark.read.parquet(src).schema
@@ -248,12 +267,7 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_symlink(src)
 
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
@@ -327,12 +341,7 @@ def e7_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     src = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_symlink(src)
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     schema = spark.read.parquet(src).schema
@@ -368,12 +377,7 @@ def e8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     src = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_symlink(src)
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     schema = spark.read.parquet(src).schema
@@ -430,12 +434,7 @@ def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     src = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_symlink(src)
     # deterministic per-source root, wiped on entry: repeated runs
     # reuse ONE directory instead of leaking a fresh mkdtemp each call
     root = os.path.join(
@@ -588,12 +587,7 @@ def e11_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     src = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_symlink(src)
     schema = spark.read.parquet(src).schema
     sess = (
         spark.readStream.schema(schema).parquet(stage)
