@@ -1,4 +1,4 @@
-"""Multimodal binary-column operators (SURVEY.md §2 M1-M4).
+"""Multimodal binary-column operators (SURVEY.md §2 M1-M5).
 
 Treats media as opaque `binary` columns with typed metadata, the way
 a 100 TB training-data lake stores images/audio/video next to text.
@@ -354,11 +354,93 @@ FROM s ORDER BY doc_id
 """
 
 
+_M5_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("brand", T.StringType()),
+    T.StructField("meta_val", T.LongType()),
+])
+
+
+def m5_video_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container kernel: sniff MP4 (ftyp box — size +
+    major brand + minor version, big-endian) vs AVI (RIFF chunk —
+    little-endian size + 'AVI ' fourcc) straight from the leading
+    bytes, no codec library. Same encoder→decoder mapInPandas chain
+    as M3/M4 with a full SQL oracle over the generating formulas:
+    the parser must invert the writer bit-for-bit."""
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    base = tables.load(spark, sf_dir, "documents").select("doc_id")
+    brands = ["isom", "mp42", "avc1"]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def mk(doc_id: int) -> bytes:
+            if doc_id % 2 == 0:   # MP4: ftyp box
+                brand = brands[doc_id % 3]
+                minor = doc_id % 1000
+                return (struct.pack(">I", 16) + b"ftyp"
+                        + brand.encode() + struct.pack(">I", minor))
+            size = 2048 + doc_id % 4096   # AVI: RIFF header
+            return b"RIFF" + struct.pack("<I", size) + b"AVI " + b"LIST"
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [mk(int(d)) for d in pdf["doc_id"]],
+            })
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(b: bytes):
+            if b[4:8] == b"ftyp":
+                return ("mp4", b[8:12].decode("ascii"),
+                        struct.unpack(">I", b[12:16])[0])
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                return ("avi", "AVI ", struct.unpack("<I", b[4:8])[0])
+            return ("unknown", "", 0)
+
+        for pdf in batches:
+            parsed = [parse(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "container": [p[0] for p in parsed],
+                "brand": [p[1] for p in parsed],
+                "meta_val": [p[2] for p in parsed],
+            })
+
+    enc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    return (
+        base.mapInPandas(encode, schema=enc_schema)
+        .mapInPandas(decode, schema=_M5_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+_M5_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+       CASE WHEN doc_id % 2 = 0
+            THEN ['isom', 'mp42', 'avc1'][CAST(doc_id % 3 AS INT) + 1]
+            ELSE 'AVI ' END AS brand,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000
+                 ELSE 2048 + doc_id % 4096 END AS BIGINT) AS meta_val
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
     "m3_image_dims": m3_image_dims,
     "m4_wav_features": m4_wav_features,
+    "m5_video_container": m5_video_container,
 }
 
 ORACLE: dict[str, str] = {
@@ -366,4 +448,5 @@ ORACLE: dict[str, str] = {
     "m2_frame_sample": _M2_SQL,
     "m3_image_dims": _M3_SQL,
     "m4_wav_features": _M4_SQL,
+    "m5_video_container": _M5_SQL,
 }

@@ -1,4 +1,4 @@
-"""Event-stream operators (SURVEY.md §2 E1-E11).
+"""Event-stream operators (SURVEY.md §2 E1-E12).
 
 The reference's scan surface is batch-only; this module extends the
 engine to Spark's native streaming model. E1/E2/E4/E5 are
@@ -613,6 +613,53 @@ def e11_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------- E12 stream-static enrichment join
+def e12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event STREAM enriches against a static
+    dimension (per-user segment) — the canonical lookup-join shape in
+    every production pipeline (stream joins a slowly-changing dim
+    snapshot). Spark plans the static side as a broadcast into each
+    micro-batch; no stream state is held for the join itself. A full
+    drain equals the batch join — full DuckDB oracle."""
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = _stage_symlink(src)
+    schema = spark.read.parquet(src).schema
+    dim = (spark.read.parquet(src).select("user_id").distinct()
+           .withColumn("segment", (F.col("user_id") % 4).cast("int")))
+    stream = (
+        spark.readStream.schema(schema).parquet(stage)
+        .join(dim, "user_id")                    # stream ⋈ static
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).alias("sv"))
+    )
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory")
+             .queryName("e12_enriched")
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    return (
+        spark.table("e12_enriched")
+        .select("segment", "event_type", "n",
+                F.col("sv").cast("double").alias("sum_value"))
+        .orderBy("segment", "event_type")
+    )
+
+
+_E12_SQL = """
+WITH dim AS (SELECT DISTINCT user_id,
+                    CAST(user_id % 4 AS INT) AS segment FROM events)
+SELECT segment, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events JOIN dim USING (user_id)
+GROUP BY segment, event_type ORDER BY segment, event_type
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -625,6 +672,7 @@ QUERIES = {
     "e9_stream_ingest_store": e9_stream_ingest_store,
     "e10_late_data_policy": e10_late_data_policy,
     "e11_streaming_sessions": e11_streaming_sessions,
+    "e12_stream_static_join": e12_stream_static_join,
 }
 
 ORACLE = {
@@ -643,4 +691,5 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
     "e9_stream_ingest_store": _E9_SQL,
     "e10_late_data_policy": _E10_SQL,
     "e11_streaming_sessions": _E2_SQL,
+    "e12_stream_static_join": _E12_SQL,
 }
