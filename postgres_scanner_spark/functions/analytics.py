@@ -1,4 +1,4 @@
-"""Advanced analytics surface (SURVEY.md §2 W1-W10, X1-X7): grouping
+"""Advanced analytics surface (SURVEY.md §2 W1-W10, X1-X8): grouping
 sets / rollup / cube, window functions, as-of join, banded range
 join, continuous aggregate, salted skew join, sketches, sampling,
 vocab, domain mixing, sequence packing, global training shuffle, and
@@ -706,6 +706,64 @@ FROM documents ORDER BY shuffle_pos
 """
 
 
+# ---- X8: epoch repeat planning (data-constrained scaling) -------------
+def x8_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch repeat planning: when high-quality data is scarce,
+    pipelines repeat the better sources more epochs (data-constrained
+    scaling). Here the quality proxy is mean document length: sources
+    with above-corpus-average doc length plan 2 epochs, the rest 1;
+    the output is the epoch-expanded token schedule and each source's
+    share of the final mix. Two tiny aggregations over the corpus —
+    the plan itself is metadata-sized at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    per = d.select("source", toks.alias("n_tok"))
+    src = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+        (F.sum("n_tok") / F.count("*")).alias("avg_tok"))
+    overall = per.agg((F.sum("n_tok") / F.count("*")).alias("corpus_avg"))
+    planned = (
+        src.crossJoin(F.broadcast(overall))
+        .withColumn("epochs",
+                    F.when(F.col("avg_tok") > F.col("corpus_avg"), 2)
+                    .otherwise(1).cast("int"))
+        .withColumn("planned_tokens", F.col("tokens") * F.col("epochs"))
+    )
+    w_total = Window.partitionBy()
+    return (
+        planned.select(
+            "source", "n_docs", "tokens", "epochs", "planned_tokens",
+            F.round(F.col("planned_tokens")
+                    / F.sum("planned_tokens").over(w_total), 6)
+            .alias("mix_share"))
+        .orderBy("source")
+    )
+
+
+_X8_SQL = """
+WITH per AS (SELECT source, len(string_split(text, ' ')) AS n_tok
+             FROM documents),
+src AS (SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens,
+               SUM(n_tok) * 1.0 / COUNT(*) AS avg_tok
+        FROM per GROUP BY source),
+overall AS (SELECT SUM(n_tok) * 1.0 / COUNT(*) AS corpus_avg FROM per),
+planned AS (
+  SELECT source, n_docs, tokens,
+         CAST(CASE WHEN avg_tok > corpus_avg THEN 2 ELSE 1 END AS INT)
+           AS epochs,
+         tokens * (CASE WHEN avg_tok > corpus_avg THEN 2 ELSE 1 END)
+           AS planned_tokens
+  FROM src, overall)
+SELECT source, n_docs, tokens, epochs,
+       CAST(planned_tokens AS BIGINT) AS planned_tokens,
+       ROUND(planned_tokens * 1.0 / SUM(planned_tokens) OVER (), 6)
+         AS mix_share
+FROM planned ORDER BY source
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -724,6 +782,7 @@ QUERIES = {
     "x5_sequence_pack": x5_sequence_pack,
     "x6_global_shuffle": x6_global_shuffle,
     "x7_dataset_card": x7_dataset_card,
+    "x8_epoch_plan": x8_epoch_plan,
 }
 
 ORACLE = {
@@ -744,4 +803,5 @@ ORACLE = {
     "x5_sequence_pack": _X5_SQL,
     "x6_global_shuffle": _X6_SQL,
     "x7_dataset_card": _X7_SQL,
+    "x8_epoch_plan": _X8_SQL,
 }
