@@ -171,6 +171,7 @@ def test_plan_lint_all_queries(spark):
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
         "x4_source_mix",           # scalar corpus totals → quotas
+        "x8_epoch_plan",           # scalar corpus average → repeat tiers
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
