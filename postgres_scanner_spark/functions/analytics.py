@@ -764,6 +764,91 @@ FROM planned ORDER BY source
 """
 
 
+# ---- W11: GROUPING SETS with grouping flags --------------------------
+def w11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third multi-level aggregation form
+    next to W1's ROLLUP and W2's CUBE (reference proves the machinery
+    through tpcds.test). Spark compiles grouping sets to ONE expanded
+    aggregate (a single shuffle with an Expand node), so the cost is
+    rows x sets on the map side with partial aggregation — no extra
+    pass per set at any scale. GROUPING() flags disambiguate real
+    NULLs from subtotal rows, matching the SQL-standard semantics."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                       "l_returnflag", "l_linestatus")
+        .agg(F.grouping("l_returnflag").cast("int").alias("g_rf"),
+             F.grouping("l_linestatus").cast("int").alias("g_ls"),
+             F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+             .alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "g_rf", "g_ls", "n", "sum_qty")
+        .orderBy("rf", "ls", "g_rf", "g_ls")
+    )
+
+
+_W11_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY rf, ls, g_rf, g_ls
+"""
+
+
+# ---- X9: temperature-scaled source sampling (alpha-mix) --------------
+def x9_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling: weight_s proportional to
+    tokens_s^alpha (alpha=0.5), the standard multilingual/multi-source
+    rebalancing that upsamples small sources without letting any
+    source dominate. Output per source: raw tokens, alpha-weight,
+    target tokens for a fixed budget, and the implied epoch count
+    (>1 means the source repeats). One corpus aggregation; the plan
+    is metadata-sized regardless of corpus scale. Continuous outputs
+    rounded to 6 decimals so the cross-engine hash is stable."""
+    budget = 100_000
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    src = d.select("source", toks.alias("n_tok")).groupBy("source").agg(
+        F.sum("n_tok").alias("tokens"))
+    w_all = Window.partitionBy()
+    weighted = src.withColumn("w_raw", F.sqrt(F.col("tokens")))
+    return (
+        weighted
+        .withColumn("weight",
+                    F.round(F.col("w_raw") / F.sum("w_raw").over(w_all), 6))
+        .withColumn("target_tokens",
+                    F.round(F.lit(budget) * F.col("w_raw")
+                            / F.sum("w_raw").over(w_all), 2))
+        .withColumn("implied_epochs",
+                    F.round(F.col("target_tokens") / F.col("tokens"), 4))
+        .select("source", "tokens", "weight", "target_tokens",
+                "implied_epochs")
+        .orderBy("source")
+    )
+
+
+_X9_SQL = """
+WITH src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY source),
+wtd AS (SELECT source, tokens, sqrt(tokens) AS w_raw FROM src)
+SELECT source, tokens,
+       ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight,
+       ROUND(100000 * w_raw / SUM(w_raw) OVER (), 2) AS target_tokens,
+       ROUND(ROUND(100000 * w_raw / SUM(w_raw) OVER (), 2)
+             / tokens, 4) AS implied_epochs
+FROM wtd ORDER BY source
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -775,6 +860,7 @@ QUERIES = {
     "w8_range_join": w8_range_join,
     "w9_continuous_aggregate": w9_continuous_aggregate,
     "w10_skew_join": w10_skew_join,
+    "w11_grouping_sets": w11_grouping_sets,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -783,6 +869,7 @@ QUERIES = {
     "x6_global_shuffle": x6_global_shuffle,
     "x7_dataset_card": x7_dataset_card,
     "x8_epoch_plan": x8_epoch_plan,
+    "x9_temperature_mix": x9_temperature_mix,
 }
 
 ORACLE = {
@@ -796,6 +883,7 @@ ORACLE = {
     "w8_range_join": _w8_sql(),
     "w9_continuous_aggregate": _W9_SQL,
     "w10_skew_join": _W10_SQL,
+    "w11_grouping_sets": _W11_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,
@@ -804,4 +892,5 @@ ORACLE = {
     "x6_global_shuffle": _X6_SQL,
     "x7_dataset_card": _X7_SQL,
     "x8_epoch_plan": _X8_SQL,
+    "x9_temperature_mix": _X9_SQL,
 }

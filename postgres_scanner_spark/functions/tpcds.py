@@ -431,6 +431,90 @@ ORDER BY p_brand
 """
 
 
+# ---- DS11 (TPC-DS Q88 shape): multi-timeband counts in ONE scan
+def ds11_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 runs 8 independent time-slot counts and cross-joins
+    the scalars; the efficient plan is ONE scan with conditional
+    aggregation — 8 sum(CASE) measures share a single pass and a
+    single partial-agg shuffle instead of 8 table scans. That rewrite
+    is exactly what matters at 100 TB: scan cost dominates, so
+    measures multiplex onto one scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    q = F.quarter("l_shipdate")
+    yr = F.year("l_shipdate")
+
+    def band(y: int, qq: int, name: str) -> F.Column:
+        return F.sum(
+            F.when((yr == y) & (q == qq), 1).otherwise(0)
+        ).cast("long").alias(name)
+
+    return l.select(
+        band(1995, 1, "y95q1"), band(1995, 2, "y95q2"),
+        band(1995, 3, "y95q3"), band(1995, 4, "y95q4"),
+        band(1996, 1, "y96q1"), band(1996, 2, "y96q2"),
+        band(1996, 3, "y96q3"), band(1996, 4, "y96q4"),
+    )
+
+
+_DS11_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN year(l_shipdate)=1995 AND quarter(l_shipdate)=1
+       THEN 1 ELSE 0 END) AS BIGINT) AS y95q1,
+  CAST(SUM(CASE WHEN year(l_shipdate)=1995 AND quarter(l_shipdate)=2
+       THEN 1 ELSE 0 END) AS BIGINT) AS y95q2,
+  CAST(SUM(CASE WHEN year(l_shipdate)=1995 AND quarter(l_shipdate)=3
+       THEN 1 ELSE 0 END) AS BIGINT) AS y95q3,
+  CAST(SUM(CASE WHEN year(l_shipdate)=1995 AND quarter(l_shipdate)=4
+       THEN 1 ELSE 0 END) AS BIGINT) AS y95q4,
+  CAST(SUM(CASE WHEN year(l_shipdate)=1996 AND quarter(l_shipdate)=1
+       THEN 1 ELSE 0 END) AS BIGINT) AS y96q1,
+  CAST(SUM(CASE WHEN year(l_shipdate)=1996 AND quarter(l_shipdate)=2
+       THEN 1 ELSE 0 END) AS BIGINT) AS y96q2,
+  CAST(SUM(CASE WHEN year(l_shipdate)=1996 AND quarter(l_shipdate)=3
+       THEN 1 ELSE 0 END) AS BIGINT) AS y96q3,
+  CAST(SUM(CASE WHEN year(l_shipdate)=1996 AND quarter(l_shipdate)=4
+       THEN 1 ELSE 0 END) AS BIGINT) AS y96q4
+FROM lineitem
+"""
+
+
+# ---- DS12 (TPC-DS Q34/Q73 shape): order-size frequency band ----------
+def ds12_order_size_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose orders fall in a line-count band (Q34's
+    '15-20 items per ticket' cohort): count lines per order (one
+    partial-agg shuffle on the already-clustered orderkey), band-
+    filter, then join customers. The band filter runs BEFORE the
+    customer join so only qualifying orders shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_order = (
+        l.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+        .filter((F.col("n_lines") >= 5) & (F.col("n_lines") <= 7))
+    )
+    return (
+        per_order
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", F.col("o_orderkey").alias("orderkey"),
+                "n_lines")
+        .orderBy("c_custkey", "orderkey")
+    )
+
+
+_DS12_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 5 AND 7)
+SELECT c_custkey, c_name, o_orderkey AS orderkey, n_lines
+FROM per_order
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY c_custkey, orderkey
+"""
+
+
 QUERIES = {
     "ds1_above_avg_customers": ds1_above_avg_customers,
     "ds2_weekday_share": ds2_weekday_share,
@@ -442,6 +526,8 @@ QUERIES = {
     "ds8_customer_cohort": ds8_customer_cohort,
     "ds9_channel_rollup": ds9_channel_rollup,
     "ds10_avg_measures": ds10_avg_measures,
+    "ds11_timeband_counts": ds11_timeband_counts,
+    "ds12_order_size_band": ds12_order_size_band,
 }
 
 ORACLE = {
@@ -455,4 +541,6 @@ ORACLE = {
     "ds8_customer_cohort": _DS8_SQL,
     "ds9_channel_rollup": _DS9_SQL,
     "ds10_avg_measures": _DS10_SQL,
+    "ds11_timeband_counts": _DS11_SQL,
+    "ds12_order_size_band": _DS12_SQL,
 }
