@@ -524,12 +524,133 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------- A6 Lloyd k-means (2 rounds)
+_KM_K = 4
+_KM_DEC = "decimal(28,9)"
+
+
+def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (ties to the lower centroid id).
+    Centroids are model parameters — K×DIM doubles — so they
+    broadcast; the corpus never shuffles for an assignment pass."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cent_id")
+    return (vecs.crossJoin(F.broadcast(cents))
+            .withColumn("dist2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "x", F.col("cent_id").alias("cluster"),
+                    "dist2"))
+
+
+def a6_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two genuine Lloyd iterations of k-means (k=4) as pure
+    DataFrame algebra — the iterative-algorithm pattern (assign →
+    recompute → reassign) that IVF training (A3's 'real centroids
+    come from KMeans') needs, bit-deterministic across engines:
+
+    - per-vector distance folds run left-to-right over the dimension
+      list (deterministic double arithmetic, same fold both engines);
+    - centroid updates sum per-dimension DECIMAL values — exact and
+      aggregation-order-independent, so the cross-row shuffle order
+      cannot perturb a single bit — then divide once in double and
+      round to 9 decimals;
+    - the final fingerprint (cluster sizes, id-sums, decimal-summed
+      inertia) is integer/decimal-exact.
+
+    Scale design (100 TB): each iteration is one corpus scan + one
+    (cluster, dim)-keyed partial aggregation; centroids (K×DIM
+    doubles) broadcast back. Driver never sees the data — the model
+    state stays in the plan. Iterations are a fixed small count, the
+    standard mini-batch/fixed-round compromise at scale.
+    """
+    from .. import tables
+    e = tables.load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"))
+    cents1 = (vecs.filter(F.col("vec_id") < _KM_K)
+              .select(F.col("vec_id").cast("int").alias("cent_id"),
+                      F.col("x").alias("c")))
+    a1 = _km_assign(vecs, cents1)
+    upd = (a1.select("cluster", F.posexplode("x").alias("pos", "val"))
+           .groupBy("cluster", "pos")
+           .agg(F.sum(F.col("val").cast(_KM_DEC)).alias("s"),
+                F.count("*").alias("n")))
+    cents2 = (upd.withColumn(
+                  "m", F.round(F.col("s").cast("double") / F.col("n"), 9))
+              .groupBy("cluster")
+              .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                   lambda t: t.m).alias("c"))
+              .select(F.col("cluster").cast("int").alias("cent_id"), "c"))
+    a2 = _km_assign(vecs, cents2)
+    return (a2.groupBy("cluster").agg(
+                F.count("*").cast("long").alias("n_vecs"),
+                F.sum("vec_id").cast("long").alias("id_sum"),
+                F.round(F.sum(F.col("dist2").cast("decimal(38,12)"))
+                        .cast("double"), 6).alias("inertia"))
+            .select(F.col("cluster").cast("int").alias("cluster"),
+                    "n_vecs", "id_sum", "inertia")
+            .orderBy("cluster"))
+
+
+def _a6_sql() -> str:
+    sq = ("list_sum(list_transform(range(len(x)), "
+          "i -> (x[i+1]-c[i+1])*(x[i+1]-c[i+1])))")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings),
+cents1 AS (
+  SELECT CAST(vec_id AS INT) AS cent_id, x AS c
+  FROM vecs WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT vec_id, x, cent_id, {sq} AS dist2
+  FROM vecs CROSS JOIN cents1),
+a1 AS (
+  SELECT vec_id, x, cluster, dist2 FROM (
+    SELECT vec_id, x, cent_id AS cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cent_id) AS rk
+    FROM d1) WHERE rk = 1),
+upd AS (
+  SELECT cluster, g.i AS pos,
+         SUM(CAST(x[g.i+1] AS DECIMAL(28,9))) AS s, COUNT(*) AS n
+  FROM a1, LATERAL (SELECT unnest(range(len(x))) AS i) g
+  GROUP BY cluster, g.i),
+cents2 AS (
+  SELECT CAST(cluster AS INT) AS cent_id,
+         list(ROUND(CAST(s AS DOUBLE) / n, 9) ORDER BY pos) AS c
+  FROM upd GROUP BY cluster),
+d2 AS (
+  SELECT vec_id, cent_id, {sq} AS dist2
+  FROM vecs CROSS JOIN cents2),
+a2 AS (
+  SELECT vec_id, cluster, dist2 FROM (
+    SELECT vec_id, cent_id AS cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cent_id) AS rk
+    FROM d2) WHERE rk = 1)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+       ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS inertia
+FROM a2 GROUP BY cluster ORDER BY cluster
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
     "a3_ivf_ann": a3_ivf_ann,
     "a4_knn_label": a4_knn_label,
     "a5_pq_ann": a5_pq_ann,
+    "a6_kmeans_lloyd": a6_kmeans_lloyd,
 }
 
 ORACLE = {
@@ -538,4 +659,5 @@ ORACLE = {
     "a3_ivf_ann": _a3_sql(),
     "a4_knn_label": _A4_SQL,
     "a5_pq_ann": _a5_sql(),
+    "a6_kmeans_lloyd": _a6_sql(),
 }

@@ -829,6 +829,95 @@ ORDER BY batch_id, corpus_id
 """
 
 
+# --------------------------------- D10 boilerplate paragraph removal
+_D10_P = 8            # paragraph = 8-token chunk (corpus has no newlines)
+_D10_DF_MAX = 3       # a paragraph in more than 3 docs is boilerplate
+_D10_HEADER = "copyright terms subscribe newsletter cookie policy all rights"
+
+
+def d10_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-paragraph removal: hash every paragraph
+    across the corpus, count its document frequency, and strip
+    paragraphs that recur in many documents (site chrome, cookie
+    banners, license footers). The corpus has no newlines, so a
+    'paragraph' is a fixed 8-token chunk; a deterministic 8-token
+    boilerplate header is prepended to every 5th doc so the operator
+    provably strips exactly those chunks.
+
+    Scale design (100 TB): paragraph DF is ONE shuffle keyed on the
+    paragraph text with map-side partial aggregation (hot boilerplate
+    paragraphs combine before the exchange). The flagging join uses
+    the FILTERED boilerplate list (df > threshold) as the build side
+    — that list is tiny by construction (boilerplate is by definition
+    few distinct strings), so AQE turns it into a broadcast join and
+    document chunks never shuffle a second time. Output carries an
+    md5 fingerprint of the cleaned text, not the text itself.
+    """
+    d = _docs(spark, sf_dir)
+    boosted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(_D10_HEADER + " "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    t = boosted.withColumn("t", F.split(F.col("text"), " "))
+    nchunks = F.ceil(F.size("t") / F.lit(_D10_P)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i * _D10_P + 1, _D10_P)))
+    paras = t.select(
+        "doc_id", F.posexplode(chunks).alias("p_idx", "para"))
+    paras = scratch_persist(paras)
+    boiler = (paras.groupBy("para")
+              .agg(F.countDistinct("doc_id").alias("df_docs"))
+              .filter(F.col("df_docs") > _D10_DF_MAX)
+              .select("para"))
+    flagged = paras.join(boiler.withColumn("is_bp", F.lit(True)),
+                         "para", "left")
+    kept = F.col("is_bp").isNull()
+    return (
+        flagged.groupBy("doc_id").agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+            .alias("kept_paras"),
+            F.md5(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(kept, F.struct("p_idx", "para")))),
+                lambda s: s.para))).alias("cleaned_fp"))
+        .withColumn("cleaned_fp",
+                    F.when(F.col("kept_paras") > 0, F.col("cleaned_fp")))
+        .orderBy("doc_id")
+    )
+
+
+_D10_SQL = f"""
+WITH boosted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_D10_HEADER} ' || text
+              ELSE text END AS text
+  FROM documents),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM boosted),
+paras AS (
+  SELECT doc_id, CAST(g.i AS INT) AS p_idx,
+         array_to_string(t[g.i*{_D10_P}+1 : g.i*{_D10_P}+{_D10_P}], ' ')
+           AS para
+  FROM tok, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(t)/{_D10_P}.0) AS BIGINT))) AS i) g),
+boiler AS (
+  SELECT para FROM paras GROUP BY para
+  HAVING COUNT(DISTINCT doc_id) > {_D10_DF_MAX}),
+flagged AS (
+  SELECT p.doc_id, p.p_idx, p.para, b.para IS NOT NULL AS is_bp
+  FROM paras p LEFT JOIN boiler b ON p.para = b.para)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_paras,
+       md5(string_agg(para, ' ' ORDER BY p_idx)
+           FILTER (WHERE NOT is_bp)) AS cleaned_fp
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
@@ -839,6 +928,7 @@ QUERIES = {
     "d7_contamination": d7_contamination,
     "d8_incremental_dedup": d8_incremental_dedup,
     "d9_incremental_lsh": d9_incremental_lsh,
+    "d10_boilerplate_removal": d10_boilerplate_removal,
 }
 
 ORACLE = {
@@ -851,4 +941,5 @@ ORACLE = {
     "d7_contamination": _D7_SQL,
     "d8_incremental_dedup": _D8_SQL,
     "d9_incremental_lsh": _d9_sql(),
+    "d10_boilerplate_removal": _D10_SQL,
 }

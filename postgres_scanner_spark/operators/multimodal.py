@@ -435,12 +435,118 @@ FROM documents ORDER BY doc_id
 """
 
 
+_M6_DOCS_PER_SHARD = 16
+
+_M6_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.LongType()),
+    T.StructField("member_name", T.StringType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("data_offset", T.LongType()),
+    T.StructField("checksum_ok", T.BooleanType()),
+])
+
+
+def m6_tar_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar sharding: pack documents into POSIX ustar
+    shards (the standard container for multimodal training corpora),
+    then parse the raw tar bytes back into a member manifest — name,
+    size, byte offset of each member's data, and a recomputed header
+    checksum — WITHOUT tarfile on the read side, walking 512-byte
+    blocks by hand the way a random-access shard reader must.
+
+    Scale design (100 TB): sharding is applyInPandas per shard key —
+    each shard builds on one executor from its own partition's docs,
+    no driver involvement; shard size is bounded by the grouping key
+    (doc_id // 16 here, a byte-budget in production). The manifest
+    parse is mapInPandas over opaque binary — shards never shuffle.
+    The manifest is what an index-based reader (offset + size) seeks
+    by, so the offsets carry a full SQL oracle derived from the ustar
+    block arithmetic (header 512B + data padded to 512B).
+    """
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    base = (tables.load(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    (F.col("doc_id") / _M6_DOCS_PER_SHARD)
+                    .cast("long").alias("shard_id")))
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                data = str(row["text"]).encode("utf-8")
+                ti = tarfile.TarInfo(name=f"{int(row['doc_id']):012d}.txt")
+                ti.size = len(data)
+                ti.mtime = 0
+                ti.uid = ti.gid = 0
+                ti.uname = ti.gname = ""
+                tar.addfile(ti, io.BytesIO(data))
+        return pd.DataFrame({"shard_id": [int(pdf["shard_id"].iloc[0])],
+                             "tar": [buf.getvalue()]})
+
+    shard_schema = T.StructType([
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("tar", T.BinaryType()),
+    ])
+
+    def parse_manifest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def walk(shard_id: int, blob: bytes):
+            off = 0
+            while off + 512 <= len(blob):
+                hdr = blob[off:off + 512]
+                if hdr == b"\0" * 512:
+                    break
+                name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
+                size = int(hdr[124:136].split(b"\0", 1)[0] or b"0", 8)
+                stored_ck = int(hdr[148:156].split(b"\0", 1)[0].strip()
+                                or b"0", 8)
+                calc_ck = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+                yield (shard_id, name, size, off + 512,
+                       stored_ck == calc_ck)
+                off += 512 + ((size + 511) // 512) * 512
+
+        for pdf in batches:
+            rows = [r for sid, blob in zip(pdf["shard_id"], pdf["tar"])
+                    for r in walk(int(sid), bytes(blob))]
+            yield pd.DataFrame(rows, columns=[
+                "shard_id", "member_name", "size", "data_offset",
+                "checksum_ok"])
+
+    return (
+        base.groupBy("shard_id").applyInPandas(build_shard,
+                                               schema=shard_schema)
+        .mapInPandas(parse_manifest, schema=_M6_SCHEMA)
+        .orderBy("shard_id", "member_name")
+    )
+
+
+_M6_SQL = f"""
+WITH m AS (
+  SELECT CAST(doc_id // {_M6_DOCS_PER_SHARD} AS BIGINT) AS shard_id,
+         printf('%012d', doc_id) || '.txt' AS member_name,
+         CAST(strlen(text) AS BIGINT) AS size,
+         doc_id
+  FROM documents)
+SELECT shard_id, member_name, size,
+       CAST(COALESCE(SUM(512 + 512 * CAST(ceil(size / 512.0) AS BIGINT))
+            OVER (PARTITION BY shard_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + 512 AS BIGINT) AS data_offset,
+       TRUE AS checksum_ok
+FROM m ORDER BY shard_id, member_name
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
     "m3_image_dims": m3_image_dims,
     "m4_wav_features": m4_wav_features,
     "m5_video_container": m5_video_container,
+    "m6_tar_shard_manifest": m6_tar_shard_manifest,
 }
 
 ORACLE: dict[str, str] = {
@@ -449,4 +555,5 @@ ORACLE: dict[str, str] = {
     "m3_image_dims": _M3_SQL,
     "m4_wav_features": _M4_SQL,
     "m5_video_container": _M5_SQL,
+    "m6_tar_shard_manifest": _M6_SQL,
 }

@@ -660,6 +660,99 @@ GROUP BY segment, event_type ORDER BY segment, event_type
 """
 
 
+# --------------------------- E13 checkpoint resume (incremental runs)
+_E13_SPLIT = "2024-01-16 00:00:00"
+
+
+def e13_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pipeline re-run with CHECKPOINT RESUME — the
+    production cadence for file-based ingest: run 1 drains the files
+    present today (availableNow), the job exits; new files land; run 2
+    starts from the SAME checkpoint and must process ONLY the new
+    files, exactly once. The file-source's processed-file log in the
+    checkpoint is what makes re-runs incremental instead of
+    re-scanning the lake — at 100 TB that is the difference between
+    O(new data) and O(everything) per run.
+
+    Protocol here: the source splits at {split}; run 1 sees the first
+    half, then the second half lands and run 2 resumes. The sink
+    accumulates parquet appends; `run2_rows` records how many rows
+    run 2 actually processed. Oracle: the sink must equal the FULL
+    batch aggregate (nothing lost, nothing doubled) and run2_rows
+    must equal the second half's row count (nothing re-read).
+    """
+    import datetime as _dt
+    import hashlib
+    import os
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{_E13_SPLIT}"
+    base = os.path.join(
+        "/tmp", "pg_spark_resume_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    # the two-run protocol must start from an EMPTY checkpoint every
+    # call — a stale checkpoint would make run 1 a no-op
+    shutil.rmtree(base, ignore_errors=True)
+    stage = os.path.join(base, "in")
+    sink_dir = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "_ckpt")
+    os.makedirs(stage)
+    t = pq.read_table(src)
+    split = pa.scalar(_dt.datetime.fromisoformat(_E13_SPLIT),
+                      type=t["ts"].type)
+    pq.write_table(t.filter(pc.less(t["ts"], split)),
+                   os.path.join(stage, "b1.parquet"))
+    schema = spark.read.parquet(src).schema
+    counts = {1: 0, 2: 0}
+
+    def run(run_no: int) -> None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # persist: the count and the write share one materialization
+            # (foreachBatch batches re-compute per action otherwise)
+            batch_df.persist()
+            try:
+                counts[run_no] += batch_df.count()
+                batch_df.write.mode("append").parquet(sink_dir)
+            finally:
+                batch_df.unpersist()
+
+        with _stream_shuffle(spark):
+            q = (spark.readStream.schema(schema).parquet(stage)
+                 .writeStream.foreachBatch(sink)
+                 .trigger(availableNow=True)
+                 .option("checkpointLocation", ckpt)
+                 .start())
+            _drain(q)
+
+    run(1)
+    pq.write_table(t.filter(pc.greater_equal(t["ts"], split)),
+                   os.path.join(stage, "b2.parquet"))
+    run(2)
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("sum_value"))
+        .withColumn("run2_rows", F.lit(counts[2]).cast("long"))
+        .orderBy("event_type")
+    )
+
+
+_E13_SQL = f"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE ts >= TIMESTAMP '{_E13_SPLIT}') AS run2_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -673,6 +766,7 @@ QUERIES = {
     "e10_late_data_policy": e10_late_data_policy,
     "e11_streaming_sessions": e11_streaming_sessions,
     "e12_stream_static_join": e12_stream_static_join,
+    "e13_checkpoint_resume": e13_checkpoint_resume,
 }
 
 ORACLE = {
@@ -692,4 +786,5 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
     "e10_late_data_policy": _E10_SQL,
     "e11_streaming_sessions": _E2_SQL,
     "e12_stream_static_join": _E12_SQL,
+    "e13_checkpoint_resume": _E13_SQL,
 }
