@@ -1,4 +1,4 @@
-"""Advanced analytics surface (SURVEY.md §2 W1-W10, X1-X8): grouping
+"""Advanced analytics surface (SURVEY.md §2 W1-W11, X1-X10): grouping
 sets / rollup / cube, window functions, as-of join, banded range
 join, continuous aggregate, salted skew join, sketches, sampling,
 vocab, domain mixing, sequence packing, global training shuffle, and
@@ -849,6 +849,53 @@ FROM wtd ORDER BY source
 """
 
 
+# ---- X10: leakage-safe train/val/test split --------------------------
+def x10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the CONTENT fingerprint,
+    not the row id: exact duplicates hash to the same split by
+    construction, so the eval set can never contain a training copy
+    (the classic benchmark-leakage failure of id-keyed splits).
+    80/10/10 via md5 buckets — a pure function of content, stable
+    across runs, engines, and cluster sizes.
+
+    Scale design (100 TB): the assignment itself is embarrassingly
+    parallel (no shuffle — each row's split is a codegen'd hash of
+    its own text); the only exchange is the audit aggregation below.
+    `n_unique` counts distinct fingerprints per split, which at full
+    scale is the same map-side-combined distinct-agg every dedup
+    pass already pays."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    bucket = F.conv(F.substring(fp, 1, 4), 16, 10).cast("bigint") % 10
+    split = (F.when(bucket <= 7, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    return (
+        d.select(split.alias("split"), "doc_id", fp.alias("fp"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("fp").alias("n_unique"),
+             F.sum("doc_id").cast("long").alias("id_sum"))
+        .orderBy("split")
+    )
+
+
+_X10_SQL = r"""
+WITH assigned AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+         CAST(('0x' || substr(
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4))
+           AS BIGINT) % 10 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -870,6 +917,7 @@ QUERIES = {
     "x7_dataset_card": x7_dataset_card,
     "x8_epoch_plan": x8_epoch_plan,
     "x9_temperature_mix": x9_temperature_mix,
+    "x10_leakage_safe_split": x10_leakage_safe_split,
 }
 
 ORACLE = {
@@ -893,4 +941,5 @@ ORACLE = {
     "x7_dataset_card": _X7_SQL,
     "x8_epoch_plan": _X8_SQL,
     "x9_temperature_mix": _X9_SQL,
+    "x10_leakage_safe_split": _X10_SQL,
 }

@@ -1,6 +1,6 @@
 """Text analysis operators over the documents table.
 
-Training-data pipeline staples (SURVEY.md §2 T1-T9): language ID,
+Training-data pipeline staples (SURVEY.md §2 T1-T10): language ID,
 quality scoring, token counting, fingerprinting, the chained filter
 pipeline, PII redaction, repetition stats, character entropy, and
 corpus bigram-LM scoring. Everything stays
@@ -417,6 +417,61 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---- T10: per-document TF-IDF keyword extraction ---------------------
+def t10_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword /
+    topic-signal extractor for corpus exploration and quality
+    clustering. idf = ln((N+1)/(df+1)) with add-one smoothing.
+
+    Scale design (100 TB): tf is one (doc_id, term) partial-agg
+    shuffle over the exploded tokens; df is a second, far smaller,
+    term-keyed aggregation of the tf rows (not the raw tokens). The
+    corpus size N is a scalar broadcast. The top-k window partitions
+    on doc_id — the corpus's natural clustering — so ranking is
+    shuffle-local. Scores round to 6 decimals: ln() is libm-
+    dependent in the last bits across engines."""
+    from pyspark.sql.window import Window
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term").crossJoin(F.broadcast(total))
+        .withColumn("score", F.round(
+            F.col("tf") * F.log((F.col("n_docs") + 1)
+                                / (F.col("dfreq") + 1)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "dfreq", "score",
+                F.col("rk").cast("int").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
+
+
+_T10_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, dfreq,
+         ROUND(tf * ln((n_docs + 1) * 1.0 / (dfreq + 1)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, dfreq, score, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
@@ -427,6 +482,7 @@ QUERIES = {
     "t7_repetition_stats": t7_repetition_stats,
     "t8_entropy_quality": t8_entropy_quality,
     "t9_bigram_logprob": t9_bigram_logprob,
+    "t10_tfidf_keywords": t10_tfidf_keywords,
 }
 
 ORACLE = {
@@ -439,4 +495,5 @@ ORACLE = {
     "t7_repetition_stats": _T7_SQL,
     "t8_entropy_quality": _T8_SQL,
     "t9_bigram_logprob": _T9_SQL,
+    "t10_tfidf_keywords": _T10_SQL,
 }

@@ -1,6 +1,6 @@
 """Approximate nearest-neighbor search over the embeddings table
-(SURVEY.md §2 A1-A5: brute-force top-k, LSH buckets, IVF lists,
-k-NN label propagation, product quantization).
+(SURVEY.md §2 A1-A6: brute-force top-k, LSH buckets, IVF lists,
+k-NN label propagation, product quantization, Lloyd k-means).
 
 A1: brute-force cosine top-k — the exact baseline. The (small) query
 set broadcasts against the corpus; the corpus is never shuffled, so

@@ -1,4 +1,4 @@
-"""Deduplication operators over the documents table (SURVEY.md §2 D1-D9).
+"""Deduplication operators over the documents table (SURVEY.md §2 D1-D10).
 
 Training-data pipeline staples: exact dedup, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup, connected-components

@@ -1,4 +1,4 @@
-"""Multimodal binary-column operators (SURVEY.md §2 M1-M5).
+"""Multimodal binary-column operators (SURVEY.md §2 M1-M6).
 
 Treats media as opaque `binary` columns with typed metadata, the way
 a 100 TB training-data lake stores images/audio/video next to text.

@@ -1,4 +1,4 @@
-"""Event-stream operators (SURVEY.md §2 E1-E12).
+"""Event-stream operators (SURVEY.md §2 E1-E13).
 
 The reference's scan surface is batch-only; this module extends the
 engine to Spark's native streaming model. E1/E2/E4/E5 are
