@@ -849,6 +849,53 @@ FROM wtd ORDER BY source
 """
 
 
+# ---- W12: time-RANGE window frame (trailing 7 days) ------------------
+def w12_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowed aggregation — the VALUE-based frame (all
+    rows within 6 days of the current row's date), distinct from W4's
+    ROWS frame (a fixed row count): gaps in the calendar change the
+    window's contents. Spark expresses the range in epoch-days via
+    rangeBetween; the oracle uses RANGE BETWEEN INTERVAL. The daily
+    pre-aggregation means the window runs over one row per day —
+    history-sized, not fact-sized, at any scale."""
+    l = _t(spark, sf_dir, "lineitem")
+    daily = (
+        l.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev_dec"),
+             F.count("*").alias("n_items")))
+    w = (Window.orderBy(F.datediff("day", F.lit("1970-01-01")))
+         .rangeBetween(-6, 0))
+    return (
+        daily
+        .withColumn("trailing_7d_rev",
+                    F.sum("rev_dec").over(w).cast("double"))
+        .withColumn("trailing_7d_items",
+                    F.sum("n_items").over(w).cast("long"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                F.col("rev_dec").cast("double").alias("revenue"),
+                "trailing_7d_rev", "trailing_7d_items")
+        .orderBy("day")
+    )
+
+
+_W12_SQL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_7d_rev,
+       CAST(SUM(n_items) OVER (ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_7d_items
+FROM daily ORDER BY day
+"""
+
+
 # ---- X10: leakage-safe train/val/test split --------------------------
 def x10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment keyed on the CONTENT fingerprint,
@@ -908,6 +955,7 @@ QUERIES = {
     "w9_continuous_aggregate": w9_continuous_aggregate,
     "w10_skew_join": w10_skew_join,
     "w11_grouping_sets": w11_grouping_sets,
+    "w12_range_frame": w12_range_frame,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -932,6 +980,7 @@ ORACLE = {
     "w9_continuous_aggregate": _W9_SQL,
     "w10_skew_join": _W10_SQL,
     "w11_grouping_sets": _W11_SQL,
+    "w12_range_frame": _W12_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

@@ -244,6 +244,46 @@ FROM lineitem
 """
 
 
+# ---- P11: composite/struct columns — nested field access + pruning
+#      (reference: attach_types_struct.test,
+#      attach_types_complex_composite.test — composites map to
+#      STRUCTs through the connector; this exercises the engine side:
+#      nested construction, dotted field access, and Catalyst's
+#      nested-schema pruning so a rec.metrics.qty aggregation never
+#      materializes the sibling fields)
+def p11_struct_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    rec = F.struct(
+        F.col("l_returnflag").alias("flag"),
+        F.struct(
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        ).alias("metrics"))
+    return (
+        l.select(rec.alias("rec"))
+        .groupBy(F.col("rec.flag").alias("flag"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("rec.metrics.qty").cast("decimal(18,2)"))
+             .cast("double").alias("sum_qty"),
+             F.max(F.col("rec.metrics.price")).alias("max_price"))
+        .orderBy("flag")
+    )
+
+
+_P11_SQL = """
+WITH s AS (
+  SELECT {'flag': l_returnflag,
+          'metrics': {'qty': CAST(l_quantity AS DOUBLE),
+                      'price': CAST(l_extendedprice AS DOUBLE)}} AS rec
+  FROM lineitem)
+SELECT rec.flag AS flag, COUNT(*) AS n,
+       CAST(SUM(CAST(rec.metrics.qty AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_qty,
+       MAX(rec.metrics.price) AS max_price
+FROM s GROUP BY flag ORDER BY flag
+"""
+
+
 QUERIES = {
     "p1_count_star": p1_count_star,
     "p2_nulls": p2_nulls,
@@ -255,6 +295,7 @@ QUERIES = {
     "p8_json": p8_json,
     "p9_uuid": p9_uuid,
     "p10_verify_checksum": p10_verify_checksum,
+    "p11_struct_fields": p11_struct_fields,
 }
 
 ORACLE = {
@@ -268,4 +309,5 @@ ORACLE = {
     "p8_json": _P8_SQL,
     "p9_uuid": _P9_SQL,
     "p10_verify_checksum": _P10_SQL,
+    "p11_struct_fields": _P11_SQL,
 }

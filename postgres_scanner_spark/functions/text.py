@@ -472,6 +472,42 @@ FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
 """
 
 
+# ---- T11: BPE merge-pair counting (one tokenizer-training round) -----
+def t11_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training at corpus scale:
+    count within-word adjacent character pairs and surface the top
+    merge candidates — exactly the statistic a distributed tokenizer
+    trainer recomputes each merge round. One explode + one pair-keyed
+    partial-agg shuffle; the top-k is ORDER BY + LIMIT, which Spark
+    plans as TakeOrderedAndProject (per-partition heaps, no global
+    sort). Pair extraction is substr over an index sequence — all
+    JVM codegen, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(_tokens()).alias("w")).filter(
+        F.length("w") >= 2)
+    idx = F.sequence(F.lit(1), F.length("w") - 1)
+    pairs = words.select(
+        F.explode(F.transform(
+            idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"))
+    return (
+        pairs.groupBy("pair").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+_T11_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+pairs AS (
+  SELECT substr(w, CAST(g.i AS INT), 2) AS pair
+  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) g
+  WHERE len(w) >= 2)
+SELECT pair, COUNT(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
@@ -483,6 +519,7 @@ QUERIES = {
     "t8_entropy_quality": t8_entropy_quality,
     "t9_bigram_logprob": t9_bigram_logprob,
     "t10_tfidf_keywords": t10_tfidf_keywords,
+    "t11_bpe_pairs": t11_bpe_pairs,
 }
 
 ORACLE = {
@@ -496,4 +533,5 @@ ORACLE = {
     "t8_entropy_quality": _T8_SQL,
     "t9_bigram_logprob": _T9_SQL,
     "t10_tfidf_keywords": _T10_SQL,
+    "t11_bpe_pairs": _T11_SQL,
 }
