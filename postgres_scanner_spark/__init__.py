@@ -39,6 +39,16 @@ def get_spark(app: str = "postgres_scanner_spark", *, cpus: str | int = "*",
     """Session tuned for the engine: UTC (timestamp determinism vs the
     DuckDB oracle), AQE on (runtime skew/shuffle re-planning — the
     100 TB safety net), Arrow on (pandas-UDF fast path)."""
+    # Python workers must import this package regardless of the
+    # driver's cwd (the external driver loads __spark_entry__ by path
+    # from elsewhere): export the package parent on PYTHONPATH before
+    # the JVM launches so every spawned worker inherits it
+    import os
+    from pathlib import Path
+    parent = str(Path(__file__).resolve().parent.parent)
+    pp = os.environ.get("PYTHONPATH", "")
+    if parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pp + os.pathsep if pp else "") + parent
     return (
         SparkSession.builder.master(f"local[{cpus}]").appName(app)
         .config("spark.sql.session.timeZone", "UTC")

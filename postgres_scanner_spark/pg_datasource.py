@@ -38,9 +38,9 @@ from typing import Iterator
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, EqualTo, Filter, GreaterThan,
-    GreaterThanOrEqual, In, InputPartition, IsNotNull, IsNull, LessThan,
-    LessThanOrEqual,
+    DataSource, DataSourceReader, DataSourceWriter, EqualTo, Filter,
+    GreaterThan, GreaterThanOrEqual, In, InputPartition, IsNotNull,
+    IsNull, LessThan, LessThanOrEqual, WriterCommitMessage,
 )
 
 from .pushdown import transform_filters
@@ -359,6 +359,155 @@ class PostgresScanReader(DataSourceReader):
                 yield from reader.read(ChunkStream(cp))
 
 
+class _SpoolMsg(WriterCommitMessage):
+    """Commit message: one partition's PGCOPY spool file."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class PostgresScanWriter(DataSourceWriter):
+    """The WRITE half of the connector —
+    `df.write.format("postgres_scan")` — mirroring the reference's
+    COPY-based load path (reference: src/postgres_copy_to.cpp,
+    postgres_binary_copy.cpp: inserts become COPY .. FROM STDIN
+    (FORMAT binary) streams).
+
+    Two-phase for Spark's exactly-once contract: each partition
+    ENCODES its rows as a real PGCOPY binary stream into a spool file
+    (executor-side, parallel — the expensive half), and commit()
+    loads every spool inside ONE transaction on ONE connection
+    (driver-side), so a failed job publishes nothing. Spools live on
+    the driver-shared filesystem here (local mode); on a cluster the
+    spool dir would be an object store — or, where per-partition
+    atomicity is acceptable, partitions would stream their COPY
+    directly, which is the reference's own (single-connection)
+    behavior.
+
+    Backends match the reader: `duckdb://` loads the decoded batches
+    through an Arrow registration; libpq DSNs replay each spool as a
+    `COPY "t" FROM STDIN (FORMAT binary)` via psycopg.
+    """
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        import uuid
+        self.schema_ = schema
+        self.options = dict(options)
+        self.overwrite = overwrite
+        self.dsn = self.options.get("dsn", "")
+        self.table = self.options.get("table", "")
+        if not self.table:
+            raise ValueError("postgres_scan write needs .option('table')")
+        self.spool = f"/tmp/pg_spark_write_{uuid.uuid4().hex[:12]}"
+
+    def write(self, it: Iterator) -> _SpoolMsg:
+        import os
+        import uuid
+        from .copyio import _pg_binary_layout
+        from .pgwire import BinaryCopyWriter
+        oids, array_elem, array_ndims, _ = _pg_binary_layout(self.schema_)
+        os.makedirs(self.spool, exist_ok=True)
+        path = os.path.join(self.spool, f"{uuid.uuid4().hex}.pgcopy")
+        with open(path, "wb") as fh:
+            n = BinaryCopyWriter(oids, array_elem, array_ndims).write(
+                fh, (tuple(r) for r in it))
+        return _SpoolMsg(path, n)
+
+    # -- driver-side transaction
+    def _decoded(self, messages):
+        import io
+        from .copyio import _pg_binary_layout
+        from .pgwire import BinaryCopyReader
+        oids, _, _, array_cols = _pg_binary_layout(self.schema_)
+        reader = BinaryCopyReader(oids, array_cols)
+        for m in messages:
+            with open(m.path, "rb") as fh:
+                yield from reader.read(io.BytesIO(fh.read()))
+
+    def commit(self, messages) -> None:
+        import shutil
+        messages = [m for m in messages if m is not None]
+        try:
+            if self.dsn.startswith("duckdb://"):
+                self._commit_duckdb(messages)
+            else:
+                self._commit_live_pg(messages)
+        finally:
+            shutil.rmtree(self.spool, ignore_errors=True)
+
+    @staticmethod
+    def _duck_sql_type(dt: T.DataType) -> str:
+        if isinstance(dt, T.ArrayType):
+            return PostgresScanWriter._duck_sql_type(dt.elementType) + "[]"
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        return {
+            T.LongType(): "BIGINT", T.IntegerType(): "INTEGER",
+            T.ShortType(): "SMALLINT", T.ByteType(): "TINYINT",
+            T.DoubleType(): "DOUBLE", T.FloatType(): "FLOAT",
+            T.StringType(): "VARCHAR", T.BooleanType(): "BOOLEAN",
+            T.DateType(): "DATE", T.TimestampNTZType(): "TIMESTAMP",
+            T.TimestampType(): "TIMESTAMP WITH TIME ZONE",
+            T.BinaryType(): "BLOB",
+        }.get(dt, "VARCHAR")
+
+    def _commit_duckdb(self, messages) -> None:
+        import duckdb
+        import pandas as pd
+        rows = list(self._decoded(messages))
+        pdf = pd.DataFrame(rows, columns=[f.name for f in
+                                          self.schema_.fields])
+        # explicit column types + casted insert: pandas would register
+        # ns-precision timestamps / object columns that poison the
+        # table's declared types for every later reader
+        cols = ", ".join(
+            f'"{f.name}" {self._duck_sql_type(f.dataType)}'
+            for f in self.schema_.fields)
+        casts = ", ".join(
+            f'CAST("{f.name}" AS {self._duck_sql_type(f.dataType)})'
+            for f in self.schema_.fields)
+        con = duckdb.connect(self.dsn[len("duckdb://"):])
+        try:
+            con.execute("BEGIN")
+            con.register("_pg_spark_load", pdf)
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{self.table}" ({cols})')
+            if self.overwrite:
+                con.execute(f'DELETE FROM "{self.table}"')
+            con.execute(f'INSERT INTO "{self.table}" '
+                        f"SELECT {casts} FROM _pg_spark_load")
+            con.execute("COMMIT")
+        except Exception:
+            con.execute("ROLLBACK")
+            raise
+        finally:
+            con.close()
+
+    def _commit_live_pg(self, messages) -> None:
+        try:
+            import psycopg
+        except ImportError as exc:
+            raise ImportError(
+                "live Postgres writes need psycopg; use a duckdb:// "
+                "dsn in this environment") from exc
+        pg_schema = self.options.get("schema", "public")
+        target = f'"{pg_schema}"."{self.table}"'
+        with psycopg.connect(self.dsn) as con, con.cursor() as cur:
+            if self.overwrite:
+                cur.execute(f"DELETE FROM {target}")
+            for m in messages:
+                with cur.copy(f"COPY {target} FROM STDIN "
+                              "(FORMAT binary)") as cp:
+                    with open(m.path, "rb") as fh:
+                        while chunk := fh.read(1 << 20):
+                            cp.write(chunk)
+            con.commit()
+
+    def abort(self, messages) -> None:
+        import shutil
+        shutil.rmtree(self.spool, ignore_errors=True)
+
+
 class PostgresScanDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -441,3 +590,7 @@ class PostgresScanDataSource(DataSource):
         if udts:
             opts["pg_udts"] = json.dumps(udts)
         return PostgresScanReader(schema, opts)
+
+    def writer(self, schema: T.StructType,
+               overwrite: bool) -> PostgresScanWriter:
+        return PostgresScanWriter(schema, self.options, overwrite)

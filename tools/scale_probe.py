@@ -134,6 +134,54 @@ def x6_shape(docs: DataFrame) -> int:
     return out.count()
 
 
+def d10_shape(docs: DataFrame) -> int:
+    """Boilerplate-paragraph removal: para-keyed DF count + filtered
+    boilerplate build side (must stay broadcast-sized at any R)."""
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    nch = F.ceil(F.size("t") / F.lit(8)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i * 8 + 1, 8)))
+    paras = t.select("doc_id", F.posexplode(chunks).alias("p", "para"))
+    boiler = (paras.groupBy("para")
+              .agg(F.countDistinct("doc_id").alias("dfd"))
+              .filter(F.col("dfd") > 3).select("para"))
+    flagged = paras.join(boiler.withColumn("b", F.lit(True)),
+                         "para", "left")
+    return (flagged.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("b").isNull(), 1).otherwise(0))
+                 .alias("k")).count())
+
+
+def t11_shape(docs: DataFrame) -> int:
+    """BPE pair counting: explode + pair-keyed agg + top-k."""
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")).filter(
+        F.length("w") >= 2)
+    idx = F.sequence(F.lit(1), F.length("w") - 1)
+    pairs = words.select(F.explode(F.transform(
+        idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias("p"))
+    return (pairs.groupBy("p").count()
+            .orderBy(F.desc("count"), "p").limit(20).count())
+
+
+def a6_shape(embs: DataFrame) -> int:
+    """One Lloyd iteration: broadcast-assign + (cluster,dim) update."""
+    from postgres_scanner_spark.operators.ann import _km_assign
+    vecs = embs.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"))
+    cents = (vecs.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").cast("int").alias("cent_id"),
+                     F.col("x").alias("c")))
+    a1 = _km_assign(vecs, cents)
+    upd = (a1.select("cluster", F.posexplode("x").alias("pos", "val"))
+           .groupBy("cluster", "pos")
+           .agg(F.sum(F.col("val").cast("decimal(28,9)")).alias("s"),
+                F.count("*").alias("n")))
+    return upd.count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from postgres_scanner_spark import get_spark
@@ -141,6 +189,8 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
     # warm JIT/codegen so R=1 isn't penalized by compilation
     q1_shape(li.limit(1000))
     d2_core(docs.limit(50))
@@ -148,6 +198,9 @@ def main() -> None:
     cc_shape(docs.limit(50))
     d8_shape(docs.limit(50))
     x6_shape(docs.limit(50))
+    d10_shape(docs.limit(50))
+    t11_shape(docs.limit(50))
+    a6_shape(embs.limit(50))
     print(f"{'op':10} {'R':>3} {'rows':>12} {'sec':>8} {'sec/R':>8}")
     for name, base, key, stride, fn in (
             ("q1_agg", li, "l_orderkey", 10_000_000, q1_shape),
@@ -155,7 +208,10 @@ def main() -> None:
             ("t7_stats", docs, "doc_id", 1_000_000, t7_shape),
             ("cc_iter", docs, "doc_id", 1_000_000, cc_shape),
             ("d8_incr", docs, "doc_id", 1_000_000, d8_shape),
-            ("x6_shuf", docs, "doc_id", 1_000_000, x6_shape)):
+            ("x6_shuf", docs, "doc_id", 1_000_000, x6_shape),
+            ("d10_boil", docs, "doc_id", 1_000_000, d10_shape),
+            ("t11_bpe", docs, "doc_id", 1_000_000, t11_shape),
+            ("a6_lloyd", embs, "vec_id", 1_000_000, a6_shape)):
         for r in (1, 4, 16):
             # persist the amplified input: a real R×-sized table is
             # materialized storage, while the amplify() union would
