@@ -1,4 +1,4 @@
-"""Deduplication operators over the documents table (SURVEY.md §2 D1-D10).
+"""Deduplication operators over the documents table (SURVEY.md §2 D1-D11).
 
 Training-data pipeline staples: exact dedup, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup, connected-components
@@ -918,6 +918,127 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------- D11 verbatim-span detection
+_D11_K = 5            # positional shingle width
+_D11_MIN_SPAN = 10    # report pairs sharing >= 10 consecutive tokens
+_D11_MAX_DF = 50      # ignore shingles present in > 50 docs (hot keys)
+
+
+def d11_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document VERBATIM span detection — the light form of
+    suffix-array substring dedup (find pairs sharing a long exact
+    token run, e.g. quoted passages, licence blocks, copy-pasted
+    code). Positional 5-gram matches between two docs that lie on the
+    same alignment diagonal (a_pos − b_pos constant) with consecutive
+    positions form one shared span; the classic gaps-and-islands
+    grouping (pos − row_number) finds the longest run per pair, all
+    in window/aggregate algebra.
+
+    Plants: docs 0-9 get partial copies (doc_id+300000) carrying the
+    original's first 12 tokens + a unique suffix — exactly those
+    pairs must surface with span >= 12.
+
+    Scale design (100 TB): the inverted positional index shuffles on
+    the shingle; a document-frequency cap (shingles in more than
+    _D11_MAX_DF docs are dropped)
+    bounds every posting list, so the pair join is linear in genuine
+    rare-span matches, never quadratic in a hot phrase (same guard as
+    d4). Runs group on (a, b, diagonal) — keys as selective as the
+    pairs themselves.
+    """
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    t = F.split(F.lower(F.col("text")), " ")
+    plants = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.concat_ws(" ", F.slice(t, 1, 12)),
+                 F.lit(" uniqsuffix"),
+                 (F.col("doc_id") + 300000).cast("string")).alias("text"))
+    corpus = d.select("doc_id", "text").unionByName(plants)
+
+    tok = corpus.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " "))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"_t{j}")
+             for j in range(1, _D11_K)]
+    shx = (tok.select("doc_id", "pos", "tok", *leads)
+           .filter(F.col(f"_t{_D11_K - 1}").isNotNull())
+           .select("doc_id", "pos",
+                   F.concat_ws(" ", "tok",
+                               *[f"_t{j}" for j in range(1, _D11_K)])
+                   .alias("s")))
+    shx = scratch_persist(shx)
+    rare = (shx.groupBy("s")
+            .agg(F.countDistinct("doc_id").alias("dfd"))
+            .filter(F.col("dfd") <= _D11_MAX_DF).select("s"))
+    shx = shx.join(rare, "s")
+    m = (shx.alias("a").join(
+            shx.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .select(F.col("a.doc_id").alias("a_id"),
+                 F.col("b.doc_id").alias("b_id"),
+                 F.col("a.pos").alias("i"),
+                 (F.col("a.pos") - F.col("b.pos")).alias("diag"))
+         .distinct())
+    w2 = Window.partitionBy("a_id", "b_id", "diag").orderBy("i")
+    runs = m.withColumn("grp", F.col("i") - F.row_number().over(w2))
+    spans = (runs.groupBy("a_id", "b_id", "diag", "grp")
+             .agg(F.count("*").alias("run")))
+    return (
+        spans.groupBy("a_id", "b_id")
+        .agg(F.max(F.col("run") + _D11_K - 1).cast("long")
+             .alias("span_tokens"))
+        .filter(F.col("span_tokens") >= _D11_MIN_SPAN)
+        .orderBy("a_id", "b_id")
+    )
+
+
+_D11_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         array_to_string(string_split(lower(text), ' ')[1:12], ' ')
+           || ' uniqsuffix' || CAST(doc_id + 300000 AS VARCHAR)
+  FROM documents WHERE doc_id < 10),
+tok AS (
+  SELECT doc_id, g.i AS pos, t[CAST(g.i AS INT) + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+       LATERAL (SELECT unnest(range(len(t))) AS i) g),
+shx AS (
+  SELECT doc_id, pos,
+         {" || ' ' || ".join(
+             "LEAD(w, %d) OVER (PARTITION BY doc_id ORDER BY pos)" % j
+             if j else "w" for j in range(_D11_K))} AS s
+  FROM tok
+  QUALIFY LEAD(w, {_D11_K - 1})
+          OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+rare AS (
+  SELECT s FROM shx GROUP BY s
+  HAVING COUNT(DISTINCT doc_id) <= {_D11_MAX_DF}),
+shr AS (SELECT shx.* FROM shx JOIN rare USING (s)),
+m AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS i,
+         a.pos - b.pos AS diag
+  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT a_id, b_id, diag, i,
+         i - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+                                ORDER BY i) AS grp
+  FROM m),
+spans AS (
+  SELECT a_id, b_id, diag, grp, COUNT(*) AS run
+  FROM runs GROUP BY a_id, b_id, diag, grp)
+SELECT a_id, b_id,
+       CAST(MAX(run + {_D11_K - 1}) AS BIGINT) AS span_tokens
+FROM spans GROUP BY a_id, b_id
+HAVING MAX(run + {_D11_K - 1}) >= {_D11_MIN_SPAN}
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
@@ -929,6 +1050,7 @@ QUERIES = {
     "d8_incremental_dedup": d8_incremental_dedup,
     "d9_incremental_lsh": d9_incremental_lsh,
     "d10_boilerplate_removal": d10_boilerplate_removal,
+    "d11_verbatim_spans": d11_verbatim_spans,
 }
 
 ORACLE = {
@@ -942,4 +1064,5 @@ ORACLE = {
     "d8_incremental_dedup": _D8_SQL,
     "d9_incremental_lsh": _d9_sql(),
     "d10_boilerplate_removal": _D10_SQL,
+    "d11_verbatim_spans": _D11_SQL,
 }

@@ -128,3 +128,14 @@ def test_x10_split_partitions_corpus(spark):
     assert {r.split for r in rows} <= {"train", "val", "test"}
     train = next(r for r in rows if r.split == "train")
     assert train.n_docs > n_total / 2
+
+
+def test_d11_finds_planted_spans(spark):
+    """Every planted partial copy (first 12 tokens of docs 0-9) must
+    surface against its source with span exactly >= 12; plant pairs
+    are (orig, orig+300000)."""
+    from postgres_scanner_spark.operators.dedup import d11_verbatim_spans
+    rows = d11_verbatim_spans(spark, SF).collect()
+    pairs = {(r.a_id, r.b_id): r.span_tokens for r in rows}
+    for i in range(10):
+        assert pairs.get((i, i + 300000), 0) >= 12, (i, pairs)
