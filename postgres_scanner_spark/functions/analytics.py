@@ -1,4 +1,4 @@
-"""Advanced analytics surface (SURVEY.md §2 W1-W11, X1-X10): grouping
+"""Advanced analytics surface (SURVEY.md §2 W1-W12, X1-X11): grouping
 sets / rollup / cube, window functions, as-of join, banded range
 join, continuous aggregate, salted skew join, sketches, sampling,
 vocab, domain mixing, sequence packing, global training shuffle, and
@@ -849,6 +849,61 @@ FROM wtd ORDER BY source
 """
 
 
+# ---- X11: quality-stratified top-k% selection ------------------------
+def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified selection: keep each source's top 20% of
+    documents by a quality signal (lexical diversity = unique-token
+    ratio here; a model score in production) — the 'top slice per
+    domain' step of classifier-filtered pre-training corpora.
+    Stratifying per source prevents one high-scoring domain from
+    crowding out the rest.
+
+    Scale design (100 TB): the rank window partitions on source, and
+    per-source counts ride the same window — one shuffle keyed on
+    source; an extremely hot source would be pre-aggregated by
+    hash-range (x6's bucket trick). Selection is a pure function of
+    (score, doc_id) — reproducible across engines and cluster
+    sizes."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    div = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+    base = d.select("doc_id", "source", div.alias("diversity"),
+                    F.size(toks).alias("n_tok"))
+    w = Window.partitionBy("source").orderBy(F.desc("diversity"), "doc_id")
+    w_all = Window.partitionBy("source")
+    ranked = (base.withColumn("rk", F.row_number().over(w))
+              .withColumn("n_src", F.count("*").over(w_all)))
+    kept = ranked.filter(
+        F.col("rk") <= F.ceil(F.col("n_src") * F.lit(0.2)))
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"),
+             F.min("diversity").alias("min_diversity"),
+             F.sum("n_tok").alias("kept_tokens"))
+        .orderBy("source")
+    )
+
+
+_X11_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         ROUND(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(lower(text), ' ')), 6) AS diversity,
+         len(string_split(lower(text), ' ')) AS n_tok
+  FROM documents),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY diversity DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM base)
+SELECT source, COUNT(*) AS n_kept, MIN(diversity) AS min_diversity,
+       CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+FROM ranked WHERE rk <= CEIL(n_src * 0.2)
+GROUP BY source ORDER BY source
+"""
+
+
 # ---- W12: time-RANGE window frame (trailing 7 days) ------------------
 def w12_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame windowed aggregation — the VALUE-based frame (all
@@ -966,6 +1021,7 @@ QUERIES = {
     "x8_epoch_plan": x8_epoch_plan,
     "x9_temperature_mix": x9_temperature_mix,
     "x10_leakage_safe_split": x10_leakage_safe_split,
+    "x11_quality_topk_sample": x11_quality_topk_sample,
 }
 
 ORACLE = {
@@ -991,4 +1047,5 @@ ORACLE = {
     "x8_epoch_plan": _X8_SQL,
     "x9_temperature_mix": _X9_SQL,
     "x10_leakage_safe_split": _X10_SQL,
+    "x11_quality_topk_sample": _X11_SQL,
 }

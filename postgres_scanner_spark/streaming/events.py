@@ -1,4 +1,4 @@
-"""Event-stream operators (SURVEY.md §2 E1-E13).
+"""Event-stream operators (SURVEY.md §2 E1-E14).
 
 The reference's scan surface is batch-only; this module extends the
 engine to Spark's native streaming model. E1/E2/E4/E5 are
@@ -753,6 +753,111 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------- E14 streaming upsert (CDC-style merge)
+def e14_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT into the managed store — the CDC/silver-layer
+    merge pattern: each micro-batch reduces to the latest row per key
+    (user), then foreachBatch MERGEs it into a keyed table (delete
+    matching keys + insert replacements, one store transaction per
+    batch). Two mtime-ordered batches prove the cross-batch
+    semantics: users updated in batch 2 must overwrite their batch-1
+    row, users absent from batch 2 must survive.
+
+    Oracle: after the drain the table equals 'latest event per user'
+    over the WHOLE source — a pure batch window query.
+
+    Scale: the per-batch reduce is a window over the batch only
+    (micro-batch-sized); the merge cost is the store's delete rewrite
+    — at 100 TB the delete condition (an IN over the batch's keys)
+    prunes by the table's clustering index, and a production merge
+    would join on the key instead of rendering an IN list.
+    """
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{_E13_SPLIT}"
+    stage = os.path.join(
+        "/tmp", "pg_spark_upsert_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.isdir(stage):
+        import datetime as _dt
+        tmp = f"{stage}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        split = pa.scalar(_dt.datetime.fromisoformat(_E13_SPLIT),
+                          type=t["ts"].type)
+        pq.write_table(t.filter(pc.less(t["ts"], split)),
+                       os.path.join(tmp, "b1.parquet"))
+        pq.write_table(t.filter(pc.greater_equal(t["ts"], split)),
+                       os.path.join(tmp, "b2.parquet"))
+        now = _time.time()
+        for i, f in enumerate(("b1.parquet", "b2.parquet")):
+            os.utime(os.path.join(tmp, f), (now - 60 + 30 * i,) * 2)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    root = os.path.join(
+        "/tmp", "pg_spark_upsert_store_"
+        + hashlib.md5(key.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    schema = spark.read.parquet(src).schema
+    store.create_table("user_latest", spark.createDataFrame([], schema))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        latest = (batch_df.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1).drop("rk"))
+        latest.persist()
+        try:
+            keys = [str(r.user_id) for r in
+                    latest.select("user_id").collect()]
+            if keys:
+                store.delete("user_latest",
+                             f"user_id IN ({', '.join(keys)})")
+            store.insert("user_latest", latest)
+        finally:
+            latest.unpersist()
+
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1")
+             .parquet(stage)
+             .writeStream.foreachBatch(merge)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(root, "_ckpt"))
+             .start())
+        _drain(q)
+    return (
+        store.scan("user_latest")
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("value").cast("double").alias("last_value"))
+        .orderBy("user_id")
+    )
+
+
+_E14_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+SELECT user_id, event_id AS last_event_id,
+       CAST(value AS DOUBLE) AS last_value
+FROM ranked WHERE rk = 1 ORDER BY user_id
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -767,6 +872,7 @@ QUERIES = {
     "e11_streaming_sessions": e11_streaming_sessions,
     "e12_stream_static_join": e12_stream_static_join,
     "e13_checkpoint_resume": e13_checkpoint_resume,
+    "e14_streaming_upsert": e14_streaming_upsert,
 }
 
 ORACLE = {
@@ -787,4 +893,5 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
     "e11_streaming_sessions": _E2_SQL,
     "e12_stream_static_join": _E12_SQL,
     "e13_checkpoint_resume": _E13_SQL,
+    "e14_streaming_upsert": _E14_SQL,
 }
