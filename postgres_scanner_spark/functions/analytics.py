@@ -1,4 +1,4 @@
-"""Advanced analytics surface (SURVEY.md §2 W1-W12, X1-X11): grouping
+"""Advanced analytics surface (SURVEY.md §2 W1-W13, X1-X11): grouping
 sets / rollup / cube, window functions, as-of join, banded range
 join, continuous aggregate, salted skew join, sketches, sampling,
 vocab, domain mixing, sequence packing, global training shuffle, and
@@ -849,6 +849,53 @@ FROM wtd ORDER BY source
 """
 
 
+# ---- W13: distribution windows (ntile / percent_rank / cume_dist) ----
+def w13_dist_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window family — NTILE equi-buckets,
+    PERCENT_RANK, CUME_DIST — per order priority, summarized at the
+    quartile level. The window's total order includes the unique
+    orderkey, so ranks have no peer groups and every engine computes
+    identical values. One shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+    return (
+        ranked.groupBy("o_orderpriority", "quartile")
+        .agg(F.count("*").alias("n"),
+             F.min("price").alias("min_price"),
+             F.max("price").alias("max_price"),
+             F.max("pr").alias("max_pct_rank"),
+             F.max("cd").alias("max_cume_dist"))
+        .select("o_orderpriority", F.col("quartile").cast("int")
+                .alias("quartile"), "n", "min_price", "max_price",
+                "max_pct_rank", "max_cume_dist")
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+_W13_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
+         NTILE(4) OVER w AS quartile,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+         ROUND(CUME_DIST() OVER w, 6) AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey))
+SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+       COUNT(*) AS n, MIN(price) AS min_price, MAX(price) AS max_price,
+       MAX(pr) AS max_pct_rank, MAX(cd) AS max_cume_dist
+FROM ranked GROUP BY o_orderpriority, quartile
+ORDER BY o_orderpriority, quartile
+"""
+
+
 # ---- X11: quality-stratified top-k% selection ------------------------
 def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified selection: keep each source's top 20% of
@@ -1011,6 +1058,7 @@ QUERIES = {
     "w10_skew_join": w10_skew_join,
     "w11_grouping_sets": w11_grouping_sets,
     "w12_range_frame": w12_range_frame,
+    "w13_dist_windows": w13_dist_windows,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1037,6 +1085,7 @@ ORACLE = {
     "w10_skew_join": _W10_SQL,
     "w11_grouping_sets": _W11_SQL,
     "w12_range_frame": _W12_SQL,
+    "w13_dist_windows": _W13_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

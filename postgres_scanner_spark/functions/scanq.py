@@ -284,6 +284,33 @@ FROM s GROUP BY flag ORDER BY flag
 """
 
 
+# ---- P12: bytea/BLOB semantics (reference: attach_types_blob.test —
+#      bytea round-trips as BLOB; here: binary construction, length,
+#      slicing, and hashing over a binary column, all JVM-side)
+def p12_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return (
+        d.select(
+            "doc_id",
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("payload_md5"),
+            F.upper(F.hex(F.substring(payload, 1, 4))).alias("head_hex"))
+        .orderBy("doc_id")
+    )
+
+
+# DuckDB cannot slice/md5 BLOBs directly; the corpus is ASCII so
+# bytes == characters and the VARCHAR forms are byte-equivalent
+_P12_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       upper(hex(encode(substr(text, 1, 4)))) AS head_hex
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "p1_count_star": p1_count_star,
     "p2_nulls": p2_nulls,
@@ -296,6 +323,7 @@ QUERIES = {
     "p9_uuid": p9_uuid,
     "p10_verify_checksum": p10_verify_checksum,
     "p11_struct_fields": p11_struct_fields,
+    "p12_binary_ops": p12_binary_ops,
 }
 
 ORACLE = {
@@ -310,4 +338,5 @@ ORACLE = {
     "p9_uuid": _P9_SQL,
     "p10_verify_checksum": _P10_SQL,
     "p11_struct_fields": _P11_SQL,
+    "p12_binary_ops": _P12_SQL,
 }

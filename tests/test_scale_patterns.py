@@ -171,6 +171,7 @@ def test_plan_lint_all_queries(spark):
         "d4_ngram_jaccard",    # scalar n_docs bound into the DF cap
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
+        "t10_tfidf_keywords",      # scalar corpus size N → idf
         "x4_source_mix",           # scalar corpus totals → quotas
         "x8_epoch_plan",           # scalar corpus average → repeat tiers
     }
