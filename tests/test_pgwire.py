@@ -323,3 +323,41 @@ def test_geometry_spark_type_mapping():
     for name in ("line", "lseg", "box", "path", "polygon", "circle"):
         dt = pg_type_to_spark(name)
         assert dt == T.ArrayType(T.DoubleType()), name
+
+
+# ---- property: arbitrary rows survive the wire at any chunking ------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from postgres_scanner_spark.pgwire import ChunkStream  # noqa: E402
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(-2**63, 2**63 - 1),
+)
+_text_cell = st.one_of(
+    st.none(),
+    st.text(max_size=40).filter(lambda s: "\x00" not in s),
+)
+_float_cell = st.one_of(
+    st.none(), st.floats(allow_nan=False, width=64))
+_bytes_cell = st.one_of(st.none(), st.binary(max_size=40))
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(st.tuples(_cell, _text_cell, _float_cell,
+                               _bytes_cell), max_size=15),
+       chunk=st.integers(1, 23))
+def test_stream_roundtrip_property(rows, chunk):
+    """Any (int8, text, float8, bytea) row set must survive
+    write → ragged ChunkStream reassembly → read bit-exactly —
+    hypothesis covers NULL patterns, empty strings/bytes, negative
+    zero, full-range ints, and pathological chunk boundaries the
+    fixture tests cannot enumerate."""
+    oids = [pgt.INT8OID, pgt.TEXTOID, pgt.FLOAT8OID, pgt.BYTEAOID]
+    buf = io.BytesIO()
+    n = BinaryCopyWriter(oids).write(buf, rows)
+    assert n == len(rows)
+    data = buf.getvalue()
+    chunks = [data[i:i + chunk] for i in range(0, len(data), chunk)]
+    out = list(BinaryCopyReader(oids).read(ChunkStream(iter(chunks))))
+    assert out == rows
