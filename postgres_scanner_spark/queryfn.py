@@ -90,6 +90,15 @@ _ID = r'(?:"(?:[^"]|"")+"|\w+)'
 _IDENT = rf"({_ID})"
 _QIDENT = rf"({_ID}(?:\.{_ID})?)"
 
+# MERGE INTO t USING src ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+# WHEN NOT MATCHED THEN INSERT * — the delta-style upsert form; the
+# source is a subquery or view, keys are same-named equality columns
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+{_QIDENT}\s+USING\s+(.+?)\s+ON\s+(.+?)"
+    r"(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*)?"
+    r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 _DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+{_QIDENT}(?:\s+WHERE\s+(.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -456,6 +465,23 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                            re.IGNORECASE):
             store.vacuum(_unquote(m.group(1).strip()) if m.group(1)
                          else None)
+        elif m := _MERGE_RE.match(sql):
+            table = _unquote_table(m.group(1))
+            using, on_clause = m.group(2), m.group(3)
+            upd, ins = bool(m.group(4)), bool(m.group(5))
+            if not (upd or ins):
+                raise ValueError(
+                    "MERGE needs WHEN MATCHED THEN UPDATE SET * and/or "
+                    "WHEN NOT MATCHED THEN INSERT *")
+            keys = [a for a, b in re.findall(
+                r"\w+\.(\w+)\s*=\s*\w+\.(\w+)", on_clause) if a == b]
+            if not keys:
+                raise ValueError(
+                    "MERGE ON must be equality conjunctions on "
+                    "same-named columns (t.k = s.k [AND ...])")
+            src_df = catalog.spark.sql(f"SELECT * FROM {using}")
+            store.merge(table, src_df, keys,
+                        update_all=upd, insert_all=ins)
         elif m := _DELETE_RE.match(sql):
             # no WHERE = whole-table delete (standard SQL)
             store.delete(_unquote_table(m.group(1)), m.group(2) or "true")

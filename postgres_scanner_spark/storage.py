@@ -459,6 +459,61 @@ class ManagedStore:
         return int(obs.get["n"] or 0)
 
 
+    def merge(self, table: str, source: DataFrame, on: list[str],
+              update_all: bool = True,
+              insert_all: bool = True) -> tuple[int, int]:
+        """MERGE (upsert): `WHEN MATCHED THEN UPDATE SET *` /
+        `WHEN NOT MATCHED THEN INSERT *` — the delta-style upsert the
+        SQL-standard MERGE reduces to when the source carries full
+        rows. One snapshot rewrite: unchanged rows are kept by
+        anti-join, matched rows are replaced by their source version,
+        unmatched source rows append. Errors on duplicate source keys
+        (SQL MERGE's cardinality rule: a target row may match at most
+        one source row).
+
+        Scale: the rewrite is one key-shuffled join; at 100 TB the
+        kept side prunes to the key-range partitions the source
+        actually touches (clustering index), so merge cost follows
+        the DELTA's key spread, not table size. Returns
+        (n_updated, n_inserted)."""
+        cur = self.scan(table)
+        schema = cur.schema
+        missing = [c for c in cur.columns if c not in source.columns]
+        if missing:
+            raise ValueError(f"MERGE source lacks column(s) {missing}")
+        # several passes read the source (dup check, counts, union):
+        # one materialization
+        src = source.select([F.col(c).cast(schema[c].dataType)
+                             for c in cur.columns]).persist()
+        try:
+            if src.groupBy(*on).count().filter("count > 1").limit(1) \
+                    .count():
+                raise ValueError(
+                    "MERGE source has duplicate join keys — a target "
+                    "row may match at most one source row")
+            key_set = cur.select(*on).distinct()
+            matched = src.join(key_set, on, "left_semi")
+            unmatched = src.join(key_set, on, "left_anti")
+            n_upd = matched.count() if update_all else 0
+            n_ins = unmatched.count() if insert_all else 0
+            kept = (cur.join(src.select(*on).distinct(), on, "left_anti")
+                    if update_all else cur)
+            out = kept
+            if update_all:
+                out = out.unionByName(matched)
+            if insert_all:
+                out = out.unionByName(unmatched)
+            if self.table_meta(table):
+                delta = matched if update_all else \
+                    self.spark.createDataFrame([], schema)
+                if insert_all:
+                    delta = delta.unionByName(unmatched)
+                self._enforce_constraints(table, delta, kept)
+            self._write_new_version(table, out)
+        finally:
+            src.unpersist()
+        return n_upd, n_ins
+
     # ---- schema evolution (reference: storage/postgres_alter.cpp /
     #      attach_alter.test) — projection rewrite, the columnar-native
     #      ALTER strategy

@@ -591,3 +591,59 @@ def test_pg_query_semicolons_and_errors(spark, tmp_path):
         pg_query(cat, "s1", "")
     with pytest.raises(KeyError, match="Failed to find attached"):
         pg_query(cat, "xx", "SELECT 1")
+
+
+def test_merge_upsert(spark, store):
+    """MERGE semantics: matched rows replaced, unmatched inserted,
+    duplicate source keys rejected (SQL MERGE cardinality rule)."""
+    store.create_table("t", _mk(spark, [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    src = _mk(spark, [(2, "B2", 20.0), (4, "d", 4.0)])
+    n_upd, n_ins = store.merge("t", src, ["id"])
+    assert (n_upd, n_ins) == (1, 1)
+    rows = {r.id: (r.name, r.v) for r in store.scan("t").collect()}
+    assert rows == {1: ("a", 1.0), 2: ("B2", 20.0),
+                    3: ("c", 3.0), 4: ("d", 4.0)}
+    # update-only: unmatched source rows are ignored
+    n_upd, n_ins = store.merge(
+        "t", _mk(spark, [(1, "A9", 9.0), (99, "zz", 0.0)]), ["id"],
+        insert_all=False)
+    assert (n_upd, n_ins) == (1, 0)
+    rows = {r.id: r.name for r in store.scan("t").collect()}
+    assert rows[1] == "A9" and 99 not in rows
+    # insert-only: matched rows untouched
+    n_upd, n_ins = store.merge(
+        "t", _mk(spark, [(2, "IGNORED", 0.0), (5, "e", 5.0)]), ["id"],
+        update_all=False)
+    assert (n_upd, n_ins) == (0, 1)
+    rows = {r.id: r.name for r in store.scan("t").collect()}
+    assert rows[2] == "B2" and rows[5] == "e"
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        store.merge("t", _mk(spark, [(7, "x", 0.0), (7, "y", 0.0)]),
+                    ["id"])
+
+
+def test_merge_sql_routed(spark, tmp_path):
+    """MERGE INTO through pg_execute: upsert form with a subquery
+    source."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute
+    root = str(tmp_path / "mergedb")
+    seed = ManagedStore(spark, root)
+    seed.create_table("accounts", _mk(spark, [
+        (1, "alice", 10.0), (2, "bob", 20.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="db")
+    _mk(spark, [(2, "bob2", 25.0), (3, "carol", 30.0)]) \
+        .createOrReplaceTempView("updates_src")
+    pg_execute(cat, "db",
+               "MERGE INTO accounts USING "
+               "(SELECT * FROM updates_src) AS s "
+               "ON accounts.id = s.id "
+               "WHEN MATCHED THEN UPDATE SET * "
+               "WHEN NOT MATCHED THEN INSERT *")
+    rows = {r.id: (r.name, r.v)
+            for r in cat.table("db", "accounts").collect()}
+    assert rows == {1: ("alice", 10.0), 2: ("bob2", 25.0),
+                    3: ("carol", 30.0)}
+    cat.detach("db")
