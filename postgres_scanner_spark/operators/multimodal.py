@@ -1,4 +1,4 @@
-"""Multimodal binary-column operators (SURVEY.md §2 M1-M6).
+"""Multimodal binary-column operators (SURVEY.md §2 M1-M7).
 
 Treats media as opaque `binary` columns with typed metadata, the way
 a 100 TB training-data lake stores images/audio/video next to text.
@@ -540,6 +540,103 @@ FROM m ORDER BY shard_id, member_name
 """
 
 
+_M7_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("n_elems", T.LongType()),
+    T.StructField("header_len", T.IntegerType()),
+    T.StructField("val_sum", T.DoubleType()),
+])
+
+
+def m7_npy_tensor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPY tensor container: embeddings serialize to REAL .npy v1.0
+    byte streams (numpy writes them — the format training pipelines
+    actually ship tensors in), and a hand-rolled parser reads the
+    magic, version, little-endian header length, the header dict
+    (descr / fortran_order / shape), and the raw float32 payload —
+    WITHOUT numpy on the read side, the way a streaming shard reader
+    validates tensors. The positional left-to-right float fold gives
+    the payload a full cross-engine oracle (decode must invert
+    encode bit-for-bit; float32→double is exact).
+    """
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    base = tables.load(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import numpy as np
+
+        def mk(vec) -> bytes:
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(list(vec), dtype="<f4"))
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "payload": [mk(v) for v in pdf["embedding"]],
+            })
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        import struct
+
+        def parse(b: bytes):
+            assert b[:6] == b"\x93NUMPY", "bad magic"
+            major, minor = b[6], b[7]
+            assert (major, minor) == (1, 0), "unexpected version"
+            (hlen,) = struct.unpack("<H", b[8:10])
+            header = b[10:10 + hlen].decode("latin-1")
+            descr = re.search(r"'descr':\s*'([^']+)'", header).group(1)
+            shape = tuple(int(x) for x in re.findall(
+                r"\d+", re.search(r"'shape':\s*\(([^)]*)\)",
+                                  header).group(1)))
+            n = 1
+            for d in shape:
+                n *= d
+            data = b[10 + hlen:]
+            vals = struct.unpack(f"<{n}f", data[:4 * n])
+            s = 0.0
+            for v in vals:
+                s += float(v)
+            return descr, n, hlen, round(s, 5)
+
+        for pdf in batches:
+            parsed = [parse(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "dtype": [p[0] for p in parsed],
+                "n_elems": [p[1] for p in parsed],
+                "header_len": [p[2] for p in parsed],
+                "val_sum": [p[3] for p in parsed],
+            })
+
+    enc_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    return (
+        base.mapInPandas(encode, schema=enc_schema)
+        .mapInPandas(decode, schema=_M7_SCHEMA)
+        .orderBy("vec_id")
+    )
+
+
+# header_len: v1.0 pads magic+version+len+dict to a multiple of 64
+# bytes, so for this fixed dict text the length is a spec constant
+_M7_SQL = """
+SELECT vec_id, '<f4' AS dtype,
+       CAST(len(embedding) AS BIGINT) AS n_elems,
+       CAST(118 AS INT) AS header_len,
+       ROUND(list_sum(list_transform(embedding,
+             v -> CAST(v AS DOUBLE))), 5) AS val_sum
+FROM embeddings ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
@@ -547,6 +644,7 @@ QUERIES = {
     "m4_wav_features": m4_wav_features,
     "m5_video_container": m5_video_container,
     "m6_tar_shard_manifest": m6_tar_shard_manifest,
+    "m7_npy_tensor_parse": m7_npy_tensor_parse,
 }
 
 ORACLE: dict[str, str] = {
@@ -556,4 +654,5 @@ ORACLE: dict[str, str] = {
     "m4_wav_features": _M4_SQL,
     "m5_video_container": _M5_SQL,
     "m6_tar_shard_manifest": _M6_SQL,
+    "m7_npy_tensor_parse": _M7_SQL,
 }
