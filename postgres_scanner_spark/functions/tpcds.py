@@ -515,6 +515,99 @@ ORDER BY c_custkey, orderkey
 """
 
 
+# ---- DS13 (TPC-DS Q65 shape): below-average revenue items per group
+def ds13_low_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q65's correlated-average shape: per supplier, surface parts
+    whose revenue runs below 50% of that supplier's average part
+    revenue. Two aggregations share one (suppkey, partkey) shuffle;
+    the supplier average joins back as a per-supplier scalar (tiny
+    side, AQE broadcast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    # sum the UNROUNDED scale-4 products: pre-rounding each row to 2
+    # decimals hits half-cent ties, where Spark rounds HALF_UP and
+    # DuckDB HALF_EVEN — the exact sum sidesteps the mode difference
+    per_part = (
+        l.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_rev(l)).alias("rev_dec")))
+    # the per-supplier average divides in DOUBLE on both engines —
+    # decimal-division scale rules differ between Spark and DuckDB
+    per_supp = (per_part.groupBy("l_suppkey")
+                .agg((F.sum("rev_dec").cast("double") / F.count("*"))
+                     .alias("avg_rev")))
+    return (
+        per_part.join(per_supp, "l_suppkey")
+        .filter(F.col("rev_dec") < F.col("avg_rev") * 0.5)
+        .select("l_suppkey", "l_partkey",
+                F.col("rev_dec").cast("double").alias("revenue"),
+                F.round(F.col("avg_rev"), 2).alias("supp_avg"))
+        .orderBy("l_suppkey", "l_partkey")
+    )
+
+
+_DS13_SQL = """
+WITH per_part AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+  FROM lineitem GROUP BY l_suppkey, l_partkey),
+per_supp AS (
+  SELECT l_suppkey, CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS avg_rev
+  FROM per_part GROUP BY l_suppkey)
+SELECT l_suppkey, l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+       ROUND(avg_rev, 2) AS supp_avg
+FROM per_part JOIN per_supp USING (l_suppkey)
+WHERE rev_dec < avg_rev * 0.5
+ORDER BY l_suppkey, l_partkey
+"""
+
+
+# ---- DS14 (TPC-DS Q62/Q99 shape): shipping-lag buckets ---------------
+def ds14_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q62/Q99's lag-bucket shape: days from order to ship, banded
+    (<=30 / <=60 / <=90 / >90), counted per order priority in ONE
+    conditional-aggregation pass over the join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+
+    def band(lo, hi, name):
+        cond = lag <= hi if lo is None else (lag > lo) & (lag <= hi) \
+            if hi is not None else lag > lo
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(band(None, 30, "d30"), band(30, 60, "d60"),
+             band(60, 90, "d90"), band(90, None, "d90plus"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_DS14_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+    AS d30,
+  CAST(SUM(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       CAST(l_shipdate AS DATE)) > 30
+       AND datediff('day', CAST(o_orderdate AS DATE),
+       CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+    AS d60,
+  CAST(SUM(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       CAST(l_shipdate AS DATE)) > 60
+       AND datediff('day', CAST(o_orderdate AS DATE),
+       CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+    AS d90,
+  CAST(SUM(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+       CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS BIGINT)
+    AS d90plus
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "ds1_above_avg_customers": ds1_above_avg_customers,
     "ds2_weekday_share": ds2_weekday_share,
@@ -528,6 +621,8 @@ QUERIES = {
     "ds10_avg_measures": ds10_avg_measures,
     "ds11_timeband_counts": ds11_timeband_counts,
     "ds12_order_size_band": ds12_order_size_band,
+    "ds13_low_revenue_parts": ds13_low_revenue_parts,
+    "ds14_shipping_lag": ds14_shipping_lag,
 }
 
 ORACLE = {
@@ -543,4 +638,6 @@ ORACLE = {
     "ds10_avg_measures": _DS10_SQL,
     "ds11_timeband_counts": _DS11_SQL,
     "ds12_order_size_band": _DS12_SQL,
+    "ds13_low_revenue_parts": _DS13_SQL,
+    "ds14_shipping_lag": _DS14_SQL,
 }
