@@ -1,9 +1,10 @@
 """Text analysis operators over the documents table.
 
-Training-data pipeline staples (SURVEY.md §2 T1-T10): language ID,
+Training-data pipeline staples (SURVEY.md §2 T1-T11): language ID,
 quality scoring, token counting, fingerprinting, the chained filter
-pipeline, PII redaction, repetition stats, character entropy, and
-corpus bigram-LM scoring. Everything stays
+pipeline, PII redaction, repetition stats, character entropy, corpus
+bigram-LM scoring, TF-IDF keyword extraction, and BPE merge-pair
+counting. Everything stays
 JVM-side (built-in string/regex/array functions — no Python UDFs), so
 the hot path is whole-stage-codegen'd and scales linearly with
 partitions at 100 TB.

@@ -414,15 +414,14 @@ class PostgresScanWriter(DataSourceWriter):
         return _SpoolMsg(path, n)
 
     # -- driver-side transaction
-    def _decoded(self, messages):
+    def _decode_spool(self, message):
         import io
         from .copyio import _pg_binary_layout
         from .pgwire import BinaryCopyReader
         oids, _, _, array_cols = _pg_binary_layout(self.schema_)
         reader = BinaryCopyReader(oids, array_cols)
-        for m in messages:
-            with open(m.path, "rb") as fh:
-                yield from reader.read(io.BytesIO(fh.read()))
+        with open(message.path, "rb") as fh:
+            yield from reader.read(io.BytesIO(fh.read()))
 
     def commit(self, messages) -> None:
         import shutil
@@ -454,28 +453,38 @@ class PostgresScanWriter(DataSourceWriter):
     def _commit_duckdb(self, messages) -> None:
         import duckdb
         import pandas as pd
-        rows = list(self._decoded(messages))
-        pdf = pd.DataFrame(rows, columns=[f.name for f in
-                                          self.schema_.fields])
+        fields = self.schema_.fields
         # explicit column types + casted insert: pandas would register
         # ns-precision timestamps / object columns that poison the
         # table's declared types for every later reader
         cols = ", ".join(
             f'"{f.name}" {self._duck_sql_type(f.dataType)}'
-            for f in self.schema_.fields)
+            for f in fields)
+        names = ", ".join(f'"{f.name}"' for f in fields)
         casts = ", ".join(
             f'CAST("{f.name}" AS {self._duck_sql_type(f.dataType)})'
-            for f in self.schema_.fields)
+            for f in fields)
         con = duckdb.connect(self.dsn[len("duckdb://"):])
         try:
             con.execute("BEGIN")
-            con.register("_pg_spark_load", pdf)
+            # overwrite REPLACES the table definition — a stale table
+            # with different column order/types must not survive and
+            # receive positionally-mismapped rows
+            if self.overwrite:
+                con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
             con.execute(
                 f'CREATE TABLE IF NOT EXISTS "{self.table}" ({cols})')
-            if self.overwrite:
-                con.execute(f'DELETE FROM "{self.table}"')
-            con.execute(f'INSERT INTO "{self.table}" '
-                        f"SELECT {casts} FROM _pg_spark_load")
+            # one spool at a time inside the SAME transaction: peak
+            # driver memory is one partition's rows, not the dataset
+            for m in messages:
+                pdf = pd.DataFrame(list(self._decode_spool(m)),
+                                   columns=[f.name for f in fields])
+                con.register("_pg_spark_load", pdf)
+                # insert BY NAME so an existing table with a different
+                # column order maps correctly in append mode
+                con.execute(f'INSERT INTO "{self.table}" ({names}) '
+                            f"SELECT {casts} FROM _pg_spark_load")
+                con.unregister("_pg_spark_load")
             con.execute("COMMIT")
         except Exception:
             con.execute("ROLLBACK")

@@ -93,8 +93,10 @@ _QIDENT = rf"({_ID}(?:\.{_ID})?)"
 # MERGE INTO t USING src ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
 # WHEN NOT MATCHED THEN INSERT * — the delta-style upsert form; the
 # source is a subquery or view, keys are same-named equality columns
-_MERGE_RE = re.compile(
-    rf"^\s*MERGE\s+INTO\s+{_QIDENT}\s+USING\s+(.+?)\s+ON\s+(.+?)"
+_MERGE_PREFIX_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+{_QIDENT}\s+USING\s+", re.IGNORECASE)
+_MERGE_CLAUSES_RE = re.compile(
+    r"^ON\s+(.+?)"
     r"(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*)?"
     r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -219,6 +221,51 @@ def _balanced_paren(text: str) -> tuple[str, str]:
                 if depth == 0:
                     return text[1:i], text[i + 1:]
     raise ValueError(f"unbalanced parens in {text!r}")
+
+
+def _parse_merge(sql: str):
+    """Parse a MERGE statement into (table, source_sql, keys, upd, ins)
+    or return None if `sql` is not a MERGE. The USING source is read
+    with balanced-paren scanning so subqueries containing JOIN .. ON
+    survive; the ON clause must be a conjunction of same-named
+    equality columns (t.k = s.k [AND ...]) — OR and non-equality
+    predicates are REJECTED rather than silently dropped."""
+    m = _MERGE_PREFIX_RE.match(sql)
+    if not m:
+        return None
+    table = m.group(1)
+    rest = sql[m.end():].lstrip()
+    if rest.startswith("("):
+        src_sql, rest = _balanced_paren(rest)
+    else:
+        im = re.match(_ID, rest)
+        if not im:
+            raise ValueError("MERGE: cannot parse USING source")
+        src_sql, rest = f"SELECT * FROM {im.group(0)}", rest[im.end():]
+    # optional [AS] alias before ON
+    rest = re.sub(rf"^\s*(?:AS\s+)?{_ID}\s+(?=ON\s)", "", rest.lstrip(),
+                  flags=re.IGNORECASE)
+    cm = _MERGE_CLAUSES_RE.match(rest.lstrip())
+    if not cm:
+        raise ValueError(
+            "MERGE: expected ON <cond> followed by WHEN MATCHED THEN "
+            "UPDATE SET * and/or WHEN NOT MATCHED THEN INSERT *")
+    on_clause, upd, ins = cm.group(1), bool(cm.group(2)), bool(cm.group(3))
+    if not (upd or ins):
+        raise ValueError(
+            "MERGE needs WHEN MATCHED THEN UPDATE SET * and/or "
+            "WHEN NOT MATCHED THEN INSERT *")
+    keys = []
+    for part in re.split(r"\s+AND\s+", on_clause.strip(),
+                         flags=re.IGNORECASE):
+        pm = re.fullmatch(
+            rf"\s*{_ID}\.({_ID})\s*=\s*{_ID}\.({_ID})\s*", part)
+        if not pm or _unquote(pm.group(1)) != _unquote(pm.group(2)):
+            raise ValueError(
+                f"MERGE ON must be equality conjunctions on same-named "
+                f"columns (t.k = s.k [AND ...]); cannot route {part!r}")
+        keys.append(_unquote(pm.group(1)))
+    return table, src_sql, keys, upd, ins
 
 
 def _parse_col_constraints(name: str, tail: str, meta: dict) -> None:
@@ -465,23 +512,10 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                            re.IGNORECASE):
             store.vacuum(_unquote(m.group(1).strip()) if m.group(1)
                          else None)
-        elif m := _MERGE_RE.match(sql):
-            table = _unquote_table(m.group(1))
-            using, on_clause = m.group(2), m.group(3)
-            upd, ins = bool(m.group(4)), bool(m.group(5))
-            if not (upd or ins):
-                raise ValueError(
-                    "MERGE needs WHEN MATCHED THEN UPDATE SET * and/or "
-                    "WHEN NOT MATCHED THEN INSERT *")
-            keys = [a for a, b in re.findall(
-                r"\w+\.(\w+)\s*=\s*\w+\.(\w+)", on_clause) if a == b]
-            if not keys:
-                raise ValueError(
-                    "MERGE ON must be equality conjunctions on "
-                    "same-named columns (t.k = s.k [AND ...])")
-            src_df = catalog.spark.sql(f"SELECT * FROM {using}")
-            store.merge(table, src_df, keys,
-                        update_all=upd, insert_all=ins)
+        elif parsed := _parse_merge(sql):
+            table, src_sql, keys, upd, ins = parsed
+            store.merge(_unquote_table(table), catalog.spark.sql(src_sql),
+                        keys, update_all=upd, insert_all=ins)
         elif m := _DELETE_RE.match(sql):
             # no WHERE = whole-table delete (standard SQL)
             store.delete(_unquote_table(m.group(1)), m.group(2) or "true")

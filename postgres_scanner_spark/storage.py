@@ -486,8 +486,11 @@ class ManagedStore:
         src = source.select([F.col(c).cast(schema[c].dataType)
                              for c in cur.columns]).persist()
         try:
-            if src.groupBy(*on).count().filter("count > 1").limit(1) \
-                    .count():
+            # NULL-keyed source rows can never match a target row
+            # (ON equality is not true for NULL = NULL), so they are
+            # exempt from the cardinality rule and always insert
+            if src.dropna(subset=on).groupBy(*on).count() \
+                    .filter("count > 1").limit(1).count():
                 raise ValueError(
                     "MERGE source has duplicate join keys — a target "
                     "row may match at most one source row")

@@ -664,6 +664,33 @@ GROUP BY segment, event_type ORDER BY segment, event_type
 _E13_SPLIT = "2024-01-16 00:00:00"
 
 
+def _split_events_by_ts(src: str):
+    """(first, rest) pyarrow tables, split at _E13_SPLIT — the one
+    implementation of the two-batch protocol e13 and e14 share."""
+    import datetime as _dt
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(src)
+    split = pa.scalar(_dt.datetime.fromisoformat(_E13_SPLIT),
+                      type=t["ts"].type)
+    return (t.filter(pc.less(t["ts"], split)),
+            t.filter(pc.greater_equal(t["ts"], split)))
+
+
+def _content_keyed_dir(src: str, tag: str) -> str:
+    """/tmp dir name keyed on the source CONTENT (mtime+size) and the
+    split constant: regenerated testdata must never replay stale
+    staged batches."""
+    import hashlib
+    import os
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{_E13_SPLIT}"
+    return os.path.join(
+        "/tmp",
+        f"pg_spark_{tag}_" + hashlib.md5(key.encode()).hexdigest()[:8])
+
+
 def e13_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental pipeline re-run with CHECKPOINT RESUME — the
     production cadence for file-based ingest: run 1 drains the files
@@ -681,20 +708,13 @@ def e13_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregate (nothing lost, nothing doubled) and run2_rows
     must equal the second half's row count (nothing re-read).
     """
-    import datetime as _dt
-    import hashlib
     import os
     import shutil
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{_E13_SPLIT}"
-    base = os.path.join(
-        "/tmp", "pg_spark_resume_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    base = _content_keyed_dir(src, "resume")
     # the two-run protocol must start from an EMPTY checkpoint every
     # call — a stale checkpoint would make run 1 a no-op
     shutil.rmtree(base, ignore_errors=True)
@@ -702,11 +722,8 @@ def e13_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = os.path.join(base, "sink")
     ckpt = os.path.join(base, "_ckpt")
     os.makedirs(stage)
-    t = pq.read_table(src)
-    split = pa.scalar(_dt.datetime.fromisoformat(_E13_SPLIT),
-                      type=t["ts"].type)
-    pq.write_table(t.filter(pc.less(t["ts"], split)),
-                   os.path.join(stage, "b1.parquet"))
+    first, rest = _split_events_by_ts(src)
+    pq.write_table(first, os.path.join(stage, "b1.parquet"))
     schema = spark.read.parquet(src).schema
     counts = {1: 0, 2: 0}
 
@@ -730,8 +747,7 @@ def e13_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _drain(q)
 
     run(1)
-    pq.write_table(t.filter(pc.greater_equal(t["ts"], split)),
-                   os.path.join(stage, "b2.parquet"))
+    pq.write_table(rest, os.path.join(stage, "b2.parquet"))
     run(2)
     return (
         spark.read.parquet(sink_dir)
@@ -757,47 +773,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 def e14_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming UPSERT into the managed store — the CDC/silver-layer
     merge pattern: each micro-batch reduces to the latest row per key
-    (user), then foreachBatch MERGEs it into a keyed table (delete
-    matching keys + insert replacements, one store transaction per
-    batch). Two mtime-ordered batches prove the cross-batch
-    semantics: users updated in batch 2 must overwrite their batch-1
-    row, users absent from batch 2 must survive.
+    (user), then foreachBatch calls ManagedStore.merge — ONE snapshot
+    rewrite per batch, so readers only ever see a pre- or post-merge
+    version, never the half-applied intermediate. Two mtime-ordered
+    batches prove the cross-batch semantics: users updated in batch 2
+    must overwrite their batch-1 row, users absent from batch 2 must
+    survive.
 
     Oracle: after the drain the table equals 'latest event per user'
     over the WHOLE source — a pure batch window query.
 
     Scale: the per-batch reduce is a window over the batch only
-    (micro-batch-sized); the merge cost is the store's delete rewrite
-    — at 100 TB the delete condition (an IN over the batch's keys)
-    prunes by the table's clustering index, and a production merge
-    would join on the key instead of rendering an IN list.
+    (micro-batch-sized); merge cost follows the batch's key spread
+    (see ManagedStore.merge).
     """
-    import hashlib
     import os
     import shutil
     import time as _time
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from ..storage import ManagedStore
     from .. import tables as _tb
     _tb.ensure_session_defaults(spark)
     src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{_E13_SPLIT}"
-    stage = os.path.join(
-        "/tmp", "pg_spark_upsert_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    stage = _content_keyed_dir(src, "upsert")
     if not os.path.isdir(stage):
-        import datetime as _dt
         tmp = f"{stage}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
-        t = pq.read_table(src)
-        split = pa.scalar(_dt.datetime.fromisoformat(_E13_SPLIT),
-                          type=t["ts"].type)
-        pq.write_table(t.filter(pc.less(t["ts"], split)),
-                       os.path.join(tmp, "b1.parquet"))
-        pq.write_table(t.filter(pc.greater_equal(t["ts"], split)),
-                       os.path.join(tmp, "b2.parquet"))
+        first, rest = _split_events_by_ts(src)
+        pq.write_table(first, os.path.join(tmp, "b1.parquet"))
+        pq.write_table(rest, os.path.join(tmp, "b2.parquet"))
         now = _time.time()
         for i, f in enumerate(("b1.parquet", "b2.parquet")):
             os.utime(os.path.join(tmp, f), (now - 60 + 30 * i,) * 2)
@@ -805,9 +809,7 @@ def e14_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, stage)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    root = os.path.join(
-        "/tmp", "pg_spark_upsert_store_"
-        + hashlib.md5(key.encode()).hexdigest()[:8])
+    root = _content_keyed_dir(src, "upsert_store")
     shutil.rmtree(root, ignore_errors=True)
     store = ManagedStore(spark, root)
     schema = spark.read.parquet(src).schema
@@ -818,16 +820,7 @@ def e14_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("ts"), F.desc("event_id"))
         latest = (batch_df.withColumn("rk", F.row_number().over(w))
                   .filter(F.col("rk") == 1).drop("rk"))
-        latest.persist()
-        try:
-            keys = [str(r.user_id) for r in
-                    latest.select("user_id").collect()]
-            if keys:
-                store.delete("user_latest",
-                             f"user_id IN ({', '.join(keys)})")
-            store.insert("user_latest", latest)
-        finally:
-            latest.unpersist()
+        store.merge("user_latest", latest, ["user_id"])
 
     with _stream_shuffle(spark):
         q = (spark.readStream.schema(schema)

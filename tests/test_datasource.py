@@ -428,3 +428,25 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
                        (3, None, None)]
     import os
     assert not os.path.exists(w.spool)
+
+
+def test_write_overwrite_replaces_schema(registered, tmp_path):
+    """Overwrite must REPLACE the table definition: a pre-existing
+    table with different column order/types must not survive and
+    receive positionally mis-mapped rows."""
+    from pyspark.sql import functions as F
+    spark = registered
+    db = str(tmp_path / "ow.db")
+    (spark.range(3).select(F.concat(F.lit("n"), F.col("id")).alias("a"),
+                           F.col("id").alias("b"))
+     .write.format("postgres_scan").option("dsn", f"duckdb://{db}")
+     .option("table", "t").mode("append").save())
+    # overwrite with swapped column order and different types
+    (spark.range(2).select(F.col("id").alias("b"),
+                           F.concat(F.lit("x"), F.col("id")).alias("a"))
+     .write.format("postgres_scan").option("dsn", f"duckdb://{db}")
+     .option("table", "t").mode("overwrite").save())
+    back = (spark.read.format("postgres_scan")
+            .option("dsn", f"duckdb://{db}").option("table", "t").load())
+    assert back.columns == ["b", "a"]
+    assert {(r.b, r.a) for r in back.collect()} == {(0, "x0"), (1, "x1")}

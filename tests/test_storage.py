@@ -647,3 +647,65 @@ def test_merge_sql_routed(spark, tmp_path):
     assert rows == {1: ("alice", 10.0), 2: ("bob2", 25.0),
                     3: ("carol", 30.0)}
     cat.detach("db")
+
+
+def test_merge_null_keys_insert(spark, store):
+    """NULL-keyed source rows never match (ON equality is not true for
+    NULL), so they insert — even several of them — and do not trip
+    the duplicate-key cardinality check."""
+    store.create_table("t", _mk(spark, [(1, "a", 1.0)]))
+    src = spark.createDataFrame(
+        [(None, "n1", 0.1), (None, "n2", 0.2), (1, "A", 9.0)],
+        "id BIGINT, name STRING, v DOUBLE")
+    n_upd, n_ins = store.merge("t", src, ["id"])
+    assert (n_upd, n_ins) == (1, 2)
+    rows = sorted((r.name, r.id) for r in store.scan("t").collect())
+    assert rows == [("A", 1), ("n1", None), ("n2", None)]
+
+
+def test_merge_sql_rejects_or_and_literals(spark, tmp_path):
+    """OR connectives and non-equality predicates in MERGE ON must
+    raise, never silently degrade to a different condition."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute
+    root = str(tmp_path / "mergeguard")
+    ManagedStore(spark, root).create_table(
+        "t", _mk(spark, [(1, "a", 1.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="db")
+    _mk(spark, [(1, "x", 2.0)]).createOrReplaceTempView("g_src")
+    for bad_on in ["t.id = s.id OR t.v = s.v",
+                   "t.id = s.id AND t.name = 'EU'",
+                   "t.id < s.id"]:
+        with pytest.raises(ValueError, match="MERGE ON"):
+            pg_execute(cat, "db",
+                       f"MERGE INTO t USING (SELECT * FROM g_src) AS s "
+                       f"ON {bad_on} "
+                       f"WHEN MATCHED THEN UPDATE SET *")
+    cat.detach("db")
+
+
+def test_merge_sql_using_subquery_with_join_on(spark, tmp_path):
+    """A USING subquery containing JOIN .. ON must parse (balanced-
+    paren scan, not first-' ON '-wins)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute
+    root = str(tmp_path / "mergejoin")
+    ManagedStore(spark, root).create_table(
+        "t", _mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="db")
+    spark.createDataFrame([(2,), (3,)], "id BIGINT") \
+        .createOrReplaceTempView("j_ids")
+    _mk(spark, [(2, "b2", 22.0), (3, "c", 3.0), (9, "zz", 0.0)]) \
+        .createOrReplaceTempView("j_rows")
+    pg_execute(cat, "db",
+               "MERGE INTO t USING "
+               "(SELECT r.id, r.name, r.v FROM j_rows r "
+               "JOIN j_ids i ON r.id = i.id) AS s "
+               "ON t.id = s.id "
+               "WHEN MATCHED THEN UPDATE SET * "
+               "WHEN NOT MATCHED THEN INSERT *")
+    rows = {r.id: r.name for r in cat.table("db", "t").collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+    cat.detach("db")
