@@ -1,4 +1,4 @@
-"""Event-stream operators (SURVEY.md §2 E1-E14).
+"""Event-stream operators (SURVEY.md §2 E1-E15).
 
 The reference's scan surface is batch-only; this module extends the
 engine to Spark's native streaming model. E1/E2/E4/E5 are
@@ -851,6 +851,77 @@ FROM ranked WHERE rk = 1 ORDER BY user_id
 """
 
 
+# --------------------- E15 stream-stream LEFT OUTER (expiry nulls)
+def e15_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics inner
+    joins (e8) cannot express: a view with NO click within its hour
+    must still emit, null-padded, but only once its join state
+    EXPIRES (the engine can't know a match won't arrive until the
+    watermark passes the interval's end). availableNow's trailing
+    no-data batch advances the watermark past max(ts), expiring all
+    state, so the drain emits every unmatched view exactly once —
+    making the full run equal the batch LEFT JOIN (full oracle).
+
+    State bound: watermark + interval condition keep at most ~1 h of
+    rows per side, identical to e8 — outer-ness adds no state, only
+    the deferred null emission."""
+    src = f"{sf_dir}/events.parquet"
+    stage = _stage_symlink(src)
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    schema = spark.read.parquet(src).schema
+
+    def side(evt: str, pfx: str):
+        return (
+            spark.readStream.schema(schema).parquet(stage)
+            .filter(F.col("event_type") == evt)
+            .select(F.col("user_id").alias(f"{pfx}_user"),
+                    F.col("ts").cast("timestamp").alias(f"{pfx}_ts"),
+                    F.col("event_id").alias(f"{pfx}_id"))
+            .withWatermark(f"{pfx}_ts", "2 hours"))
+
+    joined = side("view", "v").join(
+        side("click", "c"),
+        F.expr("v_user = c_user AND c_ts > v_ts "
+               "AND c_ts <= v_ts + interval 1 hour"),
+        "leftOuter")
+    out = joined.select(
+        F.col("v_id").alias("view_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("c_id").isNull().alias("unmatched"))
+    with _stream_shuffle(spark):
+        q = (out.writeStream.format("memory").queryName("e15_louter")
+             .outputMode("append").trigger(availableNow=True).start())
+        _drain(q)
+    return (spark.table("e15_louter")
+            .orderBy("view_id", "click_id"))
+
+
+# the drop rule is part of the pinned semantics (same approach as
+# e10): a null row emits only once the final GLOBAL watermark passes
+# the view's join window end (ts + 1 h). With two watermarked inputs
+# the global watermark is the MIN of the per-side watermarks — each
+# side's max seen ts minus the 2 h delay — so the oracle computes
+# exactly that; unmatched views younger than it stay in (discarded)
+# state
+_E15_SQL = """
+WITH wm AS (
+  SELECT least(
+      (SELECT max(ts) FROM events WHERE event_type = 'view'),
+      (SELECT max(ts) FROM events WHERE event_type = 'click'))
+    - INTERVAL 2 HOUR AS w)
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       c.event_id IS NULL AS unmatched
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+WHERE c.event_id IS NOT NULL
+   OR v.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+ORDER BY view_id, click_id
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -866,6 +937,7 @@ QUERIES = {
     "e12_stream_static_join": e12_stream_static_join,
     "e13_checkpoint_resume": e13_checkpoint_resume,
     "e14_streaming_upsert": e14_streaming_upsert,
+    "e15_stream_left_outer": e15_stream_left_outer,
 }
 
 ORACLE = {
@@ -887,4 +959,5 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
     "e12_stream_static_join": _E12_SQL,
     "e13_checkpoint_resume": _E13_SQL,
     "e14_streaming_upsert": _E14_SQL,
+    "e15_stream_left_outer": _E15_SQL,
 }
