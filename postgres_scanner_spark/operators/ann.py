@@ -1,6 +1,7 @@
 """Approximate nearest-neighbor search over the embeddings table
-(SURVEY.md §2 A1-A6: brute-force top-k, LSH buckets, IVF lists,
-k-NN label propagation, product quantization, Lloyd k-means).
+(SURVEY.md §2 A1-A7: brute-force top-k, LSH buckets, IVF lists,
+k-NN label propagation, product quantization, Lloyd k-means,
+recall@k index evaluation).
 
 A1: brute-force cosine top-k — the exact baseline. The (small) query
 set broadcasts against the corpus; the corpus is never shuffled, so
@@ -644,6 +645,49 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+# ------------------------------------- A7 ANN recall evaluation
+def a7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index (A2) against exact brute force (A1)
+    — the evaluation loop every production ANN deployment runs before
+    trusting an index. Both sides are deterministic plans, so the
+    recall itself is oracle-checkable: per query, the fraction of the
+    true top-3 the bucketed search recovered.
+
+    Scale: the truth side is the expensive one (exact top-k) — run on
+    a SAMPLE of queries at 100 TB; the join is on (query, neighbor)
+    pairs, k-bounded per query."""
+    truth = a1_cosine_topk(spark, sf_dir) \
+        .select("query_id", "neighbor_id")
+    approx = a2_lsh_ann(spark, sf_dir) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    per_q = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("k"),
+             F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+             .alias("hits")))
+    return (per_q.select(
+        "query_id", "k", "hits",
+        F.round(F.col("hits") / F.col("k"), 4).alias("recall"))
+        .orderBy("query_id"))
+
+
+def _a7_sql() -> str:
+    return f"""
+WITH truth AS ({_A1_SQL.replace(chr(10), chr(10) + '  ')}),
+approx AS ({_a2_sql().replace(chr(10), chr(10) + '  ')}),
+per_q AS (
+  SELECT t.query_id, COUNT(*) AS k,
+         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN approx a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id)
+SELECT query_id, k, hits, ROUND(hits * 1.0 / k, 4) AS recall
+FROM per_q ORDER BY query_id
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
@@ -651,6 +695,7 @@ QUERIES = {
     "a4_knn_label": a4_knn_label,
     "a5_pq_ann": a5_pq_ann,
     "a6_kmeans_lloyd": a6_kmeans_lloyd,
+    "a7_ann_recall": a7_ann_recall,
 }
 
 ORACLE = {
@@ -660,4 +705,5 @@ ORACLE = {
     "a4_knn_label": _A4_SQL,
     "a5_pq_ann": _a5_sql(),
     "a6_kmeans_lloyd": _a6_sql(),
+    "a7_ann_recall": _a7_sql(),
 }

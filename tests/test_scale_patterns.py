@@ -168,6 +168,7 @@ def test_plan_lint_all_queries(spark):
         "a4_knn_label",        # query set (50 rows) × corpus
         "a5_pq_ann",           # corpus × 8 subspace ids, × 16 centroids
         "a6_kmeans_lloyd",     # corpus × 4 centroids (model params)
+        "a7_ann_recall",       # composes a1 (query-set × corpus)
         "d4_ngram_jaccard",    # scalar n_docs bound into the DF cap
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
