@@ -101,6 +101,30 @@ _MERGE_CLAUSES_RE = re.compile(
     r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+# COPY t TO 'path' (FORMAT fmt) / COPY (SELECT ..) TO 'path' /
+# COPY t FROM 'path' (FORMAT fmt) — reference:
+# test/sql/misc/postgres_binary.test (binary-format file interchange
+# driven through SQL). Reference FORMAT names map onto copyio's:
+# binary/postgres_binary → the PGCOPY wire codec, text/csv → text,
+# parquet → the Spark-native columnar path.
+_COPY_TO_RE = re.compile(
+    rf"^\s*COPY\s+(?:{_QIDENT}|\((.+)\))\s+TO\s+'([^']+)'"
+    r"(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_COPY_FROM_RE = re.compile(
+    rf"^\s*COPY\s+{_QIDENT}\s+FROM\s+'([^']+)'"
+    r"(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def _copy_fmt(word: str | None) -> str | None:
+    if word is None:
+        return None
+    w = word.lower()
+    return {"binary": "pg_binary", "postgres_binary": "pg_binary",
+            "text": "text", "csv": "text", "parquet": "binary"}.get(w, w)
+
+
 _DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+{_QIDENT}(?:\s+WHERE\s+(.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -512,6 +536,20 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                            re.IGNORECASE):
             store.vacuum(_unquote(m.group(1).strip()) if m.group(1)
                          else None)
+        elif m := _COPY_TO_RE.match(sql):
+            from .copyio import copy_to
+            table, sub, path, fmt = m.groups()
+            df = (catalog.spark.sql(sub) if sub
+                  else store.scan(_unquote_table(table)))
+            copy_to(df, path, format=_copy_fmt(fmt))
+        elif m := _COPY_FROM_RE.match(sql):
+            from .copyio import copy_from
+            table, path, fmt = m.groups()
+            t = _unquote_table(table)
+            cur = store.scan(t)
+            store.insert(t, copy_from(catalog.spark, path,
+                                      format=_copy_fmt(fmt),
+                                      schema=cur.schema))
         elif parsed := _parse_merge(sql):
             table, src_sql, keys, upd, ins = parsed
             store.merge(_unquote_table(table), catalog.spark.sql(src_sql),

@@ -709,3 +709,43 @@ def test_merge_sql_using_subquery_with_join_on(spark, tmp_path):
     rows = {r.id: r.name for r in cat.table("db", "t").collect()}
     assert rows == {1: "a", 2: "b2", 3: "c"}
     cat.detach("db")
+
+
+def test_copy_sql_routed_binary_roundtrip(spark, tmp_path):
+    """SQL-routed COPY ... TO / FROM with the PG binary wire format
+    (reference: test/sql/misc/postgres_binary.test): unload a
+    subquery to a PGCOPY file set, load it into a store table, and
+    check the aggregate — plus the self-referential INSERT-from-scan
+    (attach_insert_from_scan_large shape)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute, pg_query
+    root = str(tmp_path / "copydb")
+    seed = ManagedStore(spark, root)
+    seed.create_table(
+        "binary_copy_test",
+        spark.createDataFrame([], "i INT"))
+    cat = Catalog(spark)
+    cat.attach(root, alias="db")
+    out = str(tmp_path / "pg_binary.bin")
+    spark.range(100).selectExpr("CAST(id AS INT) AS i") \
+        .createOrReplaceTempView("r100")
+    pg_execute(cat, "db",
+               f"COPY (SELECT i FROM r100) TO '{out}' (FORMAT binary)")
+    pg_execute(cat, "db",
+               f"COPY binary_copy_test FROM '{out}' (FORMAT binary)")
+    row = pg_query(cat, "db",
+                   "SELECT COUNT(*) AS n, MIN(i) AS mn, MAX(i) AS mx, "
+                   "SUM(i) AS s FROM binary_copy_test").collect()[0]
+    assert (row.n, row.mn, row.mx, row.s) == (100, 0, 99, 4950)
+    # table → file → same store, different table (text format)
+    out2 = str(tmp_path / "copy.txt")
+    pg_execute(cat, "db",
+               f"COPY binary_copy_test TO '{out2}' (FORMAT text)")
+    assert len(list((tmp_path / "copy.txt").glob("*.csv"))) >= 1
+    # self-referential INSERT-from-scan doubles the table
+    # (attach_insert_from_scan_large: INSERT INTO s.tbl FROM s.tbl)
+    pg_execute(cat, "db",
+               "INSERT INTO binary_copy_test "
+               "SELECT * FROM binary_copy_test")
+    assert cat.table("db", "binary_copy_test").count() == 200
+    cat.detach("db")
