@@ -1,4 +1,4 @@
-"""Deduplication operators over the documents table (SURVEY.md §2 D1-D11).
+"""Deduplication operators over the documents table (SURVEY.md §2 D1-D12).
 
 Training-data pipeline staples: exact dedup, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup, connected-components
@@ -1039,6 +1039,59 @@ ORDER BY a_id, b_id
 """
 
 
+# --------------------------------- D12 dedup precision/recall eval
+def d12_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dedup (d2) against
+    EXACT-duplicate ground truth on the planted corpus — the
+    index-quality loop for dedup, the counterpart of a7 for ANN.
+    Exact-dup pairs (same md5) are a subset of what a perfect
+    near-dedup must find, so recall over them is the planted-recall
+    metric; predicted pairs outside truth may be genuine near-dups,
+    so the count is reported rather than judged.
+
+    Scale: truth is one fingerprint self-join (group sizes are tiny
+    by definition of dedup); the comparison joins two pair sets on
+    their keys."""
+    c = corpus_with_plants(spark, sf_dir)
+    fp = c.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    truth = (fp.alias("a").join(
+                 fp.alias("b"),
+                 (F.col("a.fp") == F.col("b.fp"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    pred = d2_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    hit = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
+    agg = (truth.agg(F.count("*").alias("n_truth"))
+           .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+           .crossJoin(hit.agg(F.count("*").alias("n_hit"))))
+    return agg.select(
+        "n_truth", "n_pred", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_pred"), 4).alias("precision"),
+        F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"))
+
+
+def _d12_sql() -> str:
+    return f"""
+WITH corpus AS ({_SQL_CORPUS}),
+fp AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+pred AS (
+  SELECT doc_a, doc_b FROM ({_d2_sql().replace(chr(10), chr(10) + '  ')})),
+hit AS (SELECT p.* FROM pred p JOIN truth t
+        ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM pred) AS n_pred,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / (SELECT COUNT(*) FROM pred), 4) AS precision,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / (SELECT COUNT(*) FROM truth), 4) AS recall
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
@@ -1051,6 +1104,7 @@ QUERIES = {
     "d9_incremental_lsh": d9_incremental_lsh,
     "d10_boilerplate_removal": d10_boilerplate_removal,
     "d11_verbatim_spans": d11_verbatim_spans,
+    "d12_dedup_eval": d12_dedup_eval,
 }
 
 ORACLE = {
@@ -1065,4 +1119,5 @@ ORACLE = {
     "d9_incremental_lsh": _d9_sql(),
     "d10_boilerplate_removal": _D10_SQL,
     "d11_verbatim_spans": _D11_SQL,
+    "d12_dedup_eval": _d12_sql(),
 }

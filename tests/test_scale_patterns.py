@@ -170,6 +170,7 @@ def test_plan_lint_all_queries(spark):
         "a6_kmeans_lloyd",     # corpus × 4 centroids (model params)
         "a7_ann_recall",       # composes a1 (query-set × corpus)
         "d4_ngram_jaccard",    # scalar n_docs bound into the DF cap
+        "d12_dedup_eval",      # three scalar aggregates cross-joined
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
         "t10_tfidf_keywords",      # scalar corpus size N → idf
