@@ -450,3 +450,40 @@ def test_write_overwrite_replaces_schema(registered, tmp_path):
             .option("dsn", f"duckdb://{db}").option("table", "t").load())
     assert back.columns == ["b", "a"]
     assert {(r.b, r.a) for r in back.collect()} == {(0, "x0"), (1, "x1")}
+
+
+def test_stream_reader_incremental_offsets(registered, tmp_path):
+    """spark.readStream.format('postgres_scan'): run 1 drains the
+    table, rows land in the source, run 2 resumes from the stream
+    checkpoint and must read ONLY the new keys (CDC-style polling by
+    monotonic key)."""
+    import duckdb
+    from pyspark.sql import types as T
+    spark = registered
+    db = str(tmp_path / "s.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev(id BIGINT, v VARCHAR)")
+    con.execute("INSERT INTO ev SELECT range, 'a' || range FROM range(10)")
+    con.close()
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (spark.readStream.format("postgres_scan").schema(schema)
+             .option("dsn", f"duckdb://{db}").option("table", "ev")
+             .option("stream_key", "id").load()
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(sink).count() == 10
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO ev SELECT range + 10, 'b' || range FROM range(5)")
+    con.close()
+    run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 15                      # nothing re-read
+    assert out.filter("id >= 10").count() == 5    # new keys arrived
