@@ -591,6 +591,52 @@ class PostgresScanWriter(DataSourceWriter):
         shutil.rmtree(self.spool, ignore_errors=True)
 
 
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class PostgresScanStreamWriter(DataSourceStreamWriter):
+    """STREAMING write path — `df.writeStream.format("postgres_scan")`
+    — each micro-batch lands through the same spool-then-commit
+    PGCOPY protocol as the batch writer, one transaction per batch
+    (exactly-once per micro-batch; the checkpoint makes batch replays
+    idempotent upstream). Composition over duplication: delegates to
+    PostgresScanWriter with a fresh spool per batch."""
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema_ = schema
+        self.options = dict(options)
+
+    def _delegate(self) -> "PostgresScanWriter":
+        return PostgresScanWriter(self.schema_, self.options,
+                                  overwrite=False)
+
+    def write(self, iterator):
+        return self._delegate().write(iterator)
+
+    @staticmethod
+    def _cleanup(messages) -> None:
+        import os
+        import shutil
+        for m in messages or []:
+            if m is not None:
+                shutil.rmtree(os.path.dirname(m.path),
+                              ignore_errors=True)
+
+    def commit(self, messages, batchId: int) -> None:
+        w = self._delegate()
+        try:
+            msgs = [m for m in messages if m is not None]
+            if w.dsn.startswith("duckdb://"):
+                w._commit_duckdb(msgs)
+            else:
+                w._commit_live_pg(msgs)
+        finally:
+            self._cleanup(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+
 class PostgresScanDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -681,3 +727,7 @@ class PostgresScanDataSource(DataSource):
     def simpleStreamReader(
             self, schema: T.StructType) -> PostgresScanStreamReader:
         return PostgresScanStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: T.StructType,
+                     overwrite: bool) -> PostgresScanStreamWriter:
+        return PostgresScanStreamWriter(schema, self.options)

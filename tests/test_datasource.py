@@ -487,3 +487,31 @@ def test_stream_reader_incremental_offsets(registered, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 15                      # nothing re-read
     assert out.filter("id >= 10").count() == 5    # new keys arrived
+
+
+def test_stream_writer_end_to_end(registered, tmp_path):
+    """The full streaming quadrant: postgres_scan streaming SOURCE →
+    postgres_scan streaming SINK — rows poll out of one database by
+    monotonic key and land in another via the per-batch PGCOPY
+    spool-then-commit transaction."""
+    import duckdb
+    from pyspark.sql import types as T
+    spark = registered
+    src_db = str(tmp_path / "src.db")
+    dst_db = str(tmp_path / "dst.db")
+    con = duckdb.connect(src_db)
+    con.execute("CREATE TABLE ev AS SELECT range AS id FROM range(20)")
+    con.close()
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    q = (spark.readStream.format("postgres_scan").schema(schema)
+         .option("dsn", f"duckdb://{src_db}").option("table", "ev")
+         .option("stream_key", "id").load()
+         .writeStream.format("postgres_scan")
+         .option("dsn", f"duckdb://{dst_db}").option("table", "tgt")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    con = duckdb.connect(dst_db, read_only=True)
+    n, s = con.sql("SELECT COUNT(*), SUM(id) FROM tgt").fetchall()[0]
+    con.close()
+    assert (n, s) == (20, 190)
