@@ -150,3 +150,75 @@ def test_temp_table_rewrite_properties(name, or_replace, if_nx, spell_temp):
         assert " TEMP " not in f" {out} " and " TEMPORARY " not in f" {out} ", out
         assert out.count("pg_temp.") == 1, out
         assert f"CREATE {orr}TABLE {inx}pg_temp." in out, out
+
+
+# ---- MERGE parser properties ----------------------------------------
+from postgres_scanner_spark.queryfn import _parse_merge  # noqa: E402
+
+
+@st.composite
+def _merge_stmt(draw):
+    """A well-formed MERGE with randomized table/alias/key names,
+    quoted or bare, view or subquery source (subquery may contain
+    JOIN .. ON and string literals with parens), and a random clause
+    combination — together with the EXPECTED parse."""
+    def maybe_quote(name):
+        return f'"{name}"' if draw(st.booleans()) else name
+    table = draw(_ident)
+    keys = draw(st.lists(_ident, min_size=1, max_size=3, unique=True))
+    t_al, s_al = draw(_ident), draw(_ident)
+    if draw(st.booleans()):
+        lit = _sql_quote(draw(_literal_body))
+        src = (f"(SELECT a.x FROM a JOIN b ON a.k = b.k "
+               f"WHERE a.s = {lit})")
+        expect_src = src[1:-1]
+    else:
+        v = draw(_ident)
+        src = v
+        expect_src = f"SELECT * FROM {v}"
+    alias = draw(st.sampled_from([f" AS {s_al}", f" {s_al}"]))
+    on = " AND ".join(
+        f"{t_al}.{maybe_quote(k)} = {s_al}.{maybe_quote(k)}"
+        for k in keys)
+    upd = draw(st.booleans())
+    ins = draw(st.booleans() if upd else st.just(True))
+    clauses = ""
+    if upd:
+        clauses += " WHEN MATCHED THEN UPDATE SET *"
+    if ins:
+        clauses += " WHEN NOT MATCHED THEN INSERT *"
+    sql = (f"MERGE INTO {maybe_quote(table)} USING {src}{alias} "
+           f"ON {on}{clauses}")
+    return sql, (maybe_quote(table), expect_src, keys, upd, ins)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_merge_stmt())
+def test_parse_merge_roundtrip(case):
+    sql, (table, expect_src, keys, upd, ins) = case
+    got = _parse_merge(sql)
+    assert got is not None, sql
+    g_table, g_src, g_keys, g_upd, g_ins = got
+    assert g_keys == keys, sql
+    assert (g_upd, g_ins) == (upd, ins), sql
+    assert g_src.strip() == expect_src.strip(), sql
+
+
+@settings(max_examples=40, deadline=None)
+@given(_ident, _ident, st.sampled_from([
+    "t.{k} = s.other",         # different column names
+    "t.{k} = s.{k} OR t.a = s.a",
+    "t.{k} < s.{k}",
+    "t.{k} = 'literal'",
+]))
+def test_parse_merge_rejects_unroutable_on(table, k, bad_tpl):
+    bad = bad_tpl.format(k=k)
+    sql = (f"MERGE INTO {table} USING v AS s ON {bad} "
+           f"WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(ValueError):
+        _parse_merge(sql)
+
+
+def test_parse_merge_non_merge_returns_none():
+    assert _parse_merge("SELECT 1") is None
+    assert _parse_merge("UPDATE t SET x = 1") is None
