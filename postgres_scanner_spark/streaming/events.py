@@ -1,4 +1,4 @@
-"""Event-stream operators (SURVEY.md §2 E1-E15).
+"""Event-stream operators (SURVEY.md §2 E1-E16).
 
 The reference's scan surface is batch-only; this module extends the
 engine to Spark's native streaming model. E1/E2/E4/E5 are
@@ -922,6 +922,73 @@ ORDER BY view_id, click_id
 """
 
 
+# ------------------- E16 streaming THROUGH the connector (S29 graded)
+def e16_connector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postgres_scan STREAMING source on the graded surface:
+    events load into a duckdb database (the live-PG stand-in), the
+    connector polls them out by monotonic event_id
+    (readStream.format("postgres_scan")), and a complete-mode rollup
+    drains — the result must equal the batch aggregate over the
+    source table, proving the offset-tracked CDC read loses and
+    duplicates nothing. This grades S29's read path the same way e3
+    grades the file source."""
+    import os
+    import shutil
+    import duckdb
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    base = _content_keyed_dir(src, "connstream")
+    db = os.path.join(base, "ev.db")
+    if not os.path.isdir(base):
+        tmp = f"{base}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con = duckdb.connect(os.path.join(tmp, "ev.db"))
+        con.execute(
+            "CREATE TABLE events AS "
+            f"SELECT event_id, event_type, value FROM '{src}'")
+        con.close()
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    from ..pg_datasource import PostgresScanDataSource
+    try:
+        spark.dataSource.register(PostgresScanDataSource)
+    except Exception:
+        pass  # already registered in this session
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.format("postgres_scan").schema(schema)
+        .option("dsn", f"duckdb://{db}").option("table", "events")
+        .option("stream_key", "event_id").load()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("sum_value"))
+    )
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory")
+             .queryName("e16_conn")
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        _drain(q)
+    return spark.table("e16_conn").orderBy("event_type")
+
+
+_E16_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -938,6 +1005,7 @@ QUERIES = {
     "e13_checkpoint_resume": e13_checkpoint_resume,
     "e14_streaming_upsert": e14_streaming_upsert,
     "e15_stream_left_outer": e15_stream_left_outer,
+    "e16_connector_stream": e16_connector_stream,
 }
 
 ORACLE = {
@@ -960,4 +1028,5 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
     "e13_checkpoint_resume": _E13_SQL,
     "e14_streaming_upsert": _E14_SQL,
     "e15_stream_left_outer": _E15_SQL,
+    "e16_connector_stream": _E16_SQL,
 }
