@@ -1,4 +1,4 @@
-"""Advanced analytics surface (SURVEY.md §2 W1-W13, X1-X11): grouping
+"""Advanced analytics surface (SURVEY.md §2 W1-W14, X1-X11): grouping
 sets / rollup / cube, window functions, as-of join, banded range
 join, continuous aggregate, salted skew join, sketches, sampling,
 vocab, domain mixing, sequence packing, global training shuffle, and
@@ -896,6 +896,61 @@ ORDER BY o_orderpriority, quartile
 """
 
 
+# ---- W14: first-touch attribution (earliest view in lookback) --------
+def w14_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style FIRST-touch attribution: each purchase is
+    credited to the user's EARLIEST view inside the preceding hour —
+    the mirror image of W6's as-of join (which takes the LATEST prior
+    event). One window over the user-tagged union with a VALUE-range
+    frame in epoch-microseconds; the earliest-event argmin rides a
+    zero-padded (ts, id) string key so both engines take the same
+    lexicographic minimum — no argmin-over-struct portability trap.
+    Single shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("event_type") == "view").alias("is_view"))
+    view_key = F.when(
+        F.col("is_view"),
+        F.concat(F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+                 F.lpad(F.col("event_id").cast("string"), 10, "0")))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, -1))
+    attributed = (
+        base.withColumn("first_view_key", F.min(view_key).over(w))
+        .filter(~F.col("is_view"))
+    )
+    return (
+        attributed.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.substring("first_view_key", 21, 10).cast("bigint")
+            .alias("first_view_id"))
+        .orderBy("purchase_id")
+    )
+
+
+_W14_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         event_type = 'view' AS is_view
+  FROM events WHERE event_type IN ('view', 'purchase')),
+attributed AS (
+  SELECT *, MIN(CASE WHEN is_view THEN
+               lpad(CAST(ts_us AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0') END)
+            OVER (PARTITION BY user_id ORDER BY ts_us
+                  RANGE BETWEEN 3600000000 PRECEDING
+                        AND 1 PRECEDING) AS first_view_key
+  FROM base)
+SELECT event_id AS purchase_id, user_id,
+       CAST(substr(first_view_key, 21, 10) AS BIGINT) AS first_view_id
+FROM attributed WHERE NOT is_view
+ORDER BY purchase_id
+"""
+
+
 # ---- X11: quality-stratified top-k% selection ------------------------
 def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified selection: keep each source's top 20% of
@@ -1059,6 +1114,7 @@ QUERIES = {
     "w11_grouping_sets": w11_grouping_sets,
     "w12_range_frame": w12_range_frame,
     "w13_dist_windows": w13_dist_windows,
+    "w14_first_touch": w14_first_touch,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1086,6 +1142,7 @@ ORACLE = {
     "w11_grouping_sets": _W11_SQL,
     "w12_range_frame": _W12_SQL,
     "w13_dist_windows": _W13_SQL,
+    "w14_first_touch": _W14_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

@@ -1,4 +1,4 @@
-"""Multimodal binary-column operators (SURVEY.md §2 M1-M7).
+"""Multimodal binary-column operators (SURVEY.md §2 M1-M8).
 
 Treats media as opaque `binary` columns with typed metadata, the way
 a 100 TB training-data lake stores images/audio/video next to text.
@@ -637,6 +637,95 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+_M8_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.LongType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("line_offset", T.LongType()),
+    T.StructField("line_len", T.LongType()),
+    T.StructField("n_chars_parsed", T.LongType()),
+])
+
+
+def m8_jsonl_shard_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL shard codec — the text-corpus counterpart of M6's tar
+    shards: documents pack into newline-delimited JSON shard blobs
+    (applyInPandas per shard), and the decoder walks the raw bytes
+    recording each line's byte offset and length, then json-parses
+    the line to recover the document — the offset manifest is what a
+    random-access JSONL reader (seek + read line) indexes by.
+
+    The encoder emits a CANONICAL json form (fixed key order, no
+    escapes — the corpus is ASCII with no quotes/backslashes), so
+    line lengths and offsets are pure arithmetic over n_chars and the
+    decimal width of doc_id: a full cross-engine SQL oracle."""
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    base = (tables.load(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    (F.col("doc_id") / _M6_DOCS_PER_SHARD)
+                    .cast("long").alias("shard_id")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        lines = [
+            ('{"doc_id": %d, "text": "%s"}' % (int(r["doc_id"]),
+                                               r["text"])).encode()
+            for _, r in pdf.sort_values("doc_id").iterrows()]
+        return pd.DataFrame({
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "blob": [b"\n".join(lines) + b"\n"],
+        })
+
+    blob_schema = T.StructType([
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        def walk(shard_id: int, blob: bytes):
+            off = 0
+            for line in blob.split(b"\n"):
+                if not line:
+                    continue
+                doc = json.loads(line)
+                yield (shard_id, doc["doc_id"], off, len(line),
+                       len(doc["text"]))
+                off += len(line) + 1
+
+        for pdf in batches:
+            rows = [r for sid, blob in zip(pdf["shard_id"], pdf["blob"])
+                    for r in walk(int(sid), bytes(blob))]
+            yield pd.DataFrame(rows, columns=[
+                "shard_id", "doc_id", "line_offset", "line_len",
+                "n_chars_parsed"])
+
+    return (
+        base.groupBy("shard_id").applyInPandas(build, schema=blob_schema)
+        .mapInPandas(parse, schema=_M8_SCHEMA)
+        .orderBy("shard_id", "doc_id")
+    )
+
+
+# line = {"doc_id": N, "text": "..."} → 24 fixed chars + digits + text
+_M8_SQL = f"""
+WITH m AS (
+  SELECT CAST(doc_id // {_M6_DOCS_PER_SHARD} AS BIGINT) AS shard_id,
+         doc_id,
+         CAST(24 + strlen(CAST(doc_id AS VARCHAR)) + strlen(text)
+              AS BIGINT) AS line_len,
+         CAST(strlen(text) AS BIGINT) AS n_chars_parsed
+  FROM documents)
+SELECT shard_id, doc_id,
+       CAST(COALESCE(SUM(line_len + 1)
+            OVER (PARTITION BY shard_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS line_offset,
+       line_len, n_chars_parsed
+FROM m ORDER BY shard_id, doc_id
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
@@ -645,6 +734,7 @@ QUERIES = {
     "m5_video_container": m5_video_container,
     "m6_tar_shard_manifest": m6_tar_shard_manifest,
     "m7_npy_tensor_parse": m7_npy_tensor_parse,
+    "m8_jsonl_shard_codec": m8_jsonl_shard_codec,
 }
 
 ORACLE: dict[str, str] = {
@@ -655,4 +745,5 @@ ORACLE: dict[str, str] = {
     "m5_video_container": _M5_SQL,
     "m6_tar_shard_manifest": _M6_SQL,
     "m7_npy_tensor_parse": _M7_SQL,
+    "m8_jsonl_shard_codec": _M8_SQL,
 }
