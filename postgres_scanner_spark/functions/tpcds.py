@@ -444,9 +444,8 @@ def ds11_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr = F.year("l_shipdate")
 
     def band(y: int, qq: int, name: str) -> F.Column:
-        return F.sum(
-            F.when((yr == y) & (q == qq), 1).otherwise(0)
-        ).cast("long").alias(name)
+        return (F.sum(F.when((yr == y) & (q == qq), 1).otherwise(0))
+                .cast("long").alias(name))
 
     return l.select(
         band(1995, 1, "y95q1"), band(1995, 2, "y95q2"),
@@ -572,8 +571,12 @@ def ds14_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
 
     def band(lo, hi, name):
-        cond = lag <= hi if lo is None else (lag > lo) & (lag <= hi) \
-            if hi is not None else lag > lo
+        if lo is None:
+            cond = lag <= hi
+        elif hi is None:
+            cond = lag > lo
+        else:
+            cond = (lag > lo) & (lag <= hi)
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
 
     return (

@@ -476,9 +476,9 @@ def m6_tar_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w",
                           format=tarfile.USTAR_FORMAT) as tar:
-            for _, row in pdf.sort_values("doc_id").iterrows():
-                data = str(row["text"]).encode("utf-8")
-                ti = tarfile.TarInfo(name=f"{int(row['doc_id']):012d}.txt")
+            for row in pdf.sort_values("doc_id").itertuples():
+                data = str(row.text).encode("utf-8")
+                ti = tarfile.TarInfo(name=f"{int(row.doc_id):012d}.txt")
                 ti.size = len(data)
                 ti.mtime = 0
                 ti.uid = ti.gid = 0
@@ -667,9 +667,9 @@ def m8_jsonl_shard_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         lines = [
-            ('{"doc_id": %d, "text": "%s"}' % (int(r["doc_id"]),
-                                               r["text"])).encode()
-            for _, r in pdf.sort_values("doc_id").iterrows()]
+            ('{"doc_id": %d, "text": "%s"}' % (int(r.doc_id),
+                                               r.text)).encode()
+            for r in pdf.sort_values("doc_id").itertuples()]
         return pd.DataFrame({
             "shard_id": [int(pdf["shard_id"].iloc[0])],
             "blob": [b"\n".join(lines) + b"\n"],
