@@ -911,10 +911,13 @@ def w14_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         (F.col("event_type") == "view").alias("is_view"))
+    # pad widths hold ANY non-negative bigint (19 digits max) — lpad
+    # TRUNCATES beyond its width identically in both engines, which
+    # the oracle could never catch; post-1970 timestamps assumed
     view_key = F.when(
         F.col("is_view"),
         F.concat(F.lpad(F.col("ts_us").cast("string"), 20, "0"),
-                 F.lpad(F.col("event_id").cast("string"), 10, "0")))
+                 F.lpad(F.col("event_id").cast("string"), 20, "0")))
     w = (Window.partitionBy("user_id").orderBy("ts_us")
          .rangeBetween(-3_600_000_000, -1))
     attributed = (
@@ -925,7 +928,7 @@ def w14_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         attributed.select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
-            F.substring("first_view_key", 21, 10).cast("bigint")
+            F.substring("first_view_key", 21, 20).cast("bigint")
             .alias("first_view_id"))
         .orderBy("purchase_id")
     )
@@ -939,13 +942,13 @@ WITH base AS (
 attributed AS (
   SELECT *, MIN(CASE WHEN is_view THEN
                lpad(CAST(ts_us AS VARCHAR), 20, '0')
-               || lpad(CAST(event_id AS VARCHAR), 10, '0') END)
+               || lpad(CAST(event_id AS VARCHAR), 20, '0') END)
             OVER (PARTITION BY user_id ORDER BY ts_us
                   RANGE BETWEEN 3600000000 PRECEDING
                         AND 1 PRECEDING) AS first_view_key
   FROM base)
 SELECT event_id AS purchase_id, user_id,
-       CAST(substr(first_view_key, 21, 10) AS BIGINT) AS first_view_id
+       CAST(substr(first_view_key, 21, 20) AS BIGINT) AS first_view_id
 FROM attributed WHERE NOT is_view
 ORDER BY purchase_id
 """

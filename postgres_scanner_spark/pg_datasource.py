@@ -386,21 +386,35 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(
                 "streaming postgres_scan needs .option('stream_key', "
                 "'<monotonic column>')")
+        # integer keys ONLY: offsets must JSON-serialize into the
+        # checkpoint and splice into SQL without quoting/injection
+        # concerns (a bigserial/identity column — the usual CDC key)
+        kf = {f.name: f for f in schema.fields}.get(self.key)
+        if kf is None or not isinstance(
+                kf.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+            raise ValueError(
+                f"stream_key {self.key!r} must be an integer column "
+                f"of the declared schema (got "
+                f"{kf.dataType.simpleString() if kf else 'missing'})")
+        # bound per-poll catch-up reads (the initial drain of a large
+        # table would otherwise materialize every row in one batch)
+        self.max_rows = int(options.get("max_rows_per_poll", "0"))
         self.cols = ", ".join(f'"{f.name}"' for f in schema.fields)
         self.key_idx = [f.name for f in schema.fields].index(self.key)
 
     def initialOffset(self) -> dict:
         return {"last_key": None}
 
-    def _scan(self, lo, hi=None):
+    def _scan(self, lo, hi=None, limit=0):
         where = []
         if lo is not None:
-            where.append(f'"{self.key}" > {lo!r}')
+            where.append(f'"{self.key}" > {int(lo)}')
         if hi is not None:
-            where.append(f'"{self.key}" <= {hi!r}')
+            where.append(f'"{self.key}" <= {int(hi)}')
         sql = (f'SELECT {self.cols} FROM "{self.table}"'
                + (" WHERE " + " AND ".join(where) if where else "")
-               + f' ORDER BY "{self.key}"')
+               + f' ORDER BY "{self.key}"'
+               + (f" LIMIT {int(limit)}" if limit else ""))
         if self.dsn.startswith("duckdb://"):
             import duckdb
             con = duckdb.connect(self.dsn[len("duckdb://"):],
@@ -420,10 +434,10 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
             return cur.fetchall()
 
     def read(self, start: dict):
-        rows = self._scan(start.get("last_key"))
+        rows = self._scan(start.get("last_key"), limit=self.max_rows)
         if not rows:
             return iter([]), start
-        return iter(rows), {"last_key": rows[-1][self.key_idx]}
+        return iter(rows), {"last_key": int(rows[-1][self.key_idx])}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._scan(start.get("last_key"),
@@ -599,42 +613,36 @@ class PostgresScanStreamWriter(DataSourceStreamWriter):
     — each micro-batch lands through the same spool-then-commit
     PGCOPY protocol as the batch writer, one transaction per batch
     (exactly-once per micro-batch; the checkpoint makes batch replays
-    idempotent upstream). Composition over duplication: delegates to
-    PostgresScanWriter with a fresh spool per batch."""
+    idempotent upstream). Pure delegation: ONE driver-minted spool
+    dir is shared by every task attempt (like the batch writer), so
+    commit/abort's cleanup also sweeps spools from failed attempts,
+    and `overwrite` (complete/truncate output modes pass True per
+    micro-batch) reaches the backend's drop-and-recreate path."""
 
-    def __init__(self, schema: T.StructType, options):
-        self.schema_ = schema
-        self.options = dict(options)
-
-    def _delegate(self) -> "PostgresScanWriter":
-        return PostgresScanWriter(self.schema_, self.options,
-                                  overwrite=False)
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        self._writer = PostgresScanWriter(schema, dict(options),
+                                          overwrite)
 
     def write(self, iterator):
-        return self._delegate().write(iterator)
-
-    @staticmethod
-    def _cleanup(messages) -> None:
-        import os
-        import shutil
-        for m in messages or []:
-            if m is not None:
-                shutil.rmtree(os.path.dirname(m.path),
-                              ignore_errors=True)
+        return self._writer.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        w = self._delegate()
-        try:
-            msgs = [m for m in messages if m is not None]
-            if w.dsn.startswith("duckdb://"):
-                w._commit_duckdb(msgs)
-            else:
-                w._commit_live_pg(msgs)
-        finally:
-            self._cleanup(messages)
+        self._writer.commit([m for m in messages if m is not None])
 
     def abort(self, messages, batchId: int) -> None:
-        self._cleanup(messages)
+        self._writer.abort(messages)
+
+
+def ensure_registered(spark) -> None:
+    """Register the DataSource, tolerating ONLY the already-registered
+    case — any other failure (import error on a worker, bad session)
+    must surface, not turn into a later DATA_SOURCE_NOT_FOUND."""
+    try:
+        spark.dataSource.register(PostgresScanDataSource)
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc).lower()
+        if "already" not in msg and "exist" not in msg:
+            raise
 
 
 class PostgresScanDataSource(DataSource):
@@ -730,4 +738,4 @@ class PostgresScanDataSource(DataSource):
 
     def streamWriter(self, schema: T.StructType,
                      overwrite: bool) -> PostgresScanStreamWriter:
-        return PostgresScanStreamWriter(schema, self.options)
+        return PostgresScanStreamWriter(schema, self.options, overwrite)

@@ -49,11 +49,8 @@ def pg_query(catalog: Catalog, alias: str, sql: str) -> DataFrame:
         # streams the result set). No driver materialization: the driver
         # only probes the result schema (LIMIT 0); executor partitions
         # fetch Arrow batches.
-        from .pg_datasource import PostgresScanDataSource
-        try:
-            catalog.spark.dataSource.register(PostgresScanDataSource)
-        except Exception:
-            pass  # already registered
+        from .pg_datasource import ensure_registered
+        ensure_registered(catalog.spark)
         return (catalog.spark.read.format("postgres_scan")
                 .option("dsn", db.source).option("query", sql)
                 .option("pushdown", "false").load())
@@ -114,7 +111,7 @@ _COPY_TO_RE = re.compile(
 _COPY_FROM_RE = re.compile(
     rf"^\s*COPY\s+{_QIDENT}\s+FROM\s+'([^']+)'"
     r"(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
-    re.IGNORECASE)
+    re.IGNORECASE | re.DOTALL)
 
 
 def _copy_fmt(word: str | None) -> str | None:

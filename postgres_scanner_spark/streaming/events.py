@@ -952,11 +952,8 @@ def e16_connector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, base)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    from ..pg_datasource import PostgresScanDataSource
-    try:
-        spark.dataSource.register(PostgresScanDataSource)
-    except Exception:
-        pass  # already registered in this session
+    from ..pg_datasource import ensure_registered
+    ensure_registered(spark)
     from pyspark.sql import types as T
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),

@@ -515,3 +515,52 @@ def test_stream_writer_end_to_end(registered, tmp_path):
     n, s = con.sql("SELECT COUNT(*), SUM(id) FROM tgt").fetchall()[0]
     con.close()
     assert (n, s) == (20, 190)
+
+
+def test_stream_reader_rejects_non_integer_key(registered, tmp_path):
+    """Offsets must JSON-serialize and splice into SQL safely — only
+    integer stream keys are accepted."""
+    import duckdb
+    from pyspark.sql import types as T
+    spark = registered
+    db = str(tmp_path / "k.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev(name VARCHAR)")
+    con.close()
+    schema = T.StructType([T.StructField("name", T.StringType())])
+    with pytest.raises(Exception, match="integer column"):
+        (spark.readStream.format("postgres_scan").schema(schema)
+         .option("dsn", f"duckdb://{db}").option("table", "ev")
+         .option("stream_key", "name").load()
+         .writeStream.format("memory").queryName("nk")
+         .trigger(availableNow=True).start().awaitTermination(60))
+
+
+def test_stream_reader_poll_cap(registered, tmp_path):
+    """max_rows_per_poll bounds each poll; repeated runs drain the
+    backlog in chunks without losing or re-reading rows."""
+    import duckdb
+    from pyspark.sql import types as T
+    spark = registered
+    db = str(tmp_path / "cap.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev AS SELECT range AS id FROM range(25)")
+    con.close()
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def run():
+        q = (spark.readStream.format("postgres_scan").schema(schema)
+             .option("dsn", f"duckdb://{db}").option("table", "ev")
+             .option("stream_key", "id")
+             .option("max_rows_per_poll", "10").load()
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    for _ in range(4):   # 25 rows / 10 per poll, one poll per run
+        run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 25
+    assert out.select("id").distinct().count() == 25
