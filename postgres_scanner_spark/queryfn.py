@@ -175,6 +175,9 @@ _CREATE_TABLE_RE = re.compile(
 _ALTER_ADD_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+ADD\s+(?:COLUMN\s+)?{_IDENT}\s+([\w(), ]+?);?\s*$",
     re.IGNORECASE)
+_ALTER_RENAME_TABLE_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+RENAME\s+TO\s+{_IDENT};?\s*$",
+    re.IGNORECASE)
 _ALTER_RENAME_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_QIDENT}\s+RENAME\s+(?:COLUMN\s+)?{_IDENT}\s+TO\s+{_IDENT};?\s*$",
     re.IGNORECASE)
@@ -587,6 +590,13 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             store.add_column(_unquote_table(m.group(1)),
                              _unquote(m.group(2)), "NULL",
                              dt.simpleString())
+        elif m := _ALTER_RENAME_TABLE_RE.match(sql):
+            old, new = _unquote_table(m.group(1)), _unquote(m.group(2))
+            store.rename_table(old, new)
+            catalog.drop_table_views(db, old)
+            target = (old.partition(".")[0] + "." + new
+                      if "." in old else new)
+            catalog.register_table_views(db, target)
         elif m := _ALTER_RENAME_RE.match(sql):
             store.rename_column(_unquote_table(m.group(1)),
                                 _unquote(m.group(2)), _unquote(m.group(3)))

@@ -528,6 +528,25 @@ class ManagedStore:
             col = col.cast(dtype)
         self._write_new_version(table, cur.withColumn(name, col))
 
+    def rename_table(self, table: str, new: str) -> None:
+        """ALTER TABLE .. RENAME TO (reference: attach_alter.test
+        `ALTER TABLE s1.test RENAME TO test2`): a directory rename —
+        versions, pointer, and constraint meta move together in one
+        atomic POSIX rename, no data rewrite at any size. A
+        schema-qualified source keeps its schema (PG semantics: RENAME
+        cannot move between schemas)."""
+        if self._txn is not None:
+            raise NotImplementedError(
+                "RENAME TO inside an open transaction is not supported")
+        if "." in table and "." not in new:
+            new = table.partition(".")[0] + "." + new
+        src, dst = self._tdir(table), self._tdir(new)
+        if not os.path.isdir(src):
+            raise ValueError(f"table {table!r} does not exist")
+        if os.path.exists(dst):
+            raise ValueError(f"table {new!r} already exists")
+        os.rename(src, dst)
+
     def rename_column(self, table: str, old: str, new: str) -> None:
         self._write_new_version(table,
                                 self.scan(table).withColumnRenamed(old, new))

@@ -749,3 +749,28 @@ def test_copy_sql_routed_binary_roundtrip(spark, tmp_path):
                "SELECT * FROM binary_copy_test")
     assert cat.table("db", "binary_copy_test").count() == 200
     cat.detach("db")
+
+
+def test_rename_table_sql_routed(spark, tmp_path):
+    """ALTER TABLE .. RENAME TO through pg_execute (reference:
+    attach_alter.test): data and constraints move, old views drop,
+    new views resolve."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute, pg_query
+    root = str(tmp_path / "renamedb")
+    seed = ManagedStore(spark, root)
+    seed.create_table("old_name", _mk(spark, [(1, "a", 1.0)]))
+    cat = Catalog(spark)
+    cat.attach(root, alias="db")
+    pg_execute(cat, "db", "ALTER TABLE old_name RENAME TO new_name")
+    assert cat.list_tables("db") == ["new_name"]
+    assert pg_query(cat, "db",
+                    "SELECT COUNT(*) AS n FROM new_name").collect()[0].n == 1
+    with pytest.raises(Exception):
+        pg_query(cat, "db", "SELECT * FROM old_name").collect()
+    # rename onto an existing table must refuse
+    seed2 = cat.attached["db"].store
+    seed2.create_table("other", _mk(spark, [(2, "b", 2.0)]))
+    with pytest.raises(ValueError, match="already exists"):
+        seed2.rename_table("new_name", "other")
+    cat.detach("db")
