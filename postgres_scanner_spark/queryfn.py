@@ -125,6 +125,9 @@ def _copy_fmt(word: str | None) -> str | None:
 _DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+{_QIDENT}(?:\s+WHERE\s+(.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL)
+# PG TRUNCATE: unconditionally empty the table (fast path of DELETE)
+_TRUNCATE_RE = re.compile(
+    rf"^\s*TRUNCATE\s+(?:TABLE\s+)?{_QIDENT};?\s*$", re.IGNORECASE)
 _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+{_QIDENT}\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -554,6 +557,8 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             table, src_sql, keys, upd, ins = parsed
             store.merge(_unquote_table(table), catalog.spark.sql(src_sql),
                         keys, update_all=upd, insert_all=ins)
+        elif m := _TRUNCATE_RE.match(sql):
+            store.delete(_unquote_table(m.group(1)), "true")
         elif m := _DELETE_RE.match(sql):
             # no WHERE = whole-table delete (standard SQL)
             store.delete(_unquote_table(m.group(1)), m.group(2) or "true")

@@ -774,3 +774,27 @@ def test_rename_table_sql_routed(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         seed2.rename_table("new_name", "other")
     cat.detach("db")
+
+
+def test_truncate_and_uppercase_names(spark, tmp_path):
+    """TRUNCATE TABLE empties without dropping; bare mixed-case names
+    resolve case-insensitively through the session catalog
+    (reference: attach_create_uppercase_names.test)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute, pg_query
+    root = str(tmp_path / "updb")
+    ManagedStore(spark, root)
+    cat = Catalog(spark)
+    cat.attach(root, alias="db")
+    pg_execute(cat, "db",
+               "CREATE TABLE MyTable AS SELECT 42 AS MyColumn, "
+               "84 AS MySecondColumn")
+    row = pg_query(cat, "db",
+                   "SELECT MyColumn, MySecondColumn FROM MyTable"
+                   ).collect()[0]
+    assert (row.MyColumn, row.MySecondColumn) == (42, 84)
+    pg_execute(cat, "db", "TRUNCATE TABLE MyTable")
+    assert pg_query(cat, "db",
+                    "SELECT COUNT(*) AS n FROM MyTable").collect()[0].n == 0
+    assert "MyTable" in cat.list_tables("db")
+    cat.detach("db")
