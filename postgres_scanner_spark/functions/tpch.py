@@ -820,6 +820,34 @@ ORDER BY p.p_type
 """
 
 
+# ---- Q23: the session-SQL front end as a graded query ---------------
+_Q23_TEXT = """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority"""
+
+
+def q23_session_sql(spark, sf_dir):
+    """The reference-user WORKFLOW as a graded query: ATTACH the data
+    directory, USE it, and run the SELECT through the single session
+    SQL entry point (S25: execute_statement routes session statements
+    and read statements exactly like the reference's DuckDB shell).
+    The query text is byte-identical on both engines — Spark runs it
+    over the attach-registered views, DuckDB over its own — so this
+    grades the ATTACH/USE/read-routing plumbing itself."""
+    from ..catalog import Catalog
+    from ..queryfn import execute_statement
+    cat = Catalog(spark)
+    execute_statement(cat, f"ATTACH '{sf_dir}' AS q23db")
+    execute_statement(cat, "USE q23db")
+    # no DETACH: the returned DataFrame is lazy and reads the
+    # attach-registered views at collect time; views are
+    # createOrReplace'd, so repeated runs stay idempotent
+    return execute_statement(cat, _Q23_TEXT)
+
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -843,6 +871,7 @@ QUERIES = {
     "q20_potential_promo": q20_potential_promo,
     "q21_suppliers_waiting": q21_suppliers_waiting,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q23_session_sql": q23_session_sql,
 }
 
 ORACLE = {
@@ -868,4 +897,5 @@ ORACLE = {
     "q20_potential_promo": _Q20_SQL,
     "q21_suppliers_waiting": _Q21_SQL,
     "q22_global_sales_opportunity": _Q22_SQL,
+    "q23_session_sql": _Q23_TEXT,
 }
