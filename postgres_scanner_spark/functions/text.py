@@ -1,10 +1,10 @@
 """Text analysis operators over the documents table.
 
-Training-data pipeline staples (SURVEY.md §2 T1-T11): language ID,
+Training-data pipeline staples (SURVEY.md §2 T1-T12): language ID,
 quality scoring, token counting, fingerprinting, the chained filter
 pipeline, PII redaction, repetition stats, character entropy, corpus
-bigram-LM scoring, TF-IDF keyword extraction, and BPE merge-pair
-counting. Everything stays
+bigram-LM scoring, TF-IDF keyword extraction, BPE merge-pair
+counting, and the Zipf-law vocabulary fit. Everything stays
 JVM-side (built-in string/regex/array functions — no Python UDFs), so
 the hot path is whole-stage-codegen'd and scales linearly with
 partitions at 100 TB.
@@ -509,6 +509,84 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
 
 
+# ---- T12: Zipf-law fit over the vocabulary ---------------------------
+def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scaling-law statistics: least-squares fit of
+    log(frequency) against log(rank) over the top-100 terms — the
+    Zipf slope every corpus card reports — plus vocabulary size and
+    token count. The regression is CLOSED-FORM inside the engine
+    (Σx, Σy, Σxy, Σx² → slope/intercept): per-term log products cast
+    to DECIMAL before summing, so the cross-row aggregation order
+    cannot perturb a bit; the one division happens once on the exact
+    sums. Two shuffles total (term count, rank window)."""
+    from pyspark.sql.window import Window
+    d = _t(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(_tokens()).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("c")))
+    w = Window.orderBy(F.desc("c"), "term")
+    top = (freq.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 100))
+    dec = "decimal(28,15)"
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    sums = top.agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"))
+    totals = freq.agg(F.count("*").alias("vocab"),
+                      F.sum("c").alias("tokens"))
+    slope = ((F.col("n") * F.col("sxy").cast("double")
+              - F.col("sx").cast("double") * F.col("sy").cast("double"))
+             / (F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double")
+                * F.col("sx").cast("double")))
+    return (
+        sums.crossJoin(totals)
+        .select("vocab", F.col("tokens").cast("long").alias("tokens"),
+                F.round(slope, 6).alias("zipf_slope"),
+                F.round((F.col("sy").cast("double")
+                         - slope * F.col("sx").cast("double"))
+                        / F.col("n"), 6).alias("zipf_intercept"))
+    )
+
+
+_T12_SQL = """
+WITH freq AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents)
+  GROUP BY term),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+  FROM freq QUALIFY rk <= 100),
+sums AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,15))) AS sx,
+         SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,15))) AS sy,
+         SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+             AS DECIMAL(28,15))) AS sxy,
+         SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+             AS DECIMAL(28,15))) AS sxx
+  FROM top),
+totals AS (SELECT COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS tokens
+           FROM freq)
+SELECT vocab, tokens,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS zipf_intercept
+FROM sums, totals
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
@@ -521,6 +599,7 @@ QUERIES = {
     "t9_bigram_logprob": t9_bigram_logprob,
     "t10_tfidf_keywords": t10_tfidf_keywords,
     "t11_bpe_pairs": t11_bpe_pairs,
+    "t12_zipf_fit": t12_zipf_fit,
 }
 
 ORACLE = {
@@ -535,4 +614,5 @@ ORACLE = {
     "t9_bigram_logprob": _T9_SQL,
     "t10_tfidf_keywords": _T10_SQL,
     "t11_bpe_pairs": _T11_SQL,
+    "t12_zipf_fit": _T12_SQL,
 }
