@@ -174,6 +174,7 @@ def test_plan_lint_all_queries(spark):
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
         "t10_tfidf_keywords",      # scalar corpus size N → idf
+        "t12_zipf_fit",            # two single-row aggregates joined
         "x4_source_mix",           # scalar corpus totals → quotas
         "x8_epoch_plan",           # scalar corpus average → repeat tiers
     }
