@@ -625,12 +625,28 @@ def m7_npy_tensor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# header_len: v1.0 pads magic+version+len+dict to a multiple of 64
-# bytes, so for this fixed dict text the length is a spec constant
-_M7_SQL = """
+def _npy_header_len() -> int:
+    """Header length the RUNNING numpy emits for a small 1-D <f4
+    array — derived from an actual np.save rather than pinned: the
+    npy v1.0 spec only requires 16-byte alignment, and numpy moved to
+    64-byte padding (header_len 118) in 1.22; deriving keeps the M7
+    oracle honest under either alignment. The value is shape-digit
+    stable: the dict text (~61 chars + shape digits) pads to the same
+    boundary for any realistic 1-D length."""
+    import io
+    import struct
+
+    import numpy as np
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(8, dtype="<f4"))
+    return struct.unpack("<H", buf.getvalue()[8:10])[0]
+
+
+def _m7_sql() -> str:
+    return f"""
 SELECT vec_id, '<f4' AS dtype,
        CAST(len(embedding) AS BIGINT) AS n_elems,
-       CAST(118 AS INT) AS header_len,
+       CAST({_npy_header_len()} AS INT) AS header_len,
        ROUND(list_sum(list_transform(embedding,
              v -> CAST(v AS DOUBLE))), 5) AS val_sum
 FROM embeddings ORDER BY vec_id
@@ -744,6 +760,6 @@ ORACLE: dict[str, str] = {
     "m4_wav_features": _M4_SQL,
     "m5_video_container": _M5_SQL,
     "m6_tar_shard_manifest": _M6_SQL,
-    "m7_npy_tensor_parse": _M7_SQL,
+    "m7_npy_tensor_parse": _m7_sql(),
     "m8_jsonl_shard_codec": _M8_SQL,
 }

@@ -396,8 +396,12 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
                 f"stream_key {self.key!r} must be an integer column "
                 f"of the declared schema (got "
                 f"{kf.dataType.simpleString() if kf else 'missing'})")
-        # bound per-poll catch-up reads (the initial drain of a large
-        # table would otherwise materialize every row in one batch)
+        # bound each SOURCE FETCH during catch-up: read() drains the
+        # whole backlog present at poll time (so Trigger.AvailableNow
+        # honors its process-everything-available contract in one
+        # run), but pulls it from the database in max_rows-sized
+        # key-range scans, so no single fetch materializes an
+        # unbounded resultset on the driver
         self.max_rows = int(options.get("max_rows_per_poll", "0"))
         self.cols = ", ".join(f'"{f.name}"' for f in schema.fields)
         self.key_idx = [f.name for f in schema.fields].index(self.key)
@@ -434,10 +438,27 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
             return cur.fetchall()
 
     def read(self, start: dict):
-        rows = self._scan(start.get("last_key"), limit=self.max_rows)
-        if not rows:
+        if not self.max_rows:
+            rows = self._scan(start.get("last_key"))
+            if not rows:
+                return iter([]), start
+            return iter(rows), {"last_key": int(rows[-1][self.key_idx])}
+        # capped fetch loop: drain the backlog available NOW in
+        # max_rows-sized scans so availableNow completes in one run
+        # while each database fetch stays bounded
+        chunks, last = [], start.get("last_key")
+        while True:
+            rows = self._scan(last, limit=self.max_rows)
+            if not rows:
+                break
+            chunks.append(rows)
+            last = int(rows[-1][self.key_idx])
+            if len(rows) < self.max_rows:
+                break
+        if not chunks:
             return iter([]), start
-        return iter(rows), {"last_key": int(rows[-1][self.key_idx])}
+        import itertools
+        return itertools.chain.from_iterable(chunks), {"last_key": last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._scan(start.get("last_key"),
@@ -580,6 +601,22 @@ class PostgresScanWriter(DataSourceWriter):
         finally:
             con.close()
 
+    @staticmethod
+    def _pg_sql_type(dt: T.DataType) -> str:
+        if isinstance(dt, T.ArrayType):
+            return PostgresScanWriter._pg_sql_type(dt.elementType) + "[]"
+        if isinstance(dt, T.DecimalType):
+            return f"NUMERIC({dt.precision},{dt.scale})"
+        return {
+            T.LongType(): "BIGINT", T.IntegerType(): "INTEGER",
+            T.ShortType(): "SMALLINT", T.ByteType(): "SMALLINT",
+            T.DoubleType(): "DOUBLE PRECISION", T.FloatType(): "REAL",
+            T.StringType(): "TEXT", T.BooleanType(): "BOOLEAN",
+            T.DateType(): "DATE", T.TimestampNTZType(): "TIMESTAMP",
+            T.TimestampType(): "TIMESTAMPTZ",
+            T.BinaryType(): "BYTEA",
+        }.get(dt, "TEXT")
+
     def _commit_live_pg(self, messages) -> None:
         try:
             import psycopg
@@ -589,9 +626,17 @@ class PostgresScanWriter(DataSourceWriter):
                 "dsn in this environment") from exc
         pg_schema = self.options.get("schema", "public")
         target = f'"{pg_schema}"."{self.table}"'
+        cols = ", ".join(
+            f'"{f.name}" {self._pg_sql_type(f.dataType)}'
+            for f in self.schema_.fields)
         with psycopg.connect(self.dsn) as con, con.cursor() as cur:
+            # overwrite REPLACES the table definition, matching the
+            # duckdb backend: binary COPY maps columns POSITIONALLY,
+            # so a surviving table with a different column order or
+            # types would load mis-mapped rows or fail mid-COPY
             if self.overwrite:
-                cur.execute(f"DELETE FROM {target}")
+                cur.execute(f"DROP TABLE IF EXISTS {target}")
+            cur.execute(f"CREATE TABLE IF NOT EXISTS {target} ({cols})")
             for m in messages:
                 with cur.copy(f"COPY {target} FROM STDIN "
                               "(FORMAT binary)") as cp:
@@ -640,8 +685,21 @@ def ensure_registered(spark) -> None:
     try:
         spark.dataSource.register(PostgresScanDataSource)
     except Exception as exc:  # noqa: BLE001
+        # Spark raises DATA_SOURCE_ALREADY_EXISTS for a duplicate
+        # register; match that condition specifically — a bare
+        # "exist" substring would also swallow "... does not exist"
+        cond = ""
+        get_cond = getattr(exc, "getCondition", None) or \
+            getattr(exc, "getErrorClass", None)
+        if callable(get_cond):
+            try:
+                cond = get_cond() or ""
+            except Exception:  # noqa: BLE001
+                cond = ""
         msg = str(exc).lower()
-        if "already" not in msg and "exist" not in msg:
+        if ("ALREADY_EXISTS" not in cond
+                and "already exists" not in msg
+                and "already registered" not in msg):
             raise
 
 

@@ -466,10 +466,13 @@ class ManagedStore:
         `WHEN NOT MATCHED THEN INSERT *` — the delta-style upsert the
         SQL-standard MERGE reduces to when the source carries full
         rows. One snapshot rewrite: unchanged rows are kept by
-        anti-join, matched rows are replaced by their source version,
-        unmatched source rows append. Errors on duplicate source keys
-        (SQL MERGE's cardinality rule: a target row may match at most
-        one source row).
+        anti-join, each matched TARGET row is updated in place to its
+        source version (a target with duplicate keys keeps its
+        cardinality — SQL MERGE updates every matching row, it never
+        collapses them), unmatched source rows append. Errors on
+        duplicate source keys (SQL MERGE's cardinality rule: a target
+        row may match at most one source row; the target side has no
+        such rule).
 
         Scale: the rewrite is one key-shuffled join; at 100 TB the
         kept side prunes to the key-range partitions the source
@@ -495,7 +498,12 @@ class ManagedStore:
                     "MERGE source has duplicate join keys — a target "
                     "row may match at most one source row")
             key_set = cur.select(*on).distinct()
-            matched = src.join(key_set, on, "left_semi")
+            # one updated row PER MATCHING TARGET ROW: join the
+            # target's key multiset (dups and all) to the unique-keyed
+            # source, so a target holding k rows for a key yields k
+            # updated rows, not 1 (SQL MERGE updates each match)
+            matched = (cur.select(*on).join(src, on, "inner")
+                       .select(*cur.columns))
             unmatched = src.join(key_set, on, "left_anti")
             n_upd = matched.count() if update_all else 0
             n_ins = unmatched.count() if insert_all else 0

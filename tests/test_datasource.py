@@ -354,8 +354,11 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
     (executor half, run directly), then commit() replays each spool
     as COPY .. FROM STDIN (FORMAT binary) on one mocked connection —
     captured bytes must decode back to the exact rows, and overwrite
-    must issue the DELETE first, before any COPY, inside the same
-    transaction."""
+    must REPLACE the table definition (DROP + CREATE from the write
+    schema, matching the duckdb backend) before any COPY, inside the
+    same transaction: binary COPY maps columns positionally, so a
+    surviving table with different column order/types would load
+    mis-mapped rows."""
     import io
     import sys
     import types as pytypes
@@ -415,7 +418,11 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
             w.write(iter([(3, None, None)]))]
     assert [m.n_rows for m in msgs] == [2, 1]
     w.commit(msgs)
-    assert executed == ['DELETE FROM "public"."t"']
+    assert executed == [
+        'DROP TABLE IF EXISTS "public"."t"',
+        'CREATE TABLE IF NOT EXISTS "public"."t" '
+        '("id" INTEGER, "price" NUMERIC(10,2), "tags" INTEGER[])',
+    ]
     assert committed == [True]
     assert [sql for sql, _ in copied] == [
         'COPY "public"."t" FROM STDIN (FORMAT binary)'] * 2
@@ -537,8 +544,10 @@ def test_stream_reader_rejects_non_integer_key(registered, tmp_path):
 
 
 def test_stream_reader_poll_cap(registered, tmp_path):
-    """max_rows_per_poll bounds each poll; repeated runs drain the
-    backlog in chunks without losing or re-reading rows."""
+    """max_rows_per_poll bounds each database FETCH, not run
+    coverage: a single availableNow run drains the whole backlog
+    present at query start (the trigger's contract), pulling it in
+    capped key-range scans — no rows lost or re-read."""
     import duckdb
     from pyspark.sql import types as T
     spark = registered
@@ -549,18 +558,47 @@ def test_stream_reader_poll_cap(registered, tmp_path):
     schema = T.StructType([T.StructField("id", T.LongType())])
     sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
 
-    def run():
-        q = (spark.readStream.format("postgres_scan").schema(schema)
-             .option("dsn", f"duckdb://{db}").option("table", "ev")
-             .option("stream_key", "id")
-             .option("max_rows_per_poll", "10").load()
-             .writeStream.format("parquet").option("path", sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        assert q.awaitTermination(120)
-
-    for _ in range(4):   # 25 rows / 10 per poll, one poll per run
-        run()
+    q = (spark.readStream.format("postgres_scan").schema(schema)
+         .option("dsn", f"duckdb://{db}").option("table", "ev")
+         .option("stream_key", "id")
+         .option("max_rows_per_poll", "10").load()
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
     out = spark.read.parquet(sink)
     assert out.count() == 25
     assert out.select("id").distinct().count() == 25
+
+
+def test_stream_reader_capped_scan_loop():
+    """Executor-free check of the capped drain: read() must issue
+    successive capped scans (each no larger than the cap) and return
+    the union with the final offset in ONE call."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark.pg_datasource import (
+        PostgresScanStreamReader,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    r = PostgresScanStreamReader(
+        schema, {"dsn": "duckdb://ignored", "table": "ev",
+                 "stream_key": "id", "max_rows_per_poll": "10"})
+    calls = []
+
+    def fake_scan(lo, hi=None, limit=0):
+        calls.append((lo, limit))
+        rows = [(i,) for i in range(0 if lo is None else lo + 1, 25)]
+        return rows[:limit] if limit else rows
+
+    r._scan = fake_scan
+    it, off = r.read({"last_key": None})
+    assert [row[0] for row in it] == list(range(25))
+    assert off == {"last_key": 24}
+    # three capped fetches: 10 + 10 + 5 (last one short-circuits)
+    assert calls == [(None, 10), (9, 10), (19, 10)]
+    # empty backlog: offset unchanged, single probe
+    calls.clear()
+    it, off = r.read({"last_key": 24})
+    assert list(it) == [] and off == {"last_key": 24}
+    assert calls == [(24, 10)]

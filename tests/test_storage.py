@@ -623,6 +623,29 @@ def test_merge_upsert(spark, store):
                     ["id"])
 
 
+def test_merge_updates_every_duplicate_target_row(spark, store):
+    """SQL MERGE's cardinality rule binds the SOURCE only: a target
+    holding k rows for a key gets ALL k rows updated to the source
+    version — never collapsed to one. Row count is preserved."""
+    store.create_table("t", _mk(spark, [
+        (1, "a", 1.0), (1, "a2", 1.5), (1, "a3", 1.7),
+        (2, "b", 2.0)]))
+    n_upd, n_ins = store.merge(
+        "t", _mk(spark, [(1, "NEW", 9.0), (3, "c", 3.0)]), ["id"])
+    assert (n_upd, n_ins) == (3, 1)
+    rows = sorted((r.id, r.name, r.v) for r in store.scan("t").collect())
+    assert rows == [(1, "NEW", 9.0), (1, "NEW", 9.0), (1, "NEW", 9.0),
+                    (2, "b", 2.0), (3, "c", 3.0)]
+    # insert-only leaves the duplicate group untouched
+    n_upd, n_ins = store.merge(
+        "t", _mk(spark, [(1, "IGN", 0.0), (4, "d", 4.0)]), ["id"],
+        update_all=False)
+    assert (n_upd, n_ins) == (0, 1)
+    assert store.scan("t").filter("id = 1").count() == 3
+    assert [r.name for r in
+            store.scan("t").filter("id = 1").collect()] == ["NEW"] * 3
+
+
 def test_merge_sql_routed(spark, tmp_path):
     """MERGE INTO through pg_execute: upsert form with a subquery
     source."""
