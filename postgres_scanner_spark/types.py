@@ -134,6 +134,44 @@ _OID_TO_NAME: dict[int, str] = {
 }
 
 
+# standard PG array-type OID → element-type OID (pg_type.typelem for
+# the built-in _<name> array types); used by the result-set schema
+# probe, where cursor.description reports the ARRAY oid
+ARRAY_OID_TO_ELEM: dict[int, int] = {
+    1000: BOOLOID, 1001: BYTEAOID, 1002: CHAROID, 1003: NAMEOID,
+    1005: INT2OID, 1007: INT4OID, 1016: INT8OID,
+    1021: FLOAT4OID, 1022: FLOAT8OID,
+    1009: TEXTOID, 1014: BPCHAROID, 1015: VARCHAROID,
+    1115: TIMESTAMPOID, 1182: DATEOID, 1183: TIMEOID,
+    1185: TIMESTAMPTZOID, 1187: INTERVALOID, 1231: NUMERICOID,
+    199: JSONOID, 3807: JSONBOID, 2951: UUIDOID,
+}
+
+
+def spark_type_from_oid(
+    oid: int,
+    *,
+    precision: int | None = None,
+    scale: int | None = None,
+) -> T.DataType:
+    """Map a wire-protocol type OID (what cursor.description reports
+    for an arbitrary result set) to Spark — the result-set analog of
+    the reference's PostgresQueryBind, which derives the scan schema
+    from the executed query's result descriptor rather than the
+    table catalog (reference: src/postgres_query.cpp). Unknown OIDs
+    (enums, domains, UDTs) fall back to varchar, same as the
+    reference's TypeToLogicalType default."""
+    elem = ARRAY_OID_TO_ELEM.get(oid)
+    if elem is not None:
+        name = _OID_TO_NAME.get(elem, "varchar")
+        return pg_type_to_spark(name, precision=precision, scale=scale,
+                                array_dims=1)
+    name = _OID_TO_NAME.get(oid)
+    if name is None:
+        return T.StringType()
+    return pg_type_to_spark(name, precision=precision, scale=scale)
+
+
 def pg_type_to_spark(
     type_name: str,
     *,

@@ -349,6 +349,73 @@ def test_write_datasource_roundtrip(registered, tmp_path):
             .load().count()) == 15
 
 
+def test_query_schema_probe_live_pg_with_mocked_psycopg(monkeypatch):
+    """query mode over a live libpq DSN derives its schema from a
+    server-side `SELECT * FROM (sql) q LIMIT 0` result descriptor —
+    the reference's PostgresQueryBind approach (src/postgres_query.cpp
+    binds from the executed query's result set, not the table
+    catalog) — so computed/aggregate columns type correctly with no
+    explicit .schema()."""
+    import sys
+    import types as pytypes
+    from collections import namedtuple
+    from pyspark.sql import types as T
+    from postgres_scanner_spark.pg_datasource import (
+        PostgresScanDataSource,
+    )
+
+    Col = namedtuple(
+        "Col", "name type_code display_size internal_size "
+               "precision scale null_ok")
+    executed = []
+
+    class _Cursor:
+        description = None
+        def execute(self, sql):
+            executed.append(sql)
+            self.description = [
+                Col("id", 20, None, 8, None, None, True),        # int8
+                Col("total", 1700, None, -1, 12, 2, True),  # numeric(12,2)
+                Col("ratio", 701, None, 8, None, None, True),   # float8
+                Col("tags", 1009, None, -1, None, None, True),  # text[]
+                Col("mood", 734242, None, -1, None, None, True),  # enum
+            ]
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    class _Conn:
+        def cursor(self):
+            return _Cursor()
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    fake = pytypes.ModuleType("psycopg")
+    fake.connect = lambda dsn: _Conn()
+    monkeypatch.setitem(sys.modules, "psycopg", fake)
+
+    ds = PostgresScanDataSource(options={
+        "dsn": "host=fake dbname=db",
+        "query": "SELECT id, SUM(x) AS total, AVG(y) AS ratio, "
+                 "tags, mood FROM t GROUP BY id, tags, mood;  ",
+    })
+    schema = ds.schema()
+    assert executed == [
+        "SELECT * FROM (SELECT id, SUM(x) AS total, AVG(y) AS ratio, "
+        "tags, mood FROM t GROUP BY id, tags, mood) _pg_spark_probe "
+        "LIMIT 0"]
+    assert schema == T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("total", T.DecimalType(12, 2), True),
+        T.StructField("ratio", T.DoubleType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("mood", T.StringType(), True),  # enum→varchar
+    ])
+
+
 def test_write_live_pg_with_mocked_psycopg(monkeypatch):
     """Drive the live-PG commit path: partitions spool PGCOPY binary
     (executor half, run directly), then commit() replays each spool

@@ -361,3 +361,80 @@ def test_stream_roundtrip_property(rows, chunk):
     chunks = [data[i:i + chunk] for i in range(0, len(data), chunk)]
     out = list(BinaryCopyReader(oids).read(ChunkStream(iter(chunks))))
     assert out == rows
+
+
+# ----------------------------------------------------- vectorized codec
+def _vec_oids():
+    return [pgt.INT4OID, pgt.INT2OID, pgt.INT8OID, pgt.FLOAT4OID,
+            pgt.FLOAT8OID, pgt.BOOLOID, pgt.TEXTOID, pgt.BYTEAOID,
+            pgt.DATEOID, pgt.TIMESTAMPOID, pgt.NUMERICOID, 0]
+
+
+def test_vectorized_writer_byte_identical_full_matrix():
+    """The Arrow-vectorized bulk encoder (pgwire_vec) must emit the
+    EXACT stream the fixture-tested scalar writer emits — pgwire is
+    the wire contract, pgwire_vec only the throughput path — across
+    every wire type family including NULL rows, -0.0, infinities,
+    unicode, empty strings/bytes, decimals (per-column scalar
+    fallback) and int arrays (encode_array fallback)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from postgres_scanner_spark.pgwire_vec import VectorBinaryCopyWriter
+
+    rows = [
+        (1, 32000, 123456789012345678, 1.5, 2.25, True, "héllo",
+         b"\x00\xff", dt.date(2024, 2, 29),
+         dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+         Decimal("12345.67"), [1, 2, None]),
+        (None,) * 12,
+        (-7, -5, -2**62, -0.0, float("inf"), False, "", b"",
+         dt.date(1999, 12, 31),
+         dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+         Decimal("-0.01"), []),
+    ]
+    arrays = [pa.array([r[i] for r in rows], t) for i, t in enumerate([
+        pa.int32(), pa.int16(), pa.int64(), pa.float32(), pa.float64(),
+        pa.bool_(), pa.string(), pa.binary(), pa.date32(),
+        pa.timestamp("us"), pa.decimal128(10, 2),
+        pa.list_(pa.int32())])]
+    batch = pa.record_batch(arrays, names=[f"c{i}" for i in range(12)])
+    oids, ae, nd = _vec_oids(), {11: pgt.INT4OID}, {11: 1}
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    assert BinaryCopyWriter(oids, ae, nd).write(b1, rows) == 3
+    assert VectorBinaryCopyWriter(oids, ae, nd).write_batches(
+        b2, [batch]) == 3
+    assert b1.getvalue() == b2.getvalue()
+    # and the stream decodes back through the contract reader
+    out = list(BinaryCopyReader(oids, {11}).read(
+        io.BytesIO(b2.getvalue())))
+    assert out[1] == (None,) * 12
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=st.lists(st.tuples(_cell, _text_cell, _float_cell,
+                               _bytes_cell), max_size=20),
+       chunk=st.integers(1, 7))
+def test_vectorized_writer_property(rows, chunk):
+    """Property: for any (int8, text, float8, bytea) row set and any
+    internal batch slicing, vectorized bytes == scalar bytes."""
+    import pyarrow as pa
+
+    from postgres_scanner_spark import pgwire_vec
+    from postgres_scanner_spark.pgwire_vec import VectorBinaryCopyWriter
+
+    oids = [pgt.INT8OID, pgt.TEXTOID, pgt.FLOAT8OID, pgt.BYTEAOID]
+    batch = pa.record_batch(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.string()),
+         pa.array([r[2] for r in rows], pa.float64()),
+         pa.array([r[3] for r in rows], pa.binary())],
+        names=["a", "b", "c", "d"])
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    BinaryCopyWriter(oids).write(b1, rows)
+    w = VectorBinaryCopyWriter(oids)
+    w._CHUNK = chunk          # force mid-stream slice boundaries
+    w.write_batches(b2, [batch])
+    assert b1.getvalue() == b2.getvalue()
