@@ -311,15 +311,31 @@ class PostgresScanReader(DataSourceReader):
         sql = partition.sql
         if self.dsn.startswith("duckdb://"):
             import duckdb
+            import pyarrow as pa
             path = self.dsn[len("duckdb://"):]
             con = duckdb.connect(path, read_only=True)
             try:
                 reader = con.execute(sql).fetch_record_batch(8192)
                 while True:
                     try:
-                        yield reader.read_next_batch()
+                        batch = reader.read_next_batch()
                     except StopIteration:
                         break
+                    # enum columns arrive as dictionary<uint8/16>
+                    # batches Spark's Arrow ingest rejects; decode
+                    # them to their value type (→ the declared
+                    # varchar, the reference's enum mapping:
+                    # postgres_utils.cpp enum → VARCHAR, bug71.test)
+                    if any(pa.types.is_dictionary(f.type)
+                           for f in batch.schema):
+                        cols = [
+                            c.dictionary_decode()
+                            if pa.types.is_dictionary(c.type) else c
+                            for c in batch.columns
+                        ]
+                        batch = pa.RecordBatch.from_arrays(
+                            cols, names=batch.schema.names)
+                    yield batch
             finally:
                 # close even when the query errors or Spark abandons
                 # the generator (limit/take) — an open read_only handle
@@ -647,8 +663,22 @@ class PostgresScanWriter(DataSourceArrowWriter):
                 "dsn in this environment") from exc
         pg_schema = self.options.get("schema", "public")
         target = f'"{pg_schema}"."{self.table}"'
+        # column_types option: JSON {column: pg_type} overriding the
+        # default Spark→PG DDL map, so a varchar-in-Spark column can
+        # CREATE as its server-side UDT (enum/domain) — closing the
+        # enum-writes-back-as-VARCHAR gap (reference: bug71.test reads
+        # a UDT column; the scan side already types it via _pg_udts)
+        import json
+        import re
+        overrides = json.loads(self.options.get("column_types", "{}"))
+        for cname, ctype in overrides.items():
+            if not re.fullmatch(r'[\w "\'.,()\[\]]+', ctype):
+                raise ValueError(
+                    f"column_types[{cname!r}] = {ctype!r} is not a "
+                    f"plain type name")
         cols = ", ".join(
-            f'"{f.name}" {self._pg_sql_type(f.dataType)}'
+            f'"{f.name}" '
+            f'{overrides.get(f.name, self._pg_sql_type(f.dataType))}'
             for f in self.schema_.fields)
         with psycopg.connect(self.dsn) as con, con.cursor() as cur:
             # overwrite REPLACES the table definition, matching the
