@@ -413,25 +413,46 @@ def test_vectorized_writer_byte_identical_full_matrix():
     assert out[1] == (None,) * 12
 
 
+_date_cell = st.one_of(
+    st.none(),
+    st.dates(min_value=__import__("datetime").date(1, 1, 1),
+             max_value=__import__("datetime").date(9999, 12, 31)))
+_ts_cell = st.one_of(
+    st.none(),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1, 1, 1),
+        max_value=__import__("datetime").datetime(9999, 12, 31)))
+_dec_cell = st.one_of(
+    st.none(),
+    st.decimals(allow_nan=False, allow_infinity=False,
+                min_value=-10**16, max_value=10**16, places=4))
+
+
 @settings(max_examples=40, deadline=None)
 @given(rows=st.lists(st.tuples(_cell, _text_cell, _float_cell,
-                               _bytes_cell), max_size=20),
+                               _bytes_cell, _date_cell, _ts_cell,
+                               _dec_cell), max_size=20),
        chunk=st.integers(1, 7))
 def test_vectorized_writer_property(rows, chunk):
-    """Property: for any (int8, text, float8, bytea) row set and any
-    internal batch slicing, vectorized bytes == scalar bytes."""
+    """Property: for any (int8, text, float8, bytea, date, timestamp,
+    numeric) row set and any internal batch slicing, vectorized bytes
+    == scalar bytes — the full-range dates/timestamps cover the PG
+    epoch offsets, numeric covers the per-column scalar fallback."""
     import pyarrow as pa
 
-    from postgres_scanner_spark import pgwire_vec
     from postgres_scanner_spark.pgwire_vec import VectorBinaryCopyWriter
 
-    oids = [pgt.INT8OID, pgt.TEXTOID, pgt.FLOAT8OID, pgt.BYTEAOID]
+    oids = [pgt.INT8OID, pgt.TEXTOID, pgt.FLOAT8OID, pgt.BYTEAOID,
+            pgt.DATEOID, pgt.TIMESTAMPOID, pgt.NUMERICOID]
     batch = pa.record_batch(
         [pa.array([r[0] for r in rows], pa.int64()),
          pa.array([r[1] for r in rows], pa.string()),
          pa.array([r[2] for r in rows], pa.float64()),
-         pa.array([r[3] for r in rows], pa.binary())],
-        names=["a", "b", "c", "d"])
+         pa.array([r[3] for r in rows], pa.binary()),
+         pa.array([r[4] for r in rows], pa.date32()),
+         pa.array([r[5] for r in rows], pa.timestamp("us")),
+         pa.array([r[6] for r in rows], pa.decimal128(21, 4))],
+        names=list("abcdefg"))
     b1, b2 = io.BytesIO(), io.BytesIO()
     BinaryCopyWriter(oids).write(b1, rows)
     w = VectorBinaryCopyWriter(oids)
