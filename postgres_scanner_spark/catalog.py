@@ -73,7 +73,16 @@ class AttachedDatabase:
             import duckdb
             con = duckdb.connect(self.source[len("duckdb://"):],
                                  read_only=True)
-            names = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+            if self.schema is not None:
+                # source_schema restriction (reference: bug63.test
+                # postgres_attach(..., source_schema='some_schema'))
+                names = [r[0] for r in con.execute(
+                    "SELECT table_name FROM information_schema.tables "
+                    "WHERE table_schema = ? ORDER BY table_name",
+                    [self.schema]).fetchall()]
+            else:
+                names = [r[0] for r in
+                         con.execute("SHOW TABLES").fetchall()]
             con.close()
             return sorted(names)
         raise NotImplementedError("jdbc catalog listing needs a live server")
@@ -221,9 +230,12 @@ class Catalog:
             # pushdown off: attached relations are long-lived (temp views,
             # repeated queries) and the Python DS API scopes pushed
             # filters to the relation, not the query (see pg_datasource)
-            df = (self.spark.read.format("postgres_scan")
-                  .option("dsn", db.source).option("table", name)
-                  .option("pushdown", "false").load())
+            r = (self.spark.read.format("postgres_scan")
+                 .option("dsn", db.source).option("table", name)
+                 .option("pushdown", "false"))
+            if db.schema is not None:
+                r = r.option("schema", db.schema)
+            df = r.load()
         else:
             df = jdbc_scan(self.spark, db.conn, name)
         db._table_cache[name] = df

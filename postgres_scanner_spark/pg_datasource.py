@@ -166,6 +166,7 @@ class PostgresScanReader(DataSourceReader):
         # single stream (same as the reference's postgres_query)
         self.query = options.get("query", "")
         self.pg_schema = options.get("schema", "public")
+        self.schema_explicit = "schema" in options
         self.approx_pages = int(options.get("approx_pages", "0"))
         # settings are process-global on the driver; the reader plans in a
         # separate Python worker, so per-scan overrides travel as options
@@ -297,9 +298,16 @@ class PostgresScanReader(DataSourceReader):
             preds.append(task_where)
         if where:
             preds.append(where[len("WHERE "):])
-        sql = f'SELECT {cols} FROM "{self.pg_schema}"."{self.table}"' \
-            if not self.dsn.startswith("duckdb://") \
-            else f'SELECT {cols} FROM "{self.table}"'
+        if not self.dsn.startswith("duckdb://"):
+            sql = f'SELECT {cols} FROM "{self.pg_schema}"."{self.table}"'
+        elif self.schema_explicit:
+            # duckdb stand-in with an EXPLICIT schema (source_schema
+            # attaches, bug63.test); the default stays unqualified
+            # because duckdb's default schema is main, not public
+            sql = (f'SELECT {cols} FROM '
+                   f'"{self.pg_schema}"."{self.table}"')
+        else:
+            sql = f'SELECT {cols} FROM "{self.table}"'
         if preds:
             sql += " WHERE " + " AND ".join(preds)
         if SETTINGS.pg_debug_show_queries:
@@ -770,7 +778,13 @@ class PostgresScanDataSource(DataSource):
             import duckdb
             con = duckdb.connect(dsn[len("duckdb://"):], read_only=True)
             try:
-                probe = query if query else f'SELECT * FROM "{table}"'
+                if query:
+                    probe = query
+                elif "schema" in self.options:
+                    probe = (f'SELECT * FROM '
+                             f'"{self.options["schema"]}"."{table}"')
+                else:
+                    probe = f'SELECT * FROM "{table}"'
                 desc = con.execute(f'DESCRIBE {probe}').fetchall()
             finally:
                 con.close()

@@ -703,10 +703,69 @@ def _parse_attach_options(opts: str) -> dict:
     return out
 
 
+_CALL_ATTACH_RE = re.compile(
+    r"^\s*CALL\s+postgres_attach\s*\(\s*'((?:[^']|'')*)'\s*"
+    r"(?:,\s*(.*?))?\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_CALL_KWARG_RE = re.compile(
+    r"(\w+)\s*(?::?=|=>)\s*(?:'((?:[^']|'')*)'|(\w+))\s*(?:,|$)")
+
+
+def _call_postgres_attach(catalog: Catalog, dsn: str, argstr: str):
+    """`CALL postgres_attach(dsn, ...)` — the reference's table-
+    function attach (src/postgres_attach.cpp AttachFunction): list
+    the source schema's tables and register one view per table under
+    its BARE name (the reference creates them in the sink schema;
+    Spark temp views are schema-less, and Catalog.attach already
+    registers both alias-prefixed and bare names). Named args map:
+    source_schema → attach(schema=...); overwrite=true re-attaches
+    (CREATE OR REPLACE VIEW) where the default keeps an existing
+    attach (CREATE VIEW IF NOT EXISTS); filter_pushdown and
+    sink_schema are accepted — pushdown is always on in the
+    connector, and the sink namespace has no Spark equivalent."""
+    kwargs: dict = {}
+    overwrite = False
+    for m in _CALL_KWARG_RE.finditer(argstr or ""):
+        key = m.group(1).lower()
+        val = (m.group(2).replace("''", "'")
+               if m.group(2) is not None else m.group(3))
+        if key == "source_schema":
+            kwargs["schema"] = val
+        elif key == "overwrite":
+            overwrite = str(val).lower() in ("true", "1", "t")
+        elif key in ("sink_schema", "suffix", "filter_pushdown"):
+            pass  # accepted for statement parity; no-op here
+        else:
+            raise ValueError(
+                f"unknown postgres_attach argument {key!r}")
+    # alias: the dbname from the DSN, the reference's mental model of
+    # "the attached postgres database"
+    alias = "pg"
+    if dm := re.search(r"dbname=([\w-]+)", dsn):
+        alias = dm.group(1)
+    elif dsn.startswith("duckdb://"):
+        import os
+        alias = os.path.splitext(os.path.basename(
+            dsn[len("duckdb://"):]))[0] or "pg"
+    if alias in catalog.attached:
+        if not overwrite:
+            return catalog.attached[alias]  # VIEW IF NOT EXISTS
+        catalog.detach(alias)               # CREATE OR REPLACE VIEW
+    db = catalog.attach(dsn, alias=alias, **kwargs)
+    if catalog.current is None:
+        catalog.current = alias
+    return db
+
+
 def execute_statement(catalog: Catalog, sql: str):
     """Single SQL entry point for session statements: routes
-    ATTACH/DETACH/USE here, everything else to `pg_execute` against
-    the current database (set by USE, else the sole attached one)."""
+    ATTACH/DETACH/USE here (incl. the reference's CALL
+    postgres_attach table function), everything else to `pg_execute`
+    against the current database (set by USE, else the sole attached
+    one)."""
+    if m := _CALL_ATTACH_RE.match(sql):
+        return _call_postgres_attach(
+            catalog, m.group(1).replace("''", "'"), m.group(2))
     if m := _ATTACH_RE.match(sql):
         source = m.group(1).replace("''", "'")
         alias, opts = _unquote(m.group(2)), m.group(3)

@@ -227,3 +227,45 @@ def test_bug71_enum_scan_and_typed_writeback(registered, monkeypatch,
             schema, {"dsn": "host=fake dbname=db", "table": "x",
                      "column_types": '{"e": "t; DROP TABLE x"}'},
             overwrite=False)._commit_live_pg([])
+
+
+def test_call_postgres_attach(registered, tmp_path):
+    """reference: CALL postgres_attach(...) as used across the bug
+    corpus (bug71.test, decimals.test, postgres_binary.test:
+    bare-name views for every table) and bug63.test
+    (source_schema='some_schema' restricts the listing; the views
+    must read the schema-qualified tables)."""
+    import duckdb
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import execute_statement
+    spark = registered
+    db = str(tmp_path / "postgresscanner.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE cars (i INT, name VARCHAR)")
+    con.execute("INSERT INTO cars VALUES (1, 'vw'), (2, 'saab')")
+    con.execute("CREATE SCHEMA some_schema")
+    con.execute("CREATE TABLE some_schema.tbl AS SELECT 42 AS x")
+    con.close()
+    cat = Catalog(spark)
+    execute_statement(cat, f"CALL postgres_attach('duckdb://{db}');")
+    # bare table name resolves, like the reference's main-schema views
+    assert execute_statement(cat, "SELECT COUNT(*) AS n FROM cars") \
+        .collect()[0].n == 2
+    # repeated CALL without overwrite = CREATE VIEW IF NOT EXISTS
+    execute_statement(cat, f"CALL postgres_attach('duckdb://{db}')")
+    # overwrite=true re-attaches (CREATE OR REPLACE VIEW)
+    execute_statement(
+        cat, f"CALL postgres_attach('duckdb://{db}', overwrite=true, "
+             f"filter_pushdown=true)")
+    assert spark.table("cars").count() == 2
+    cat.detach("postgresscanner")
+
+    # source_schema restriction (bug63.test)
+    cat2 = Catalog(spark)
+    execute_statement(
+        cat2, f"CALL postgres_attach('duckdb://{db}', "
+              f"source_schema='some_schema')")
+    names = cat2.attached["postgresscanner"].table_names()
+    assert names == ["tbl"]
+    assert spark.table("tbl").collect()[0].x == 42
+    cat2.detach("postgresscanner")
