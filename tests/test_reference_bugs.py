@@ -269,3 +269,86 @@ def test_call_postgres_attach(registered, tmp_path):
     assert names == ["tbl"]
     assert spark.table("tbl").collect()[0].x == 42
     cat2.detach("postgresscanner")
+
+
+def test_bug77_empty_array_dimensions(registered, tmp_path):
+    """reference: test/sql/scanner/bug77.test (issue #77, array
+    dimension detection fails for EMPTY arrays) — an empty array in
+    the middle of a column must scan back as [] (not NULL, not an
+    error), and must survive the PGCOPY wire codec."""
+    import duckdb
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.pgwire import (
+        BinaryCopyReader, BinaryCopyWriter,
+    )
+    db = str(tmp_path / "arr.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE duckdb_arr_test (id INT, my_ints INT[], "
+                "e INT)")
+    con.execute("INSERT INTO duckdb_arr_test VALUES "
+                "(123, [11,22,33], 42), (234, [], 42), "
+                "(456, [44,55,66], 42)")
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}")
+          .option("table", "duckdb_arr_test").load())
+    for _ in range(2):   # reference loops the SELECT
+        got = [(r.id, list(r.my_ints), r.e) for r in
+               df.orderBy("id").collect()]
+        assert got == [(123, [11, 22, 33], 42), (234, [], 42),
+                       (456, [44, 55, 66], 42)]
+    # wire: the empty-array frame (ndim from declared layout, 0 dims)
+    oids = [pgt.INT4OID, 0]
+    rows = [(123, [11, 22, 33]), (234, []), (456, [44, 55, 66])]
+    buf = io.BytesIO()
+    BinaryCopyWriter(oids, {1: pgt.INT4OID}, {1: 1}).write(buf, rows)
+    out = list(BinaryCopyReader(oids, {1}).read(
+        io.BytesIO(buf.getvalue())))
+    assert out == rows
+
+
+def test_bug69_numeric_scale7(registered, tmp_path):
+    """reference: test/sql/scanner/bug69.test — NUMERIC(·,7) values
+    whose base-10000 digit groups straddle the decimal point scan
+    back exactly (42.8875000, 42.1234567, ...)."""
+    import duckdb
+    vals = ["42.8875000", "42.0000000", "42.1000000", "42.1200000",
+            "42.1230000", "42.1234000", "42.1234500", "42.1234560",
+            "42.1234567"]
+    db = str(tmp_path / "s7.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE fail (v DECIMAL(18,7))")
+    for v in vals:
+        con.execute("INSERT INTO fail VALUES (?)", [v])
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}").option("table", "fail")
+          .load())
+    for _ in range(2):
+        got = sorted(str(r.v) for r in df.collect())
+        assert got == sorted(vals)
+
+
+def test_bug74_bug76_oid_and_range_types():
+    """reference: bug74.test (oid-typed column scans as integers) and
+    bug76.test (tsrange column surfaces as its text form) — the
+    type-map and wire-codec halves that carry both."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.pgwire import (
+        BinaryCopyReader, BinaryCopyWriter,
+    )
+    from postgres_scanner_spark.types import pg_type_to_spark
+    # oid → integral (reference maps oid to uinteger; we widen to long)
+    assert isinstance(pg_type_to_spark("oid"), T.LongType)
+    buf = io.BytesIO()
+    BinaryCopyWriter([pgt.OIDOID]).write(buf, [(42,), (43,)])
+    assert list(BinaryCopyReader([pgt.OIDOID]).read(
+        io.BytesIO(buf.getvalue()))) == [(42,), (43,)]
+    # range types → varchar text form, the reference's fallback
+    assert isinstance(pg_type_to_spark("tsrange"), T.StringType)
+    rng = '["2010-01-01 14:30:00","2010-01-01 15:30:00")'
+    buf = io.BytesIO()
+    BinaryCopyWriter([pgt.TEXTOID]).write(buf, [(rng,)])
+    assert list(BinaryCopyReader([pgt.TEXTOID]).read(
+        io.BytesIO(buf.getvalue()))) == [(rng,)]
