@@ -91,8 +91,8 @@ _COST_ORDER = [
     "e3_streaming_hourly", "d3_simhash_dedup", "d5_embedding_dedup",
     "e15_stream_left_outer", "d2_minhash_lsh_dedup",
     "e8_stream_stream_join", "e14_streaming_upsert", "a2_lsh_ann",
-    "d4_ngram_jaccard", "d6_dedup_clusters", "a7_ann_recall",
-    "e16_connector_stream", "d12_dedup_eval",
+    "d4_ngram_jaccard", "d13_dedup_apply", "d6_dedup_clusters",
+    "a7_ann_recall", "e16_connector_stream", "d12_dedup_eval",
 ]
 _RANK = {n: i for i, n in enumerate(_COST_ORDER)}
 

@@ -525,6 +525,7 @@ def _d6_graph(spark: SparkSession, sf_dir: str):
             F.lit(" zzz mutated tail")))
         .withColumn("t", _tokens()))
     c = c.unionByName(prefix_mut)
+    corpus = c.select("doc_id", "text")
     nodes = c.select("doc_id")
     keys = c.select(
         "doc_id", F.md5(F.lower(F.col("text"))).alias("k")
@@ -538,22 +539,18 @@ def _d6_graph(spark: SparkSession, sf_dir: str):
             .distinct())
     edges = star.unionByName(
         star.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return nodes, edges
+    return corpus, nodes, edges
 
 
-def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the duplicate graph → cluster id =
-    min doc_id in the component (the survivor), plus member stats.
-
-    Iterative min-label propagation; the star-edge construction bounds
-    the graph diameter at 2·(#key types), so it converges in ~4 rounds
-    regardless of corpus size. Each round localCheckpoints to keep the
-    plan linear (the standard Spark iterative-graph pattern; at true
-    web scale you'd switch to large-star/small-star, same skeleton).
-    """
+def _d6_labels(spark: SparkSession, sf_dir: str):
+    """(corpus, labels) — min-label propagation over the duplicate
+    graph, shared by D6 (cluster stats) and D13 (purge manifest).
+    Star edges bound the diameter at 2·(#key types) so it converges
+    in ~4 rounds at any corpus size; each round localCheckpoints to
+    keep the plan linear."""
     from pyspark.sql import Observation
-    nodes, edges = _d6_graph(spark, sf_dir)
-    edges = scratch_persist(edges)   # read once per round — never rebuild the graph
+    corpus, nodes, edges = _d6_graph(spark, sf_dir)
+    edges = scratch_persist(edges)   # read once per round
     labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")) \
         .localCheckpoint()
     prev_sum = None
@@ -573,6 +570,18 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if s == prev_sum:
             break
         prev_sum = s
+    return corpus, labels
+
+
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the duplicate graph → cluster id =
+    min doc_id in the component (the survivor), plus member stats.
+
+    Iterative min-label propagation (shared helper _d6_labels; the
+    standard Spark iterative-graph pattern — at true web scale you'd
+    switch to large-star/small-star, same skeleton).
+    """
+    _corpus, labels = _d6_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(F.count("*").cast("long").alias("n_members"),
@@ -580,6 +589,79 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("cluster_id")
     )
+
+
+def d13_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY stage of dedup — the artifact a training pipeline
+    actually consumes: duplicate clusters (D6's connected components
+    over exact + prefix keys) resolve to ONE canonical survivor each
+    (keep the LONGEST text, tie-break lowest doc_id — the standard
+    keep-best policy), and the result is the purge manifest: every
+    dropped doc_id with the doc that replaces it. Downstream, the
+    corpus minus `dropped_doc_id` IS the deduplicated training set.
+
+    Scale: label propagation is D6's (linear star edges, ≤4 rounds);
+    canonical selection is one window over cluster_id — cluster
+    sizes are bounded by near-dup group sizes, so no hot partition.
+    The purge manifest is tiny relative to the corpus (only members
+    of size>1 clusters appear)."""
+    from pyspark.sql.window import Window
+    corpus, labels = _d6_labels(spark, sf_dir)
+    ranked = labels.join(
+        corpus.select("doc_id",
+                      F.length(F.lower(F.col("text"))).alias("len")),
+        "doc_id")
+    w = Window.partitionBy("lbl").orderBy(F.desc("len"), F.asc("doc_id"))
+    rn = ranked.withColumn("rn", F.row_number().over(w))
+    keep = rn.filter(F.col("rn") == 1).select(
+        "lbl", F.col("doc_id").alias("kept_doc_id"))
+    return (
+        rn.filter(F.col("rn") > 1)
+        .join(keep, "lbl")
+        .select(F.col("doc_id").alias("dropped_doc_id"),
+                "kept_doc_id",
+                F.col("lbl").alias("cluster_id"))
+        .orderBy("dropped_doc_id")
+    )
+
+
+_D13_SQL = f"""
+WITH RECURSIVE
+corpus AS ({_SQL_CORPUS}),
+full_c AS (
+  SELECT doc_id, lower(text) AS text FROM corpus
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(lower(text), ' ')[1:8], ' ')
+           || ' zzz mutated tail'
+  FROM documents WHERE doc_id < 10),
+keys AS (
+  SELECT doc_id, md5(text) AS k FROM full_c
+  UNION ALL
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS k
+  FROM full_c),
+hubs AS (SELECT k, MIN(doc_id) AS hub FROM keys GROUP BY k),
+star AS (SELECT DISTINCT h.hub AS src, k.doc_id AS dst
+         FROM keys k JOIN hubs h USING (k) WHERE k.doc_id <> h.hub),
+bidir AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM full_c
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.doc_id),
+comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(f.text) DESC, c.doc_id)
+           AS rn
+  FROM comp c JOIN full_c f USING (doc_id)),
+keep AS (SELECT cluster_id, doc_id AS kept_doc_id
+         FROM ranked WHERE rn = 1)
+SELECT r.doc_id AS dropped_doc_id, k.kept_doc_id, r.cluster_id
+FROM ranked r JOIN keep k USING (cluster_id)
+WHERE r.rn > 1 ORDER BY dropped_doc_id
+"""
 
 
 _D6_SQL = f"""
@@ -1105,6 +1187,7 @@ QUERIES = {
     "d10_boilerplate_removal": d10_boilerplate_removal,
     "d11_verbatim_spans": d11_verbatim_spans,
     "d12_dedup_eval": d12_dedup_eval,
+    "d13_dedup_apply": d13_dedup_apply,
 }
 
 ORACLE = {
@@ -1120,4 +1203,5 @@ ORACLE = {
     "d10_boilerplate_removal": _D10_SQL,
     "d11_verbatim_spans": _D11_SQL,
     "d12_dedup_eval": _d12_sql(),
+    "d13_dedup_apply": _D13_SQL,
 }

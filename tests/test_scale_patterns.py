@@ -130,7 +130,7 @@ def test_new_ops_no_quadratic_joins(spark):
     from postgres_scanner_spark.functions import text
     from postgres_scanner_spark.operators import dedup
     sf = "/root/testdata/sf0.001"
-    _, edges = dedup._d6_graph(spark, sf)
+    _, _, edges = dedup._d6_graph(spark, sf)
     for df in (edges, dedup.d7_contamination(spark, sf),
                text.t7_repetition_stats(spark, sf)):
         plan = df._jdf.queryExecution().executedPlan().toString()
