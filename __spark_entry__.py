@@ -52,6 +52,7 @@ _COST_ORDER = [
     "ds11_timeband_counts", "q6_forecast_revenue", "x2_hash_sample",
     "x9_temperature_mix", "e5_event_funnel", "p4_filter_pushdown",
     "p6_interval", "t3_token_count", "p2_nulls", "t4_fingerprint",
+    "t13_context_chunks",
     "p5_arrays", "x3_vocab_topk", "t2_quality_score", "w2_cube",
     "p3_decimals", "p7_timestamp_parts", "x5_sequence_pack",
     "p11_struct_fields", "p10_verify_checksum", "x8_epoch_plan",

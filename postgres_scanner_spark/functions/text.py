@@ -587,6 +587,60 @@ FROM sums, totals
 """
 
 
+# ---- T13: context-window chunking -----------------------------------
+def t13_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows — THE preprocessing step between a raw
+    corpus and a trainer: each document splits into 64-token windows
+    with stride 48 (16-token overlap), emitting per chunk its token
+    offset, length, and boundary tokens (what an index/loader needs
+    to slice the doc without re-tokenizing). Entirely JVM-side:
+    split + one explode(sequence) per doc — no UDF, no shuffle
+    before the display sort; chunk counts are arithmetic on token
+    counts, so output size is predictable (Σ ceil(n/stride)) and
+    partitions inherit the corpus layout at any scale."""
+    W, S = 64, 48
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.split(F.lower(F.col("text")), " ")
+                    .alias("t"))
+           .withColumn("n", F.size("t").cast("long")))
+    n_chunks = F.when(F.col("n") <= W, F.lit(1).cast("long")).otherwise(
+        F.ceil((F.col("n") - W) / F.lit(float(S))).cast("long") + 1)
+    c = tok.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"),
+                                          n_chunks - 1)))
+    start = (F.col("chunk_idx") * S).cast("long")
+    n_toks = F.least(F.lit(W).cast("long"), F.col("n") - start)
+    return (
+        c.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.alias("start_tok"),
+            n_toks.alias("n_toks"),
+            F.element_at("t", (start + 1).cast("int")).alias("first_tok"),
+            F.element_at("t", (start + n_toks).cast("int"))
+            .alias("last_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_T13_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents),
+chunks AS (
+  SELECT doc_id, n, t, g.i AS chunk_idx, g.i * 48 AS start_tok,
+         LEAST(64, n - g.i * 48) AS n_toks
+  FROM tok, LATERAL (SELECT unnest(range(0,
+       CASE WHEN n <= 64 THEN 1
+            ELSE CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1 END)) AS i) g)
+SELECT doc_id, chunk_idx, start_tok, n_toks,
+       t[start_tok + 1] AS first_tok,
+       t[start_tok + n_toks] AS last_tok
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
@@ -600,6 +654,7 @@ QUERIES = {
     "t10_tfidf_keywords": t10_tfidf_keywords,
     "t11_bpe_pairs": t11_bpe_pairs,
     "t12_zipf_fit": t12_zipf_fit,
+    "t13_context_chunks": t13_context_chunks,
 }
 
 ORACLE = {
@@ -615,4 +670,5 @@ ORACLE = {
     "t10_tfidf_keywords": _T10_SQL,
     "t11_bpe_pairs": _T11_SQL,
     "t12_zipf_fit": _T12_SQL,
+    "t13_context_chunks": _T13_SQL,
 }
