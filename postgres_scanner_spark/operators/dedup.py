@@ -50,7 +50,7 @@ def corpus_with_plants(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = d.filter(F.col("doc_id") < _DUP_N) \
         .withColumn("doc_id", F.col("doc_id") + 100000)
     out = d.unionByName(dup)
-    if tables.cache_enabled(sf_dir):
+    if tables.cache_enabled():
         return out  # table cache already repartitioned the source
     return out.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 

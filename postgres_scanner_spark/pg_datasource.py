@@ -462,6 +462,20 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
             cur.execute(sql)
             return cur.fetchall()
 
+    def _scan_capped_whole_keys(self, lo):
+        """One capped fetch that never SPLITS a key group: offsets are
+        key values and the next scan starts strictly above the last
+        key, so a run of EQUAL keys straddling the LIMIT boundary
+        would silently lose its tail. When a fetch fills the limit,
+        drop the boundary key's rows and re-fetch that key's WHOLE
+        group (keys are integers, so (k-1, k] selects exactly k)."""
+        rows = self._scan(lo, limit=self.max_rows)
+        if rows and len(rows) == self.max_rows:
+            k = int(rows[-1][self.key_idx])
+            rows = [r for r in rows if int(r[self.key_idx]) != k]
+            rows += self._scan(k - 1, k)
+        return rows
+
     def read(self, start: dict):
         if not self.max_rows:
             rows = self._scan(start.get("last_key"))
@@ -470,16 +484,19 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
             return iter(rows), {"last_key": int(rows[-1][self.key_idx])}
         # capped fetch loop: drain the backlog available NOW in
         # max_rows-sized scans so availableNow completes in one run
-        # while each database fetch stays bounded
+        # while each DATABASE FETCH stays bounded. The assembled batch
+        # itself is held on the driver — inherent to Spark's
+        # SimpleDataSourceStreamReader, which prefetches and caches
+        # read()'s result either way; a backlog too large for driver
+        # memory belongs on the partition-based DataSourceStreamReader
+        # evolution of this source, not a bigger driver
         chunks, last = [], start.get("last_key")
         while True:
-            rows = self._scan(last, limit=self.max_rows)
+            rows = self._scan_capped_whole_keys(last)
             if not rows:
                 break
             chunks.append(rows)
             last = int(rows[-1][self.key_idx])
-            if len(rows) < self.max_rows:
-                break
         if not chunks:
             return iter([]), start
         import itertools
@@ -679,8 +696,15 @@ class PostgresScanWriter(DataSourceArrowWriter):
         import json
         import re
         overrides = json.loads(self.options.get("column_types", "{}"))
+        # a type name: word chars/spaces (TIMESTAMP WITH TIME ZONE),
+        # optional schema qualifier, optional (p[,s]) with NUMBERS
+        # only, optional [] suffixes — no quotes, no free commas, so
+        # a value cannot smuggle extra column definitions into the
+        # CREATE TABLE it is spliced into
+        type_re = (r"[A-Za-z_][\w ]*(?:\.[A-Za-z_][\w ]*)?"
+                   r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\[\])*")
         for cname, ctype in overrides.items():
-            if not re.fullmatch(r'[\w "\'.,()\[\]]+', ctype):
+            if not re.fullmatch(type_re, ctype.strip()):
                 raise ValueError(
                     f"column_types[{cname!r}] = {ctype!r} is not a "
                     f"plain type name")

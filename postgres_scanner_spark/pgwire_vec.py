@@ -89,7 +89,10 @@ def _var_cols(arr, oid: int):
     (utf8 text family, bytea), or None."""
     import pyarrow as pa
     t = arr.type
-    utf8 = oid not in (pgt.BYTEAOID,) and (
+    # the arrow utf8 buffer IS the wire image only for the text
+    # family; uuid (16 raw bytes) and jsonb (version-prefix byte)
+    # re-encode their strings, so they take the scalar fallback
+    utf8 = oid not in (pgt.BYTEAOID, pgt.UUIDOID, pgt.JSONBOID) and (
         pa.types.is_string(t) or pa.types.is_large_string(t))
     rawb = oid == pgt.BYTEAOID and (
         pa.types.is_binary(t) or pa.types.is_large_binary(t))

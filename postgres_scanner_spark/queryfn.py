@@ -708,7 +708,7 @@ _CALL_ATTACH_RE = re.compile(
     r"(?:,\s*(.*?))?\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _CALL_KWARG_RE = re.compile(
-    r"(\w+)\s*(?::?=|=>)\s*(?:'((?:[^']|'')*)'|(\w+))\s*(?:,|$)")
+    r"\s*(\w+)\s*(?::?=|=>)\s*(?:'((?:[^']|'')*)'|(\w+))\s*(?:,|$)")
 
 
 def _call_postgres_attach(catalog: Catalog, dsn: str, argstr: str):
@@ -725,7 +725,21 @@ def _call_postgres_attach(catalog: Catalog, dsn: str, argstr: str):
     connector, and the sink namespace has no Spark equivalent."""
     kwargs: dict = {}
     overwrite = False
-    for m in _CALL_KWARG_RE.finditer(argstr or ""):
+    # anchored scan: every byte of the argument list must parse as a
+    # name=value pair — a positional or malformed argument raises
+    # instead of silently attaching the wrong surface (the same
+    # strictness _parse_attach_options applies to ATTACH options)
+    pos, matches = 0, []
+    argstr = (argstr or "").strip()
+    while pos < len(argstr):
+        m = _CALL_KWARG_RE.match(argstr, pos)
+        if not m:
+            raise ValueError(
+                f"malformed postgres_attach argument near "
+                f"{argstr[pos:pos + 30]!r} — expected name=value")
+        matches.append(m)
+        pos = m.end()
+    for m in matches:
         key = m.group(1).lower()
         val = (m.group(2).replace("''", "'")
                if m.group(2) is not None else m.group(3))
@@ -748,8 +762,14 @@ def _call_postgres_attach(catalog: Catalog, dsn: str, argstr: str):
         alias = os.path.splitext(os.path.basename(
             dsn[len("duckdb://"):]))[0] or "pg"
     if alias in catalog.attached:
+        existing = catalog.attached[alias]
         if not overwrite:
-            return catalog.attached[alias]  # VIEW IF NOT EXISTS
+            if existing.source != dsn:
+                raise ValueError(
+                    f"database {alias!r} is already attached to "
+                    f"{existing.source!r}; re-attaching a DIFFERENT "
+                    f"source needs overwrite=true")
+            return existing                 # VIEW IF NOT EXISTS
         catalog.detach(alias)               # CREATE OR REPLACE VIEW
     db = catalog.attach(dsn, alias=alias, **kwargs)
     if catalog.current is None:

@@ -42,7 +42,7 @@ _KEYS = {
 _CACHE: dict[tuple, DataFrame] = {}
 
 
-def cache_enabled(sf_dir: str | None = None) -> bool:
+def cache_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CACHE") == "1"
 
 
@@ -61,7 +61,7 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     path = f"{sf_dir}/{name}.parquet"
-    if not cache_enabled(sf_dir):
+    if not cache_enabled():
         return spark.read.parquet(path)
     key = (id(spark._jsparkSession), sf_dir, name)
     if key not in _CACHE:
@@ -76,7 +76,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def warm(spark: SparkSession, sf_dir: str, names=None) -> None:
     """Materialize caches (bench calls this before timing)."""
-    if not cache_enabled(sf_dir):
+    if not cache_enabled():
         return
     for name in names or _KEYS:
         load(spark, sf_dir, name).count()

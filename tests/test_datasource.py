@@ -654,18 +654,82 @@ def test_stream_reader_capped_scan_loop():
     calls = []
 
     def fake_scan(lo, hi=None, limit=0):
-        calls.append((lo, limit))
-        rows = [(i,) for i in range(0 if lo is None else lo + 1, 25)]
+        calls.append((lo, hi, limit))
+        rows = [(i,) for i in range(0 if lo is None else lo + 1, 25)
+                if hi is None or i <= hi]
         return rows[:limit] if limit else rows
 
     r._scan = fake_scan
     it, off = r.read({"last_key": None})
     assert [row[0] for row in it] == list(range(25))
     assert off == {"last_key": 24}
-    # three capped fetches: 10 + 10 + 5 (last one short-circuits)
-    assert calls == [(None, 10), (9, 10), (19, 10)]
+    # every database fetch is capped at 10 (the whole-key-group
+    # re-fetches are keyed single-value range scans, uncapped by
+    # design), and the loop ends on an empty probe
+    assert all(limit == 10 for lo, hi, limit in calls if hi is None)
+    assert calls[-1] == (24, None, 10)
     # empty backlog: offset unchanged, single probe
     calls.clear()
     it, off = r.read({"last_key": 24})
     assert list(it) == [] and off == {"last_key": 24}
-    assert calls == [(24, 10)]
+    assert calls == [(24, None, 10)]
+
+
+def test_stream_reader_capped_scan_whole_key_groups():
+    """A run of EQUAL stream-key values straddling the LIMIT boundary
+    must not lose its tail: the capped fetch drops the boundary key
+    and re-fetches that key's whole group (keys are offsets, so a
+    split group would be skipped by the next '> last' scan)."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark.pg_datasource import (
+        PostgresScanStreamReader,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    r = PostgresScanStreamReader(
+        schema, {"dsn": "duckdb://ignored", "table": "ev",
+                 "stream_key": "id", "max_rows_per_poll": "4"})
+    # 3 rows of key 1, then 4 rows of key 2, then key 3
+    data = [(1,), (1,), (1,), (2,), (2,), (2,), (2,), (3,)]
+
+    def fake_scan(lo, hi=None, limit=0):
+        rows = [t for t in data
+                if (lo is None or t[0] > lo)
+                and (hi is None or t[0] <= hi)]
+        return rows[:limit] if limit else rows
+
+    r._scan = fake_scan
+    it, off = r.read({"last_key": None})
+    assert list(it) == data          # nothing lost, nothing doubled
+    assert off == {"last_key": 3}
+
+
+def test_call_postgres_attach_rejects_malformed_and_collision(
+        registered, tmp_path):
+    """Malformed/positional CALL arguments raise instead of silently
+    attaching the wrong surface, and a second CALL deriving the SAME
+    alias for a DIFFERENT source errors without overwrite=true."""
+    import duckdb
+    import pytest as _pytest
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import execute_statement
+    a = str(tmp_path / "x" / "data.db")
+    b = str(tmp_path / "y" / "data.db")
+    for p in (a, b):
+        __import__("os").makedirs(__import__("os").path.dirname(p))
+        con = duckdb.connect(p)
+        con.execute("CREATE TABLE t AS SELECT 1 AS v")
+        con.close()
+    cat = Catalog(registered)
+    with _pytest.raises(ValueError, match="malformed postgres_attach"):
+        execute_statement(
+            cat, f"CALL postgres_attach('duckdb://{a}', 'public')")
+    execute_statement(cat, f"CALL postgres_attach('duckdb://{a}')")
+    # same source again: IF NOT EXISTS no-op
+    execute_statement(cat, f"CALL postgres_attach('duckdb://{a}')")
+    with _pytest.raises(ValueError, match="DIFFERENT source"):
+        execute_statement(cat, f"CALL postgres_attach('duckdb://{b}')")
+    execute_statement(
+        cat, f"CALL postgres_attach('duckdb://{b}', overwrite=true)")
+    assert cat.attached["data"].source == f"duckdb://{b}"
+    cat.detach("data")

@@ -459,3 +459,30 @@ def test_vectorized_writer_property(rows, chunk):
     w._CHUNK = chunk          # force mid-stream slice boundaries
     w.write_batches(b2, [batch])
     assert b1.getvalue() == b2.getvalue()
+
+
+def test_vectorized_writer_uuid_jsonb_reencode():
+    """uuid and jsonb STRING columns must not ship raw utf8: uuid
+    sends 16 raw bytes, jsonb prepends the version-1 byte — the
+    vectorized writer must route both through the scalar fallback
+    and stay byte-identical to the contract writer."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    from postgres_scanner_spark.pgwire_vec import VectorBinaryCopyWriter
+
+    u = "bd132f35-1a2b-4c5d-8e9f-001122334455"
+    rows = [(u, '{"a": 1}'), (None, None),
+            (str(_uuid.UUID(int=0)), "[]")]
+    batch = pa.record_batch(
+        [pa.array([r[0] for r in rows], pa.string()),
+         pa.array([r[1] for r in rows], pa.string())],
+        names=["u", "j"])
+    oids = [pgt.UUIDOID, pgt.JSONBOID]
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    BinaryCopyWriter(oids).write(b1, rows)
+    VectorBinaryCopyWriter(oids).write_batches(b2, [batch])
+    assert b1.getvalue() == b2.getvalue()
+    # and the uuid field really is 16 bytes on the wire, not 36
+    assert bytes.fromhex("00000010bd132f35") in b1.getvalue()
