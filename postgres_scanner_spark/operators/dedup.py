@@ -1136,13 +1136,18 @@ def d12_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     their keys."""
     c = corpus_with_plants(spark, sf_dir)
     fp = c.select("doc_id", F.md5(F.col("text")).alias("fp"))
-    truth = (fp.alias("a").join(
-                 fp.alias("b"),
-                 (F.col("a.fp") == F.col("b.fp"))
-                 & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b")))
-    pred = d2_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    truth = scratch_persist(
+        fp.alias("a").join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")))
+    # the full d2 pipeline feeds BOTH the hit semi-join and its own
+    # count — persist the (tiny) pair set so the minhash/band work
+    # runs once, not once per consumer
+    pred = scratch_persist(
+        d2_minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b"))
     hit = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
     agg = (truth.agg(F.count("*").alias("n_truth"))
            .crossJoin(pred.agg(F.count("*").alias("n_pred")))
