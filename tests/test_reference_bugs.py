@@ -556,3 +556,46 @@ def test_intervals_matrix(registered, tmp_path):
     # month-bearing interval: wire codec carries (us, days, months)
     b = encode_field(pgt.INTERVALOID, dt.timedelta(days=30 * 42))
     assert decode_field(pgt.INTERVALOID, b) == dt.timedelta(days=1260)
+
+
+def test_count_star_and_postgres_query(registered, tmp_path):
+    """reference: count_star.test + postgres_query.test — count(*)
+    over an attached table, and the postgres_query passthrough with
+    remote WHERE, post-filter, projection, and count(*) on the
+    passthrough result."""
+    import duckdb
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_query
+    db = str(tmp_path / "cars.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE cars (brand VARCHAR, model VARCHAR, "
+                "color VARCHAR)")
+    con.execute("INSERT INTO cars VALUES "
+                "('ferari','testarosa','red'),"
+                "('aston martin','db2','blue'),"
+                "('bentley','mulsanne','gray'),('ford','T','black')")
+    con.close()
+    cat = Catalog(registered)
+    cat.attach(f"duckdb://{db}", alias="s1")
+    assert registered.sql("SELECT COUNT(*) AS n FROM s1_cars") \
+        .collect()[0].n == 4
+    q = pg_query(cat, "s1", "SELECT * FROM cars")
+    assert [tuple(r) for r in q.collect()] == [
+        ("ferari", "testarosa", "red"),
+        ("aston martin", "db2", "blue"),
+        ("bentley", "mulsanne", "gray"), ("ford", "T", "black")]
+    # remote WHERE inside the passthrough SQL
+    assert [tuple(r) for r in pg_query(
+        cat, "s1", "SELECT * FROM cars WHERE color='red'").collect()
+    ] == [("ferari", "testarosa", "red")]
+    # Spark-side filter over the passthrough result
+    from pyspark.sql import functions as F
+    assert q.filter(F.col("color") == "red").count() == 1
+    # projection over the passthrough result
+    assert [r.color for r in pg_query(
+        cat, "s1", "SELECT color, brand FROM cars").select("color")
+        .collect()] == ["red", "blue", "gray", "black"]
+    assert pg_query(
+        cat, "s1",
+        "SELECT * FROM cars WHERE color='red'").count() == 1
+    cat.detach("s1")
