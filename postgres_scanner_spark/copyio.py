@@ -132,6 +132,9 @@ def _write_pg_binary(df: DataFrame, path: str, mode: str) -> None:
         raise FileExistsError(path)
     os.makedirs(path, exist_ok=True)
 
+    # captured on the driver: SETTINGS is not propagated to workers
+    null_repl = SETTINGS.pg_null_byte_replacement
+
     def write_part(batches):
         import pyarrow as pa
         from pyspark import TaskContext
@@ -142,7 +145,8 @@ def _write_pg_binary(df: DataFrame, path: str, mode: str) -> None:
         fn = os.path.join(path, f"part-{idx:05d}.pgcopy")
         with open(fn, "wb") as fh:
             n = VectorBinaryCopyWriter(
-                oids, array_elem, array_ndims).write_batches(fh, batches)
+                oids, array_elem, array_ndims,
+                null_repl).write_batches(fh, batches)
         yield pa.record_batch([pa.array([idx], pa.int64()),
                                pa.array([n], pa.int64())],
                               names=["idx", "n"])

@@ -561,6 +561,11 @@ class PostgresScanWriter(DataSourceArrowWriter):
         self.table = self.options.get("table", "")
         if not self.table:
             raise ValueError("postgres_scan write needs .option('table')")
+        # captured at plan time on the driver: SETTINGS is process-
+        # global there, but write() runs in executor Python workers
+        self.null_byte_replacement = self.options.get(
+            "null_byte_replacement",
+            SETTINGS.pg_null_byte_replacement)
         self.spool = f"/tmp/pg_spark_write_{uuid.uuid4().hex[:12]}"
 
     def write(self, it: Iterator) -> _SpoolMsg:
@@ -586,13 +591,15 @@ class PostgresScanWriter(DataSourceArrowWriter):
             if first is not None and hasattr(first, "num_rows"):
                 from .pgwire_vec import VectorBinaryCopyWriter
                 n = VectorBinaryCopyWriter(
-                    oids, array_elem, array_ndims).write_batches(
+                    oids, array_elem, array_ndims,
+                    self.null_byte_replacement).write_batches(
                         fh, itertools.chain([first], it))
             else:
                 from .pgwire import BinaryCopyWriter
                 rest = it if first is None else \
                     itertools.chain([first], it)
-                n = BinaryCopyWriter(oids, array_elem, array_ndims) \
+                n = BinaryCopyWriter(oids, array_elem, array_ndims,
+                                     self.null_byte_replacement) \
                     .write(fh, (tuple(r) for r in rest))
         return _SpoolMsg(path, n)
 

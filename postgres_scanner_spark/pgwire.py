@@ -87,7 +87,22 @@ def _enc_interval(v: timedelta) -> bytes:
     return struct.pack("!qii", us, v.days, 0)
 
 
-def encode_field(oid: int, v: Any) -> bytes | None:
+def _pg_text(s: str, null_byte_replacement) -> bytes:
+    """utf8-encode a PG-bound text value. PG rejects NUL bytes in
+    varchar regardless of COPY format; mirror the reference's error
+    unless pg_null_byte_replacement is set (reference:
+    postgres_extension.cpp:179, attach_null_byte.test)."""
+    if "\x00" in s:
+        if null_byte_replacement is None:
+            raise ValueError(
+                "Postgres does not support NULL-bytes in VARCHAR "
+                "values (set pg_null_byte_replacement to substitute)")
+        s = s.replace("\x00", null_byte_replacement)
+    return s.encode("utf-8")
+
+
+def encode_field(oid: int, v: Any,
+                 null_byte_replacement: str | None = None) -> bytes | None:
     """One value → its binary send representation (None = SQL NULL)."""
     if v is None:
         return None
@@ -135,12 +150,13 @@ def encode_field(oid: int, v: Any) -> bytes | None:
         import uuid as _uuid
         return (v if isinstance(v, _uuid.UUID) else _uuid.UUID(str(v))).bytes
     if oid == pgt.JSONBOID:
-        return b"\x01" + str(v).encode("utf-8")   # version-1 jsonb
+        return b"\x01" + _pg_text(str(v), null_byte_replacement)
     # text family / fallbacks (json, inet, money… ship as their text form)
-    return str(v).encode("utf-8")
+    return _pg_text(str(v), null_byte_replacement)
 
 
-def encode_array(elem_oid: int, values: Sequence, ndim: int = 1) -> bytes:
+def encode_array(elem_oid: int, values: Sequence, ndim: int = 1,
+                 null_byte_replacement: str | None = None) -> bytes:
     """N-D array → PG array binary: ndim, hasnull, elemtype, then one
     dim+lbound pair per dimension, then flattened row-major elements
     as int32 length + payload (decode_array's exact inverse; PG
@@ -162,7 +178,7 @@ def encode_array(elem_oid: int, values: Sequence, ndim: int = 1) -> bytes:
         if x is None:
             out.append(struct.pack("!i", -1))
             continue
-        p = encode_field(elem_oid, x)
+        p = encode_field(elem_oid, x, null_byte_replacement)
         out.append(struct.pack("!i", len(p)) + p)
     return b"".join(out)
 
@@ -172,10 +188,12 @@ class BinaryCopyWriter:
 
     def __init__(self, oids: Sequence[int],
                  array_elem_oids: dict[int, int] | None = None,
-                 array_ndims: dict[int, int] | None = None):
+                 array_ndims: dict[int, int] | None = None,
+                 null_byte_replacement: str | None = None):
         self.oids = list(oids)
         self.array_elem = array_elem_oids or {}
         self.array_ndims = array_ndims or {}
+        self.null_byte_replacement = null_byte_replacement
 
     def write(self, out: BinaryIO, rows: Iterable[Sequence]) -> int:
         out.write(SIGNATURE)
@@ -196,9 +214,11 @@ class BinaryCopyWriter:
                     continue
                 if i in self.array_elem:
                     payload = encode_array(self.array_elem[i], v,
-                                           self.array_ndims.get(i, 1))
+                                           self.array_ndims.get(i, 1),
+                                           self.null_byte_replacement)
                 else:
-                    payload = encode_field(oid, v)
+                    payload = encode_field(oid, v,
+                                           self.null_byte_replacement)
                 out.write(struct.pack("!i", len(payload)))
                 out.write(payload)
             n += 1

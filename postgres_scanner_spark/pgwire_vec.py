@@ -83,7 +83,7 @@ def _fixed_cols(arr, oid: int):
     return None
 
 
-def _var_cols(arr, oid: int):
+def _var_cols(arr, oid: int, null_byte_replacement=None):
     """(payload uint8[], starts int64[n], lens int64[n]) for arrow
     variable-width arrays whose wire image IS the arrow buffer
     (utf8 text family, bytea), or None."""
@@ -98,6 +98,14 @@ def _var_cols(arr, oid: int):
         pa.types.is_binary(t) or pa.types.is_large_binary(t))
     if not (utf8 or rawb):
         return None
+    if utf8:
+        # PG rejects NUL bytes in varchar: one vectorized pass over
+        # the utf8 buffer (NUL only ever encodes U+0000); columns
+        # containing one re-encode through the scalar fallback, which
+        # raises or substitutes per the policy
+        nb = arr.buffers()[2]
+        if nb is not None and 0 in memoryview(nb):
+            return None
     if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         odt = np.int64
     else:
@@ -112,16 +120,19 @@ def _var_cols(arr, oid: int):
     return data, starts, lens
 
 
-def _fallback_col(arr, oid: int, elem_oid, ndim):
-    """Scalar-encode one column (exotic wire types) into the same
-    (payload, starts, lens) shape the vectorized assembly consumes."""
+def _fallback_col(arr, oid: int, elem_oid, ndim,
+                  null_byte_replacement=None):
+    """Scalar-encode one column (exotic wire types, or text columns
+    carrying NUL bytes) into the same (payload, starts, lens) shape
+    the vectorized assembly consumes."""
     pieces, lens = [], np.empty(len(arr), np.int64)
     for j, v in enumerate(arr.to_pylist()):
         if v is None:
             lens[j] = 0
             continue
-        p = encode_array(elem_oid, v, ndim) if elem_oid is not None \
-            else encode_field(oid, v)
+        p = encode_array(elem_oid, v, ndim, null_byte_replacement) \
+            if elem_oid is not None \
+            else encode_field(oid, v, null_byte_replacement)
         pieces.append(p)
         lens[j] = len(p)
     payload = np.frombuffer(b"".join(pieces), dtype=np.uint8)
@@ -129,7 +140,8 @@ def _fallback_col(arr, oid: int, elem_oid, ndim):
     return payload, starts, lens
 
 
-def encode_batch(batch, oids, array_elem=None, array_ndims=None) -> bytes:
+def encode_batch(batch, oids, array_elem=None, array_ndims=None,
+                 null_byte_replacement=None) -> bytes:
     """One Arrow RecordBatch → PGCOPY row bytes (no header/trailer)."""
     array_elem = array_elem or {}
     array_ndims = array_ndims or {}
@@ -156,11 +168,13 @@ def encode_batch(batch, oids, array_elem=None, array_ndims=None) -> bytes:
             lens[null] = -1
             col_data.append(("fixed", w, mat, ~null))
         else:
-            var = None if i in array_elem else _var_cols(arr, oids[i])
+            var = None if i in array_elem else \
+                _var_cols(arr, oids[i], null_byte_replacement)
             if var is None:
                 var = _fallback_col(arr, oids[i],
                                     array_elem.get(i),
-                                    array_ndims.get(i, 1))
+                                    array_ndims.get(i, 1),
+                                    null_byte_replacement)
             data, starts, lens = var
             lens = lens.copy()
             lens[null] = -1
@@ -233,10 +247,12 @@ class VectorBinaryCopyWriter:
 
     _CHUNK = 65_536
 
-    def __init__(self, oids, array_elem_oids=None, array_ndims=None):
+    def __init__(self, oids, array_elem_oids=None, array_ndims=None,
+                 null_byte_replacement=None):
         self.oids = list(oids)
         self.array_elem = array_elem_oids or {}
         self.array_ndims = array_ndims or {}
+        self.null_byte_replacement = null_byte_replacement
 
     def write_batches(self, out: BinaryIO, batches: Iterable) -> int:
         out.write(SIGNATURE)
@@ -250,7 +266,8 @@ class VectorBinaryCopyWriter:
             for s in range(0, b.num_rows, self._CHUNK):
                 out.write(encode_batch(
                     b.slice(s, self._CHUNK), self.oids,
-                    self.array_elem, self.array_ndims))
+                    self.array_elem, self.array_ndims,
+                    self.null_byte_replacement))
             n += b.num_rows
         out.write(struct.pack("!h", -1))
         return n

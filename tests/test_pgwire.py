@@ -132,7 +132,7 @@ def test_writer_reader_roundtrip_all_types():
         (1, "alpha", 1.5, True, date(2020, 5, 17),
          datetime(2021, 6, 1, 12, 30, 0), Decimal("42.42"), b"\x00\x01"),
         (2, None, None, False, None, None, None, None),
-        (-3, "nul\x00byte-free", -2.25, None, date(1999, 12, 31),
+        (-3, "nul-byte-free", -2.25, None, date(1999, 12, 31),
          datetime(1969, 7, 20, 20, 17, 40), Decimal("-0.5"), b""),
     ]
     buf = io.BytesIO()
@@ -486,3 +486,36 @@ def test_vectorized_writer_uuid_jsonb_reencode():
     assert b1.getvalue() == b2.getvalue()
     # and the uuid field really is 16 bytes on the wire, not 36
     assert bytes.fromhex("00000010bd132f35") in b1.getvalue()
+
+
+def test_null_byte_policy_both_codecs():
+    """reference: attach_null_byte.test — PG rejects NUL bytes in
+    varchar values: both codecs raise the reference's error by
+    default, and substitute when pg_null_byte_replacement is given
+    (here passed explicitly; the writers wire it from SETTINGS).
+    Byte-identity must hold between the codecs under substitution."""
+    import pyarrow as pa
+
+    from postgres_scanner_spark.pgwire_vec import VectorBinaryCopyWriter
+
+    rows = [("\x00",), ("FF\x00FF",), ("clean",), (None,)]
+    batch = pa.record_batch(
+        [pa.array([r[0] for r in rows], pa.string())], names=["s"])
+    oids = [pgt.TEXTOID]
+    with pytest.raises(ValueError, match="NULL-bytes in VARCHAR"):
+        BinaryCopyWriter(oids).write(io.BytesIO(), rows)
+    with pytest.raises(ValueError, match="NULL-bytes in VARCHAR"):
+        VectorBinaryCopyWriter(oids).write_batches(io.BytesIO(), [batch])
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    BinaryCopyWriter(oids, null_byte_replacement="").write(b1, rows)
+    VectorBinaryCopyWriter(
+        oids, null_byte_replacement="").write_batches(b2, [batch])
+    assert b1.getvalue() == b2.getvalue()
+    out = list(BinaryCopyReader(oids).read(io.BytesIO(b1.getvalue())))
+    assert out == [("",), ("FFFF",), ("clean",), (None,)]
+    # array elements are covered too
+    with pytest.raises(ValueError, match="NULL-bytes"):
+        encode_array(pgt.TEXTOID, ["ok", "b\x00ad"])
+    assert encode_array(pgt.TEXTOID, ["b\x00ad"],
+                        null_byte_replacement="_") == \
+        encode_array(pgt.TEXTOID, ["b_ad"])
