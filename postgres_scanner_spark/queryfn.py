@@ -74,10 +74,55 @@ def pg_query(catalog: Catalog, alias: str, sql: str) -> DataFrame:
                  for r in rows],
                 "cid INT, name STRING, type STRING, notnull BOOLEAN, "
                 "dflt_value STRING, pk BOOLEAN")
-    return catalog.spark.sql(sql)
+    return _pg_sql(catalog.spark, sql)
 
 
 import re
+
+
+def _escape_pg_literals(sql: str) -> str:
+    """Rewrite PG-dialect string literals for Spark's parser: in PG
+    (standard_conforming_strings) a backslash inside '...' is a
+    LITERAL character and '' is the quote escape; Spark processes
+    backslash escapes, so '\\42\\' is a parse error. Double every
+    backslash inside single-quoted literals — Spark then decodes
+    them back to single backslashes, '' keeps working on both, and
+    text outside literals (incl. "quoted identifiers") is untouched.
+    (spark.sql.parser.escapedStringLiterals is deprecated AND
+    changes '' handling in Spark 4, so a conf flip cannot do this.)
+    Reference: attach_backslash.test."""
+    out = []
+    in_s = in_d = False
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_s:
+            if ch == "\\":
+                out.append("\\\\")
+                i += 1
+                continue
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("''")
+                    i += 2
+                    continue
+                in_s = False
+        elif in_d:
+            if ch == '"':
+                in_d = False
+        elif ch == "'":
+            in_s = True
+        elif ch == '"':
+            in_d = True
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _pg_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run routed PG-dialect SQL under PG string-literal semantics."""
+    return spark.sql(_escape_pg_literals(sql))
+
 
 # identifier: bare word OR double-quoted (PG-style, "" escapes a quote)
 # — reference handles quoted/keyword/case-sensitive table names
@@ -542,7 +587,7 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         elif m := _COPY_TO_RE.match(sql):
             from .copyio import copy_to
             table, sub, path, fmt = m.groups()
-            df = (catalog.spark.sql(sub) if sub
+            df = (_pg_sql(catalog.spark, sub) if sub
                   else store.scan(_unquote_table(table)))
             copy_to(df, path, format=_copy_fmt(fmt))
         elif m := _COPY_FROM_RE.match(sql):
@@ -555,7 +600,8 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                                       schema=cur.schema))
         elif parsed := _parse_merge(sql):
             table, src_sql, keys, upd, ins = parsed
-            store.merge(_unquote_table(table), catalog.spark.sql(src_sql),
+            store.merge(_unquote_table(table),
+                        _pg_sql(catalog.spark, src_sql),
                         keys, update_all=upd, insert_all=ins)
         elif m := _TRUNCATE_RE.match(sql):
             store.delete(_unquote_table(m.group(1)), "true")
@@ -575,11 +621,11 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
             if src.upper().startswith("VALUES"):
                 src = _expand_default_values(store, table, src, cols)
                 src = f"SELECT * FROM ({src})"
-            df = catalog.spark.sql(src)
+            df = _pg_sql(catalog.spark, src)
             store.insert(table, df, columns=cols)
         elif m := _CTAS_RE.match(sql):
             store.create_table(_unquote_table(m.group(3)),
-                               catalog.spark.sql(m.group(4)),
+                               _pg_sql(catalog.spark, m.group(4)),
                                if_not_exists=bool(m.group(2)),
                                or_replace=bool(m.group(1)))
         elif m := _CREATE_TABLE_RE.match(sql):
@@ -639,7 +685,7 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                     catalog.spark.catalog.dropTempView(name)
                     db.views.remove(name)
         else:
-            catalog.spark.sql(sql)
+            _pg_sql(catalog.spark, sql)
         # refresh the registered views to the new snapshot (tracked on
         # the AttachedDatabase so detach() can drop them all);
         # db.table_names() honors a SCHEMA-scoped attach — iterating
@@ -656,7 +702,7 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                 if name not in db.views:
                     db.views.append(name)
         return
-    catalog.spark.sql(sql)
+    _pg_sql(catalog.spark, sql)
 
 
 # ---------------------------------------------------------------------

@@ -599,3 +599,98 @@ def test_count_star_and_postgres_query(registered, tmp_path):
         cat, "s1",
         "SELECT * FROM cars WHERE color='red'").count() == 1
     cat.detach("s1")
+
+
+def test_attach_create_if_exists(spark, tmp_path):
+    """reference: test/sql/storage/attach_create_if_exists.test —
+    CREATE, CREATE IF NOT EXISTS (no-op against the existing table),
+    CREATE OR REPLACE (new definition), then SELECT the new column."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import execute_statement
+    from postgres_scanner_spark.storage import ManagedStore
+    root = str(tmp_path / "cie")
+    ManagedStore(spark, root)
+    cat = Catalog(spark)
+    execute_statement(cat, f"ATTACH '{root}' AS s1 (TYPE POSTGRES)")
+    execute_statement(cat, "DROP TABLE IF EXISTS test")
+    execute_statement(cat, "CREATE TABLE test(i INTEGER)")
+    execute_statement(cat, "INSERT INTO test VALUES (7)")
+    execute_statement(cat, "CREATE TABLE IF NOT EXISTS test(i INTEGER)")
+    # IF NOT EXISTS must keep the existing table's data
+    assert spark.table("s1_test").count() == 1
+    execute_statement(cat, "CREATE OR REPLACE TABLE test(j INTEGER)")
+    assert spark.table("s1_test").columns == ["j"]
+    assert execute_statement(cat, "SELECT j FROM s1_test").count() == 0
+    execute_statement(cat, "DETACH s1")
+
+
+def test_attach_backslash(spark, tmp_path):
+    """reference: test/sql/storage/attach_backslash.test —
+    backslash-laden varchar values survive INSERT and scan, and the
+    PGCOPY binary round-trip."""
+    import io as _io
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.pgwire import (
+        BinaryCopyReader, BinaryCopyWriter,
+    )
+    from postgres_scanner_spark.queryfn import execute_statement
+    from postgres_scanner_spark.storage import ManagedStore
+    v1 = "\\42\\"
+    v2 = '"quoted value \\ with backslashes \'\\"'
+    root = str(tmp_path / "bs")
+    ManagedStore(spark, root)
+    cat = Catalog(spark)
+    execute_statement(cat, f"ATTACH '{root}' AS s1 (TYPE POSTGRES)")
+    execute_statement(cat, "CREATE TABLE varchar_data(v VARCHAR)")
+    execute_statement(
+        cat, "INSERT INTO varchar_data VALUES ('\\42\\'), "
+             "('\"quoted value \\ with backslashes ''\\\"')")
+    got = sorted(r.v for r in spark.table("s1_varchar_data").collect())
+    assert got == sorted([v1, v2])
+    execute_statement(cat, "DETACH s1")
+    buf = _io.BytesIO()
+    BinaryCopyWriter([pgt.TEXTOID]).write(buf, [(v1,), (v2,)])
+    assert list(BinaryCopyReader([pgt.TEXTOID]).read(
+        _io.BytesIO(buf.getvalue()))) == [(v1,), (v2,)]
+
+
+def test_attach_alter_rollback(spark, tmp_path):
+    """reference: test/sql/storage/attach_alter_rollback.test —
+    ALTER TABLE ADD COLUMN inside a transaction is visible before
+    ROLLBACK and gone after."""
+    import pytest as _pytest
+    from postgres_scanner_spark.storage import ManagedStore
+    store = ManagedStore(spark, str(tmp_path / "ar"))
+    store.create_table(
+        "test", spark.createDataFrame([(42,)], "i INT"))
+    store.begin()
+    store.add_column("test", "j", "NULL", "int")
+    assert [r.j for r in store.scan("test").collect()] == [None]
+    store.rollback()
+    assert store.scan("test").columns == ["i"]
+    with _pytest.raises(Exception):
+        store.scan("test").select("j").collect()
+
+
+def test_attach_giant_numeric_wire():
+    """reference: test/sql/storage/attach_giant_numeric.test — values
+    around 1e32 survive the numeric wire codec exactly (the scan
+    surface maps unconstrained NUMERIC to double, same as the
+    reference's fallback)."""
+    import io as _io
+    from decimal import Decimal
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.pgwire import (
+        BinaryCopyReader, BinaryCopyWriter,
+    )
+    vals = [Decimal("0.0"),
+            Decimal("100000000000000010000000000000000"),
+            Decimal("-123456789123456800000000000"),
+            Decimal("1" + "0" * 37 + "." + "9" * 10)]
+    buf = _io.BytesIO()
+    BinaryCopyWriter([pgt.NUMERICOID]).write(buf, [(v,) for v in vals])
+    out = [r[0] for r in BinaryCopyReader([pgt.NUMERICOID]).read(
+        _io.BytesIO(buf.getvalue()))]
+    assert [v.normalize() for v in out] == \
+        [v.normalize() for v in vals]
