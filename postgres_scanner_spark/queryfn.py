@@ -81,16 +81,20 @@ import re
 
 
 def _escape_pg_literals(sql: str) -> str:
-    """Rewrite PG-dialect string literals for Spark's parser: in PG
-    (standard_conforming_strings) a backslash inside '...' is a
-    LITERAL character and '' is the quote escape; Spark processes
-    backslash escapes, so '\\42\\' is a parse error. Double every
-    backslash inside single-quoted literals — Spark then decodes
-    them back to single backslashes, '' keeps working on both, and
-    text outside literals (incl. "quoted identifiers") is untouched.
-    (spark.sql.parser.escapedStringLiterals is deprecated AND
-    changes '' handling in Spark 4, so a conf flip cannot do this.)
-    Reference: attach_backslash.test."""
+    """Rewrite PG-dialect quoting for Spark's parser:
+
+    - string literals: in PG (standard_conforming_strings) a
+      backslash inside '...' is a LITERAL character and '' is the
+      quote escape; Spark processes backslash escapes, so '\\42\\'
+      is a parse error. Double every backslash — Spark decodes them
+      back — and '' keeps working on both.
+      (spark.sql.parser.escapedStringLiterals is deprecated AND
+      changes '' handling in Spark 4, so a conf flip cannot do this;
+      spark.sql.ansi.doubleQuotedIdentifiers would drag in ANSI
+      arithmetic semantics.) Reference: attach_backslash.test.
+    - identifiers: PG "Quoted_Ident" ("" escapes a quote) becomes
+      Spark `Quoted_Ident` (`` escapes a backtick). Reference:
+      attach_case_sensitive_columns.test, attach_keywords.test."""
     out = []
     in_s = in_d = False
     i, n = 0, len(sql)
@@ -107,14 +111,27 @@ def _escape_pg_literals(sql: str) -> str:
                     i += 2
                     continue
                 in_s = False
+            out.append(ch)
         elif in_d:
             if ch == '"':
+                if i + 1 < n and sql[i + 1] == '"':
+                    out.append('"')
+                    i += 2
+                    continue
                 in_d = False
+                out.append("`")
+            elif ch == "`":
+                out.append("``")
+            else:
+                out.append(ch)
         elif ch == "'":
             in_s = True
+            out.append(ch)
         elif ch == '"':
             in_d = True
-        out.append(ch)
+            out.append("`")
+        else:
+            out.append(ch)
         i += 1
     return "".join(out)
 

@@ -694,3 +694,42 @@ def test_attach_giant_numeric_wire():
         _io.BytesIO(buf.getvalue()))]
     assert [v.normalize() for v in out] == \
         [v.normalize() for v in vals]
+
+
+def test_attach_case_sensitive_columns(spark, tmp_path):
+    """reference: attach_case_sensitive_columns.test +
+    attach_create_uppercase_names.test — mixed-case column and table
+    names survive CREATE/INSERT (with a quoted identifier in the
+    column list), a txn'd DELETE+INSERT, and case-preserving SELECT."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import execute_statement
+    from postgres_scanner_spark.storage import ManagedStore
+    root = str(tmp_path / "cs")
+    ManagedStore(spark, root)
+    cat = Catalog(spark)
+    execute_statement(cat, f"ATTACH '{root}' AS s (TYPE POSTGRES)")
+    execute_statement(cat, "USE s")
+    execute_statement(
+        cat, "CREATE TABLE tbl_with_case_sensitive_columns AS "
+             'SELECT 42 AS MyColumn, 84 AS "MyColumn_1"')
+    t = spark.table("s_tbl_with_case_sensitive_columns")
+    assert t.columns == ["MyColumn", "MyColumn_1"]
+    assert [tuple(r) for r in t.collect()] == [(42, 84)]
+    execute_statement(cat, "BEGIN")
+    execute_statement(cat, "DELETE FROM tbl_with_case_sensitive_columns")
+    execute_statement(
+        cat, "INSERT INTO tbl_with_case_sensitive_columns "
+             '(MyColumn, "MyColumn_1") VALUES (42, 43)')
+    execute_statement(cat, "COMMIT")
+    got = execute_statement(
+        cat, 'SELECT MyColumn, "MyColumn_1" '
+             "FROM s_tbl_with_case_sensitive_columns").collect()
+    assert [tuple(r) for r in got] == [(42, 43)]
+    # uppercase TABLE name (attach_create_uppercase_names.test)
+    execute_statement(
+        cat, "CREATE OR REPLACE TABLE MyTable AS "
+             "SELECT 42 AS MyColumn, 84 AS MySecondColumn")
+    got = execute_statement(
+        cat, "SELECT MyColumn, MySecondColumn FROM s_MyTable").collect()
+    assert [tuple(r) for r in got] == [(42, 84)]
+    execute_statement(cat, "DETACH s")
