@@ -337,8 +337,18 @@ class PostgresScanReader(DataSourceReader):
                     # arrives month_day_nano (convert to duration(us)
                     # for DayTimeIntervalType, months at PG's 30-day
                     # justify convention — interval.test)
+                    def _iv_us(v):
+                        return ((v.months * 30 + v.days)
+                                * 86_400_000_000
+                                + v.nanoseconds // 1000)
+
+                    def _is_iv_list(t):
+                        return (pa.types.is_list(t)
+                                and pa.types.is_interval(t.value_type))
+
                     if any(pa.types.is_dictionary(f.type)
                            or pa.types.is_interval(f.type)
+                           or _is_iv_list(f.type)
                            for f in batch.schema):
                         cols = []
                         for c in batch.columns:
@@ -346,12 +356,16 @@ class PostgresScanReader(DataSourceReader):
                                 c = c.dictionary_decode()
                             elif pa.types.is_interval(c.type):
                                 c = pa.array(
-                                    [None if v is None else
-                                     (v.months * 30 + v.days)
-                                     * 86_400_000_000
-                                     + v.nanoseconds // 1000
+                                    [None if v is None else _iv_us(v)
                                      for v in c.to_pylist()],
                                     pa.duration("us"))
+                            elif _is_iv_list(c.type):
+                                c = pa.array(
+                                    [None if lst is None else
+                                     [None if v is None else _iv_us(v)
+                                      for v in lst]
+                                     for lst in c.to_pylist()],
+                                    pa.list_(pa.duration("us")))
                             cols.append(c)
                         batch = pa.RecordBatch.from_arrays(
                             cols, names=batch.schema.names)

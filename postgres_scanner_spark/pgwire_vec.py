@@ -98,14 +98,6 @@ def _var_cols(arr, oid: int, null_byte_replacement=None):
         pa.types.is_binary(t) or pa.types.is_large_binary(t))
     if not (utf8 or rawb):
         return None
-    if utf8:
-        # PG rejects NUL bytes in varchar: one vectorized pass over
-        # the utf8 buffer (NUL only ever encodes U+0000); columns
-        # containing one re-encode through the scalar fallback, which
-        # raises or substitutes per the policy
-        nb = arr.buffers()[2]
-        if nb is not None and 0 in memoryview(nb):
-            return None
     if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         odt = np.int64
     else:
@@ -117,6 +109,16 @@ def _var_cols(arr, oid: int, null_byte_replacement=None):
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else \
         np.empty(0, np.uint8)
     starts, lens = off[:-1], np.diff(off)
+    if utf8 and len(off) > 1:
+        # PG rejects NUL bytes in varchar: one numpy pass over JUST
+        # this slice's byte range (a sliced arr's buffer is the whole
+        # parent — bounding by the offsets avoids rescanning it per
+        # chunk). NUL only ever encodes U+0000 in utf8. A column
+        # containing one re-encodes via the scalar fallback, which
+        # raises or substitutes per the policy.
+        seg = data[off[0]:off[-1]]
+        if seg.size and not seg.all():
+            return None
     return data, starts, lens
 
 

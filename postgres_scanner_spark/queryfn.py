@@ -100,6 +100,21 @@ def _escape_pg_literals(sql: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
+        # comments pass through untouched — an apostrophe inside
+        # '-- ...' or '/* ... */' must not flip literal state
+        if not in_s and not in_d:
+            if ch == "-" and sql.startswith("--", i):
+                j = sql.find("\n", i)
+                j = n if j < 0 else j
+                out.append(sql[i:j])
+                i = j
+                continue
+            if ch == "/" and sql.startswith("/*", i):
+                j = sql.find("*/", i + 2)
+                j = n if j < 0 else j + 2
+                out.append(sql[i:j])
+                i = j
+                continue
         if in_s:
             if ch == "\\":
                 out.append("\\\\")
@@ -623,11 +638,19 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
         elif m := _TRUNCATE_RE.match(sql):
             store.delete(_unquote_table(m.group(1)), "true")
         elif m := _DELETE_RE.match(sql):
-            # no WHERE = whole-table delete (standard SQL)
-            store.delete(_unquote_table(m.group(1)), m.group(2) or "true")
+            # no WHERE = whole-table delete (standard SQL). WHERE/SET
+            # fragments run through F.expr (Spark's parser) inside the
+            # store, so they need the same PG-dialect translation the
+            # full-statement paths get
+            store.delete(_unquote_table(m.group(1)),
+                         _escape_pg_literals(m.group(2))
+                         if m.group(2) else "true")
         elif m := _UPDATE_RE.match(sql):
-            store.update(_unquote_table(m.group(1)), m.group(3) or "true",
-                         _split_assignments(m.group(2)))
+            store.update(_unquote_table(m.group(1)),
+                         _escape_pg_literals(m.group(3))
+                         if m.group(3) else "true",
+                         {k: _escape_pg_literals(v) for k, v in
+                          _split_assignments(m.group(2)).items()})
         elif m := _INSERT_RE.match(sql):
             table, collist, src = (_unquote_table(m.group(1)),
                                    m.group(2), m.group(3))
@@ -687,7 +710,11 @@ def pg_execute(catalog: Catalog, alias: str, sql: str) -> None:
                               cascade=bool(m.group(3)))
         elif m := _CREATE_VIEW_RE.match(sql):
             vname = _unquote(m.group(2))
-            store.create_view(vname, m.group(3),
+            # store the TRANSLATED body: scan_view replays it through
+            # spark.sql on every read, where raw PG-dialect quoting
+            # would misparse (the stored text is Spark SQL by contract
+            # of ManagedStore.create_view's Python API)
+            store.create_view(vname, _escape_pg_literals(m.group(3)),
                               or_replace=bool(m.group(1)))
             df = store.scan_view(vname, register=False)
             for name in (f"{alias}_{vname}", vname):

@@ -733,3 +733,69 @@ def test_attach_case_sensitive_columns(spark, tmp_path):
         cat, "SELECT MyColumn, MySecondColumn FROM s_MyTable").collect()
     assert [tuple(r) for r in got] == [(42, 84)]
     execute_statement(cat, "DETACH s")
+
+
+def test_pg_dialect_rewriter_units():
+    """The PG→Spark dialect rewriter: comments never flip literal
+    state, '' stays, backslashes double inside literals only, and
+    double-quoted identifiers become backticks with "" unescaping."""
+    from postgres_scanner_spark.queryfn import _escape_pg_literals as e
+    assert e("SELECT /* can't */ \"B\" FROM t") == \
+        "SELECT /* can't */ `B` FROM t"
+    assert e("SELECT 1 -- don't\nFROM t WHERE \"B\" = 1") == \
+        "SELECT 1 -- don't\nFROM t WHERE `B` = 1"
+    assert e(r"SELECT '\42\'") == "SELECT '\\\\42\\\\'"
+    assert e("SELECT 'a''b\\c'") == "SELECT 'a''b\\\\c'"
+    assert e('SELECT "we""ird" FROM t') == 'SELECT `we"ird` FROM t'
+    assert e("SELECT '--not a comment'") == "SELECT '--not a comment'"
+    assert e('SELECT "/*nor this*/"') == "SELECT `/*nor this*/`"
+
+
+def test_pg_dialect_in_where_set_and_views(spark, tmp_path):
+    """DELETE/UPDATE WHERE clauses, UPDATE SET expressions, and
+    stored VIEW bodies run through F.expr/spark.sql inside the store
+    — they must get the same PG-dialect translation as full
+    statements (quoted identifiers, literal backslashes)."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import execute_statement
+    from postgres_scanner_spark.storage import ManagedStore
+    root = str(tmp_path / "dlt")
+    ManagedStore(spark, root)
+    cat = Catalog(spark)
+    execute_statement(cat, f"ATTACH '{root}' AS s (TYPE POSTGRES)")
+    execute_statement(cat, "USE s")
+    execute_statement(
+        cat, 'CREATE TABLE t AS SELECT 1 AS id, 42 AS "MyCol", '
+             "'x' AS v UNION ALL SELECT 2, 7, 'y'")
+    execute_statement(cat, 'UPDATE t SET v = \'\\z\\\' '
+                           'WHERE "MyCol" = 42')
+    rows = {r.id: (r.MyCol, r.v) for r in spark.table("s_t").collect()}
+    assert rows == {1: (42, "\\z\\"), 2: (7, "y")}
+    execute_statement(cat, 'DELETE FROM t WHERE "MyCol" = 7')
+    assert [r.id for r in spark.table("s_t").collect()] == [1]
+    execute_statement(
+        cat, 'CREATE VIEW mv AS SELECT "MyCol" AS c FROM s_t')
+    assert [r.c for r in spark.table("s_mv").collect()] == [42]
+    execute_statement(cat, "DETACH s")
+
+
+def test_interval_array_scan(registered, tmp_path):
+    """INTERVAL[] columns from the duckdb backend normalize to
+    array<daytimeinterval> (list<month_day_nano> would crash Spark's
+    Arrow ingest)."""
+    import datetime as dt
+    import duckdb
+    db = str(tmp_path / "iva.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ivs (id INT, a INTERVAL[])")
+    con.execute("INSERT INTO ivs VALUES "
+                "(1, [INTERVAL '1 day', INTERVAL '42 seconds', NULL]),"
+                "(2, NULL)")
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}").option("table", "ivs")
+          .load())
+    got = {r.id: r.a for r in df.collect()}
+    assert got[1] == [dt.timedelta(days=1), dt.timedelta(seconds=42),
+                      None]
+    assert got[2] is None
