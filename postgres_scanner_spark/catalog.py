@@ -135,22 +135,36 @@ class Catalog:
             except Exception:
                 pass  # already registered
         else:
+            if os.path.sep in source and "=" not in source \
+                    and "://" not in source:
+                # a filesystem path that is NOT a directory — failing
+                # here beats silently treating it as a libpq DSN
+                # (reference: attach_non_existent.test errors cleanly)
+                raise ValueError(
+                    f"database path {source!r} does not exist")
             db = AttachedDatabase(alias, source, "jdbc", read_only,
                                   conn=parse_dsn(source))
         db.schema = schema
         self.attached[alias] = db
-        if register_views and db.backend in ("parquet", "duckdb", "store"):
-            for t in db.table_names():
-                self.register_table_views(db, t)
-            if db.backend == "store":
-                # stored views resolve AFTER their base tables exist
-                # (reference: attach_views.test)
-                for v in db.store.views():
-                    df = db.store.scan_view(v, register=False)
-                    for name in (f"{alias}_{v}", v):
-                        df.createOrReplaceTempView(name)
-                        if name not in db.views:
-                            db.views.append(name)
+        try:
+            if register_views and db.backend in ("parquet", "duckdb",
+                                                 "store"):
+                for t in db.table_names():
+                    self.register_table_views(db, t)
+                if db.backend == "store":
+                    # stored views resolve AFTER their base tables
+                    # exist (reference: attach_views.test)
+                    for v in db.store.views():
+                        df = db.store.scan_view(v, register=False)
+                        for name in (f"{alias}_{v}", v):
+                            df.createOrReplaceTempView(name)
+                            if name not in db.views:
+                                db.views.append(name)
+        except Exception:
+            # a failed attach must not leak a half-registered alias
+            # (the next attempt would die on 'already attached')
+            self.attached.pop(alias, None)
+            raise
         return db
 
     def register_table_views(self, db: AttachedDatabase, t: str) -> None:

@@ -799,3 +799,26 @@ def test_interval_array_scan(registered, tmp_path):
     assert got[1] == [dt.timedelta(days=1), dt.timedelta(seconds=42),
                       None]
     assert got[2] is None
+
+
+def test_attach_non_existent(spark, tmp_path):
+    """reference: test/sql/storage/attach_non_existent.test — a bad
+    source errors CLEANLY, and a failed attach never leaks a
+    half-registered alias (the retry must not die on 'already
+    attached')."""
+    from postgres_scanner_spark.catalog import Catalog
+    cat = Catalog(spark)
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.attach("/nonexistent/dir", alias="bad")
+    with pytest.raises(Exception, match="does not exist|Cannot open"):
+        cat.attach("duckdb:///nonexistent/x.db", alias="bad")
+    assert "bad" not in cat.attached
+    # alias is reusable after the failures
+    import duckdb
+    db = str(tmp_path / "ok.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT 1 AS v")
+    con.close()
+    cat.attach(f"duckdb://{db}", alias="bad")
+    assert cat.attached["bad"].table_names() == ["t"]
+    cat.detach("bad")
