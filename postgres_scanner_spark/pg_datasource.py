@@ -59,6 +59,12 @@ _DUCK_TO_SPARK = {
     "DATE": T.DateType(), "TIMESTAMP": T.TimestampNTZType(),
     "TIMESTAMP WITH TIME ZONE": T.TimestampType(),
     "INTERVAL": T.DayTimeIntervalType(),
+    # unsigned family: widen to the next signed type that holds the
+    # full range (ubigint → decimal(20,0), PG's own numeric mapping —
+    # reference: attach_ubigint.test); the reader normalizes the
+    # arrow batches, whose unsigned ints Spark's ingest rejects
+    "UTINYINT": T.ShortType(), "USMALLINT": T.IntegerType(),
+    "UINTEGER": T.LongType(), "UBIGINT": T.DecimalType(20, 0),
 }
 
 
@@ -346,14 +352,25 @@ class PostgresScanReader(DataSourceReader):
                         return (pa.types.is_list(t)
                                 and pa.types.is_interval(t.value_type))
 
+                    _UNS = {pa.uint8(): pa.int16(),
+                            pa.uint16(): pa.int32(),
+                            pa.uint32(): pa.int64(),
+                            pa.uint64(): pa.decimal128(20, 0)}
+
                     if any(pa.types.is_dictionary(f.type)
                            or pa.types.is_interval(f.type)
                            or _is_iv_list(f.type)
+                           or f.type in _UNS
                            for f in batch.schema):
                         cols = []
                         for c in batch.columns:
                             if pa.types.is_dictionary(c.type):
                                 c = c.dictionary_decode()
+                            elif c.type in _UNS:
+                                # unsigned → widened signed/decimal
+                                # (Spark's Arrow ingest rejects
+                                # unsigned ints outright)
+                                c = c.cast(_UNS[c.type])
                             elif pa.types.is_interval(c.type):
                                 c = pa.array(
                                     [None if v is None else _iv_us(v)

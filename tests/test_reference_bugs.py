@@ -822,3 +822,32 @@ def test_attach_non_existent(spark, tmp_path):
     cat.attach(f"duckdb://{db}", alias="bad")
     assert cat.attached["bad"].table_names() == ["t"]
     cat.detach("bad")
+
+
+def test_attach_ubigint_unsigned_types(registered, tmp_path):
+    """reference: test/sql/storage/attach_ubigint.test — unsigned
+    columns (incl. full-range UBIGINT 2^64-1) scan through the
+    connector, widened to the next type holding the range (ubigint →
+    decimal(20,0), the numeric mapping PG itself would use)."""
+    from decimal import Decimal
+    import duckdb
+    from pyspark.sql import types as T
+    db = str(tmp_path / "u.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE u (a UTINYINT, b USMALLINT, "
+                "c UINTEGER, d UBIGINT)")
+    con.execute("INSERT INTO u VALUES (0, 0, 0, 0), "
+                "(255, 65535, 4294967295, 18446744073709551615), "
+                "(NULL, NULL, NULL, NULL)")
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}").option("table", "u").load())
+    assert [f.dataType for f in df.schema.fields] == [
+        T.ShortType(), T.IntegerType(), T.LongType(),
+        T.DecimalType(20, 0)]
+    rows = sorted((tuple(r) for r in df.collect()),
+                  key=lambda t: (t[0] is None, t[0] or 0))
+    assert rows == [
+        (0, 0, 0, Decimal(0)),
+        (255, 65535, 4294967295, Decimal(18446744073709551615)),
+        (None, None, None, None)]
