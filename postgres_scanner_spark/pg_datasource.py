@@ -65,6 +65,10 @@ _DUCK_TO_SPARK = {
     # arrow batches, whose unsigned ints Spark's ingest rejects
     "UTINYINT": T.ShortType(), "USMALLINT": T.IntegerType(),
     "UINTEGER": T.LongType(), "UBIGINT": T.DecimalType(20, 0),
+    # time-of-day: Spark has no TIME type — text form, the same
+    # fallback types.py uses for PG time/timetz (attach_types_time
+    # .test); the reader casts the arrow time64 batches to utf8
+    "TIME": T.StringType(), "TIME WITH TIME ZONE": T.StringType(),
 }
 
 
@@ -361,6 +365,7 @@ class PostgresScanReader(DataSourceReader):
                            or pa.types.is_interval(f.type)
                            or _is_iv_list(f.type)
                            or f.type in _UNS
+                           or pa.types.is_time(f.type)
                            for f in batch.schema):
                         cols = []
                         for c in batch.columns:
@@ -371,6 +376,10 @@ class PostgresScanReader(DataSourceReader):
                                 # (Spark's Arrow ingest rejects
                                 # unsigned ints outright)
                                 c = c.cast(_UNS[c.type])
+                            elif pa.types.is_time(c.type):
+                                # TIME → its text form (the declared
+                                # varchar; Spark has no time type)
+                                c = c.cast(pa.string())
                             elif pa.types.is_interval(c.type):
                                 c = pa.array(
                                     [None if v is None else _iv_us(v)

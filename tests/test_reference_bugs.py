@@ -851,3 +851,23 @@ def test_attach_ubigint_unsigned_types(registered, tmp_path):
         (0, 0, 0, Decimal(0)),
         (255, 65535, 4294967295, Decimal(18446744073709551615)),
         (None, None, None, None)]
+
+
+def test_attach_types_time(registered, tmp_path):
+    """reference: test/sql/storage/attach_types_time.test — TIME
+    columns scan as their text form (Spark has no time-of-day type;
+    the same varchar fallback the PG path uses)."""
+    import duckdb
+    from pyspark.sql import types as T
+    db = str(tmp_path / "tt.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE tms (id INT, t TIME)")
+    con.execute("INSERT INTO tms VALUES (1, TIME '14:42:43.123'), "
+                "(2, NULL)")
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}").option("table", "tms")
+          .load())
+    assert isinstance(df.schema["t"].dataType, T.StringType)
+    got = {r.id: r.t for r in df.collect()}
+    assert got[1] == "14:42:43.123000" and got[2] is None
