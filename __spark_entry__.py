@@ -86,7 +86,8 @@ _COST_ORDER = [
     "q5_local_supplier_volume", "t9_bigram_logprob", "d7_contamination",
     "e7_streaming_dedup", "e12_stream_static_join", "a6_kmeans_lloyd",
     "e13_checkpoint_resume", "a3_ivf_ann", "e11_streaming_sessions",
-    "a5_pq_ann", "e9_stream_ingest_store", "m1_decode_features",
+    "a5_pq_ann", "a8_sq8_ann", "e9_stream_ingest_store",
+    "m1_decode_features",
     "w8_range_join", "q2_min_cost_supplier", "d11_verbatim_spans",
     "e6_stateful_anomaly", "e10_late_data_policy", "d9_incremental_lsh",
     "e3_streaming_hourly", "d3_simhash_dedup", "d5_embedding_dedup",

@@ -688,6 +688,125 @@ FROM per_q ORDER BY query_id
 """
 
 
+# ------------------------------------- A8 scalar-quantized (SQ8) ANN
+_SQ_PRESELECT = 12
+
+
+def a8_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: the corpus compresses to ONE BYTE per
+    dimension (per-dim min/max training, linear 0-255 codes — the
+    SQ8 storage layout FAISS/pgvector use), search scores the
+    dequantized codes against the raw query, and the top candidates
+    rerank at full precision. The memory story at 100 TB: 10B 64-dim
+    float32 vectors = 2.5 TB raw but 640 GB as SQ8 codes, small
+    enough to pin in cluster RAM; the full-precision vectors are
+    touched only for the _SQ_PRESELECT rerank rows per query.
+
+    Shuffle audit: training is one 64-key aggregate (per-dim
+    min/max); codes are a per-row map over the corpus with the 64
+    mins/maxes broadcast; candidate scoring broadcasts the query set
+    like A1 (the corpus never shuffles); rerank reuses the carried
+    raw vector — no second corpus pass."""
+    from .. import tables
+    e = tables.load(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") >= N_QUERIES)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"))
+    stats = (c.select(F.posexplode("embedding").alias("dim", "x"))
+             .groupBy("dim")
+             .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                  F.max(F.col("x").cast("double")).alias("mx")))
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx")))
+        .alias("s")
+    ).select(F.expr("transform(s, t -> t.mn)").alias("mns"),
+             F.expr("transform(s, t -> t.mx)").alias("mxs"))
+    coded = c.crossJoin(F.broadcast(packed)).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "mns", "mxs",
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1), i -> "
+            "CAST(coalesce(round(255.0D * "
+            "(CAST(element_at(embedding, i + 1) AS DOUBLE) "
+            "- element_at(mns, i + 1)) / nullif(element_at(mxs, i + 1) "
+            "- element_at(mns, i + 1), 0.0D), 0), 0) AS INT))"
+        ).alias("codes"))
+    approx = F.expr(
+        "aggregate(sequence(0, size(codes) - 1), 0.0D, (acc, i) -> "
+        "acc + CAST(element_at(q_emb, i + 1) AS DOUBLE) * "
+        "(element_at(mns, i + 1) + element_at(codes, i + 1) * "
+        "(element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255.0D))")
+    scored = (coded.crossJoin(F.broadcast(q))
+              .withColumn("approx", approx))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.col("neighbor_id"))
+    pre = scored.withColumn("arnk", F.row_number().over(wa)) \
+        .filter(F.col("arnk") <= _SQ_PRESELECT)
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id"))
+    return (pre.withColumn("cos_raw", cos)
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+_A8_SQL = f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings
+           WHERE vec_id >= {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+dims AS (
+  SELECT g.i AS dim, MIN(CAST(embedding[g.i + 1] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[g.i + 1] AS DOUBLE)) AS mx
+  FROM c, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+  GROUP BY g.i),
+packed AS (SELECT list(mn ORDER BY dim) AS mns,
+                  list(mx ORDER BY dim) AS mxs FROM dims),
+coded AS (
+  SELECT neighbor_id, embedding, mns, mxs,
+         list_transform(range(len(embedding)), i ->
+           CAST(coalesce(round(255.0 *
+             (CAST(embedding[i + 1] AS DOUBLE) - mns[i + 1])
+             / nullif(mxs[i + 1] - mns[i + 1], 0.0), 0), 0) AS INT))
+           AS codes
+  FROM c, packed),
+scored AS (
+  SELECT query_id, neighbor_id, embedding, q_emb,
+         list_sum(list_transform(range(len(codes)), i ->
+           CAST(q_emb[i + 1] AS DOUBLE) * (mns[i + 1]
+           + codes[i + 1] * (mxs[i + 1] - mns[i + 1]) / 255.0)))
+           AS approx
+  FROM coded CROSS JOIN q),
+pre AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, neighbor_id)
+         AS arnk
+  FROM scored),
+rer AS (
+  SELECT query_id, neighbor_id,
+         {_SQL_DOT.format(u='q_emb', v='embedding')}
+         / (sqrt({_SQL_DOT.format(u='q_emb', v='q_emb')})
+            * sqrt({_SQL_DOT.format(u='embedding', v='embedding')}))
+           AS cos_raw
+  FROM pre WHERE arnk <= {_SQ_PRESELECT}),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM rer)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
@@ -696,6 +815,7 @@ QUERIES = {
     "a5_pq_ann": a5_pq_ann,
     "a6_kmeans_lloyd": a6_kmeans_lloyd,
     "a7_ann_recall": a7_ann_recall,
+    "a8_sq8_ann": a8_sq8_ann,
 }
 
 ORACLE = {
@@ -706,4 +826,5 @@ ORACLE = {
     "a5_pq_ann": _a5_sql(),
     "a6_kmeans_lloyd": _a6_sql(),
     "a7_ann_recall": _a7_sql(),
+    "a8_sq8_ann": _A8_SQL,
 }

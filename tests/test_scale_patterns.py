@@ -169,6 +169,7 @@ def test_plan_lint_all_queries(spark):
         "a5_pq_ann",           # corpus × 8 subspace ids, × 16 centroids
         "a6_kmeans_lloyd",     # corpus × 4 centroids (model params)
         "a7_ann_recall",       # composes a1 (query-set × corpus)
+        "a8_sq8_ann",          # 1-row min/max stats + query set broadcast
         "d4_ngram_jaccard",    # scalar n_docs bound into the DF cap
         "d12_dedup_eval",      # three scalar aggregates cross-joined
         "q11_important_stock",     # scalar total-value threshold
