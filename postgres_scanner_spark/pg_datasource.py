@@ -72,6 +72,93 @@ _DUCK_TO_SPARK = {
 }
 
 
+def _arrow_norm_type(t):
+    """Target arrow type for Spark's ingest, recursively: Spark
+    rejects dictionary (duckdb enums), month_day_nano interval,
+    unsigned ints, and time64 — map them to the types the declared
+    Spark schema promises (varchar / duration / widened signed /
+    text), through lists and structs."""
+    import pyarrow as pa
+    if pa.types.is_dictionary(t):
+        return _arrow_norm_type(t.value_type)
+    if pa.types.is_interval(t):
+        return pa.duration("us")
+    if pa.types.is_unsigned_integer(t):
+        return {pa.uint8(): pa.int16(), pa.uint16(): pa.int32(),
+                pa.uint32(): pa.int64(),
+                pa.uint64(): pa.decimal128(20, 0)}[t]
+    if pa.types.is_time(t):
+        return pa.string()
+    if pa.types.is_list(t):
+        return pa.list_(_arrow_norm_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_arrow_norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([(f.name, _arrow_norm_type(f.type))
+                          for f in t])
+    return t
+
+
+def _contains_interval(t) -> bool:
+    import pyarrow as pa
+    if pa.types.is_interval(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _contains_interval(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_contains_interval(f.type) for f in t)
+    return False
+
+
+def _iv_us(v) -> int:
+    # months at PG's 30-day justify convention (interval.test)
+    return ((v.months * 30 + v.days) * 86_400_000_000
+            + v.nanoseconds // 1000)
+
+
+def _py_norm(v, t):
+    """Python-level conversion for interval-bearing values (arrow has
+    no month_day_nano→duration cast kernel); other leaves pass
+    through for pa.array to coerce to the target type."""
+    import pyarrow as pa
+    if v is None:
+        return None
+    if pa.types.is_interval(t):
+        return _iv_us(v)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return [_py_norm(x, t.value_type) for x in v]
+    if pa.types.is_struct(t):
+        return {f.name: _py_norm(v.get(f.name), f.type) for f in t}
+    if pa.types.is_time(t):
+        # match arrow's time64→utf8 cast format (micros always shown)
+        return v.strftime("%H:%M:%S.%f")
+    return v
+
+
+def _normalize_batch(batch):
+    """Rewrite an arrow batch so every column type is one Spark's
+    Arrow ingest accepts (enum dictionaries decoded, intervals →
+    duration, unsigned widened, time → text — recursively through
+    lists/structs)."""
+    import pyarrow as pa
+    if all(_arrow_norm_type(f.type) == f.type for f in batch.schema):
+        return batch
+    cols = []
+    for c in batch.columns:
+        if pa.types.is_dictionary(c.type):
+            c = c.dictionary_decode()
+        nt = _arrow_norm_type(c.type)
+        if nt != c.type:
+            if _contains_interval(c.type):
+                # no cast kernel for month_day_nano: python rebuild
+                c = pa.array([_py_norm(v, c.type)
+                              for v in c.to_pylist()], nt)
+            else:
+                c = c.cast(nt)
+        cols.append(c)
+    return pa.RecordBatch.from_arrays(cols, names=batch.schema.names)
+
+
 def _split_top(s: str) -> list[str]:
     """Split on top-level commas, respecting parens and double quotes."""
     parts, depth, cur, inq = [], 0, [], False
@@ -340,62 +427,15 @@ class PostgresScanReader(DataSourceReader):
                         batch = reader.read_next_batch()
                     except StopIteration:
                         break
-                    # arrow-normalize types Spark's ingest rejects:
-                    # enums arrive dictionary-encoded (decode to the
-                    # declared varchar — the reference's enum mapping,
-                    # postgres_utils.cpp / bug71.test) and INTERVAL
-                    # arrives month_day_nano (convert to duration(us)
-                    # for DayTimeIntervalType, months at PG's 30-day
-                    # justify convention — interval.test)
-                    def _iv_us(v):
-                        return ((v.months * 30 + v.days)
-                                * 86_400_000_000
-                                + v.nanoseconds // 1000)
-
-                    def _is_iv_list(t):
-                        return (pa.types.is_list(t)
-                                and pa.types.is_interval(t.value_type))
-
-                    _UNS = {pa.uint8(): pa.int16(),
-                            pa.uint16(): pa.int32(),
-                            pa.uint32(): pa.int64(),
-                            pa.uint64(): pa.decimal128(20, 0)}
-
-                    if any(pa.types.is_dictionary(f.type)
-                           or pa.types.is_interval(f.type)
-                           or _is_iv_list(f.type)
-                           or f.type in _UNS
-                           or pa.types.is_time(f.type)
-                           for f in batch.schema):
-                        cols = []
-                        for c in batch.columns:
-                            if pa.types.is_dictionary(c.type):
-                                c = c.dictionary_decode()
-                            elif c.type in _UNS:
-                                # unsigned → widened signed/decimal
-                                # (Spark's Arrow ingest rejects
-                                # unsigned ints outright)
-                                c = c.cast(_UNS[c.type])
-                            elif pa.types.is_time(c.type):
-                                # TIME → its text form (the declared
-                                # varchar; Spark has no time type)
-                                c = c.cast(pa.string())
-                            elif pa.types.is_interval(c.type):
-                                c = pa.array(
-                                    [None if v is None else _iv_us(v)
-                                     for v in c.to_pylist()],
-                                    pa.duration("us"))
-                            elif _is_iv_list(c.type):
-                                c = pa.array(
-                                    [None if lst is None else
-                                     [None if v is None else _iv_us(v)
-                                      for v in lst]
-                                     for lst in c.to_pylist()],
-                                    pa.list_(pa.duration("us")))
-                            cols.append(c)
-                        batch = pa.RecordBatch.from_arrays(
-                            cols, names=batch.schema.names)
-                    yield batch
+                    # arrow-normalize types Spark's ingest rejects —
+                    # enum dictionaries (→ declared varchar, the
+                    # reference's enum mapping: postgres_utils.cpp /
+                    # bug71.test), month_day_nano intervals
+                    # (→ duration, interval.test), unsigned ints
+                    # (→ widened signed, attach_ubigint.test), time64
+                    # (→ text, attach_types_time.test) — recursively
+                    # through lists and structs
+                    yield _normalize_batch(batch)
             finally:
                 # close even when the query errors or Spark abandons
                 # the generator (limit/take) — an open read_only handle

@@ -871,3 +871,35 @@ def test_attach_types_time(registered, tmp_path):
     assert isinstance(df.schema["t"].dataType, T.StringType)
     got = {r.id: r.t for r in df.collect()}
     assert got[1] == "14:42:43.123000" and got[2] is None
+
+
+def test_nested_exotic_types_scan(registered, tmp_path):
+    """Nested forms of the ingest-hostile types — UBIGINT[], TIME[],
+    INTERVAL[], and a STRUCT carrying an interval — normalize
+    recursively through the scan (Spark's Arrow ingest rejects the
+    raw dictionary/unsigned/time/month_day_nano child types)."""
+    import datetime as dt
+    from decimal import Decimal
+    import duckdb
+    db = str(tmp_path / "nest.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE n (id INT, u UBIGINT[], t TIME[], "
+                "iv INTERVAL[], s STRUCT(d INTERVAL, name VARCHAR))")
+    con.execute("INSERT INTO n VALUES "
+                "(1, [18446744073709551615, 0, NULL], "
+                "[TIME '01:02:03', NULL], "
+                "[INTERVAL '1 day', NULL], "
+                "{'d': INTERVAL '42 seconds', 'name': 'x'}), "
+                "(2, NULL, NULL, NULL, NULL)")
+    con.close()
+    df = (registered.read.format("postgres_scan")
+          .option("dsn", f"duckdb://{db}").option("table", "n").load())
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].u == [Decimal(18446744073709551615), Decimal(0),
+                         None]
+    assert rows[1].t == ["01:02:03.000000", None]
+    assert rows[1].iv == [dt.timedelta(days=1), None]
+    assert rows[1].s.d == dt.timedelta(seconds=42)
+    assert rows[1].s.name == "x"
+    assert (rows[2].u, rows[2].t, rows[2].iv, rows[2].s) == \
+        (None, None, None, None)
