@@ -476,7 +476,57 @@ class PostgresScanReader(DataSourceReader):
                 yield from reader.read(ChunkStream(cp))
 
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSourceStreamReader, SimpleDataSourceStreamReader,
+)
+
+
+def _stream_exec(dsn: str, sql: str):
+    """Run one streaming key-range SQL against the source and return
+    all rows. Shared by the driver-side Simple reader and the
+    executor-side partitioned reader (where it runs inside the task
+    that owns the key slice). duckdb:// opens read-only so concurrent
+    executor tasks can share the file; libpq DSNs open one short
+    connection per call — the per-task connection model the
+    reference's scan also uses (postgres_scanner.cpp: one connection
+    per parallel scan task)."""
+    if dsn.startswith("duckdb://"):
+        import duckdb
+        con = duckdb.connect(dsn[len("duckdb://"):], read_only=True)
+        try:
+            return con.execute(sql).fetchall()
+        finally:
+            con.close()
+    try:
+        import psycopg
+    except ImportError as exc:
+        raise ImportError(
+            "live Postgres streaming needs psycopg; use a "
+            "duckdb:// dsn in this environment") from exc
+    with psycopg.connect(dsn) as con, con.cursor() as cur:
+        cur.execute(sql)
+        return cur.fetchall()
+
+
+def _validate_stream_key(schema: T.StructType, options):
+    """Common option validation for both stream readers: stream_key
+    must name an integer column of the declared schema (offsets must
+    JSON-serialize into the checkpoint and splice into SQL without
+    quoting/injection concerns — a bigserial/identity column, the
+    usual CDC key)."""
+    key = options.get("stream_key", "")
+    if not key:
+        raise ValueError(
+            "streaming postgres_scan needs .option('stream_key', "
+            "'<monotonic column>')")
+    kf = {f.name: f for f in schema.fields}.get(key)
+    if kf is None or not isinstance(
+            kf.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+        raise ValueError(
+            f"stream_key {key!r} must be an integer column "
+            f"of the declared schema (got "
+            f"{kf.dataType.simpleString() if kf else 'missing'})")
+    return key
 
 
 class PostgresScanStreamReader(SimpleDataSourceStreamReader):
@@ -498,28 +548,26 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
         self.schema_ = schema
         self.dsn = options.get("dsn", "")
         self.table = options.get("table", "")
-        self.key = options.get("stream_key", "")
-        if not self.key:
-            raise ValueError(
-                "streaming postgres_scan needs .option('stream_key', "
-                "'<monotonic column>')")
-        # integer keys ONLY: offsets must JSON-serialize into the
-        # checkpoint and splice into SQL without quoting/injection
-        # concerns (a bigserial/identity column — the usual CDC key)
-        kf = {f.name: f for f in schema.fields}.get(self.key)
-        if kf is None or not isinstance(
-                kf.dataType, (T.LongType, T.IntegerType, T.ShortType)):
-            raise ValueError(
-                f"stream_key {self.key!r} must be an integer column "
-                f"of the declared schema (got "
-                f"{kf.dataType.simpleString() if kf else 'missing'})")
+        self.key = _validate_stream_key(schema, options)
         # bound each SOURCE FETCH during catch-up: read() drains the
-        # whole backlog present at poll time (so Trigger.AvailableNow
+        # backlog present at poll time (so Trigger.AvailableNow
         # honors its process-everything-available contract in one
         # run), but pulls it from the database in max_rows-sized
-        # key-range scans, so no single fetch materializes an
+        # key-range scans, so no single FETCH materializes an
         # unbounded resultset on the driver
         self.max_rows = int(options.get("max_rows_per_poll", "0"))
+        # bound the TOTAL rows one read() call assembles: the Simple
+        # reader API holds the whole batch in driver memory, so a
+        # huge initial backlog with only the fetch cap set would
+        # still OOM the driver. When set, a batch stops at the first
+        # fetch that crosses this count (whole key groups kept) and
+        # the next micro-batch resumes from its offset — availableNow
+        # then drains the backlog across SEVERAL bounded batches
+        # instead of one unbounded one. The partitioned reader
+        # (default) never holds rows on the driver at all.
+        self.max_batch = int(options.get("max_rows_per_batch", "0"))
+        if self.max_batch and not self.max_rows:
+            self.max_rows = self.max_batch
         self.cols = ", ".join(f'"{f.name}"' for f in schema.fields)
         self.key_idx = [f.name for f in schema.fields].index(self.key)
 
@@ -536,23 +584,7 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
                + (" WHERE " + " AND ".join(where) if where else "")
                + f' ORDER BY "{self.key}"'
                + (f" LIMIT {int(limit)}" if limit else ""))
-        if self.dsn.startswith("duckdb://"):
-            import duckdb
-            con = duckdb.connect(self.dsn[len("duckdb://"):],
-                                 read_only=True)
-            try:
-                return con.execute(sql).fetchall()
-            finally:
-                con.close()
-        try:
-            import psycopg
-        except ImportError as exc:
-            raise ImportError(
-                "live Postgres streaming needs psycopg; use a "
-                "duckdb:// dsn in this environment") from exc
-        with psycopg.connect(self.dsn) as con, con.cursor() as cur:
-            cur.execute(sql)
-            return cur.fetchall()
+        return _stream_exec(self.dsn, sql)
 
     def _scan_capped_whole_keys(self, lo):
         """One capped fetch that never SPLITS a key group: offsets are
@@ -575,20 +607,24 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
                 return iter([]), start
             return iter(rows), {"last_key": int(rows[-1][self.key_idx])}
         # capped fetch loop: drain the backlog available NOW in
-        # max_rows-sized scans so availableNow completes in one run
-        # while each DATABASE FETCH stays bounded. The assembled batch
-        # itself is held on the driver — inherent to Spark's
-        # SimpleDataSourceStreamReader, which prefetches and caches
-        # read()'s result either way; a backlog too large for driver
-        # memory belongs on the partition-based DataSourceStreamReader
-        # evolution of this source, not a bigger driver
-        chunks, last = [], start.get("last_key")
+        # max_rows-sized scans, so each DATABASE FETCH stays bounded
+        # while availableNow still covers the whole backlog in one
+        # run. The ASSEMBLED batch is held on the driver — inherent
+        # to SimpleDataSourceStreamReader, which prefetches and
+        # caches read()'s result — so max_rows_per_batch additionally
+        # caps the total; a backlog too large for driver memory
+        # belongs on the partitioned reader (the default), which
+        # reads every slice executor-side
+        chunks, total, last = [], 0, start.get("last_key")
         while True:
             rows = self._scan_capped_whole_keys(last)
             if not rows:
                 break
             chunks.append(rows)
+            total += len(rows)
             last = int(rows[-1][self.key_idx])
+            if self.max_batch and total >= self.max_batch:
+                break
         if not chunks:
             return iter([]), start
         import itertools
@@ -597,6 +633,113 @@ class PostgresScanStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._scan(start.get("last_key"),
                                end.get("last_key")))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint
+
+
+class _KeySlice(InputPartition):
+    """One (lo, hi] stream-key range — the unit of executor-side
+    streaming work. Slices are VALUE ranges, so a run of equal keys
+    can never straddle two slices (every row with key <= hi and
+    key > lo belongs to exactly one slice regardless of how many
+    rows share a key)."""
+
+    def __init__(self, lo, hi):
+        self.lo, self.hi = lo, hi
+
+
+class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
+    """Default STREAMING read path — the partition-based evolution of
+    the Simple reader above, mirroring the reference's
+    split-per-task scan design (reference: src/postgres_scanner.cpp:
+    238 PostgresInitGlobalState carves the table into per-task
+    ranges; here the carve is by stream key instead of ctid pages).
+
+    Why this exists: SimpleDataSourceStreamReader executes read() on
+    the DRIVER and ships every CDC row through that one process —
+    fine at sandbox scale, a funnel at 100x. This reader keeps the
+    driver's work to two scalar-ish probes per micro-batch and moves
+    ALL row traffic to executors:
+
+    - latestOffset(): one `SELECT max(key)` scalar on the driver.
+    - partitions(start, end): when max_rows_per_poll is set, one
+      index-only probe selects every max_rows-th key in (start, end]
+      as slice boundaries (so slices are ~max_rows rows each, EXACT
+      under sparse or duplicate keys — a numeric stride would
+      misbalance both); unset, the whole range is one slice. The
+      probe returns backlog/max_rows scalars — bounded and tiny.
+    - read(partition): runs ON THE EXECUTOR that owns the slice,
+      scanning `key > lo AND key <= hi` — an index range scan the
+      source serves without a full table pass. No row ever transits
+      the driver.
+
+    Offsets are max-key watermarks ({"last_key": k}), identical in
+    shape to the Simple reader's, so a checkpoint written by one
+    reader restarts cleanly under the other. Assumes an append-only
+    monotonic key (the CDC contract): rows inserted BELOW the
+    committed watermark are never re-observed.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema_ = schema
+        self.dsn = options.get("dsn", "")
+        self.table = options.get("table", "")
+        self.key = _validate_stream_key(schema, options)
+        self.max_rows = int(options.get("max_rows_per_poll", "0"))
+        self.cols = ", ".join(f'"{f.name}"' for f in schema.fields)
+
+    def initialOffset(self) -> dict:
+        return {"last_key": None}
+
+    def _range_sql(self, lo, hi):
+        where = []
+        if lo is not None:
+            where.append(f'"{self.key}" > {int(lo)}')
+        if hi is not None:
+            where.append(f'"{self.key}" <= {int(hi)}')
+        return (f'SELECT {self.cols} FROM "{self.table}"'
+                + (" WHERE " + " AND ".join(where) if where else "")
+                + f' ORDER BY "{self.key}"')
+
+    def latestOffset(self) -> dict:
+        rows = _stream_exec(
+            self.dsn, f'SELECT max("{self.key}") FROM "{self.table}"')
+        mx = rows[0][0] if rows else None
+        return {"last_key": None if mx is None else int(mx)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last_key"), end.get("last_key")
+        if hi is None or (lo is not None and hi <= lo):
+            return []           # empty range: no work this batch
+        if not self.max_rows:
+            return [_KeySlice(lo, hi)]
+        # boundary probe: every max_rows-th key in (lo, hi], driver-
+        # side, index-only in PG. DISTINCT collapses duplicate-key
+        # boundaries (a dup group larger than the cap would repeat
+        # its key); the final hi closes the last partial slice.
+        cond = f'"{self.key}" <= {int(hi)}'
+        if lo is not None:
+            cond += f' AND "{self.key}" > {int(lo)}'
+        probe = (f'SELECT DISTINCT k FROM ('
+                 f'SELECT "{self.key}" AS k, row_number() OVER '
+                 f'(ORDER BY "{self.key}") AS rn FROM "{self.table}" '
+                 f'WHERE {cond}) s WHERE rn % {self.max_rows} = 0 '
+                 f'ORDER BY k')
+        bounds = [int(r[0]) for r in _stream_exec(self.dsn, probe)]
+        if not bounds or bounds[-1] != int(hi):
+            bounds.append(int(hi))
+        slices, prev = [], lo
+        for b in bounds:
+            if prev is None or b > prev:
+                slices.append(_KeySlice(prev, b))
+                prev = b
+        return slices
+
+    def read(self, partition):
+        # executor-side: this is the only place rows move
+        return iter(_stream_exec(
+            self.dsn, self._range_sql(partition.lo, partition.hi)))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint
@@ -998,6 +1141,22 @@ class PostgresScanDataSource(DataSource):
     def writer(self, schema: T.StructType,
                overwrite: bool) -> PostgresScanWriter:
         return PostgresScanWriter(schema, self.options, overwrite)
+
+    def streamReader(
+            self, schema: T.StructType
+    ) -> PostgresScanPartitionedStreamReader:
+        """Spark prefers streamReader() over simpleStreamReader();
+        the partitioned (executor-side) reader is the default.
+        .option('stream_reader', 'simple') opts back into the
+        driver-side Simple reader (raising NOT_IMPLEMENTED here is
+        the documented fallback trigger in pyspark's
+        datasource_internal._streamReader)."""
+        if self.options.get("stream_reader", "") == "simple":
+            from pyspark.errors import PySparkNotImplementedError
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"})
+        return PostgresScanPartitionedStreamReader(schema, self.options)
 
     def simpleStreamReader(
             self, schema: T.StructType) -> PostgresScanStreamReader:

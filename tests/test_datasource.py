@@ -733,3 +733,142 @@ def test_call_postgres_attach_rejects_malformed_and_collision(
         cat, f"CALL postgres_attach('duckdb://{b}', overwrite=true)")
     assert cat.attached["data"].source == f"duckdb://{b}"
     cat.detach("data")
+
+
+# ---------------------------------------------------------------------------
+# Partitioned (executor-side) stream reader — S29's 100x path
+# ---------------------------------------------------------------------------
+
+def test_partitioned_stream_reader_slices():
+    """partitions(start, end) must split a capped backlog into >1
+    value-range slice (the property that moves row traffic off the
+    driver), with exact coverage: slices tile (lo, hi] with no gap,
+    no overlap, and duplicate-key groups never straddle a boundary."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark import pg_datasource as pgd
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    r = pgd.PostgresScanPartitionedStreamReader(
+        schema, {"dsn": "duckdb://ignored", "table": "ev",
+                 "stream_key": "id", "max_rows_per_poll": "10"})
+    # sparse keys + one duplicate run: 0..9, 1000..1004 (x2 each)
+    keys = list(range(10)) + [k for k in range(1000, 1005) for _ in (0, 1)]
+
+    def fake_exec(dsn, sql):
+        assert "row_number" in sql      # the boundary probe
+        lo = 24 if "> 24" in sql else None
+        ks = sorted(k for k in keys if lo is None or k > lo)
+        return [(k,) for i, k in enumerate(ks, 1) if i % 10 == 0]
+
+    orig = pgd._stream_exec
+    pgd._stream_exec = fake_exec
+    try:
+        slices = r.partitions({"last_key": None}, {"last_key": 1004})
+    finally:
+        pgd._stream_exec = orig
+    assert len(slices) > 1                       # >1 input partition
+    assert slices[0].lo is None
+    for a, b in zip(slices, slices[1:]):
+        assert a.hi == b.lo                      # no gap, no overlap
+    assert slices[-1].hi == 1004
+    # every key lands in exactly one (lo, hi] slice
+    for k in keys:
+        owners = [s for s in slices
+                  if (s.lo is None or k > s.lo) and k <= s.hi]
+        assert len(owners) == 1
+
+
+def test_partitioned_stream_reader_empty_and_uncapped():
+    """start == end (or a stale max) plans zero partitions; no cap
+    plans exactly one whole-range slice without probing the source."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark import pg_datasource as pgd
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    r = pgd.PostgresScanPartitionedStreamReader(
+        schema, {"dsn": "duckdb://ignored", "table": "ev",
+                 "stream_key": "id"})
+    assert r.partitions({"last_key": 5}, {"last_key": 5}) == []
+    assert r.partitions({"last_key": 9}, {"last_key": 7}) == []
+    assert r.partitions({"last_key": None}, {"last_key": None}) == []
+    (s,) = r.partitions({"last_key": 3}, {"last_key": 9})
+    assert (s.lo, s.hi) == (3, 9)
+
+
+def test_partitioned_stream_reader_end_to_end(registered, tmp_path):
+    """Default streaming path e2e: capped run drains the backlog via
+    executor-side slices (no driver row funnel), resumes from the
+    checkpoint, and a Simple-reader run against the SAME checkpoint
+    continues cleanly (offset wire-compat)."""
+    import duckdb
+    from pyspark.sql import types as T
+    spark = registered
+    db = str(tmp_path / "p.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev AS SELECT range AS id, "
+                "'v' || range AS v FROM range(37)")
+    con.close()
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def run(extra=()):
+        q = (spark.readStream.format("postgres_scan").schema(schema)
+             .option("dsn", f"duckdb://{db}").option("table", "ev")
+             .option("stream_key", "id")
+             .option("max_rows_per_poll", "10")
+             .options(**dict(extra))
+             .load()
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 37
+    assert out.select("id").distinct().count() == 37
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO ev SELECT range + 37, 'n' || range "
+                "FROM range(8)")
+    con.close()
+    # resume under the SIMPLE reader from the partitioned checkpoint
+    run(extra={"stream_reader": "simple"})
+    out = spark.read.parquet(sink)
+    assert out.count() == 45                 # nothing re-read or lost
+    assert out.filter("id >= 37").count() == 8
+
+
+def test_simple_stream_reader_batch_cap():
+    """max_rows_per_batch bounds the TOTAL rows one Simple read()
+    assembles on the driver (whole key groups kept); the next batch
+    resumes from the returned offset, so several bounded batches
+    drain what one unbounded batch used to."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark.pg_datasource import (
+        PostgresScanStreamReader,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    r = PostgresScanStreamReader(
+        schema, {"dsn": "duckdb://ignored", "table": "ev",
+                 "stream_key": "id", "max_rows_per_poll": "10",
+                 "max_rows_per_batch": "20"})
+
+    def fake_scan(lo, hi=None, limit=0):
+        rows = [(i,) for i in range(0 if lo is None else lo + 1, 55)
+                if hi is None or i <= hi]
+        return rows[:limit] if limit else rows
+
+    r._scan = fake_scan
+    seen, off = [], {"last_key": None}
+    for _ in range(10):
+        it, off2 = r.read(off)
+        rows = list(it)
+        if not rows:
+            break
+        assert len(rows) <= 20               # the driver-memory cap
+        seen += rows
+        off = off2
+    assert [t[0] for t in seen] == list(range(55))
+    assert off == {"last_key": 54}
