@@ -470,7 +470,18 @@ def _parse_coldefs(coldefs: str):
                 typ = "numeric"
                 prec = int(pm.group(2))
                 scale = int(pm.group(3) or 0)
-            # varchar(n)/char(n) length is advisory, drop it
+            elif base in ("char", "character", "bpchar", "nchar",
+                          "varchar", "character varying", "nvarchar"):
+                # length is ENFORCED, not advisory (reference:
+                # attach_types_char.test:30-33 "value too long" on
+                # over-length INSERT). bpchar additionally blank-
+                # strips on read — PG pads to n on storage and the
+                # reference's scan surfaces the value trailing-space-
+                # trimmed, so the store keeps the trimmed form.
+                meta.setdefault("char_limits", {})[name] = {
+                    "n": int(pm.group(2)),
+                    "pad": base in ("char", "character", "bpchar",
+                                    "nchar")}
         fields.append(T.StructField(
             name, pg_type_to_spark(typ, precision=prec, scale=scale), True))
     return T.StructType(fields), meta

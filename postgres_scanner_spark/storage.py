@@ -340,6 +340,16 @@ class ManagedStore:
         for c in meta.get("not_null", ()):
             aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
             labels.append(f'not-null constraint violated: column "{c}"')
+        for c, lim in meta.get("char_limits", {}).items():
+            # PG length rule for char(n)/varchar(n): over-length is an
+            # error UNLESS the excess is all spaces (then silently
+            # truncated) — so the check measures the TRIMMED length
+            # (reference: attach_types_char.test:30-33)
+            tname = (f"character({lim['n']})" if lim.get("pad")
+                     else f"character varying({lim['n']})")
+            aggs.append(F.sum(F.when(
+                F.length(F.rtrim(F.col(c))) > lim["n"], 1).otherwise(0)))
+            labels.append(f"value too long for type {tname}")
         for expr in meta.get("checks", ()):
             cond = F.expr(expr)
             aggs.append(F.sum(F.when(cond | cond.isNull(), 0).otherwise(1)))
@@ -365,6 +375,31 @@ class ManagedStore:
                     f"duplicate key value violates unique constraint on "
                     f"({', '.join(keycols)})")
 
+    def _apply_char_limits(self, table: str, df: DataFrame) -> DataFrame:
+        """Normalize declared char(n)/varchar(n) columns AFTER the
+        too-long check passed: char(n) stores trailing-space-trimmed
+        (PG pads to n; the reference scan reads the value back
+        blank-stripped — attach_types_char.test: 'hello     ' in a
+        CHAR(10) reads as 'hello', LENGTH 5); varchar(n) keeps inner
+        content but silently drops the all-space excess beyond n
+        ('hello     ' in VARCHAR(10) stays LENGTH 10)."""
+        lims = self.table_meta(table).get("char_limits", {})
+        if not lims:
+            return df
+        proj = []
+        for c in df.columns:
+            lim = lims.get(c)
+            if lim is None:
+                proj.append(F.col(c))
+            elif lim.get("pad"):
+                proj.append(F.rtrim(F.col(c)).alias(c))
+            else:
+                proj.append(F.when(
+                    F.length(F.col(c)) > lim["n"],
+                    F.substring(F.col(c), 1, lim["n"])
+                ).otherwise(F.col(c)).alias(c))
+        return df.select(*proj)
+
     def insert(self, table: str, df: DataFrame,
                columns: list[str] | None = None) -> None:
         """Append-only insert: new files land in a new snapshot that
@@ -382,8 +417,11 @@ class ManagedStore:
             F.col(c).cast(cur.schema[c].dataType) for c in cur.columns
         ])
         # validate BEFORE the new snapshot dir exists so a rejected
-        # insert leaves no trace on disk
+        # insert leaves no trace on disk (length check precedes the
+        # char normalization — truncation must never mask a genuine
+        # over-length error)
         self._enforce_constraints(table, batch, cur)
+        batch = self._apply_char_limits(table, batch)
         # copy prior files by hard link (cheap snapshot), append new part
         os.makedirs(vdir, exist_ok=True)
         src = self._vdir(table, v)
@@ -455,6 +493,7 @@ class ManagedStore:
             updated = cur.filter(cond).select(*proj)
             kept = cur.filter(~cond | cond.isNull())
             self._enforce_constraints(table, updated, kept)
+            out = self._apply_char_limits(table, out)
         self._write_new_version(table, out)
         return int(obs.get["n"] or 0)
 

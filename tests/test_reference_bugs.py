@@ -903,3 +903,77 @@ def test_nested_exotic_types_scan(registered, tmp_path):
     assert rows[1].s.name == "x"
     assert (rows[2].u, rows[2].t, rows[2].iv, rows[2].s) == \
         (None, None, None, None)
+
+
+def test_attach_types_char(spark, tmp_path):
+    """reference: test/sql/storage/attach_types_char.test — char(n)
+    blank-strips on read and errors 'value too long' on over-length
+    INSERT; varchar(n) keeps trailing blanks up to n and errors the
+    same way past it. Statement-for-statement with the reference
+    file (the reference's chars table is CHAR(10), varchars_fixed_len
+    is VARCHAR(10); the ATTACH here is the managed store that plays
+    the live-PG role in this sandbox)."""
+    import os
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute, pg_query
+    from postgres_scanner_spark.storage import ConstraintError, ManagedStore
+
+    root = str(tmp_path / "store")
+    ManagedStore(spark, root)
+    open(os.path.join(root, "_managed_store"), "w").close()
+    cat = Catalog(spark)
+    cat.attach(root, alias="s")
+
+    def rows(sql):
+        return [tuple(r) for r in pg_query(cat, "s", sql).collect()]
+
+    seed = ("INSERT INTO chars VALUES ('hello'), ('world'), "
+            "('maxlength1'), ('hello     '), ('     '), (NULL)")
+    expected = [("hello", 5), ("world", 5), ("maxlength1", 10),
+                ("hello", 5), ("", 0), (None, None)]
+
+    pg_execute(cat, "s", "CREATE TABLE chars(c CHAR(10))")
+    pg_execute(cat, "s", seed)
+    got = rows("SELECT c, LENGTH(c) AS l FROM chars")
+    assert sorted(got, key=repr) == sorted(expected, key=repr)
+
+    with pytest.raises(ConstraintError, match="value too long"):
+        pg_execute(cat, "s",
+                   "INSERT INTO chars VALUES ('this string is too long')")
+
+    # delete-reinsert inside a transaction, as the reference file does
+    pg_execute(cat, "s", "BEGIN")
+    pg_execute(cat, "s", "DELETE FROM chars")
+    pg_execute(cat, "s", seed)
+    pg_execute(cat, "s", "COMMIT")
+    got = rows("SELECT c, LENGTH(c) AS l FROM chars")
+    assert sorted(got, key=repr) == sorted(expected, key=repr)
+
+    # fixed length varchars: padding KEPT up to n, same error past it
+    pg_execute(cat, "s",
+               "CREATE TABLE varchars_fixed_len(c VARCHAR(10))")
+    pg_execute(cat, "s",
+               "INSERT INTO varchars_fixed_len VALUES ('hello'), "
+               "('world'), ('maxlength1'), ('hello     '), "
+               "('     '), (NULL)")
+    got = rows("SELECT c, LENGTH(c) AS l FROM varchars_fixed_len")
+    assert sorted(got, key=repr) == sorted(
+        [("hello", 5), ("world", 5), ("maxlength1", 10),
+         ("hello     ", 10), ("     ", 5), (None, None)], key=repr)
+    with pytest.raises(ConstraintError, match="value too long"):
+        pg_execute(
+            cat, "s",
+            "INSERT INTO varchars_fixed_len VALUES "
+            "('this string is too long')")
+    # all-space excess silently truncates to n (PG's bpchar rule)
+    pg_execute(cat, "s",
+               "INSERT INTO varchars_fixed_len VALUES "
+               "('maxlength1     ')")
+    assert ("maxlength1", 10) in rows(
+        "SELECT c, LENGTH(c) AS l FROM varchars_fixed_len")
+    # UPDATE enforces the limit exactly as INSERT does
+    with pytest.raises(ConstraintError, match="value too long"):
+        pg_execute(cat, "s",
+                   "UPDATE chars SET c = 'far far too long for ten' "
+                   "WHERE c = 'hello'")
+    cat.detach("s")
