@@ -311,7 +311,52 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---- P13: range arrays in PG text form (reference: test/sql/
+# scanner/daterange_array.test — ranges surface as their canonical
+# '[lo,hi)' strings, here carried through ARRAY columns: build one
+# daterange per order as PG renders it, aggregate per priority into
+# a sorted-distinct array, and read elements back out of it)
+def p13_range_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    rng = F.concat(
+        F.lit("["), d.cast("string"), F.lit(","),
+        F.date_add(d, 30).cast("string"), F.lit(")"))
+    return (
+        o.filter(F.col("o_orderdate") < F.lit("1992-03-01").cast("date"))
+        .groupBy("o_orderpriority")
+        .agg(F.sort_array(F.array_distinct(F.collect_list(rng)))
+             .alias("ranges"))
+        .select(
+            "o_orderpriority",
+            F.size("ranges").alias("n_ranges"),
+            F.element_at("ranges", 1).alias("first_range"),
+            F.element_at("ranges", -1).alias("last_range"),
+            "ranges")
+        .orderBy("o_orderpriority")
+    )
+
+
+_P13_SQL = """
+SELECT o_orderpriority,
+       CAST(len(ranges) AS INT) AS n_ranges,
+       ranges[1] AS first_range,
+       ranges[len(ranges)] AS last_range,
+       ranges
+FROM (
+  SELECT o_orderpriority,
+         list_sort(list_distinct(list(
+           '[' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ',' ||
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) || ')'))) AS ranges
+  FROM orders
+  WHERE o_orderdate < DATE '1992-03-01'
+  GROUP BY o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "p13_range_arrays": p13_range_arrays,
     "p1_count_star": p1_count_star,
     "p2_nulls": p2_nulls,
     "p3_decimals": p3_decimals,
@@ -327,6 +372,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "p13_range_arrays": _P13_SQL,
     "p1_count_star": _P1_SQL,
     "p2_nulls": _P2_SQL,
     "p3_decimals": _P3_SQL,

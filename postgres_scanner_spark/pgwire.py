@@ -251,9 +251,60 @@ def _dec_numeric(b: bytes) -> Decimal:
         return val.quantize(Decimal(1).scaleb(-dscale)) if dscale else val
 
 
+# range_send flags (PG rangetypes.h)
+_RANGE_EMPTY, _RANGE_LB_INC, _RANGE_UB_INC = 0x01, 0x02, 0x04
+_RANGE_LB_INF, _RANGE_UB_INF = 0x08, 0x10
+
+
+def _range_bound_text(v: Any) -> str:
+    """One range bound in PG's display form. range_out double-quotes
+    a bound containing whitespace/comma/brackets — timestamps (with
+    their space) are, dates/ints/decimals are not."""
+    if isinstance(v, datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        if v.tzinfo is not None:
+            off = v.utcoffset()
+            mins = int(off.total_seconds()) // 60
+            sign = "+" if mins >= 0 else "-"
+            h, m = divmod(abs(mins), 60)
+            s += f"{sign}{h:02d}" + (f":{m:02d}" if m else "")
+        return f'"{s}"'
+    return str(v)
+
+
+def _dec_range(oid: int, b: bytes) -> str:
+    """Binary range send format → PG's canonical TEXT form, the
+    reference's varchar mapping for every range type (reference:
+    postgres_utils.cpp TypeToLogicalType range→varchar; test/sql/
+    scanner/daterange_array.test pins the rendered form). Layout:
+    flags byte, then for each present (non-infinite) bound an int32
+    length + the SUBTYPE's send format."""
+    flags = b[0]
+    if flags & _RANGE_EMPTY:
+        return "empty"
+    sub = pgt.RANGE_SUBTYPE[oid]
+    off = 1
+    lo = hi = ""
+    if not flags & _RANGE_LB_INF:
+        (ln,) = struct.unpack_from("!i", b, off)
+        off += 4
+        lo = _range_bound_text(decode_field(sub, b[off:off + ln]))
+        off += ln
+    if not flags & _RANGE_UB_INF:
+        (ln,) = struct.unpack_from("!i", b, off)
+        off += 4
+        hi = _range_bound_text(decode_field(sub, b[off:off + ln]))
+    return (("[" if flags & _RANGE_LB_INC else "(") + lo + "," + hi
+            + ("]" if flags & _RANGE_UB_INC else ")"))
+
+
 def decode_field(oid: int, b: bytes) -> Any:
     """Binary send representation → python value (reference:
     postgres_binary_reader.hpp Read* per-OID dispatch)."""
+    if oid in pgt.RANGE_SUBTYPE:
+        return _dec_range(oid, b)
     if oid == pgt.BOOLOID:
         return b != b"\x00"
     if oid == pgt.INT2OID:

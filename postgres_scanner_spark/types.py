@@ -55,6 +55,23 @@ VARBITOID = 1562
 NUMERICOID = 1700
 UUIDOID = 2950
 JSONBOID = 3802
+# range types (reference: postgres_utils.cpp maps every range to
+# varchar text form; test/sql/scanner/daterange_array.test reads a
+# daterange ARRAY). OIDs from pg_type.dat.
+INT4RANGEOID = 3904
+NUMRANGEOID = 3906
+TSRANGEOID = 3908
+TSTZRANGEOID = 3910
+DATERANGEOID = 3912
+INT8RANGEOID = 3926
+
+# range OID → subtype OID, for the binary wire decoder (a range's
+# send format embeds its bounds in the SUBTYPE's send format)
+RANGE_SUBTYPE: dict[int, int] = {
+    INT4RANGEOID: INT4OID, INT8RANGEOID: INT8OID,
+    NUMRANGEOID: NUMERICOID, TSRANGEOID: TIMESTAMPOID,
+    TSTZRANGEOID: TIMESTAMPTZOID, DATERANGEOID: DATEOID,
+}
 
 # name-keyed map (what you get from information_schema / JDBC metadata)
 _NAME_TO_SPARK: dict[str, T.DataType] = {
@@ -99,6 +116,14 @@ _NAME_TO_SPARK: dict[str, T.DataType] = {
     "cidr": T.StringType(),
     "bit": T.StringType(),
     "varbit": T.StringType(),
+    # ranges → text form (reference varchar fallback); explicit so the
+    # intent is visible even though unknown names fall back the same way
+    "int4range": T.StringType(),
+    "int8range": T.StringType(),
+    "numrange": T.StringType(),
+    "tsrange": T.StringType(),
+    "tstzrange": T.StringType(),
+    "daterange": T.StringType(),
     # built-in geometry (reference: postgres_utils.cpp TypeToLogicalType
     # GEOM_* annotations; test attach_geometry.test): point → {x,y}
     # struct, every other planar type → list<double>
@@ -131,6 +156,9 @@ _OID_TO_NAME: dict[int, str] = {
     TIMESTAMPTZOID: "timestamptz", INTERVALOID: "interval",
     TIMETZOID: "timetz", BITOID: "bit", VARBITOID: "varbit",
     NUMERICOID: "numeric", UUIDOID: "uuid", JSONBOID: "jsonb",
+    INT4RANGEOID: "int4range", INT8RANGEOID: "int8range",
+    NUMRANGEOID: "numrange", TSRANGEOID: "tsrange",
+    TSTZRANGEOID: "tstzrange", DATERANGEOID: "daterange",
 }
 
 
@@ -145,6 +173,10 @@ ARRAY_OID_TO_ELEM: dict[int, int] = {
     1115: TIMESTAMPOID, 1182: DATEOID, 1183: TIMEOID,
     1185: TIMESTAMPTZOID, 1187: INTERVALOID, 1231: NUMERICOID,
     199: JSONOID, 3807: JSONBOID, 2951: UUIDOID,
+    # range arrays (daterange_array.test): _int4range, _numrange,
+    # _tsrange, _tstzrange, _daterange, _int8range
+    3905: INT4RANGEOID, 3907: NUMRANGEOID, 3909: TSRANGEOID,
+    3911: TSTZRANGEOID, 3913: DATERANGEOID, 3927: INT8RANGEOID,
 }
 
 

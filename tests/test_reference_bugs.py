@@ -977,3 +977,76 @@ def test_attach_types_char(spark, tmp_path):
                    "UPDATE chars SET c = 'far far too long for ten' "
                    "WHERE c = 'hello'")
     cat.detach("s")
+
+
+def test_daterange_array():
+    """reference: test/sql/scanner/daterange_array.test — an ARRAY of
+    ranges scans as a list of PG text-form strings. Covers the three
+    layers that carry it: the catalog map (_daterange udt → 1-dim
+    string array), the result-set probe (array OID 3913 → the same),
+    and the binary wire codec (range_send flags + subtype bounds →
+    canonical '[lo,hi)' text, elements inside an array envelope)."""
+    import datetime as dt
+    import struct
+    from pyspark.sql import types as T
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.pgwire import decode_array, decode_field
+    from postgres_scanner_spark.types import (
+        pg_type_to_spark, spark_type_from_oid,
+    )
+
+    # catalog + result-set probe halves
+    assert pg_type_to_spark("daterange", array_dims=1) == \
+        T.ArrayType(T.StringType())
+    assert spark_type_from_oid(3913) == T.ArrayType(T.StringType())
+    assert spark_type_from_oid(pgt.TSRANGEOID) == T.StringType()
+
+    epoch = dt.date(2000, 1, 1).toordinal()
+
+    def date_bin(d):
+        return struct.pack("!i", d.toordinal() - epoch)
+
+    def rng(flags, *bounds):
+        out = bytes([flags])
+        for b in bounds:
+            out += struct.pack("!i", len(b)) + b
+        return out
+
+    # [2010-01-01,2010-01-02) — LB_INC only
+    r = rng(0x02, date_bin(dt.date(2010, 1, 1)),
+            date_bin(dt.date(2010, 1, 2)))
+    assert decode_field(pgt.DATERANGEOID, r) == \
+        "[2010-01-01,2010-01-02)"
+    # the ARRAY envelope around it (what COPY binary ships for
+    # daterange[]): ndim=1, no nulls, elem oid 3912
+    arr = struct.pack("!iii", 1, 0, pgt.DATERANGEOID)
+    arr += struct.pack("!ii", 1, 1)
+    arr += struct.pack("!i", len(r)) + r
+    assert decode_array(arr) == ["[2010-01-01,2010-01-02)"]
+
+    # tsrange renders quoted timestamp bounds — the exact value the
+    # reference test displays: [["2010-01-01 14:30:00",...)]
+    us = dt.datetime(2000, 1, 1)
+
+    def ts_bin(t):
+        return struct.pack("!q", int((t - us).total_seconds() * 1_000_000))
+
+    r = rng(0x02, ts_bin(dt.datetime(2010, 1, 1, 14, 30)),
+            ts_bin(dt.datetime(2010, 1, 1, 15, 30)))
+    assert decode_field(pgt.TSRANGEOID, r) == \
+        '["2010-01-01 14:30:00","2010-01-01 15:30:00")'
+
+    # empty + unbounded forms, numrange subtype
+    assert decode_field(pgt.INT4RANGEOID, bytes([0x01])) == "empty"
+    assert decode_field(
+        pgt.INT8RANGEOID,
+        rng(0x02 | 0x10, struct.pack("!q", 5))) == "[5,)"
+    assert decode_field(
+        pgt.INT4RANGEOID,
+        rng(0x08, struct.pack("!i", 9))) == "(,9)"
+    from decimal import Decimal
+    from postgres_scanner_spark.pgwire import _enc_numeric
+    assert decode_field(
+        pgt.NUMRANGEOID,
+        rng(0x02 | 0x04, _enc_numeric(Decimal("1.5")),
+            _enc_numeric(Decimal("2.5")))) == "[1.5,2.5]"
