@@ -140,6 +140,11 @@ class Catalog:
                 # a filesystem path that is NOT a directory — failing
                 # here beats silently treating it as a libpq DSN
                 # (reference: attach_non_existent.test errors cleanly)
+                if os.path.exists(source):
+                    raise ValueError(
+                        f"database path {source!r} is not a database "
+                        f"directory (a single-file database needs its "
+                        f"scheme, e.g. 'duckdb://{source}')")
                 raise ValueError(
                     f"database path {source!r} does not exist")
             db = AttachedDatabase(alias, source, "jdbc", read_only,

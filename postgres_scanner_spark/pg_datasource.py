@@ -921,6 +921,32 @@ class PostgresScanWriter(DataSourceArrowWriter):
             T.BinaryType(): "BYTEA",
         }.get(dt, "TEXT")
 
+    @staticmethod
+    def _udt_name(sql_type: str) -> str:
+        """DDL type name → the udt_name information_schema reports for
+        it, for the overwrite definition-match probe. Arrays report
+        '_elem' (any dimensionality); enums/domains report their own
+        name, which the identity fallback covers."""
+        import re
+        base = sql_type.strip().lower()
+        dims = 0
+        while base.endswith("[]"):
+            base = base[:-2].strip()
+            dims += 1
+        base = re.sub(r"\(.*\)$", "", base).strip()
+        udt = {
+            "smallint": "int2", "integer": "int4", "int": "int4",
+            "bigint": "int8", "real": "float4",
+            "double precision": "float8", "boolean": "bool",
+            "timestamp": "timestamp",
+            "timestamp without time zone": "timestamp",
+            "timestamptz": "timestamptz",
+            "timestamp with time zone": "timestamptz",
+            "decimal": "numeric", "character varying": "varchar",
+            "char": "bpchar", "character": "bpchar",
+        }.get(base, base)
+        return ("_" + udt) if dims else udt
+
     def _commit_live_pg(self, messages) -> None:
         try:
             import psycopg
@@ -955,12 +981,34 @@ class PostgresScanWriter(DataSourceArrowWriter):
             f'{overrides.get(f.name, self._pg_sql_type(f.dataType))}'
             for f in self.schema_.fields)
         with psycopg.connect(self.dsn) as con, con.cursor() as cur:
-            # overwrite REPLACES the table definition, matching the
-            # duckdb backend: binary COPY maps columns POSITIONALLY,
-            # so a surviving table with a different column order or
-            # types would load mis-mapped rows or fail mid-COPY
+            # overwrite: TRUNCATE when the existing definition already
+            # matches the incoming one COLUMN-FOR-COLUMN (names, order,
+            # and wire type) — preserving the table's indexes,
+            # constraints, grants, defaults, and dependent views.
+            # Otherwise DROP + CREATE: binary COPY maps columns
+            # POSITIONALLY, so a surviving table with a different
+            # column order or types would load mis-mapped rows or fail
+            # mid-COPY. The DROP path is DESTRUCTIVE to dependent
+            # objects by design — redefine-on-overwrite is the only
+            # way to honor Spark's mode("overwrite") contract when the
+            # shapes diverge.
             if self.overwrite:
-                cur.execute(f"DROP TABLE IF EXISTS {target}")
+                cur.execute(
+                    "SELECT column_name, udt_name "
+                    "FROM information_schema.columns "
+                    "WHERE table_schema = %s AND table_name = %s "
+                    "ORDER BY ordinal_position",
+                    (pg_schema, self.table))
+                existing = [(n, u) for n, u in cur.fetchall()]
+                want = [
+                    (f.name, self._udt_name(
+                        overrides.get(f.name,
+                                      self._pg_sql_type(f.dataType))))
+                    for f in self.schema_.fields]
+                if existing and existing == want:
+                    cur.execute(f"TRUNCATE TABLE {target}")
+                else:
+                    cur.execute(f"DROP TABLE IF EXISTS {target}")
             cur.execute(f"CREATE TABLE IF NOT EXISTS {target} ({cols})")
             for m in messages:
                 with cur.copy(f"COPY {target} FROM STDIN "

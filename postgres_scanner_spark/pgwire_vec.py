@@ -92,7 +92,14 @@ def _var_cols(arr, oid: int, null_byte_replacement=None):
     # the arrow utf8 buffer IS the wire image only for the text
     # family; uuid (16 raw bytes) and jsonb (version-prefix byte)
     # re-encode their strings, so they take the scalar fallback
-    utf8 = oid not in (pgt.BYTEAOID, pgt.UUIDOID, pgt.JSONBOID) and (
+    # the utf8 fast path ships raw bytes labeled with the column's
+    # OID — valid ONLY for the text family, whose binary send format
+    # IS the utf8 text. Any other OID paired with a string Arrow
+    # column (layout bug, direct-caller misuse) must take the scalar
+    # fallback, which encodes per the OID or diverges loudly.
+    _TEXT_FAMILY = (pgt.TEXTOID, pgt.VARCHAROID, pgt.BPCHAROID,
+                    pgt.NAMEOID, pgt.JSONOID, pgt.XMLOID, pgt.CHAROID)
+    utf8 = oid in _TEXT_FAMILY and (
         pa.types.is_string(t) or pa.types.is_large_string(t))
     rawb = oid == pgt.BYTEAOID and (
         pa.types.is_binary(t) or pa.types.is_large_binary(t))

@@ -115,6 +115,46 @@ def _escape_pg_literals(sql: str) -> str:
                 out.append(sql[i:j])
                 i = j
                 continue
+            # PG dollar-quoted string ($$...$$ / $tag$...$tag$): the
+            # body is RAW — no escapes, quotes/backslashes literal.
+            # Spark has no dollar quoting, so re-emit as a standard
+            # literal with Spark's escaping ('' for quotes, doubled
+            # backslashes). An apostrophe in the body must not flip
+            # the literal state machine.
+            if ch == "$":
+                if m := re.match(r"\$([A-Za-z_]\w*)?\$", sql[i:]):
+                    tag = m.group(0)
+                    j = sql.find(tag, i + len(tag))
+                    body = sql[i + len(tag):j if j >= 0 else n]
+                    out.append("'" + body.replace("\\", "\\\\")
+                               .replace("'", "''") + "'")
+                    i = (j + len(tag)) if j >= 0 else n
+                    continue
+            # PG E'...' escape string: backslash escapes are REAL
+            # here (unlike standard '...'), which is exactly Spark's
+            # default literal semantics — drop the E, copy the body
+            # verbatim (\x pairs opaque), keep '' handling
+            if (ch in "eE" and sql.startswith("'", i + 1)
+                    and (i == 0 or not (sql[i - 1].isalnum()
+                                        or sql[i - 1] in '_"`'))):
+                out.append("'")
+                j = i + 2
+                while j < n:
+                    if sql[j] == "\\" and j + 1 < n:
+                        out.append(sql[j:j + 2])
+                        j += 2
+                        continue
+                    if sql[j] == "'":
+                        if sql.startswith("''", j):
+                            out.append("''")
+                            j += 2
+                            continue
+                        break
+                    out.append(sql[j])
+                    j += 1
+                out.append("'")
+                i = j + 1
+                continue
         if in_s:
             if ch == "\\":
                 out.append("\\\\")

@@ -449,8 +449,11 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
             return False
 
     class _Cursor:
-        def execute(self, sql):
+        existing_def: list = []
+        def execute(self, sql, params=None):
             executed.append(sql)
+        def fetchall(self):
+            return list(_Cursor.existing_def)
         def copy(self, sql):
             return _Copy(sql)
         def __enter__(self):
@@ -485,14 +488,27 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
             w.write(iter([(3, None, None)]))]
     assert [m.n_rows for m in msgs] == [2, 1]
     w.commit(msgs)
-    assert executed == [
+    create_sql = ('CREATE TABLE IF NOT EXISTS "public"."t" '
+                  '("id" INTEGER, "price" NUMERIC(10,2), '
+                  '"tags" INTEGER[])')
+    assert executed[0].startswith("SELECT column_name, udt_name")
+    assert executed[1:] == [
         'DROP TABLE IF EXISTS "public"."t"',
-        'CREATE TABLE IF NOT EXISTS "public"."t" '
-        '("id" INTEGER, "price" NUMERIC(10,2), "tags" INTEGER[])',
+        create_sql,
     ]
     assert committed == [True]
+    # overwrite onto a MATCHING existing definition TRUNCATEs instead
+    # of DROP+CREATE — indexes/grants/views on the target survive
+    executed.clear()
+    _Cursor.existing_def = [("id", "int4"), ("price", "numeric"),
+                            ("tags", "_int4")]
+    msgs2 = [w.write(iter([(9, None, None)]))]
+    w.commit(msgs2)
+    assert executed[1:] == ['TRUNCATE TABLE "public"."t"', create_sql]
+    _Cursor.existing_def = []
     assert [sql for sql, _ in copied] == [
-        'COPY "public"."t" FROM STDIN (FORMAT binary)'] * 2
+        'COPY "public"."t" FROM STDIN (FORMAT binary)'] * 3
+    copied.pop()            # the truncate-path batch; decode the rest
     oids, _, _, array_cols = _pg_binary_layout(schema)
     decoded = [r for _, b in copied
                for r in BinaryCopyReader(oids, array_cols)

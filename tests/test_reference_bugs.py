@@ -749,6 +749,24 @@ def test_pg_dialect_rewriter_units():
     assert e('SELECT "we""ird" FROM t') == 'SELECT `we"ird` FROM t'
     assert e("SELECT '--not a comment'") == "SELECT '--not a comment'"
     assert e('SELECT "/*nor this*/"') == "SELECT `/*nor this*/`"
+    # dollar-quoted strings: raw body, re-emitted as a Spark literal;
+    # an apostrophe inside must not flip the state machine
+    assert e("SELECT $$it's \"fine\"$$ AS s") == \
+        "SELECT 'it''s \"fine\"' AS s"
+    assert e("SELECT $tag$a'b$notend$ c$tag$ AS s") == \
+        "SELECT 'a''b$notend$ c' AS s"
+    assert e('SELECT "Col" FROM t WHERE x = $$don"t' + "'s$$") == \
+        "SELECT `Col` FROM t WHERE x = 'don\"t''s'"
+    # E'...' escape strings: backslash escapes are real (Spark's own
+    # default), so the E drops and the body passes through
+    assert e("SELECT E'a\\'b\\n' AS s") == "SELECT 'a\\'b\\n' AS s"
+    assert e("SELECT e'x''y' AS s") == "SELECT 'x''y' AS s"
+    # near-misses stay untouched: positional params, bare $, the
+    # identifier 'e' followed by non-quote
+    assert e("SELECT $1 + 1") == "SELECT $1 + 1"
+    assert e("SELECT price$ FROM t") == "SELECT price$ FROM t"
+    assert e("SELECT CASE WHEN e THEN 1 END") == \
+        "SELECT CASE WHEN e THEN 1 END"
 
 
 def test_pg_dialect_in_where_set_and_views(spark, tmp_path):
