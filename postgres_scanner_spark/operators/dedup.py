@@ -695,22 +695,83 @@ FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1 ORDER BY cluster_id
 
 
 # ------------------------------------------------- D7 contamination scan
+# Bloom pre-filter (D7): k seeded xxhash64 positions per key, dense
+# int64-word bitmap. The bitmap is BOUNDED (m/64 longs, sized from
+# the eval-set cardinality — independent of corpus size), so the
+# collect-to-driver is a scalar-class aggregate, the same shape as
+# Spark's own runtime bloom (aggregate → driver → broadcast).
+_BLOOM_SEEDS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4, 0x1656)
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int) -> DataFrame:
+    """ONE-row DataFrame {_bloom: array<long>} — a dense Bloom bitmap
+    over df[col]. Built distributed: positions explode map-side,
+    words reduce by bit_or (m/64 groups), the dense array assembles
+    on the driver from that bounded result."""
+    spark = df.sparkSession
+    pos = df.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits))
+        for s in _BLOOM_SEEDS])).alias("p"))
+    words = (pos.selectExpr("CAST(p / 64 AS LONG) AS w",
+                            "shiftleft(1L, CAST(p % 64 AS INT)) AS b")
+             .groupBy("w").agg(F.bit_or("b").alias("bits")))
+    dense = [0] * ((m_bits + 63) // 64)
+    for r in words.collect():          # bounded: m/64 rows max
+        dense[int(r["w"])] = int(r["bits"])
+    return spark.createDataFrame([(dense,)], "_bloom array<bigint>")
+
+
+def bloom_might_contain(col: str, m_bits: int) -> Column:
+    """JVM-codegen membership test against the broadcast `_bloom`
+    column: every seed's bit must be set."""
+    tests = [
+        f"bit_get(element_at(_bloom, "
+        f"CAST(pmod(xxhash64({col}, {s}), {m_bits}) / 64 AS INT) + 1), "
+        f"CAST(pmod(xxhash64({col}, {s}), {m_bits}) % 64 AS INT)) = 1"
+        for s in _BLOOM_SEEDS]
+    return F.expr(" AND ".join(tests))
+
+
+# 2^22 bits = 512 KiB broadcast: ~10 bits/key up to ~400k eval
+# shingles (≈1% fp at k=5) — eval benchmarks are bounded, so a fixed
+# size avoids a driver-blocking count() just to size the filter. A
+# saturated bitmap only degrades the fp rate (more shuffled bytes),
+# never correctness.
+_BLOOM_M_BITS = 1 << 22
+
+
 def d7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination check: what fraction of each eval
     document's 5-gram shingles appear anywhere in the training split?
 
     eval = source 'src0'; train = every other source, plus planted
     copies of eval docs 0-4 (so real contamination exists to find).
-    The train shingle set is deduplicated then joined on the shingle —
-    the shuffle is keyed on high-cardinality 5-grams, so at 100 TB
-    this is one well-balanced semi-join (or a bloom-filter pre-pass).
+
+    Scale shape: the eval set is the BENCHMARK — small and fixed —
+    while train is the 100 TB corpus. A broadcast Bloom over the
+    eval shingles filters the corpus shingles MAP-SIDE, below the
+    exchange, so only the ~fp-rate fraction of true-negative corpus
+    shingles ever shuffles into the semi-join; the join then redoes
+    the membership test exactly, so false positives cannot change
+    the result — the Bloom moves bytes, not semantics. (The same
+    decomposition as Spark's runtime bloom-filter join, made
+    explicit so the build side is the EVAL set, which the optimizer
+    cannot know is the small one.)
     """
     d = _docs(spark, sf_dir)
-    ev = shingle_index(d.filter(F.col("source") == "src0"), 5)
+    ev = scratch_persist(
+        shingle_index(d.filter(F.col("source") == "src0"), 5))
+    m_bits = _BLOOM_M_BITS
+    # no distinct before the build: bit_or is idempotent, so dup
+    # positions cost nothing and the pre-shuffle would cost a lot
+    bloom = bloom_build(ev, "s", m_bits)
     plants = d.filter((F.col("source") == "src0") & (F.col("doc_id") < 5)) \
         .withColumn("doc_id", F.col("doc_id") + 300000)
     train = d.filter(F.col("source") != "src0").unionByName(plants)
-    train_sh = shingle_index(train, 5).select("s").distinct()
+    train_sh = (shingle_index(train, 5)
+                .crossJoin(F.broadcast(bloom))     # 1-row bitmap
+                .filter(bloom_might_contain("s", m_bits))
+                .select("s").distinct())
     hits = (ev.join(train_sh, "s", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
     totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

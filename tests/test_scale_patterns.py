@@ -171,6 +171,7 @@ def test_plan_lint_all_queries(spark):
         "a7_ann_recall",       # composes a1 (query-set × corpus)
         "a8_sq8_ann",          # 1-row min/max stats + query set broadcast
         "d4_ngram_jaccard",    # scalar n_docs bound into the DF cap
+        "d7_contamination",    # 1-row Bloom bitmap broadcast over train
         "d12_dedup_eval",      # three scalar aggregates cross-joined
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
@@ -211,3 +212,34 @@ def test_partition_pruned_time_scan(spark, tmp_path):
     import datetime
     expect = src.filter(F.to_date("ts") == datetime.date(2024, 1, 5)).count()
     assert df.count() == expect > 0
+
+
+def test_d7_bloom_prefilter(spark):
+    """D7's 100 TB refinement: a broadcast Bloom over the (small,
+    fixed) eval shingle set filters the corpus shingles MAP-SIDE.
+    Pins the two properties that make it sound and worth having:
+    zero false negatives (result-preserving), and true-negative
+    elimination well above 95% (the shuffled corpus side shrinks by
+    ~the fp rate) — plus the filter's presence in d7's actual plan."""
+    from pyspark.sql import functions as F
+    from postgres_scanner_spark.operators.dedup import (
+        bloom_build, bloom_might_contain, d7_contamination,
+    )
+
+    m = 1 << 17
+    keys = spark.range(1000).selectExpr("concat('k', id) AS s")
+    bloom = bloom_build(keys, "s", m)
+    # every built key passes — false negatives would drop real hits
+    hits = (keys.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain("s", m)).count())
+    assert hits == 1000
+    # a disjoint 200k-key corpus is map-side eliminated ~= fp rate
+    corpus = spark.range(200_000).selectExpr("concat('c', id) AS s")
+    passed = (corpus.crossJoin(F.broadcast(bloom))
+              .filter(bloom_might_contain("s", m)).count())
+    assert passed < 200_000 * 0.05, passed
+    # and d7's executed plan carries the membership filter (bit_get
+    # only occurs in the Bloom test) on the train side
+    plan = d7_contamination(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "bit_get" in plan
