@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import scratch_persist
+
 _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -641,7 +643,103 @@ FROM chunks ORDER BY doc_id, chunk_idx
 """
 
 
+
+# ---- T14: iterated BPE training (K merge rounds) ---------------------
+_T14_ROUNDS = 8
+
+
+def t14_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer training — the loop a real trainer
+    runs, not just T11's single pair count: K=8 rounds of
+    count-pairs -> pick-best -> merge-everywhere over the corpus
+    word-frequency table.
+
+    Scale shape: training operates on the DISTINCT-word frequency
+    table (vocabulary-sized, built with one shuffle from the
+    corpus), never the corpus itself — the classic BPE trainer
+    decomposition. Each round is ONE pair-keyed map-side-combined
+    aggregate over the vocab plus a 1-row driver collect (the
+    argmax merge decision is inherently global and scalar — the
+    same bounded-driver pattern as A6's k-means centroids); the
+    merge itself is a narrow per-row string replace, JVM codegen,
+    greedy left-to-right exactly like the reference trainers. Words
+    are kept as \x01-delimited symbol strings so a merge is a
+    single replace() with no symbol-boundary ambiguity.
+    """
+    SEP = "\x01"
+    d = _t(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(_tokens()).alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("cnt"))
+             .select(F.concat(
+                 F.lit(SEP),
+                 F.regexp_replace("w", "(.)", "$1" + SEP)).alias("syms"),
+                 "cnt"))
+    vocab = scratch_persist(vocab)
+    rows = []
+    for r in range(1, _T14_ROUNDS + 1):
+        syms_list = F.filter(F.split("syms", SEP), lambda x: x != "")
+        pairs = (vocab
+                 # 1-symbol words have no pairs — and sequence(1, 0)
+                 # DESCENDS, so they must not reach the transform
+                 .filter(F.size(syms_list) >= 2)
+                 .select(F.explode(F.transform(
+                     F.sequence(F.lit(1), F.size(syms_list) - 1),
+                     lambda i: F.concat(
+                         F.element_at(syms_list, i), F.lit(SEP),
+                         F.element_at(syms_list, i + 1)))).alias("pair"),
+                     "cnt")
+                 .groupBy("pair").agg(F.sum("cnt").alias("n"))
+                 .orderBy(F.desc("n"), "pair").limit(1).collect())
+        if not pairs:
+            break
+        pair, n = pairs[0]["pair"], int(pairs[0]["n"])
+        a, b = pair.split(SEP)
+        rows.append((r, a, b, a + b, n))
+        vocab = scratch_persist(vocab.select(
+            F.replace(F.col("syms"), F.lit(SEP + a + SEP + b + SEP),
+                      F.lit(SEP + a + b + SEP)).alias("syms"), "cnt"))
+    return spark.createDataFrame(
+        rows, "round INT, left_sym STRING, right_sym STRING, "
+              "merged STRING, n BIGINT")
+
+
+def _t14_sql() -> str:
+    """DuckDB recursive-merge oracle: the same K rounds as chained
+    CTEs — identical greedy replace(), identical (n DESC, pair ASC)
+    tie-break — so the merge tables must agree row-for-row."""
+    S = "chr(1)"
+    parts = [f"""v0 AS (
+  SELECT {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g') AS syms, cnt
+  FROM (SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w))"""]
+    for r in range(1, _T14_ROUNDS + 1):
+        parts.append(f"""p{r} AS (
+  SELECT split_part(pair, {S}, 1) AS a, split_part(pair, {S}, 2) AS b,
+         CAST(n AS BIGINT) AS n
+  FROM (SELECT pair, SUM(cnt) AS n
+        FROM (SELECT unnest(list_transform(range(1, len(l)),
+                     i -> l[i] || {S} || l[i+1])) AS pair, cnt
+              FROM (SELECT list_filter(string_split(syms, {S}),
+                           x -> x <> '') AS l, cnt FROM v{r-1}))
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 1))""")
+        parts.append(f"""v{r} AS (
+  SELECT replace(syms, {S}||a||{S}||b||{S}, {S}||a||b||{S}) AS syms, cnt
+  FROM v{r-1} CROSS JOIN p{r})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, n FROM p{r}"
+        for r in range(1, _T14_ROUNDS + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + unions + "\nORDER BY round"
+
+
+_T14_SQL = _t14_sql()
+
+
 QUERIES = {
+    "t14_bpe_train": t14_bpe_train,
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
     "t3_token_count": t3_token_count,
@@ -658,6 +756,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t14_bpe_train": _T14_SQL,
     "t1_language_id": _T1_SQL,
     "t2_quality_score": _T2_SQL,
     "t3_token_count": _T3_SQL,
