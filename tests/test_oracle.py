@@ -36,11 +36,13 @@ _DUCK_NORM = {"BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16",
               "TINYINT": "i8", "HUGEINT": "i128", "DOUBLE": "f64",
               "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
               "DATE": "date", "TIMESTAMP": "ts", "BLOB": "bin",
-              "TIMESTAMP WITH TIME ZONE": "tstz", "UBIGINT": "u64"}
+              "TIMESTAMP WITH TIME ZONE": "tstz", "UBIGINT": "u64",
+              "VARCHAR[]": "list<str>"}
 _SPARK_NORM = {"bigint": "i64", "int": "i32", "smallint": "i16",
                "tinyint": "i8", "double": "f64", "float": "f32",
                "string": "str", "boolean": "bool", "date": "date",
-               "timestamp_ntz": "ts", "timestamp": "tstz", "binary": "bin"}
+               "timestamp_ntz": "ts", "timestamp": "tstz", "binary": "bin",
+               "array<string>": "list<str>"}
 
 
 @pytest.mark.parametrize("name", sorted(OS))

@@ -191,8 +191,10 @@ def test_bug71_enum_scan_and_typed_writeback(registered, monkeypatch,
             return False
 
     class _Cursor:
-        def execute(self, sql):
+        def execute(self, sql, params=None):
             executed.append(sql)
+        def fetchall(self):
+            return []        # no existing table → DROP+CREATE path
         def copy(self, sql):
             return _Copy(sql)
         def __enter__(self):
