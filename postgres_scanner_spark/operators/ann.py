@@ -547,6 +547,29 @@ def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
                     "dist2"))
 
 
+def km_trained_assignment(vecs: DataFrame) -> DataFrame:
+    """A6's training loop as a reusable step: seed with the first K
+    vectors, one Lloyd update, final assignment. Returns (vec_id, x,
+    cluster, dist2) — shared with D14 SemDeDup so its clusters are
+    exactly the ones A6 trains (and its oracle replays)."""
+    cents1 = (vecs.filter(F.col("vec_id") < _KM_K)
+              .select(F.col("vec_id").cast("int").alias("cent_id"),
+                      F.col("x").alias("c")))
+    a1 = _km_assign(vecs, cents1)
+    upd = (a1.select("cluster", F.posexplode("x").alias("pos", "val"))
+           .groupBy("cluster", "pos")
+           .agg(F.sum(F.col("val").cast(_KM_DEC)).alias("s"),
+                F.count("*").alias("n")))
+    cents2 = (upd.withColumn(
+                  "m", F.round(F.col("s").cast("double") / F.col("n"), 9))
+              .groupBy("cluster")
+              .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                   lambda t: t.m).alias("c"))
+              .select(F.col("cluster").cast("int").alias("cent_id"), "c"))
+    return _km_assign(vecs, cents2)
+
+
 def a6_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two genuine Lloyd iterations of k-means (k=4) as pure
     DataFrame algebra — the iterative-algorithm pattern (assign →
@@ -573,22 +596,7 @@ def a6_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"))
-    cents1 = (vecs.filter(F.col("vec_id") < _KM_K)
-              .select(F.col("vec_id").cast("int").alias("cent_id"),
-                      F.col("x").alias("c")))
-    a1 = _km_assign(vecs, cents1)
-    upd = (a1.select("cluster", F.posexplode("x").alias("pos", "val"))
-           .groupBy("cluster", "pos")
-           .agg(F.sum(F.col("val").cast(_KM_DEC)).alias("s"),
-                F.count("*").alias("n")))
-    cents2 = (upd.withColumn(
-                  "m", F.round(F.col("s").cast("double") / F.col("n"), 9))
-              .groupBy("cluster")
-              .agg(F.transform(
-                   F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                   lambda t: t.m).alias("c"))
-              .select(F.col("cluster").cast("int").alias("cent_id"), "c"))
-    a2 = _km_assign(vecs, cents2)
+    a2 = km_trained_assignment(vecs)
     return (a2.groupBy("cluster").agg(
                 F.count("*").cast("long").alias("n_vecs"),
                 F.sum("vec_id").cast("long").alias("id_sum"),
@@ -599,11 +607,13 @@ def a6_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster"))
 
 
-def _a6_sql() -> str:
+def _km_sql_ctes() -> str:
+    """The A6 k-means CTE chain (seed → assign → recompute → final
+    assignment `a2`) as a reusable WITH-body fragment, shared with
+    D14's SemDeDup oracle so both replay the identical training."""
     sq = ("list_sum(list_transform(range(len(x)), "
           "i -> (x[i+1]-c[i+1])*(x[i+1]-c[i+1])))")
-    return f"""
-WITH vecs AS (
+    return f"""vecs AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
   FROM embeddings),
 cents1 AS (
@@ -635,7 +645,12 @@ a2 AS (
     SELECT vec_id, cent_id AS cluster, dist2,
            ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY dist2, cent_id) AS rk
-    FROM d2) WHERE rk = 1)
+    FROM d2) WHERE rk = 1)"""
+
+
+def _a6_sql() -> str:
+    return f"""
+WITH {_km_sql_ctes()}
 SELECT CAST(cluster AS INT) AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(vec_id) AS BIGINT) AS id_sum,

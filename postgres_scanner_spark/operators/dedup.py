@@ -1240,7 +1240,109 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
 """
 
 
+# ------------------------------------------ D14 semantic dedup (SemDeDup)
+_D14_TAU = 0.45
+_D14_BLOCKS = 8
+
+
+def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public
+    paper): k-means cluster the embedding space, then search for
+    near-duplicates ONLY within clusters — the published scale path
+    for embedding dedup. D5 is the exhaustive all-pairs variant;
+    this is the sub-quadratic one: cluster count grows with corpus
+    size, so per-cluster tiles stay bounded and the pair space is
+    sum-of-squares-of-cluster-sizes, not corpus².
+
+    Clusters come from `ann.km_trained_assignment` — the exact
+    training A6 runs (seed → Lloyd update → assign), so the oracle
+    replays the identical deterministic loop. Within a cluster the
+    pair space uses D5's block-tile decomposition keyed on
+    (cluster, tile): an equi-join, never a BroadcastNestedLoopJoin,
+    parallel in clusters × tiles.
+
+    Survivor rule (deterministic greedy): a vector is dropped when a
+    smaller-id cluster-mate sits above cos τ; the manifest records
+    the smallest such witness as kept_vec — the same min-id
+    convention as D1/D13.
+
+    Scale (100 TB): corpus shuffles once on the cluster key (tiled);
+    centroids broadcast; the quadratic step never leaves a cluster.
+    """
+    from .. import tables
+    from .ann import km_trained_assignment
+    e = tables.load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"))
+    a2 = km_trained_assignment(vecs)
+
+    def dot(u: Column, v: Column) -> Column:
+        return F.aggregate(F.zip_with(u, v, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, z: acc + z)
+
+    m = scratch_persist(a2.select(
+        "vec_id", "x", F.col("cluster").cast("int").alias("cluster"),
+        F.sqrt(dot(F.col("x"), F.col("x"))).alias("norm"),
+        (F.col("vec_id") % _D14_BLOCKS).alias("blk")))
+    B = _D14_BLOCKS
+    tiles = spark.createDataFrame(
+        [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
+        "tile_id INT, bi INT, bj INT")
+    lhs = m.join(F.broadcast(tiles), F.col("blk") == F.col("bi")) \
+        .select("tile_id", "bi", "bj", "cluster", "vec_id", "x", "norm")
+    rhs = m.join(F.broadcast(tiles), F.col("blk") == F.col("bj")) \
+        .select(F.col("tile_id").alias("tid2"),
+                F.col("cluster").alias("cl2"),
+                F.col("vec_id").alias("vec_id2"),
+                F.col("x").alias("x2"),
+                F.col("norm").alias("norm2"))
+    joined = (
+        lhs.join(rhs, (F.col("tile_id") == F.col("tid2"))
+                 & (F.col("cluster") == F.col("cl2")))
+        .filter((F.col("bi") != F.col("bj"))
+                | (F.col("vec_id") < F.col("vec_id2")))
+    )
+    cos = dot(F.col("x"), F.col("x2")) / (F.col("norm") * F.col("norm2"))
+    pairs = (joined.select(
+        F.least("vec_id", "vec_id2").alias("u"),
+        F.greatest("vec_id", "vec_id2").alias("v"),
+        "cluster",
+        F.round(cos, 5).alias("cos_sim"))
+        .filter(F.col("cos_sim") > _D14_TAU))
+    return (pairs.groupBy("v", "cluster")
+            .agg(F.min(F.struct("u", "cos_sim")).alias("w"))
+            .select(F.col("v").alias("dropped_vec"),
+                    F.col("w.u").alias("kept_vec"),
+                    "cluster",
+                    F.col("w.cos_sim").alias("cos_sim"))
+            .orderBy("dropped_vec"))
+
+
+def _d14_sql() -> str:
+    from .ann import _km_sql_ctes
+    dt = ("list_sum(list_transform(range(len({u})), "
+          "i -> {u}[i+1] * {v}[i+1]))")
+    cos = (f"ROUND({dt.format(u='a.x', v='b.x')}"
+           " / (a.norm * b.norm), 5)")
+    return f"""
+WITH {_km_sql_ctes()},
+m AS (
+  SELECT a2.vec_id, CAST(a2.cluster AS INT) AS cluster, v.x,
+         sqrt({dt.format(u='v.x', v='v.x')}) AS norm
+  FROM a2 JOIN vecs v USING (vec_id)),
+prs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v, a.cluster, {cos} AS cos_sim
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} > {_D14_TAU})
+SELECT v AS dropped_vec, MIN(u) AS kept_vec, cluster,
+       arg_min(cos_sim, u) AS cos_sim
+FROM prs GROUP BY v, cluster ORDER BY dropped_vec
+"""
+
+
 QUERIES = {
+    "d14_semantic_dedup": d14_semantic_dedup,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
     "d3_simhash_dedup": d3_simhash_dedup,
@@ -1257,6 +1359,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d14_semantic_dedup": _d14_sql(),
     "d1_exact_dedup": _D1_SQL,
     "d2_minhash_lsh_dedup": _d2_sql(),
     "d3_simhash_dedup": _d3_sql(),

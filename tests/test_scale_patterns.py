@@ -176,6 +176,7 @@ def test_plan_lint_all_queries(spark):
         "d4_ngram_jaccard",    # scalar n_docs bound into the DF cap
         "d7_contamination",    # 1-row Bloom bitmap broadcast over train
         "d12_dedup_eval",      # three scalar aggregates cross-joined
+        "d14_semantic_dedup",  # corpus × 4 centroids (A6's assignment)
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
         "t10_tfidf_keywords",      # scalar corpus size N → idf
@@ -193,6 +194,22 @@ def test_plan_lint_all_queries(spark):
         assert "CartesianProduct" not in plan, name
         if name not in nlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_d14_subset_of_exhaustive(spark):
+    """SemDeDup prunes the pair space by clustering — it trades
+    recall for boundedness, so every pair it reports must also be in
+    D5's exhaustive all-pairs result at the same τ, and its tile
+    join must stay an equi-join (the generic lint pins the plan)."""
+    from postgres_scanner_spark.operators import dedup
+    sf = "/root/testdata/sf0.001"
+    sem = dedup.d14_semantic_dedup(spark, sf).collect()
+    assert sem, "tiny corpus must still produce co-clustered pairs"
+    exact = {(r.vec_a, r.vec_b)
+             for r in dedup.d5_embedding_dedup(spark, sf).collect()}
+    for r in sem:
+        assert (r.kept_vec, r.dropped_vec) in exact, r
+        assert r.kept_vec < r.dropped_vec
 
 
 def test_partition_pruned_time_scan(spark, tmp_path):
