@@ -666,6 +666,18 @@ def t14_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     are kept as \x01-delimited symbol strings so a merge is a
     single replace() with no symbol-boundary ambiguity.
     """
+    return spark.createDataFrame(
+        _bpe_merges(spark, sf_dir),
+        "round INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, n BIGINT")
+
+
+def _bpe_merges(spark: SparkSession,
+                sf_dir: str) -> list[tuple[int, str, str, str, int]]:
+    """T14's training loop, factored so T15 (encode) can reuse the
+    trained merge table. Returns [(round, left, right, merged, n)] —
+    K bounded scalar rows, the same bounded-driver state as A6's
+    centroids."""
     SEP = "\x01"
     d = _t(spark, sf_dir, "documents")
     vocab = (d.select(F.explode(_tokens()).alias("w"))
@@ -699,15 +711,12 @@ def t14_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = scratch_persist(vocab.select(
             F.replace(F.col("syms"), F.lit(SEP + a + SEP + b + SEP),
                       F.lit(SEP + a + b + SEP)).alias("syms"), "cnt"))
-    return spark.createDataFrame(
-        rows, "round INT, left_sym STRING, right_sym STRING, "
-              "merged STRING, n BIGINT")
+    return rows
 
 
-def _t14_sql() -> str:
-    """DuckDB recursive-merge oracle: the same K rounds as chained
-    CTEs — identical greedy replace(), identical (n DESC, pair ASC)
-    tie-break — so the merge tables must agree row-for-row."""
+def _t14_parts() -> list[str]:
+    """The training CTE chain (v0..vK vocab states, p1..pK picked
+    merges) shared by the T14 and T15 oracles."""
     S = "chr(1)"
     parts = [f"""v0 AS (
   SELECT {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g') AS syms, cnt
@@ -728,6 +737,14 @@ def _t14_sql() -> str:
         parts.append(f"""v{r} AS (
   SELECT replace(syms, {S}||a||{S}||b||{S}, {S}||a||b||{S}) AS syms, cnt
   FROM v{r-1} CROSS JOIN p{r})""")
+    return parts
+
+
+def _t14_sql() -> str:
+    """DuckDB recursive-merge oracle: the same K rounds as chained
+    CTEs — identical greedy replace(), identical (n DESC, pair ASC)
+    tie-break — so the merge tables must agree row-for-row."""
+    parts = _t14_parts()
     unions = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, n FROM p{r}"
@@ -738,7 +755,85 @@ def _t14_sql() -> str:
 _T14_SQL = _t14_sql()
 
 
+# ---- T15: tokenizer APPLY (encode the corpus with T14's merges) ------
+def t15_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the tokenizer loop: apply T14's trained
+    merge table to every document and report per-doc token counts and
+    compression — train (T14) → apply (T15) is the pipeline a real
+    tokenizer runs over a corpus.
+
+    Scale shape: the K merges are replayed on the DISTINCT
+    vocabulary only (narrow literal replaces, one codegen stage over
+    vocab-sized data) — the corpus never re-tokenizes; per-doc stats
+    come from joining corpus (doc_id, word) tokens to the encoded
+    vocab, where AQE broadcasts the vocab side. The merge table is K
+    scalar driver rows (the A6 centroid pattern), identical to
+    training because per-word greedy replay is order-deterministic.
+    """
+    SEP = "\x01"
+    merges = _bpe_merges(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(_tokens()).alias("w"))
+            .filter(F.col("w") != ""))
+    vocab = toks.select("w").distinct().select(
+        "w",
+        F.concat(F.lit(SEP),
+                 F.regexp_replace("w", "(.)", "$1" + SEP)).alias("syms"))
+    for _r, a, b, _m, _n in merges:
+        vocab = vocab.withColumn(
+            "syms", F.replace(F.col("syms"), F.lit(SEP + a + SEP + b + SEP),
+                              F.lit(SEP + a + b + SEP)))
+    enc = vocab.select(
+        "w", F.length("w").alias("n_chars"),
+        F.size(F.filter(F.split("syms", SEP),
+                        lambda x: x != "")).alias("n_toks"))
+    return (toks.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_chars").cast("long").alias("n_base_syms"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"))
+            .select("doc_id", "n_words", "n_base_syms", "n_tokens",
+                    F.round(F.col("n_base_syms").cast("double")
+                            / F.col("n_tokens"), 5).alias("compression"))
+            .orderBy("doc_id"))
+
+
+def _t15_sql() -> str:
+    """Oracle: replay training (shared _t14_parts CTEs), re-derive
+    the encoded vocabulary with the same chained replaces, join the
+    corpus tokens back on."""
+    S = "chr(1)"
+    parts = _t14_parts()
+    parts.append("""toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents) WHERE w <> '')""")
+    parts.append(f"""w0 AS (
+  SELECT w, {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g') AS syms
+  FROM (SELECT DISTINCT w FROM toks))""")
+    for r in range(1, _T14_ROUNDS + 1):
+        parts.append(f"""w{r} AS (
+  SELECT w, replace(syms, {S}||a||{S}||b||{S}, {S}||a||b||{S}) AS syms
+  FROM w{r-1} CROSS JOIN p{r})""")
+    parts.append(f"""enc AS (
+  SELECT w, length(w) AS n_chars,
+         len(list_filter(string_split(syms, {S}), x -> x <> '')) AS n_toks
+  FROM w{_T14_ROUNDS})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_base_syms,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks), 5) AS compression
+FROM toks JOIN enc USING (w)
+GROUP BY doc_id ORDER BY doc_id""")
+
+
+_T15_SQL = _t15_sql()
+
+
 QUERIES = {
+    "t15_bpe_encode": t15_bpe_encode,
     "t14_bpe_train": t14_bpe_train,
     "t1_language_id": t1_language_id,
     "t2_quality_score": t2_quality_score,
@@ -756,6 +851,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t15_bpe_encode": _T15_SQL,
     "t14_bpe_train": _T14_SQL,
     "t1_language_id": _T1_SQL,
     "t2_quality_score": _T2_SQL,

@@ -1,0 +1,40 @@
+"""Behavioral pins for round-6 operators (beyond the parametrized
+oracle gate in test_oracle.py)."""
+
+from postgres_scanner_spark.functions import text
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_t15_encode_consistent_with_training(spark):
+    """Encoding with the trained merge table must (a) never produce
+    more symbols than characters, (b) at least one symbol per word,
+    and (c) actually compress somewhere — the 8 trained merges fire
+    on the corpus they were trained on."""
+    rows = text.t15_bpe_encode(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens <= r.n_base_syms, r
+        assert r.n_tokens >= r.n_words, r
+        assert abs(r.compression - round(r.n_base_syms / r.n_tokens, 5)) < 1e-9
+    assert sum(r.n_tokens for r in rows) < sum(r.n_base_syms for r in rows)
+
+
+def test_t15_matches_manual_replay(spark):
+    """Replaying the merge list by hand over a sample of words gives
+    the same per-word token counts the vocab-side encode computes."""
+    merges = text._bpe_merges(spark, SF)
+    assert len(merges) == text._T14_ROUNDS
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(3).collect()
+    enc = {r.doc_id: r for r in text.t15_bpe_encode(spark, SF).collect()}
+    for d in docs:
+        words = [w for w in d.text.lower().split(" ") if w]
+        total = 0
+        for w in words:
+            syms = "\x01" + "".join(c + "\x01" for c in w)
+            for _r, a, b, _m, _n in merges:
+                syms = syms.replace("\x01" + a + "\x01" + b + "\x01",
+                                    "\x01" + a + b + "\x01")
+            total += len([s for s in syms.split("\x01") if s])
+        assert enc[d.doc_id].n_tokens == total
+        assert enc[d.doc_id].n_words == len(words)
