@@ -832,7 +832,79 @@ GROUP BY doc_id ORDER BY doc_id""")
 _T15_SQL = _t15_sql()
 
 
+# ---- T16: classifier-based quality filtering (hashing trick) ---------
+_T16_DIM = 64          # hashed feature buckets
+_T16_WSCALE = 1000     # weights are integers in [-1000, 1000] / 1000
+
+
+def t16_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-form quality filtering — the CCNet/GPT-3-style
+    'score every document with a cheap linear model, keep the
+    positive slice' step (X11 is the lexical-heuristic variant; this
+    is the model-based one).
+
+    Features are hashing-trick unigram buckets (md5 → one of 64
+    buckets, the engine-portable idiom X2 established); the model is
+    a fixed linear layer whose integer weights derive from md5 of
+    the bucket id — a stand-in for trained weights with the same
+    plan shape. The logit is computed EXACTLY: every token
+    contributes an integer weight, the per-doc sum S is integer
+    (shuffle-order-invariant), and the only float op is the final
+    single division — bit-identical IEEE given identical integer
+    inputs, so the value is deliberately NOT rounded (rounding an
+    exact quotient reintroduces engine-specific half-way rules —
+    0.075025 rounds differently in Java HALF_UP vs C rint).
+
+    Scale: one map-side-combined aggregate per doc; weights are an
+    inline expression of the bucket id (no join, nothing broadcast);
+    the shuffle carries (doc_id, S, n) only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(_tokens()).alias("w"))
+            .filter(F.col("w") != ""))
+    bucket = (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
+              .cast("bigint") % _T16_DIM)
+    weight = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % (2 * _T16_WSCALE + 1)) - _T16_WSCALE
+    per_doc = (toks.select("doc_id", weight.alias("wt"))
+               .groupBy("doc_id")
+               .agg(F.sum("wt").cast("long").alias("s"),
+                    F.count("*").cast("long").alias("n_tokens")))
+    logit = (F.col("s").cast("double")
+             / (F.col("n_tokens") * float(_T16_WSCALE)))
+    return (per_doc.select(
+        "doc_id", "n_tokens", logit.alias("logit"),
+        (F.col("s") > 0).alias("kept"))
+        .orderBy("doc_id"))
+
+
+_T16_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents) WHERE w <> ''),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_T16_DIM} AS h
+  FROM toks),
+wts AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('w' || CAST(h AS VARCHAR)), 1, 8))
+              AS BIGINT) % {2 * _T16_WSCALE + 1} - {_T16_WSCALE} AS wt
+  FROM feat),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM wts GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       CAST(s AS DOUBLE) / (n_tokens * {_T16_WSCALE}.0) AS logit,
+       s > 0 AS kept
+FROM per_doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "t16_quality_classifier": t16_quality_classifier,
     "t15_bpe_encode": t15_bpe_encode,
     "t14_bpe_train": t14_bpe_train,
     "t1_language_id": t1_language_id,
@@ -851,6 +923,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t16_quality_classifier": _T16_SQL,
     "t15_bpe_encode": _T15_SQL,
     "t14_bpe_train": _T14_SQL,
     "t1_language_id": _T1_SQL,

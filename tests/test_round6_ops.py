@@ -20,6 +20,19 @@ def test_t15_encode_consistent_with_training(spark):
     assert sum(r.n_tokens for r in rows) < sum(r.n_base_syms for r in rows)
 
 
+def test_t16_classifier_scores_bounded_and_split(spark):
+    """The hashed-feature logit is a mean of weights in [-1, 1], so
+    it must stay in that band; a pseudo-random weight layer over a
+    word-salad corpus must split the corpus (both classes present);
+    kept is exactly logit > 0."""
+    rows = text.t16_quality_classifier(spark, SF).collect()
+    assert rows
+    assert any(r.kept for r in rows) and any(not r.kept for r in rows)
+    for r in rows:
+        assert -1.0 <= r.logit <= 1.0, r
+        assert r.kept == (r.logit > 0), r
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
