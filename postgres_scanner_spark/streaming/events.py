@@ -986,6 +986,131 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ----------------- E17 streaming dedup ingest (D8's probe, stateful)
+def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest WITH inline dedup — the steady-state loop a
+    training-data pipeline actually runs: documents arrive in
+    micro-batches; each batch dedups within itself (min doc_id per
+    content hash) and against everything already ingested (D8's
+    hash-probe anatomy: the store side contributes only its 32-hex
+    hashes, stored text never moves), and only survivors land in the
+    managed store as an atomic snapshot append.
+
+    Three mtime-ordered micro-batches by doc_id range (so a
+    first-seen winner is always the min doc_id — making the drained
+    store equal to the batch-global D1 dedup, the full oracle):
+    batch 2 carries copies of docs 0-9 (+500000, cross-batch dups vs
+    batch 1), batch 3 copies of docs 10-19 (+600000) plus TWO copies
+    of the last doc (+700000/+700001 — same-batch dups, and their
+    original is in batch 3 itself).
+
+    Scale: per batch the anti-join keys on the content hash with the
+    batch side bounded (AQE picks the probe build side); the store
+    grows by survivors only; state lives in the store, not in
+    executor memory — restartable from the checkpoint + store alone.
+    """
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
+    stage = os.path.join(
+        "/tmp", "pg_spark_dedupin_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.isdir(stage):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        tmp = f"{stage}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        n = t.num_rows
+        idx = t.schema.get_field_index("doc_id")
+
+        def shifted(tbl, delta):
+            return tbl.set_column(idx, "doc_id",
+                                  pc.add(tbl["doc_id"], delta))
+
+        b1 = t.filter(pc.less(t["doc_id"], n // 3))
+        b2 = pa.concat_tables([
+            t.filter(pc.and_(pc.greater_equal(t["doc_id"], n // 3),
+                             pc.less(t["doc_id"], 2 * n // 3))),
+            shifted(t.filter(pc.less(t["doc_id"], 10)), 500000)])
+        last = t.filter(pc.equal(t["doc_id"], n - 1))
+        b3 = pa.concat_tables([
+            t.filter(pc.greater_equal(t["doc_id"], 2 * n // 3)),
+            shifted(t.filter(pc.and_(pc.greater_equal(t["doc_id"], 10),
+                                     pc.less(t["doc_id"], 20))), 600000),
+            shifted(last, 700000), shifted(last, 700001)])
+        for i, part in enumerate((b1, b2, b3)):
+            pq.write_table(part, os.path.join(tmp, f"b{i + 1}.parquet"))
+        now = _time.time()
+        for i in range(3):
+            p = os.path.join(tmp, f"b{i + 1}.parquet")
+            os.utime(p, (now - 60 + 30 * i, now - 60 + 30 * i))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    root = os.path.join(
+        "/tmp", "pg_spark_dedupst_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    store.create_table("docs_dedup", spark.createDataFrame(
+        [], "doc_id BIGINT, h STRING, lang STRING"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "doc_id", "lang", F.md5(F.lower(F.col("text"))).alias("h"))
+        firsts = (b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+                  .join(b, ["h", "doc_id"]))
+        existing = store.scan("docs_dedup").select("h")
+        surv = firsts.join(existing, "h", "left_anti")
+        store.insert("docs_dedup", surv.select("doc_id", "h", "lang"))
+
+    schema = spark.read.parquet(src).schema
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1")
+             .parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(root, "_ckpt"))
+             .start())
+        _drain(q)
+    return (store.scan("docs_dedup")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("lang"))
+
+
+_E17_SQL = """
+WITH streamed AS (
+  SELECT doc_id, lower(text) AS lt, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, lower(text), lang FROM documents
+  WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 600000, lower(text), lang FROM documents
+  WHERE doc_id >= 10 AND doc_id < 20
+  UNION ALL
+  SELECT doc_id + 700000 + g.i, lower(text), lang
+  FROM documents, (SELECT unnest(range(2)) AS i) g
+  WHERE doc_id = (SELECT COUNT(*) FROM documents) - 1),
+kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM streamed GROUP BY md5(lt))
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(s.doc_id) AS BIGINT) AS id_sum
+FROM kept k JOIN streamed s ON k.doc_id = s.doc_id
+GROUP BY s.lang ORDER BY s.lang
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -1003,9 +1128,11 @@ QUERIES = {
     "e14_streaming_upsert": e14_streaming_upsert,
     "e15_stream_left_outer": e15_stream_left_outer,
     "e16_connector_stream": e16_connector_stream,
+    "e17_streaming_dedup_ingest": e17_streaming_dedup_ingest,
 }
 
 ORACLE = {
+    "e17_streaming_dedup_ingest": _E17_SQL,
     "e1_hourly_event_rollup": _E1_SQL,
     "e2_sessionization": _E2_SQL,
     "e4_top_users": _E4_SQL,

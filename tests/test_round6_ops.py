@@ -33,6 +33,19 @@ def test_t16_classifier_scores_bounded_and_split(spark):
         assert r.kept == (r.logit > 0), r
 
 
+def test_e17_drops_every_planted_dup(spark):
+    """All 22 planted duplicates (10 cross-batch vs batch 1, 10
+    cross-batch vs batch 1 arriving in batch 3, 2 same-batch copies
+    of the last doc) must be dropped: the drained store holds exactly
+    the N original docs, each under its original doc_id."""
+    from postgres_scanner_spark.streaming import events
+    rows = events.e17_streaming_dedup_ingest(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_kept for r in rows) == n_docs
+    # id_sum of originals only: no +500000/+600000/+700000 survivor
+    assert sum(r.id_sum for r in rows) == n_docs * (n_docs - 1) // 2
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
