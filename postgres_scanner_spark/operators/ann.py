@@ -822,6 +822,118 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------- A9 multi-index Hamming ANN (binary sketch)
+_MIH_BLOCKS = 4       # 64 sign bits split into 4 × 16-bit substrings
+_MIH_BLOCK_BITS = DIM // _MIH_BLOCKS
+
+
+def _mih_block_col(k: int) -> Column:
+    """16-bit integer from the sign bits of embedding dims
+    [16k, 16k+16): bit j set iff embedding[16k+j] > 0."""
+    v = None
+    for j in range(_MIH_BLOCK_BITS):
+        bit = F.when(
+            F.element_at(F.col("embedding"),
+                         _MIH_BLOCK_BITS * k + j + 1).cast("double") > 0,
+            F.lit(1 << j)).otherwise(F.lit(0))
+        v = bit if v is None else v + bit
+    return v
+
+
+def _mih_block_sql(k: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN CAST(embedding[{_MIH_BLOCK_BITS * k + j + 1}] AS DOUBLE)"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_MIH_BLOCK_BITS))
+
+
+def a9_mih_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN by multi-index hashing (Norouzi et al., "Fast
+    Search in Hamming Space with Multi-Index Hashing", CVPR 2012):
+    each vector compresses to a 64-bit sign sketch (bit i = sign of
+    dim i — 8 bytes/vector, 80 GB for 10B vectors, RAM-pinnable);
+    the code splits into 4 disjoint 16-bit substrings, and a corpus
+    vector is a candidate iff it matches the query EXACTLY on at
+    least one substring. Pigeonhole gives exact recall for every
+    neighbor within Hamming distance 3 (4 blocks can't all absorb
+    ≤3 bit flips); candidates rerank by full 64-bit Hamming distance.
+
+    Scale shape: candidate generation is a broadcast equi-join on
+    (block_id, block_value) — the corpus side explodes to 4 narrow
+    rows per vector and NEVER shuffles on data; expected candidate
+    fraction per (query, block) is 2^-16 of the corpus. Hamming
+    rerank is four xor+bit_count ops — whole-stage codegen, no UDF.
+
+    Reference parity: the reference engine has no ANN surface; this
+    extends the A-series sketch family (A2 LSH signs, A8 SQ8 codes)
+    with the bitwise variant a training-data pipeline uses when even
+    SQ8 is too large.
+    """
+    from .. import tables
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        *[_mih_block_col(k).alias(f"blk{k}") for k in range(_MIH_BLOCKS)])
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"blk{k}").alias(f"q{k}") for k in range(_MIH_BLOCKS)])
+    qidx = q.select(
+        "query_id", *[F.col(f"q{k}") for k in range(_MIH_BLOCKS)],
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("bk"), F.col(f"q{k}").alias("bv"))
+            for k in range(_MIH_BLOCKS)])).alias("b")
+    ).select("query_id", "b.bk", "b.bv",
+             *[F.col(f"q{k}") for k in range(_MIH_BLOCKS)])
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"blk{k}") for k in range(_MIH_BLOCKS)],
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("bk"), F.col(f"blk{k}").alias("bv"))
+            for k in range(_MIH_BLOCKS)])).alias("b")
+    ).select("neighbor_id", "b.bk", "b.bv",
+             *[F.col(f"blk{k}") for k in range(_MIH_BLOCKS)])
+    ham = None
+    for k in range(_MIH_BLOCKS):
+        d = F.bit_count(F.col(f"blk{k}").bitwiseXOR(F.col(f"q{k}")))
+        ham = d if ham is None else ham + d
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        c.join(F.broadcast(qidx), ["bk", "bv"])
+        .select("query_id", "neighbor_id", ham.cast("int").alias("hamming"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming",
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _a9_sql() -> str:
+    blocks = ", ".join(
+        f"({_mih_block_sql(k)}) AS blk{k}" for k in range(_MIH_BLOCKS))
+    any_match = " OR ".join(
+        f"c.blk{k} = q.blk{k}" for k in range(_MIH_BLOCKS))
+    ham = " + ".join(
+        f"bit_count(xor(c.blk{k}, q.blk{k}))" for k in range(_MIH_BLOCKS))
+    return f"""
+WITH codes AS (SELECT vec_id, {blocks} FROM embeddings),
+q AS (SELECT * FROM codes WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM codes WHERE vec_id >= {N_QUERIES}),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({ham} AS INT) AS hamming
+  FROM c JOIN q ON {any_match}),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
@@ -831,6 +943,7 @@ QUERIES = {
     "a6_kmeans_lloyd": a6_kmeans_lloyd,
     "a7_ann_recall": a7_ann_recall,
     "a8_sq8_ann": a8_sq8_ann,
+    "a9_mih_hamming_ann": a9_mih_hamming_ann,
 }
 
 ORACLE = {
@@ -842,4 +955,5 @@ ORACLE = {
     "a6_kmeans_lloyd": _a6_sql(),
     "a7_ann_recall": _a7_sql(),
     "a8_sq8_ann": _A8_SQL,
+    "a9_mih_hamming_ann": _a9_sql(),
 }

@@ -46,6 +46,41 @@ def test_e17_drops_every_planted_dup(spark):
     assert sum(r.id_sum for r in rows) == n_docs * (n_docs - 1) // 2
 
 
+def test_a9_pigeonhole_recall_and_exact_hamming(spark):
+    """Brute-force replay of the 64-bit sign sketches in Python:
+    (a) every reported hamming equals the exact code distance,
+    (b) every true neighbor within Hamming 3 of a query appears in
+    the candidate-derived top-k unless outranked by closer codes —
+    the Norouzi pigeonhole guarantee over 4×16-bit substrings."""
+    from postgres_scanner_spark.operators import ann
+
+    embs = {r.vec_id: list(r.embedding)
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+
+    def code(v):
+        return [sum((1 << j) for j in range(16) if float(v[16 * k + j]) > 0)
+                for k in range(4)]
+
+    codes = {i: code(v) for i, v in embs.items()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    rows = ann.a9_mih_hamming_ann(spark, SF).collect()
+    got = {}
+    for r in rows:
+        assert r.hamming == ham(codes[r.query_id], codes[r.neighbor_id]), r
+        got.setdefault(r.query_id, []).append((r.hamming, r.neighbor_id))
+    for q in range(ann.N_QUERIES):
+        exact = sorted(
+            (ham(codes[q], codes[n]), n)
+            for n in codes if n >= ann.N_QUERIES)
+        kth = exact[ann.TOP_K - 1][0] if len(exact) >= ann.TOP_K else 64
+        for d, n in exact:
+            if d <= 3 and d < kth:
+                assert (d, n) in got.get(q, []), (q, d, n)
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
