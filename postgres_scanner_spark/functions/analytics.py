@@ -954,6 +954,91 @@ ORDER BY purchase_id
 """
 
 
+# ---- W15: time_bucket gap-fill + LOCF --------------------------------
+def w15_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style `time_bucket_gapfill` + `locf`: hourly
+    buckets per event_type over the table's full [min, max] hour
+    span, with EMPTY buckets generated (n=0, filled=true) and their
+    value carried forward from the last observed bucket
+    (last-observation-carried-forward). The reference ships
+    TimescaleDB data through its scanner; this is the query its
+    users run on top (timescaledb time_bucket_gapfill docs).
+
+    Scale shape: the raw table is touched by exactly ONE map-side-
+    combined aggregate keyed on (event_type, hour); everything after
+    operates at bucket cardinality — |types| × |hours|, a function of
+    time span and dimension count, NOT of data volume, so the grid
+    join and the LOCF window cost the same at 100 TB as at 1 GB. The
+    span is a 1-row aggregate broadcast into the type list (the
+    whitelisted scalar-crossJoin pattern); the LOCF window partitions
+    on event_type with bounded rows (hours in span).
+
+    Float determinism: per-bucket mean = exact decimal(18,4) sum cast
+    to double, divided by the count in double — both engines perform
+    the identical two operations on identical inputs.
+    """
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    agg = (e.groupBy(F.col("event_type"), hour.alias("h"))
+           .agg(F.count("*").alias("n"),
+                (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                 / F.count("*")).alias("avg_raw")))
+    span = e.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                 F.date_trunc("hour", F.max("ts")).alias("h1"))
+    grid = (e.select("event_type").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        "h0", "h1", F.expr("interval 1 hour"))).alias("h")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        grid.join(agg, ["event_type", "h"], "left")
+        .select("event_type", "h", "avg_raw",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                F.col("n").isNull().alias("filled"),
+                F.round("avg_raw", 5).alias("avg_value"))
+        .withColumn("locf_value",
+                    F.round(F.last("avg_raw", ignorenulls=True).over(w), 5))
+        .select("event_type",
+                F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+                "n", "filled", "avg_value", "locf_value")
+        .orderBy("event_type", "hour")
+    )
+
+
+_W15_SQL = """
+WITH span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_raw
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, hours.h
+  FROM (SELECT DISTINCT event_type FROM events) t, hours),
+joined AS (
+  SELECT g.event_type, g.h, COALESCE(a.n, 0) AS n, a.n IS NULL AS filled,
+         a.avg_raw
+  FROM grid g LEFT JOIN agg a
+    ON g.event_type = a.event_type AND g.h = a.h)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+       CAST(n AS BIGINT) AS n, filled,
+       ROUND(avg_raw, 5) AS avg_value,
+       ROUND(LAST_VALUE(avg_raw IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5)
+         AS locf_value
+FROM joined
+ORDER BY event_type, hour
+"""
+
+
 # ---- X11: quality-stratified top-k% selection ------------------------
 def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified selection: keep each source's top 20% of
@@ -1118,6 +1203,7 @@ QUERIES = {
     "w12_range_frame": w12_range_frame,
     "w13_dist_windows": w13_dist_windows,
     "w14_first_touch": w14_first_touch,
+    "w15_gapfill_locf": w15_gapfill_locf,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1146,6 +1232,7 @@ ORACLE = {
     "w12_range_frame": _W12_SQL,
     "w13_dist_windows": _W13_SQL,
     "w14_first_touch": _W14_SQL,
+    "w15_gapfill_locf": _W15_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

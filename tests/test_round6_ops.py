@@ -81,6 +81,31 @@ def test_a9_pigeonhole_recall_and_exact_hamming(spark):
                 assert (d, n) in got.get(q, []), (q, d, n)
 
 
+def test_w15_grid_complete_and_locf_replay(spark):
+    """The gap-filled grid must be dense (|types| × |hours| rows,
+    every hour in span present for every type), and locf_value must
+    equal a Python forward-fill replay of avg_value per type."""
+    from postgres_scanner_spark.functions import analytics
+    rows = analytics.w15_gapfill_locf(spark, SF).collect()
+    types = {r.event_type for r in rows}
+    hours = sorted({r.hour for r in rows})
+    assert len(rows) == len(types) * len(hours)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.hour)
+        assert [r.hour for r in rs] == hours
+        carried = None
+        for r in rs:
+            if not r.filled:
+                assert r.n > 0 and r.avg_value is not None, r
+                carried = r.avg_value
+            else:
+                assert r.n == 0 and r.avg_value is None, r
+            assert r.locf_value == carried, (t, r, carried)
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
