@@ -903,7 +903,112 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+# ---- T17: CCNet-style perplexity bucketing ---------------------------
+_T17_REF_SOURCE = "src0"   # the 'reference domain' (CCNet trains on wiki)
+
+
+def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020): train a language model on a trusted reference
+    domain, score EVERY document by per-token negative logprob under
+    it, and split each language into head/middle/tail terciles —
+    head is the most reference-like slice a pretraining mix keeps.
+
+    The LM here is an add-one-smoothed unigram over the reference
+    slice (source = 'src0'); T9 is the in-domain bigram variant —
+    the CCNet twist is exactly that the model is OUT-of-domain for
+    most rows, so the score ranks domain similarity.
+
+    Determinism: per-doc NLL sums double logs in a per-word sorted
+    aggregate (T9's ordered-sum idiom — word keys are unique within
+    a doc, so the sort is total); terciles are ntile(3) over the
+    ROUNDED score with doc_id tiebreak — both engines rank the
+    identical ordering.
+
+    Scale: reference counts are one map-side-combined agg over the
+    (small) trusted slice; scoring joins per-(doc, word) counts to
+    the reference vocabulary on the word key — the same Zipf-hot
+    token shuffle T9 documents (AQE skew split handles 'the'); the
+    vocab-size/token-count scalars ride a 1-row broadcast. The
+    tercile window partitions by lang; at 100 TB the per-lang sort
+    becomes a range-partitioned global sort on (lang, score) —
+    Spark's TakeOrderedAndProject machinery, not a single-partition
+    window (lang cardinality is bounded but CCNet buckets per lang
+    anyway, so the x6 bucket-parallel trick applies per lang)."""
+    from pyspark.sql.window import Window
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "lang", "source",
+                    F.explode(_tokens()).alias("w"))
+           .filter(F.col("w") != ""))
+    refc = (tok.filter(F.col("source") == _T17_REF_SOURCE)
+            .groupBy("w").agg(F.count("*").alias("c")))
+    stats = refc.agg(F.sum("c").cast("long").alias("n_ref"),
+                     F.count("*").cast("long").alias("v_ref"))
+    per_word = tok.groupBy("doc_id", "lang", "w") \
+        .agg(F.count("*").alias("cnt"))
+    scored = (per_word.join(refc, "w", "left")
+              .crossJoin(F.broadcast(stats)))
+    logp = (F.log(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+            - F.log(F.col("n_ref") + F.col("v_ref") + F.lit(1)))
+    per_doc = (scored.select(
+        "doc_id", "lang",
+        F.col("cnt"), (F.col("cnt") * logp).alias("wl"), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("cnt").cast("long").alias("n_tok"),
+             F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("w", "wl"))),
+                 F.lit(0.0), lambda a, x: a + x["wl"]).alias("s")))
+    nll = F.round(-F.col("s") / F.col("n_tok"), 6)
+    wt = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    bucket = (F.when(F.col("tercile") == 1, "head")
+              .when(F.col("tercile") == 2, "middle").otherwise("tail"))
+    return (per_doc.select("doc_id", "lang", "n_tok", nll.alias("avg_nll"))
+            .withColumn("tercile", F.ntile(3).over(wt))
+            .select("doc_id", "lang", "n_tok", "avg_nll",
+                    bucket.alias("ppl_bucket"))
+            .orderBy("doc_id"))
+
+
+_T17_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, w FROM (
+    SELECT doc_id, lang, source,
+           unnest(string_split(lower(text), ' ')) AS w
+    FROM documents) WHERE w <> ''),
+refc AS (
+  SELECT w, COUNT(*) AS c FROM tok
+  WHERE source = '{_T17_REF_SOURCE}' GROUP BY w),
+stats AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_ref,
+         CAST(COUNT(*) AS BIGINT) AS v_ref FROM refc),
+per_word AS (
+  SELECT doc_id, lang, w, COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, lang, w),
+scored AS (
+  SELECT doc_id, lang, w, cnt,
+         cnt * (ln(COALESCE(c, 0) + 1) - ln(n_ref + v_ref + 1)) AS wl
+  FROM per_word LEFT JOIN refc USING (w) CROSS JOIN stats),
+per_doc AS (
+  SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+         list_sum(list(wl ORDER BY w)) AS s
+  FROM scored GROUP BY doc_id, lang),
+ranked AS (
+  SELECT doc_id, lang, n_tok, ROUND(-s / n_tok, 6) AS avg_nll
+  FROM per_doc),
+tiled AS (
+  SELECT *, NTILE(3) OVER (PARTITION BY lang
+                           ORDER BY avg_nll, doc_id) AS tercile
+  FROM ranked)
+SELECT doc_id, lang, n_tok, avg_nll,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM tiled ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "t17_perplexity_buckets": t17_perplexity_buckets,
     "t16_quality_classifier": t16_quality_classifier,
     "t15_bpe_encode": t15_bpe_encode,
     "t14_bpe_train": t14_bpe_train,
@@ -924,6 +1029,7 @@ QUERIES = {
 
 ORACLE = {
     "t16_quality_classifier": _T16_SQL,
+    "t17_perplexity_buckets": _T17_SQL,
     "t15_bpe_encode": _T15_SQL,
     "t14_bpe_train": _T14_SQL,
     "t1_language_id": _T1_SQL,

@@ -106,6 +106,33 @@ def test_w15_grid_complete_and_locf_replay(spark):
             assert r.locf_value == carried, (t, r, carried)
 
 
+def test_t17_terciles_balanced_and_ordered(spark):
+    """Per language: tercile sizes differ by ≤1, every bucket is
+    populated (≥3 docs per lang at this SF), and the score ranges
+    are ordered head ≤ middle ≤ tail; reference-domain docs (src0)
+    must score better on average than the corpus (they're
+    in-domain for the LM)."""
+    from postgres_scanner_spark.functions import text
+    rows = text.t17_perplexity_buckets(spark, SF).collect()
+    src = {r.doc_id: r.source for r in spark.read.parquet(
+        f"{SF}/documents.parquet").select("doc_id", "source").collect()}
+    by_lang = {}
+    for r in rows:
+        assert r.n_tok > 0
+        by_lang.setdefault(r.lang, {}).setdefault(
+            r.ppl_bucket, []).append(r.avg_nll)
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert max(buckets["head"]) <= min(buckets["middle"]) or \
+            abs(max(buckets["head"]) - min(buckets["middle"])) < 1e-12
+        assert max(buckets["middle"]) <= min(buckets["tail"]) or \
+            abs(max(buckets["middle"]) - min(buckets["tail"])) < 1e-12
+    ref = [r.avg_nll for r in rows if src[r.doc_id] == text._T17_REF_SOURCE]
+    rest = [r.avg_nll for r in rows if src[r.doc_id] != text._T17_REF_SOURCE]
+    assert sum(ref) / len(ref) < sum(rest) / len(rest)
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
