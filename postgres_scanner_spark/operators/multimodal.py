@@ -742,6 +742,81 @@ FROM m ORDER BY shard_id, doc_id
 """
 
 
+# ---- M9: WebDataset shard repack plan --------------------------------
+_M9_SHARD_BYTES = 64 * 1024   # target bytes per output shard
+_M9_BUCKET = 256              # doc_id range per parallel cumsum bucket
+
+
+def m9_shard_repack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-sharding plan for a WebDataset-style tar corpus: assign
+    members (in doc_id order) to fixed-byte-budget output shards by
+    GLOBAL byte offset — shard_id = floor(exclusive_prefix_bytes /
+    budget), the deterministic repack every multimodal pipeline runs
+    when upstream shards are skewed (M6 writes them; this plans the
+    rebalance). Member cost is the ustar footprint: 512B header +
+    data padded to 512B.
+
+    Scale design (100 TB): a naive plan is ONE global cumsum — a
+    single-partition window, the exact scale-killer x6 documents.
+    Here the prefix sum is hierarchical: (1) per-bucket exclusive
+    cumsum, windows partitioned on doc_id-range buckets and fully
+    parallel; (2) bucket totals — a tiny aggregate (|buckets| rows,
+    data-volume / bucket-span) — get their own exclusive cumsum and
+    broadcast back as offsets; (3) global_prefix = bucket_offset +
+    local_prefix. Identical to the global window by associativity of
+    +, which is exactly what the single-window oracle checks."""
+    from pyspark.sql.window import Window
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    member = d.select(
+        "doc_id", (F.col("doc_id") / _M9_BUCKET).cast("long").alias("bkt"),
+        (F.lit(512) + 512 * F.ceil(F.octet_length("text") / 512.0)
+         .cast("long")).alias("bytes"))
+    w_local = (Window.partitionBy("bkt").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = member.withColumn(
+        "local_prefix", F.coalesce(F.sum("bytes").over(w_local), F.lit(0)))
+    totals = member.groupBy("bkt").agg(F.sum("bytes").alias("bkt_bytes"))
+    w_bkt = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("bkt_bytes").over(w_bkt), F.lit(0))
+        .alias("bkt_offset"))
+    planned = (local.join(F.broadcast(offsets), "bkt")
+               .select("doc_id", "bytes",
+                       ((F.col("bkt_offset") + F.col("local_prefix"))
+                        / _M9_SHARD_BYTES).cast("long").alias("shard_id")))
+    return (planned.groupBy("shard_id")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum("bytes").cast("long").alias("shard_bytes"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .withColumn("utilization",
+                        F.round(F.col("shard_bytes")
+                                / float(_M9_SHARD_BYTES), 4))
+            .orderBy("shard_id"))
+
+
+_M9_SQL = f"""
+WITH member AS (
+  SELECT doc_id,
+         512 + 512 * CAST(ceil(strlen(text) / 512.0) AS BIGINT) AS bytes
+  FROM documents),
+planned AS (
+  SELECT doc_id, bytes,
+         CAST(COALESCE(SUM(bytes) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {_M9_SHARD_BYTES} AS BIGINT) AS shard_id
+  FROM member)
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       ROUND(SUM(bytes) / {_M9_SHARD_BYTES}.0, 4) AS utilization
+FROM planned GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
@@ -751,6 +826,7 @@ QUERIES = {
     "m6_tar_shard_manifest": m6_tar_shard_manifest,
     "m7_npy_tensor_parse": m7_npy_tensor_parse,
     "m8_jsonl_shard_codec": m8_jsonl_shard_codec,
+    "m9_shard_repack_plan": m9_shard_repack_plan,
 }
 
 ORACLE: dict[str, str] = {
@@ -762,4 +838,5 @@ ORACLE: dict[str, str] = {
     "m6_tar_shard_manifest": _M6_SQL,
     "m7_npy_tensor_parse": _m7_sql(),
     "m8_jsonl_shard_codec": _M8_SQL,
+    "m9_shard_repack_plan": _M9_SQL,
 }

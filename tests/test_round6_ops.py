@@ -133,6 +133,29 @@ def test_t17_terciles_balanced_and_ordered(spark):
     assert sum(ref) / len(ref) < sum(rest) / len(rest)
 
 
+def test_m9_shards_contiguous_and_budget_bounded(spark):
+    """The repack plan must cover every doc exactly once in contiguous
+    doc_id ranges, and each shard (except the last) must end because
+    the NEXT member would start past the budget boundary: its bytes
+    span the shard's budget edge."""
+    from postgres_scanner_spark.operators import multimodal as mm
+    rows = sorted(mm.m9_shard_repack_plan(spark, SF).collect(),
+                  key=lambda r: r.shard_id)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_members for r in rows) == n_docs
+    prefix = 0
+    for i, r in enumerate(rows):
+        if i > 0:
+            assert r.first_doc == rows[i - 1].last_doc + 1
+        # members assigned by exclusive prefix: shard i owns offsets
+        # [i*B, (i+1)*B) — so this shard starts within its own band
+        assert prefix // mm._M9_SHARD_BYTES == r.shard_id, (r, prefix)
+        prefix += r.shard_bytes
+        if i < len(rows) - 1:
+            # next member starts at `prefix`, in the NEXT band
+            assert prefix // mm._M9_SHARD_BYTES > r.shard_id
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
