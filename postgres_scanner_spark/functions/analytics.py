@@ -1039,6 +1039,81 @@ ORDER BY event_type, hour
 """
 
 
+# ---- W16: time-weighted average (LOCF integral) ----------------------
+def w16_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB `time_weight('locf')` → `average()`: per
+    event_type, the integral of the last-observation-carried-forward
+    value curve over [first_obs, last_obs], divided by the span —
+    the correct mean for irregularly-sampled series where the plain
+    AVG over-weights bursts (w15 materializes the LOCF curve; this
+    integrates it without materializing).
+
+    Scale design (100 TB): the naive form is lead(ts) over ONE
+    window per event_type — unbounded partition, the scale-killer.
+    Here each observation's segment length comes from a window
+    partitioned on (event_type, DAY) — bounded, parallel — and the
+    per-day LAST observation is stitched to the next populated day's
+    first timestamp through a tiny (|types|×|days|) day-firsts
+    relation with its own lead. Identical to the global lead by
+    construction (day_firsts skips empty days), which is exactly the
+    formulation the oracle runs.
+
+    Float determinism: value is exact at decimal(14,2) (w9's cast);
+    segment weights value×Δt_µs stay in exact decimal arithmetic all
+    the way to one final double division by the span."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("decimal(14,2)").alias("vdec"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / 86_400_000_000).cast("long").alias("day"))
+    w_day = Window.partitionBy("event_type", "day") \
+        .orderBy("ts_us", "event_id")
+    seg = base.withColumn("lead_us", F.lead("ts_us").over(w_day))
+    day_firsts = (base.groupBy("event_type", "day")
+                  .agg(F.min("ts_us").alias("first_us")))
+    w_days = Window.partitionBy("event_type").orderBy("day")
+    nxt = day_firsts.select(
+        "event_type", "day",
+        F.lead("first_us").over(w_days).alias("next_first_us"))
+    stitched = (seg.join(nxt, ["event_type", "day"])
+                .withColumn("dt_us",
+                            F.coalesce("lead_us", "next_first_us")
+                            - F.col("ts_us")))
+    return (stitched.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_obs"),
+                 (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+                 F.sum(F.col("vdec") * F.col("dt_us")).alias("integral"),
+                 F.sum("vdec").alias("vsum"))
+            .select("event_type", "n_obs", "span_us",
+                    F.round(F.col("integral").cast("double")
+                            / F.nullif("span_us", F.lit(0)), 6)
+                    .alias("twa"),
+                    F.round(F.col("vsum").cast("double") / F.col("n_obs"), 6)
+                    .alias("mean_value"))
+            .orderBy("event_type"))
+
+
+_W16_SQL = """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DECIMAL(14,2)) AS vdec
+  FROM events),
+seg AS (
+  SELECT event_type, ts_us, vdec,
+         LEAD(ts_us) OVER (PARTITION BY event_type
+                           ORDER BY ts_us, event_id) - ts_us AS dt_us
+  FROM base)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       MAX(ts_us) - MIN(ts_us) AS span_us,
+       ROUND(CAST(SUM(vdec * dt_us) AS DOUBLE)
+             / nullif(MAX(ts_us) - MIN(ts_us), 0), 6) AS twa,
+       ROUND(CAST(SUM(vdec) AS DOUBLE) / COUNT(*), 6) AS mean_value
+FROM seg GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---- X11: quality-stratified top-k% selection ------------------------
 def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified selection: keep each source's top 20% of
@@ -1204,6 +1279,7 @@ QUERIES = {
     "w13_dist_windows": w13_dist_windows,
     "w14_first_touch": w14_first_touch,
     "w15_gapfill_locf": w15_gapfill_locf,
+    "w16_time_weighted_avg": w16_time_weighted_avg,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1233,6 +1309,7 @@ ORACLE = {
     "w13_dist_windows": _W13_SQL,
     "w14_first_touch": _W14_SQL,
     "w15_gapfill_locf": _W15_SQL,
+    "w16_time_weighted_avg": _W16_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

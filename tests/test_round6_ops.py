@@ -156,6 +156,34 @@ def test_m9_shards_contiguous_and_budget_bounded(spark):
             assert prefix // mm._M9_SHARD_BYTES > r.shard_id
 
 
+def test_w16_matches_global_replay(spark):
+    """The day-bucketed stitched integral must equal a plain Python
+    replay of the global LOCF integral, and the time-weighted mean
+    must actually differ from the arithmetic mean somewhere (the
+    irregular-sampling correction is doing work)."""
+    from decimal import Decimal
+    from postgres_scanner_spark.functions import analytics
+    rows = {r.event_type: r
+            for r in analytics.w16_time_weighted_avg(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "event_id", "ts", "value").collect()
+    series = {}
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        series.setdefault(r.event_type, []).append(
+            (us, r.event_id, Decimal(str(round(r.value, 2)))))
+    for t, obs in series.items():
+        obs.sort()
+        integral = sum(v * (obs[i + 1][0] - us)
+                       for i, (us, _e, v) in enumerate(obs[:-1]))
+        span = obs[-1][0] - obs[0][0]
+        got = rows[t]
+        assert got.n_obs == len(obs)
+        assert got.span_us == span
+        assert abs(got.twa - round(float(integral) / span, 6)) < 1e-6, t
+    assert any(abs(r.twa - r.mean_value) > 1e-4 for r in rows.values())
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
