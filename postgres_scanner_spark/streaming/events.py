@@ -1111,6 +1111,99 @@ GROUP BY s.lang ORDER BY s.lang
 """
 
 
+# ----------------- E18 streaming quality router (multi-sink split)
+_E18_MIN_CHARS = 50
+_E18_MAX_CHARS = 5000
+_E18_MIN_DIVERSITY = 0.5
+
+
+def e18_streaming_quality_router(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Streaming quality ROUTING: documents arrive in micro-batches
+    and each batch splits into a kept table and a rejected table
+    (with the first failing rule as the reject reason) — the fan-out
+    every ingestion pipeline runs between raw crawl and training
+    corpus. Rules are T2's cheap lexical signals: a length band and
+    a unique-token-ratio floor.
+
+    Both routes land in ONE ManagedStore as atomic snapshot appends.
+    foreachBatch gives at-least-once semantics per sink; a batch that
+    fails between the two inserts would replay both, so each row
+    carries its batch_id — the store-side dedup key a production
+    resume would anti-join on (E17 implements that probe; here the
+    availableNow drain is single-pass).
+
+    Scale: the split predicate is per-row codegen (no shuffle, no
+    UDF); each micro-batch writes two partitioned appends; the
+    router itself holds NO state — restart replays only the
+    unconsumed source tail."""
+    import hashlib
+    import os
+    import shutil
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stage = _stage_symlink(src)
+    root = os.path.join(
+        "/tmp", "pg_spark_router_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    out_schema = "doc_id BIGINT, lang STRING, batch_id BIGINT, reason STRING"
+    store.create_table("docs_kept", spark.createDataFrame([], out_schema))
+    store.create_table("docs_rejected", spark.createDataFrame([], out_schema))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        toks = F.split(F.lower(F.col("text")), " ")
+        diversity = F.size(F.array_distinct(toks)) / F.size(toks)
+        reason = (
+            F.when((F.col("n_chars") < _E18_MIN_CHARS)
+                   | (F.col("n_chars") > _E18_MAX_CHARS), "length")
+            .when(diversity < _E18_MIN_DIVERSITY, "diversity"))
+        routed = batch_df.select(
+            "doc_id", "lang", F.lit(batch_id).cast("long").alias("batch_id"),
+            reason.alias("reason"))
+        store.insert("docs_kept", routed.filter(F.col("reason").isNull()))
+        store.insert("docs_rejected",
+                     routed.filter(F.col("reason").isNotNull()))
+
+    schema = spark.read.parquet(src).schema
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema).parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(root, "_ckpt"))
+             .start())
+        _drain(q)
+    kept = store.scan("docs_kept").select(
+        F.lit("kept").alias("route"), F.lit(None).cast("string")
+        .alias("reason"), "lang", "doc_id")
+    rej = store.scan("docs_rejected").select(
+        F.lit("rejected").alias("route"), "reason", "lang", "doc_id")
+    return (kept.unionByName(rej)
+            .groupBy("route", "reason", "lang")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("route", "reason", "lang"))
+
+
+_E18_SQL = f"""
+WITH routed AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_chars < {_E18_MIN_CHARS}
+                   OR n_chars > {_E18_MAX_CHARS} THEN 'length'
+              WHEN len(list_distinct(string_split(lower(text), ' ')))
+                   * 1.0 / len(string_split(lower(text), ' '))
+                   < {_E18_MIN_DIVERSITY} THEN 'diversity'
+         END AS reason
+  FROM documents)
+SELECT CASE WHEN reason IS NULL THEN 'kept' ELSE 'rejected' END AS route,
+       reason, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM routed GROUP BY 1, 2, 3 ORDER BY route, reason, lang
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -1129,10 +1222,12 @@ QUERIES = {
     "e15_stream_left_outer": e15_stream_left_outer,
     "e16_connector_stream": e16_connector_stream,
     "e17_streaming_dedup_ingest": e17_streaming_dedup_ingest,
+    "e18_streaming_quality_router": e18_streaming_quality_router,
 }
 
 ORACLE = {
     "e17_streaming_dedup_ingest": _E17_SQL,
+    "e18_streaming_quality_router": _E18_SQL,
     "e1_hourly_event_rollup": _E1_SQL,
     "e2_sessionization": _E2_SQL,
     "e4_top_users": _E4_SQL,

@@ -184,6 +184,24 @@ def test_w16_matches_global_replay(spark):
     assert any(abs(r.twa - r.mean_value) > 1e-4 for r in rows.values())
 
 
+def test_e18_routes_partition_the_corpus(spark):
+    """kept ∪ rejected must partition the corpus exactly (no doc
+    dropped or double-routed), kept rows carry no reason, rejected
+    rows carry one of the two rule names."""
+    from postgres_scanner_spark.streaming import events
+    rows = events.e18_streaming_quality_router(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    total_ids = n_docs * (n_docs - 1) // 2
+    assert sum(r.n for r in rows) == n_docs
+    assert sum(r.id_sum for r in rows) == total_ids
+    for r in rows:
+        if r.route == "kept":
+            assert r.reason is None
+        else:
+            assert r.reason in ("length", "diversity"), r
+    assert {r.route for r in rows} == {"kept", "rejected"}
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
