@@ -1263,6 +1263,126 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# ---- X12: corpus compilation funnel ----------------------------------
+_X12_BUDGET_FRAC = 0.5     # select half the surviving tokens
+_X12_MIN_CHARS, _X12_MAX_CHARS = 50, 5000
+_X12_MIN_DIVERSITY = 0.5
+
+
+def x12_corpus_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus COMPILE manifest: exact dedup → quality
+    filter → temperature-weighted per-source selection, reported as
+    the per-source funnel (raw → deduped → kept → selected with
+    token counts) — the auditable artifact a data-curation run ships
+    alongside the corpus. Composes D1's dedup rule, E18's filter
+    rules, and X9's tokens^0.5 weighting into one plan.
+
+    Selection is deterministic greedy fill: docs ordered per source
+    by (md5(doc_id), doc_id), taken while the EXCLUSIVE token cumsum
+    is under the source's quota — reproducible across engines,
+    cluster sizes, and runs (no RNG).
+
+    Scale: three corpus-touching aggregates (fingerprint groupBy,
+    per-source rollups, the per-source selection window) — each a
+    single shuffle; the quota math runs on the |sources|-row summary
+    (metadata-sized); a Zipf-hot source's selection window is the
+    x6 bucket-parallel refinement at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    toks = F.split(F.lower(F.col("text")), " ")
+    diversity = F.size(F.array_distinct(toks)) / F.size(toks)
+    base = d.select("doc_id", "source", "n_chars", fp.alias("fp"),
+                    F.size(toks).alias("n_tok"), diversity.alias("div"))
+    keeper = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = base.join(keeper, ["fp", "doc_id"])
+    kept = deduped.filter(
+        (F.col("n_chars") >= _X12_MIN_CHARS)
+        & (F.col("n_chars") <= _X12_MAX_CHARS)
+        & (F.col("div") >= _X12_MIN_DIVERSITY))
+    src_tok = kept.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens"))
+    w_all = Window.partitionBy()
+    quota = src_tok.select(
+        "source", "src_tokens",
+        F.floor(F.lit(_X12_BUDGET_FRAC)
+                * F.sum("src_tokens").over(w_all)
+                * F.sqrt("src_tokens")
+                / F.sum(F.sqrt("src_tokens")).over(w_all))
+        .cast("long").alias("quota_tokens"))
+    w_sel = (Window.partitionBy("source")
+             .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    selected = (kept.join(F.broadcast(quota), "source")
+                .withColumn("cum_excl",
+                            F.coalesce(F.sum("n_tok").over(w_sel), F.lit(0)))
+                .withColumn("sel", F.col("cum_excl") < F.col("quota_tokens")))
+    funnel_raw = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_raw"))
+    funnel_dedup = deduped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_dedup"))
+    funnel_sel = selected.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("sel"), 1).otherwise(0)).cast("long")
+        .alias("n_selected"),
+        F.sum(F.when(F.col("sel"), F.col("n_tok")).otherwise(0))
+        .cast("long").alias("sel_tokens"))
+    return (funnel_raw.join(funnel_dedup, "source")
+            .join(quota, "source").join(funnel_sel, "source")
+            .select("source", "n_raw", "n_dedup", "n_kept", "src_tokens",
+                    "quota_tokens", "n_selected", "sel_tokens")
+            .orderBy("source"))
+
+
+_X12_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         len(list_distinct(string_split(lower(text), ' '))) * 1.0
+           / len(string_split(lower(text), ' ')) AS div
+  FROM documents),
+keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM base GROUP BY fp),
+deduped AS (SELECT b.* FROM base b JOIN keeper USING (fp, doc_id)),
+kept AS (
+  SELECT * FROM deduped
+  WHERE n_chars BETWEEN {_X12_MIN_CHARS} AND {_X12_MAX_CHARS}
+    AND div >= {_X12_MIN_DIVERSITY}),
+src_tok AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+  FROM kept GROUP BY source),
+quota AS (
+  SELECT source, src_tokens,
+         CAST(floor({_X12_BUDGET_FRAC} * SUM(src_tokens) OVER ()
+              * sqrt(src_tokens)
+              / SUM(sqrt(src_tokens)) OVER ()) AS BIGINT) AS quota_tokens
+  FROM src_tok),
+selected AS (
+  SELECT k.source, k.n_tok,
+         COALESCE(SUM(k.n_tok) OVER (PARTITION BY k.source
+             ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           < q.quota_tokens AS sel
+  FROM kept k JOIN quota q USING (source)),
+funnel AS (
+  SELECT source,
+         (SELECT COUNT(*) FROM base b WHERE b.source = s.source) AS n_raw,
+         (SELECT COUNT(*) FROM deduped d2 WHERE d2.source = s.source)
+           AS n_dedup,
+         COUNT(*) AS n_kept,
+         CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+         CAST(SUM(CASE WHEN sel THEN n_tok ELSE 0 END) AS BIGINT)
+           AS sel_tokens
+  FROM selected s GROUP BY source)
+SELECT f.source, CAST(f.n_raw AS BIGINT) AS n_raw,
+       CAST(f.n_dedup AS BIGINT) AS n_dedup,
+       CAST(f.n_kept AS BIGINT) AS n_kept,
+       q.src_tokens, q.quota_tokens, f.n_selected, f.sel_tokens
+FROM funnel f JOIN quota q USING (source)
+ORDER BY f.source
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -1280,6 +1400,7 @@ QUERIES = {
     "w14_first_touch": w14_first_touch,
     "w15_gapfill_locf": w15_gapfill_locf,
     "w16_time_weighted_avg": w16_time_weighted_avg,
+    "x12_corpus_compile": x12_corpus_compile,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1310,6 +1431,7 @@ ORACLE = {
     "w14_first_touch": _W14_SQL,
     "w15_gapfill_locf": _W15_SQL,
     "w16_time_weighted_avg": _W16_SQL,
+    "x12_corpus_compile": _X12_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

@@ -202,6 +202,30 @@ def test_e18_routes_partition_the_corpus(spark):
     assert {r.route for r in rows} == {"kept", "rejected"}
 
 
+def test_x12_funnel_monotone_and_quota_filled(spark):
+    """Funnel counts must be monotone (raw ≥ dedup ≥ kept ≥
+    selected); each source either fills its quota (greedy: selected
+    tokens reach quota, overshooting by at most one document) or
+    runs out of docs (selects everything it kept)."""
+    from pyspark.sql import functions as F
+    from postgres_scanner_spark.functions import analytics
+    rows = analytics.x12_corpus_compile(spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    max_tok = docs.select(
+        F.max(F.size(F.split(F.lower("text"), " ")))).first()[0]
+    for r in rows:
+        assert r.n_raw >= r.n_dedup >= r.n_kept >= r.n_selected >= 0, r
+        if r.n_selected == r.n_kept:
+            assert r.sel_tokens == r.src_tokens, r
+        else:
+            assert r.sel_tokens >= r.quota_tokens, r
+            assert r.sel_tokens - r.quota_tokens < max_tok, r
+    total_sel = sum(r.sel_tokens for r in rows)
+    total_src = sum(r.src_tokens for r in rows)
+    assert 0 < total_sel < total_src
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""

@@ -185,6 +185,7 @@ def test_plan_lint_all_queries(spark):
         "x8_epoch_plan",           # scalar corpus average → repeat tiers
         "w15_gapfill_locf",        # 1-row hour-span aggregate × types
         "t17_perplexity_buckets",  # 1-row vocab/token-count stats
+        "x12_corpus_compile",      # |sources|-row quota summary windows
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
