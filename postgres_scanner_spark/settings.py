@@ -31,6 +31,11 @@ class Settings:
     _extra: dict[str, Any] = field(default_factory=dict)
 
     def set(self, name: str, value: Any) -> None:
+        if name == "pg_null_byte_replacement" and value is not None \
+                and "\x00" in str(value):
+            # reference: attach_null_byte.test (SET ...=chr(0) errors)
+            raise ValueError(
+                "NULL byte replacement string cannot contain NULL values")
         if hasattr(self, name) and not name.startswith("_"):
             cur = getattr(self, name)
             if isinstance(cur, bool):

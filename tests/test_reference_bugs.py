@@ -1070,3 +1070,64 @@ def test_daterange_array():
         pgt.NUMRANGEOID,
         rng(0x02 | 0x04, _enc_numeric(Decimal("1.5")),
             _enc_numeric(Decimal("2.5")))) == "[1.5,2.5]"
+
+
+def test_attach_null_byte_setting_guard():
+    """reference: attach_null_byte.test (tail) — SET
+    pg_null_byte_replacement=chr(0) errors with 'NULL byte
+    replacement string cannot contain NULL values'; valid values
+    (empty string, a marker) are accepted; RESET restores the
+    reject-NULs default."""
+    from postgres_scanner_spark.settings import Settings
+    s = Settings()
+    s.set("pg_null_byte_replacement", "")
+    assert s.pg_null_byte_replacement == ""
+    s.set("pg_null_byte_replacement", "NULLBYTE")
+    assert s.pg_null_byte_replacement == "NULLBYTE"
+    with pytest.raises(ValueError,
+                       match="cannot contain NULL values"):
+        s.set("pg_null_byte_replacement", "\x00")
+    with pytest.raises(ValueError, match="cannot contain NULL values"):
+        s.set("pg_null_byte_replacement", "A\x00B")
+    assert s.pg_null_byte_replacement == "NULLBYTE"  # failed SET kept old
+    s.reset()
+    assert s.pg_null_byte_replacement is None
+
+
+def test_attach_prefix(spark):
+    """reference: attach_prefix.test — ATTACH 'postgres:dsn' selects
+    the engine without an explicit (TYPE POSTGRES), via both the API
+    and the SQL router."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import execute_statement
+    cat = Catalog(spark)
+    db = cat.attach("postgres:dbname=postgresscanner host=h1",
+                    alias="s", register_views=False)
+    assert db.backend == "jdbc"
+    assert db.conn.dbname == "postgresscanner"
+    assert db.conn.host == "h1"
+    cat.detach("s")
+    execute_statement(
+        cat, "ATTACH 'postgres:dbname=postgresscanner' AS s")
+    assert cat.attached["s"].conn.dbname == "postgresscanner"
+    execute_statement(cat, "DETACH s")
+
+
+def test_attach_types_macaddr_wire():
+    """reference: attach_types_macaddr.test — macaddr scans/inserts
+    as its text form (incl. NULL and macaddr[] inside the complex-mix
+    row), carried by the type map + wire codec halves the sandbox can
+    exercise without a live server."""
+    from pyspark.sql import types as T
+    from postgres_scanner_spark import types as pgt
+    from postgres_scanner_spark.pgwire import (
+        BinaryCopyReader, BinaryCopyWriter,
+    )
+    from postgres_scanner_spark.types import pg_type_to_spark
+    assert isinstance(pg_type_to_spark("macaddr"), T.StringType)
+    assert pgt._OID_TO_NAME[pgt.MACADDROID] == "macaddr"
+    mac = "08:00:2b:01:02:03"
+    buf = io.BytesIO()
+    BinaryCopyWriter([pgt.MACADDROID]).write(buf, [(mac,), (None,)])
+    assert list(BinaryCopyReader([pgt.MACADDROID]).read(
+        io.BytesIO(buf.getvalue()))) == [(mac,), (None,)]
