@@ -1291,8 +1291,13 @@ def x12_corpus_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     toks = F.split(F.lower(F.col("text")), " ")
     diversity = F.size(F.array_distinct(toks)) / F.size(toks)
-    base = d.select("doc_id", "source", "n_chars", fp.alias("fp"),
-                    F.size(toks).alias("n_tok"), diversity.alias("div"))
+    from ..runtime import scratch_persist
+    # narrow per-doc stats (no text) computed ONCE — base feeds the
+    # dedup keeper, the survivor join, and the raw funnel; without
+    # the persist Catalyst re-runs md5+split over the corpus per use
+    base = scratch_persist(
+        d.select("doc_id", "source", "n_chars", fp.alias("fp"),
+                 F.size(toks).alias("n_tok"), diversity.alias("div")))
     keeper = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = base.join(keeper, ["fp", "doc_id"])
     kept = deduped.filter(

@@ -941,12 +941,16 @@ def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", "lang", "source",
                     F.explode(_tokens()).alias("w"))
            .filter(F.col("w") != ""))
-    refc = (tok.filter(F.col("source") == _T17_REF_SOURCE)
-            .groupBy("w").agg(F.count("*").alias("c")))
+    # ONE tokenize+explode pass feeds both the reference counts and
+    # the scoring side (persisted: the raw explode is the expensive
+    # half; recomputing it doubles the corpus scans)
+    per_word = scratch_persist(
+        tok.groupBy("doc_id", "lang", "source", "w")
+        .agg(F.count("*").alias("cnt")))
+    refc = (per_word.filter(F.col("source") == _T17_REF_SOURCE)
+            .groupBy("w").agg(F.sum("cnt").cast("long").alias("c")))
     stats = refc.agg(F.sum("c").cast("long").alias("n_ref"),
                      F.count("*").cast("long").alias("v_ref"))
-    per_word = tok.groupBy("doc_id", "lang", "w") \
-        .agg(F.count("*").alias("cnt"))
     scored = (per_word.join(refc, "w", "left")
               .crossJoin(F.broadcast(stats)))
     logp = (F.log(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
