@@ -53,6 +53,7 @@ _COST_ORDER = [
     "a9_mih_hamming_ann", "w15_gapfill_locf", "t17_perplexity_buckets",
     "m9_shard_repack_plan", "w16_time_weighted_avg",
     "e18_streaming_quality_router", "x12_corpus_compile",
+    "w17_ohlc_bars", "e19_idempotent_replay",
     "w9_continuous_aggregate", "w14_first_touch", "w12_range_frame",
     "w11_grouping_sets", "w13_dist_windows", "w10_skew_join",
     "ds1_above_avg_customers", "ds6_top_customers_per_region",

@@ -1263,6 +1263,53 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# ---- W17: OHLC candlestick bars --------------------------------------
+def w17_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB/financial `ohlc` rollup: per (event_type, hour)
+    bar — open (value at earliest event), high, low, close (value at
+    latest event), count. Open/close are argmin/argmax on the
+    zero-padded (ts, event_id) key (W14's portable-lexicographic
+    idiom) via min_by/max_by, which both engines implement; the key
+    is total (event_id unique) so ties cannot diverge.
+
+    Scale: ONE map-side-combined aggregate keyed on (type, hour) —
+    min_by/max_by combine associatively, so partial aggregation
+    works exactly like min/max; no window, no sort, no second pass.
+    Values pass through untouched (no float arithmetic at all), so
+    no rounding is needed for cross-engine equality."""
+    e = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp"))
+               .cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"))
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+    return (e.select("event_type", hour.alias("hour"), "value",
+                     key.alias("k"))
+            .groupBy("event_type", "hour")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min_by("value", "k").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "k").alias("close"))
+            .orderBy("event_type", "hour"))
+
+
+_W17_SQL = """
+WITH base AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+  FROM events)
+SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n,
+       min_by(value, k) AS open, MAX(value) AS high, MIN(value) AS low,
+       max_by(value, k) AS close
+FROM base GROUP BY event_type, hour
+ORDER BY event_type, hour
+"""
+
+
 # ---- X12: corpus compilation funnel ----------------------------------
 _X12_BUDGET_FRAC = 0.5     # select half the surviving tokens
 _X12_MIN_CHARS, _X12_MAX_CHARS = 50, 5000
@@ -1406,6 +1453,7 @@ QUERIES = {
     "w15_gapfill_locf": w15_gapfill_locf,
     "w16_time_weighted_avg": w16_time_weighted_avg,
     "x12_corpus_compile": x12_corpus_compile,
+    "w17_ohlc_bars": w17_ohlc_bars,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1437,6 +1485,7 @@ ORACLE = {
     "w15_gapfill_locf": _W15_SQL,
     "w16_time_weighted_avg": _W16_SQL,
     "x12_corpus_compile": _X12_SQL,
+    "w17_ohlc_bars": _W17_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

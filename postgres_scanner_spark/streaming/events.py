@@ -1204,6 +1204,86 @@ FROM routed GROUP BY 1, 2, 3 ORDER BY route, reason, lang
 """
 
 
+# ------------- E19 exactly-once ingest via idempotent batch replay
+def e19_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest on top of foreachBatch's at-least-once
+    contract: every append carries its batch_id, and the sink SKIPS
+    any batch whose id is already in the store — so a retried batch
+    (failure after commit, before checkpoint ack: the classic
+    double-delivery window) lands exactly once. This query PROVES
+    the guard by replaying batch 0 by hand after the drain and by
+    re-running the stream against its own checkpoint — the store
+    must equal one clean pass of the source.
+
+    Scale: the guard probe reads only the store's batch_id column
+    (dictionary-encoded parquet — a metadata-sized scan) and runs
+    once per micro-batch; appends stay atomic snapshots. This is
+    E18's documented upgrade path from at-least-once.
+    """
+    import hashlib
+    import os
+    import shutil
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = _stage_symlink(src)
+    root = os.path.join(
+        "/tmp", "pg_spark_once_" + hashlib.md5(src.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    store.create_table("events_once", spark.createDataFrame(
+        [], "event_id BIGINT, event_type STRING, value DOUBLE, "
+            "batch_id BIGINT"))
+    replay_bait = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen = {r.batch_id for r in store.scan("events_once")
+                .select("batch_id").distinct().collect()}
+        if batch_id in seen:
+            return                       # idempotent replay guard
+        if batch_id not in replay_bait:
+            replay_bait[batch_id] = batch_df
+        store.insert("events_once", batch_df.select(
+            "event_id", "event_type", "value",
+            F.lit(batch_id).cast("long").alias("batch_id")))
+
+    schema = spark.read.parquet(src).schema
+    ckpt = os.path.join(root, "_ckpt")
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema).parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        _drain(q)
+        # simulate the double-delivery window: re-deliver every
+        # drained batch by hand — the guard must drop all of them
+        for bid, bdf in replay_bait.items():
+            sink(bdf, bid)
+        # and a full restart against the same checkpoint: processes
+        # nothing new, appends nothing
+        q = (spark.readStream.schema(schema).parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        _drain(q)
+    return (store.scan("events_once")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                 .alias("sum_value"))
+            .orderBy("event_type"))
+
+
+_E19_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -1223,11 +1303,13 @@ QUERIES = {
     "e16_connector_stream": e16_connector_stream,
     "e17_streaming_dedup_ingest": e17_streaming_dedup_ingest,
     "e18_streaming_quality_router": e18_streaming_quality_router,
+    "e19_idempotent_replay": e19_idempotent_replay,
 }
 
 ORACLE = {
     "e17_streaming_dedup_ingest": _E17_SQL,
     "e18_streaming_quality_router": _E18_SQL,
+    "e19_idempotent_replay": _E19_SQL,
     "e1_hourly_event_rollup": _E1_SQL,
     "e2_sessionization": _E2_SQL,
     "e4_top_users": _E4_SQL,

@@ -226,6 +226,41 @@ def test_x12_funnel_monotone_and_quota_filled(spark):
     assert 0 < total_sel < total_src
 
 
+def test_w17_ohlc_replay(spark):
+    """open/high/low/close per (type, hour) must match a Python
+    replay over the raw events, with open/close picked by the
+    (ts, event_id) total order."""
+    from postgres_scanner_spark.functions import analytics
+    rows = {(r.event_type, r.hour): r
+            for r in analytics.w17_ohlc_bars(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    bars = {}
+    for r in ev:
+        h = r.ts.strftime("%Y-%m-%d %H:00")
+        bars.setdefault((r.event_type, h), []).append(
+            (int(r.ts.timestamp() * 1e6), r.event_id, r.value))
+    assert set(bars) == set(rows)
+    for k, obs in bars.items():
+        obs.sort()
+        got = rows[k]
+        assert got.n == len(obs)
+        assert got.open == obs[0][2] and got.close == obs[-1][2], k
+        vals = [v for _, _, v in obs]
+        assert got.high == max(vals) and got.low == min(vals), k
+
+
+def test_e19_store_equals_one_clean_pass(spark):
+    """After the drain + hand-replayed batches + checkpoint restart
+    (all inside the op), the store must hold each source row exactly
+    once."""
+    from postgres_scanner_spark.streaming import events
+    rows = events.e19_idempotent_replay(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n = ev.count()
+    assert sum(r.n for r in rows) == n
+    assert len(rows) == ev.select("event_type").distinct().count()
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
