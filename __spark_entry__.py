@@ -54,6 +54,10 @@ _COST_ORDER = [
     "m9_shard_repack_plan", "w16_time_weighted_avg",
     "e18_streaming_quality_router", "x12_corpus_compile",
     "w17_ohlc_bars", "e19_idempotent_replay",
+    "ds15_channel_growth_ratio", "ds16_above_avg_balance_nations",
+    "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
+    "ds19_two_fact_growth", "ds20_category_share_window",
+    "ds21_disjunctive_bands",
     "w9_continuous_aggregate", "w14_first_touch", "w12_range_frame",
     "w11_grouping_sets", "w13_dist_windows", "w10_skew_join",
     "ds1_above_avg_customers", "ds6_top_customers_per_region",

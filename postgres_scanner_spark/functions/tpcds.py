@@ -611,6 +611,393 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ---- DS15 (TPC-DS Q4 shape): cross-channel year-over-year ratio ------
+def ds15_channel_growth_ratio(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Q4's defining shape: per-customer yearly totals in TWO
+    channels across two consecutive years, keeping customers whose
+    growth ratio in channel A exceeds channel B. Channels adapt to
+    order priority (urgent/high = 'priority', rest = 'standard' —
+    the testdata has no store/catalog/web split; DS9's pseudo-channel
+    device). Guards mirror the official query: both year-1 totals
+    must be positive. The official CTE self-join collapses to ONE
+    conditional aggregation (4 decimal sums, one shuffle) — the
+    Spark-honest plan for a 2×2 year/channel matrix; exact decimal
+    totals, ratios compared (and emitted) in double."""
+    o = _t(spark, sf_dir, "orders")
+    pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    yr = F.year("o_orderdate")
+
+    def tot(is_pri, year, name):
+        cond = (pri if is_pri else ~pri) & (yr == year)
+        return F.sum(F.when(cond, F.col("o_totalprice").cast(_DEC))
+                     .otherwise(F.lit(0).cast(_DEC))).alias(name)
+
+    per = (o.filter(yr.isin(1994, 1995))
+           .groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(tot(True, 1994, "p94"), tot(True, 1995, "p95"),
+                tot(False, 1994, "s94"), tot(False, 1995, "s95")))
+    pr = F.col("p95").cast("double") / F.col("p94").cast("double")
+    sr = F.col("s95").cast("double") / F.col("s94").cast("double")
+    return (per.filter((F.col("p94") > 0) & (F.col("s94") > 0))
+            .withColumn("priority_ratio", F.round(pr, 6))
+            .withColumn("standard_ratio", F.round(sr, 6))
+            .filter(F.col("priority_ratio") > F.col("standard_ratio"))
+            .select("custkey", "priority_ratio", "standard_ratio")
+            .orderBy("custkey"))
+
+
+_DS15_SQL = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+    SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             AND year(CAST(o_orderdate AS DATE)) = 1994
+             THEN CAST(o_totalprice AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS p94,
+    SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             AND year(CAST(o_orderdate AS DATE)) = 1995
+             THEN CAST(o_totalprice AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS p95,
+    SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             AND year(CAST(o_orderdate AS DATE)) = 1994
+             THEN CAST(o_totalprice AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS s94,
+    SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             AND year(CAST(o_orderdate AS DATE)) = 1995
+             THEN CAST(o_totalprice AS DECIMAL(12,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS s95
+  FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
+  GROUP BY o_custkey)
+SELECT custkey,
+       ROUND(CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE), 6)
+         AS priority_ratio,
+       ROUND(CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE), 6)
+         AS standard_ratio
+FROM per
+WHERE p94 > 0 AND s94 > 0
+  AND ROUND(CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE), 6)
+      > ROUND(CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE), 6)
+ORDER BY custkey
+"""
+
+
+# ---- DS16 (TPC-DS Q6 shape): above-global-average cohort per nation --
+def ds16_above_avg_balance_nations(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Q6's defining shape: a scalar correlated average (global avg
+    account balance × 1.2) filters the fact side, grouped by
+    geography with a HAVING floor. The 1-row global average
+    broadcasts (the whitelisted scalar pattern); active = customer
+    placed ≥1 order in 1994 (Q6's month-cohort device on the
+    testdata calendar)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    gavg = c.agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                  / F.count("*")).alias("global_avg"))
+    active = (o.filter(F.year("o_orderdate") == 1994)
+              .select("o_custkey").distinct())
+    return (c.join(active, c.c_custkey == active.o_custkey)
+            .crossJoin(broadcast(gavg))
+            .filter(F.col("c_acctbal").cast("double")
+                    > F.lit(1.2) * F.col("global_avg"))
+            .join(broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").cast("long").alias("n_customers"))
+            .filter(F.col("n_customers") >= 10)
+            .orderBy("nation"))
+
+
+_DS16_SQL = """
+WITH gavg AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*) AS global_avg
+  FROM customer),
+active AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1994)
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN active ON c_custkey = o_custkey
+CROSS JOIN gavg
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DOUBLE) > 1.2 * global_avg
+GROUP BY n_name HAVING COUNT(*) >= 10
+ORDER BY nation
+"""
+
+
+# ---- DS17 (TPC-DS Q8 shape): substring-list semi-join ∩ cohort -------
+def ds17_substr_cohort_revenue(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Q8's defining shape: revenue restricted to customers whose
+    identifier SUBSTRING matches a literal list (zip prefixes in the
+    official query; the customer number's last-2 digits here),
+    INTERSECTed with a second cohort (above-average balance — the
+    official 'preferred customers' arm). Both cohorts are customer-
+    key sets; the intersect is a semi-join chain, then one revenue
+    aggregate per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    suffix = F.substring(F.col("c_name"), -2, 2)
+    in_list = c.filter(suffix.isin("11", "24", "37", "42", "59", "73",
+                                   "86", "98")).select("c_custkey")
+    gavg = c.agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                  / F.count("*")).alias("ga"))
+    preferred = (c.crossJoin(broadcast(gavg))
+                 .filter(F.col("c_acctbal").cast("double") > F.col("ga"))
+                 .select("c_custkey"))
+    cohort = (in_list.intersect(preferred)
+              .select(F.col("c_custkey").alias("k_custkey")))
+    return (o.join(cohort, o.o_custkey == F.col("k_custkey"))
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+                 .alias("revenue"))
+            .orderBy("nation"))
+
+
+_DS17_SQL = """
+WITH gavg AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*) AS ga FROM customer),
+in_list AS (
+  SELECT c_custkey FROM customer
+  WHERE substr(c_name, -2, 2) IN
+        ('11','24','37','42','59','73','86','98')),
+preferred AS (
+  SELECT c_custkey FROM customer CROSS JOIN gavg
+  WHERE CAST(c_acctbal AS DOUBLE) > ga),
+cohort AS (SELECT * FROM in_list INTERSECT SELECT * FROM preferred)
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS revenue
+FROM orders
+JOIN cohort ON o_custkey = c_custkey
+JOIN customer ON o_custkey = customer.c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation
+"""
+
+
+# ---- DS18 (TPC-DS Q10 shape): EXISTS AND (EXISTS OR EXISTS) ----------
+def ds18_multi_exists_cohort(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Q10's defining shape: customers that appear in one channel
+    AND at least one of two others — EXISTS q1 AND (EXISTS q2 OR
+    EXISTS q3) — counted per demographic. Channels adapt to 1994
+    quarters; the demographic is the market segment. Each EXISTS is
+    a distinct-key semi-join (no row multiplication), composed with
+    a left-semi ∘ (union of semis) chain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o94 = o.filter(F.year("o_orderdate") == 1994).select(
+        "o_custkey", F.quarter("o_orderdate").alias("q"))
+    q1 = o94.filter(F.col("q") == 1).select("o_custkey").distinct()
+    q23 = (o94.filter(F.col("q").isin(2, 3))
+           .select("o_custkey").distinct())
+    return (c.join(q1, c.c_custkey == q1.o_custkey, "left_semi")
+            .join(q23, c.c_custkey == q23.o_custkey, "left_semi")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").cast("long").alias("n_customers"))
+            .orderBy("segment"))
+
+
+_DS18_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND year(CAST(o_orderdate AS DATE)) = 1994
+                AND quarter(CAST(o_orderdate AS DATE)) = 1)
+  AND (EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey
+                 AND year(CAST(o_orderdate AS DATE)) = 1994
+                 AND quarter(CAST(o_orderdate AS DATE)) = 2)
+    OR EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey
+                 AND year(CAST(o_orderdate AS DATE)) = 1994
+                 AND quarter(CAST(o_orderdate AS DATE)) = 3))
+GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
+# ---- DS19 (TPC-DS Q11 shape): two-fact year-over-year comparison -----
+def ds19_two_fact_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's defining shape (Q4's sibling): per-customer yearly
+    totals from TWO DIFFERENT FACT TABLES (store vs web there;
+    order headers vs lineitem revenue here), keeping customers whose
+    fact-B growth outpaces fact-A growth between two years. Both
+    sides aggregate before the customer-key join — the fact tables
+    never join each other row-to-row."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    yr_o = F.year("o_orderdate")
+    head = (o.filter(yr_o.isin(1994, 1995))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.sum(F.when(yr_o == 1994,
+                              F.col("o_totalprice").cast(_DEC))
+                       .otherwise(F.lit(0).cast(_DEC))).alias("h94"),
+                 F.sum(F.when(yr_o == 1995,
+                              F.col("o_totalprice").cast(_DEC))
+                       .otherwise(F.lit(0).cast(_DEC))).alias("h95")))
+    yr_l = F.year("l_shipdate")
+    rev = (l.join(o.select("o_orderkey", "o_custkey"),
+                  l.l_orderkey == F.col("o_orderkey"))
+           .filter(yr_l.isin(1994, 1995))
+           .groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.sum(F.when(yr_l == 1994, _rev(l))
+                      .otherwise(F.lit(0).cast("decimal(14,4)")))
+                .alias("r94"),
+                F.sum(F.when(yr_l == 1995, _rev(l))
+                      .otherwise(F.lit(0).cast("decimal(14,4)")))
+                .alias("r95")))
+    hr = F.col("h95").cast("double") / F.col("h94").cast("double")
+    rr = F.col("r95").cast("double") / F.col("r94").cast("double")
+    return (head.join(rev, "custkey")
+            .filter((F.col("h94") > 0) & (F.col("r94") > 0))
+            .withColumn("rev_ratio", F.round(rr, 6))
+            .withColumn("head_ratio", F.round(hr, 6))
+            .filter(F.col("rev_ratio") > F.col("head_ratio"))
+            .select("custkey", "rev_ratio", "head_ratio")
+            .orderBy("custkey"))
+
+
+_DS19_SQL = """
+WITH head AS (
+  SELECT o_custkey AS custkey,
+    SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1994
+        THEN CAST(o_totalprice AS DECIMAL(12,2))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS h94,
+    SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+        THEN CAST(o_totalprice AS DECIMAL(12,2))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS h95
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
+  GROUP BY o_custkey),
+rev AS (
+  SELECT o_custkey AS custkey,
+    SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1994
+        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(4,2)))
+        ELSE CAST(0 AS DECIMAL(14,4)) END) AS r94,
+    SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1995
+        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(4,2)))
+        ELSE CAST(0 AS DECIMAL(14,4)) END) AS r95
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(CAST(l_shipdate AS DATE)) IN (1994, 1995)
+  GROUP BY o_custkey)
+SELECT custkey,
+       ROUND(CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE), 6) AS rev_ratio,
+       ROUND(CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE), 6) AS head_ratio
+FROM head JOIN rev USING (custkey)
+WHERE h94 > 0 AND r94 > 0
+  AND ROUND(CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE), 6)
+      > ROUND(CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE), 6)
+ORDER BY custkey
+"""
+
+
+# ---- DS20 (TPC-DS Q12 shape): share-of-category over a date window ---
+def ds20_category_share_window(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Q12's defining shape: revenue per item within its category
+    over a bounded date window, each row carrying its share of the
+    category total (ratio_to_report). Category = p_brand, item =
+    p_type; the share window partitions on brand (bounded
+    cardinality). Exact decimal sums; ONE final double division per
+    row."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    win = (l.filter((F.col("l_shipdate") >= "1994-01-01")
+                    & (F.col("l_shipdate") < "1994-01-31"))
+           .join(p, l.l_partkey == p.p_partkey)
+           .groupBy("p_brand", "p_type")
+           .agg(F.sum(_rev(l)).alias("rev_dec")))
+    w = Window.partitionBy("p_brand")
+    return (win.withColumn(
+        "brand_share",
+        F.round(F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(w).cast("double"), 6))
+        .select("p_brand", "p_type",
+                F.col("rev_dec").cast("double").alias("revenue"),
+                "brand_share")
+        .orderBy("p_brand", "p_type"))
+
+
+_DS20_SQL = """
+WITH win AS (
+  SELECT p_brand, p_type,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1994-01-31'
+  GROUP BY p_brand, p_type)
+SELECT p_brand, p_type, CAST(rev_dec AS DOUBLE) AS revenue,
+       ROUND(CAST(rev_dec AS DOUBLE) /
+             CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS DOUBLE), 6)
+         AS brand_share
+FROM win ORDER BY p_brand, p_type
+"""
+
+
+# ---- DS21 (TPC-DS Q13 shape): disjunctive compound predicate ---------
+def ds21_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13's defining shape: one fact scan under an OR of AND-ed
+    demographic/band triplets, feeding several averages at once.
+    Triplets adapt to (order priority, quantity band): the optimizer
+    must keep the disjunction as a single scan predicate — no
+    union-of-scans rewrite. Averages = exact decimal sums / counts,
+    divided once in double."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pred = (
+        ((F.col("o_orderpriority") == "1-URGENT")
+         & F.col("l_quantity").between(1, 10))
+        | ((F.col("o_orderpriority") == "2-HIGH")
+           & F.col("l_quantity").between(11, 25))
+        | ((F.col("o_orderpriority") == "3-MEDIUM")
+           & F.col("l_quantity").between(26, 50)))
+    j = l.join(o, l.l_orderkey == o.o_orderkey).filter(pred)
+    return (j.groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum(F.col("l_quantity").cast(_DEC))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_qty"),
+                 F.round(F.sum(F.col("l_extendedprice").cast(_DEC))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_price"),
+                 F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+                 .alias("sum_order_total"))
+            .orderBy("l_returnflag"))
+
+
+_DS21_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_order_total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE (o_orderpriority = '1-URGENT'
+       AND l_quantity BETWEEN 1 AND 10)
+   OR (o_orderpriority = '2-HIGH'
+       AND l_quantity BETWEEN 11 AND 25)
+   OR (o_orderpriority = '3-MEDIUM'
+       AND l_quantity BETWEEN 26 AND 50)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "ds1_above_avg_customers": ds1_above_avg_customers,
     "ds2_weekday_share": ds2_weekday_share,
@@ -626,6 +1013,13 @@ QUERIES = {
     "ds12_order_size_band": ds12_order_size_band,
     "ds13_low_revenue_parts": ds13_low_revenue_parts,
     "ds14_shipping_lag": ds14_shipping_lag,
+    "ds15_channel_growth_ratio": ds15_channel_growth_ratio,
+    "ds16_above_avg_balance_nations": ds16_above_avg_balance_nations,
+    "ds17_substr_cohort_revenue": ds17_substr_cohort_revenue,
+    "ds18_multi_exists_cohort": ds18_multi_exists_cohort,
+    "ds19_two_fact_growth": ds19_two_fact_growth,
+    "ds20_category_share_window": ds20_category_share_window,
+    "ds21_disjunctive_bands": ds21_disjunctive_bands,
 }
 
 ORACLE = {
@@ -643,4 +1037,11 @@ ORACLE = {
     "ds12_order_size_band": _DS12_SQL,
     "ds13_low_revenue_parts": _DS13_SQL,
     "ds14_shipping_lag": _DS14_SQL,
+    "ds15_channel_growth_ratio": _DS15_SQL,
+    "ds16_above_avg_balance_nations": _DS16_SQL,
+    "ds17_substr_cohort_revenue": _DS17_SQL,
+    "ds18_multi_exists_cohort": _DS18_SQL,
+    "ds19_two_fact_growth": _DS19_SQL,
+    "ds20_category_share_window": _DS20_SQL,
+    "ds21_disjunctive_bands": _DS21_SQL,
 }

@@ -186,6 +186,8 @@ def test_plan_lint_all_queries(spark):
         "w15_gapfill_locf",        # 1-row hour-span aggregate × types
         "t17_perplexity_buckets",  # 1-row vocab/token-count stats
         "x12_corpus_compile",      # |sources|-row quota summary windows
+        "ds16_above_avg_balance_nations",  # 1-row global-average scalar
+        "ds17_substr_cohort_revenue",      # 1-row global-average scalar
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
