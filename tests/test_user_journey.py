@@ -70,3 +70,40 @@ def test_reference_user_journey(spark, tmp_path, sf_dir):
     execute_statement(cat, "DETACH src")   # no leaked views in the session
     assert cat.attached == {}
     assert "pg_temp" not in ManagedStore(spark, root).schemas()
+
+
+def test_curation_pipeline_journey(spark, sf_dir):
+    """The LLM-data-curation journey across operators: the streaming
+    router, the compile funnel, and the shard plan must agree with
+    each other on the same corpus — cross-operator invariants no
+    single-op test checks."""
+    from postgres_scanner_spark.functions.analytics import (
+        x12_corpus_compile,
+    )
+    from postgres_scanner_spark.operators.multimodal import (
+        m9_shard_repack_plan,
+    )
+    from postgres_scanner_spark.streaming.events import (
+        e18_streaming_quality_router,
+    )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    routed = e18_streaming_quality_router(spark, sf_dir).collect()
+    kept_routed = sum(r.n for r in routed if r.route == "kept")
+    assert sum(r.n for r in routed) == n_docs
+
+    funnel = x12_corpus_compile(spark, sf_dir).collect()
+    assert sum(r.n_raw for r in funnel) == n_docs
+    # the funnel applies E18's exact rules after dedup, so its kept
+    # column can never exceed the router's kept count, and matches it
+    # exactly when dedup dropped nothing
+    assert sum(r.n_kept for r in funnel) <= kept_routed
+    if sum(r.n_dedup for r in funnel) == n_docs:
+        assert sum(r.n_kept for r in funnel) == kept_routed
+
+    shards = m9_shard_repack_plan(spark, sf_dir).collect()
+    assert sum(r.n_members for r in shards) == n_docs
+    # byte accounting closes: shard bytes sum to the ustar footprint
+    total = sum(r.shard_bytes for r in shards)
+    assert total >= n_docs * 1024      # ≥ header + 1 data block each
