@@ -1,14 +1,19 @@
 """TPC-DS-style analytics queries, adapted to the testdata schema.
 
-The reference proves TPC-DS support by running queries 1-9 through the
-scanner (reference: test/sql/scanner/tpcds.test). The testdata has no
-TPC-DS tables, so this module re-expresses the *query shapes* those
-nine exercise — above-segment-average filters (Q1), calendar pivots
-(Q2), brand/year aggregation (Q3), year-over-year cohort growth (Q4),
-union-of-channels rollup (Q5), multi-measure demographic averages
-(Q7), CASE bucket counting (Q9), share-of-total windows,
-top-n-per-group, and set-operation cohorts — over the TPC-H-ish
-tables, each with a bit-exact DuckDB oracle.
+The reference proves TPC-DS support by running OFFICIAL queries 1-13
+through the scanner (reference: test/sql/scanner/tpcds.test, loops at
+:23 and :32). The testdata has no TPC-DS tables, so this module
+re-expresses the *query shapes* all thirteen exercise — every one of
+Q1-Q13 has an adapted counterpart (SURVEY.md §2 has the DSn→official
+mapping): above-segment-average filters (Q1), calendar pivots (Q2),
+brand/year aggregation (Q3), cross-channel year-over-year ratios
+(Q4/Q11), union-of-channels rollup (Q5), correlated-average cohorts
+(Q6), multi-measure demographic averages (Q7), substring-list ∩
+cohort revenue (Q8), CASE bucket counting (Q9), multi-EXISTS cohorts
+(Q10), windowed category shares (Q12), and disjunctive compound
+predicates (Q13) — plus share-of-total windows, top-n-per-group, and
+set-operation cohorts past the reference's own set, over the
+TPC-H-ish tables, each with a bit-exact DuckDB oracle.
 
 Determinism follows functions/tpch.py's contract: money sums in
 DECIMAL cast to DOUBLE at the end, BIGINT counts, total-order
