@@ -934,6 +934,112 @@ ORDER BY query_id, rank
 """
 
 
+# ------------------- A10 filtered ANN: pre- vs post-filter recall
+_A10_POST_K = 12     # unfiltered preselect depth for the post-filter arm
+
+
+def a10_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-constrained ANN two ways — the selective-search design
+    choice every vector store documents (pgvector/FAISS filtering):
+    PRE-filter (restrict the corpus to the query's label, then exact
+    top-3 — always correct, cost ∝ selectivity) vs POST-filter (take
+    the unfiltered top-12, then keep label matches — cheap but loses
+    neighbors when the filter is selective). Output per query: the
+    pre-filter truth set, how many of them the post-filter arm
+    recovered, and recall@3 — the diagnostic that tells a pipeline
+    which arm its selectivity can afford.
+
+    Scale: both arms broadcast the 5-query set and scan the corpus
+    once each (windows per query id as in A1); the pre-filter arm's
+    label predicate reaches the parquet scan (PushedFilters), which
+    is the entire point of the pre-filter design at 100 TB."""
+    from .. import tables
+    e = tables.load(spark, sf_dir, "embeddings")
+    norm = _with_norm(e).join(e.select("vec_id", "label"), "vec_id")
+    q = norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"), F.col("label").alias("q_label"))
+    c = norm.filter(F.col("vec_id") >= N_QUERIES)
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    scored = (c.join(F.broadcast(q),
+                     F.col("label") == F.col("q_label"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cs")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.col("neighbor_id"))
+    pre = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= TOP_K)
+           .select("query_id", "neighbor_id"))
+    all_scored = (c.join(F.broadcast(q), F.lit(True))
+                  .select("query_id",
+                          F.col("vec_id").alias("neighbor_id"),
+                          "label", "q_label", cos.alias("cs")))
+    post = (all_scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _A10_POST_K)
+            .filter(F.col("label") == F.col("q_label"))
+            .withColumn("rk2", F.row_number().over(w))
+            .filter(F.col("rk2") <= TOP_K)
+            .select("query_id", "neighbor_id"))
+    hit = pre.join(post, ["query_id", "neighbor_id"], "left_semi")
+    truth = pre.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("k_truth"))
+    hits = hit.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("k_post"))
+    return (truth.join(hits, "query_id", "left")
+            .select("query_id", "k_truth",
+                    F.coalesce("k_post", F.lit(0)).cast("long")
+                    .alias("k_post"))
+            .withColumn("recall",
+                        F.round(F.col("k_post") / F.col("k_truth"), 4))
+            .orderBy("query_id"))
+
+
+def _a10_sql() -> str:
+    dot = _SQL_DOT.format(u="q_emb", v="c.embedding")
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, label,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+             label AS q_label
+      FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+pre AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {dot} / (q_norm * c.norm) DESC, c.vec_id) AS rk
+    FROM c JOIN q ON c.label = q.q_label)
+  WHERE rk <= {TOP_K}),
+post AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, label, q_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cs DESC, neighbor_id) AS rk2
+    FROM (
+      SELECT query_id, c.vec_id AS neighbor_id, c.label, q_label,
+             {dot} / (q_norm * c.norm) AS cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {dot} / (q_norm * c.norm) DESC, c.vec_id) AS rk
+      FROM c CROSS JOIN q)
+    WHERE rk <= {_A10_POST_K} AND label = q_label)
+  WHERE rk2 <= {TOP_K}),
+truth AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_truth
+          FROM pre GROUP BY query_id),
+hits AS (
+  SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS k_post
+  FROM pre p JOIN post USING (query_id, neighbor_id)
+  GROUP BY p.query_id)
+SELECT query_id, k_truth,
+       CAST(COALESCE(k_post, 0) AS BIGINT) AS k_post,
+       ROUND(COALESCE(k_post, 0) * 1.0 / k_truth, 4) AS recall
+FROM truth LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
@@ -944,6 +1050,7 @@ QUERIES = {
     "a7_ann_recall": a7_ann_recall,
     "a8_sq8_ann": a8_sq8_ann,
     "a9_mih_hamming_ann": a9_mih_hamming_ann,
+    "a10_filtered_ann": a10_filtered_ann,
 }
 
 ORACLE = {
@@ -956,4 +1063,5 @@ ORACLE = {
     "a7_ann_recall": _a7_sql(),
     "a8_sq8_ann": _A8_SQL,
     "a9_mih_hamming_ann": _a9_sql(),
+    "a10_filtered_ann": _a10_sql(),
 }

@@ -261,6 +261,19 @@ def test_e19_store_equals_one_clean_pass(spark):
     assert len(rows) == ev.select("event_type").distinct().count()
 
 
+def test_a10_recall_bounds_and_subset(spark):
+    """Post-filter hits are a subset of the pre-filter truth set:
+    k_post ≤ k_truth ≤ TOP_K, recall = k_post/k_truth in [0,1], one
+    row per query."""
+    from postgres_scanner_spark.operators import ann
+    rows = ann.a10_filtered_ann(spark, SF).collect()
+    assert len(rows) == ann.N_QUERIES
+    for r in rows:
+        assert 0 < r.k_truth <= ann.TOP_K, r
+        assert 0 <= r.k_post <= r.k_truth, r
+        assert abs(r.recall - round(r.k_post / r.k_truth, 4)) < 1e-9
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
