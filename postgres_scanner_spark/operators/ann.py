@@ -950,9 +950,13 @@ def a10_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     which arm its selectivity can afford.
 
     Scale: both arms broadcast the 5-query set and scan the corpus
-    once each (windows per query id as in A1); the pre-filter arm's
-    label predicate reaches the parquet scan (PushedFilters), which
-    is the entire point of the pre-filter design at 100 TB."""
+    once each (windows per query id as in A1). In the single-query
+    production form the pre-filter label is a LITERAL, so the
+    predicate reaches the parquet scan (PushedFilters) and a
+    label-partitioned layout prunes whole files — the entire point
+    of the pre-filter design at 100 TB; here the label binds per
+    query through the broadcast hash join's key instead (the
+    multi-query batch form)."""
     from .. import tables
     e = tables.load(spark, sf_dir, "embeddings")
     norm = _with_norm(e).join(e.select("vec_id", "label"), "vec_id")
