@@ -57,7 +57,7 @@ _COST_ORDER = [
     "ds15_channel_growth_ratio", "ds16_above_avg_balance_nations",
     "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
     "ds19_two_fact_growth", "ds20_category_share_window",
-    "ds21_disjunctive_bands", "a10_filtered_ann",
+    "ds21_disjunctive_bands", "a10_filtered_ann", "d15_source_overlap",
     "w9_continuous_aggregate", "w14_first_touch", "w12_range_frame",
     "w11_grouping_sets", "w13_dist_windows", "w10_skew_join",
     "ds1_above_avg_customers", "ds6_top_customers_per_region",

@@ -1341,7 +1341,62 @@ FROM prs GROUP BY v, cluster ORDER BY dropped_vec
 """
 
 
+# ----------------------------------- D15 cross-source overlap matrix
+def d15_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate ATTRIBUTION: the source×source overlap matrix —
+    for every (unordered) source pair, how many exact-duplicate
+    fingerprints they share and how many doc pairs that implies
+    (within-source pairs = C(n,2), cross-source = n_a × n_b). This
+    is the 'which crawls overlap' report a curation team reads
+    before deciding which source to drop — the dataset-card (X7)
+    companion at pair granularity.
+
+    Scale: one shuffle to (fingerprint, source) counts; the pairing
+    self-join keys on fingerprint with ≤ |sources| rows per key
+    (bounded fan-out — the posting list here is source-count, never
+    copy-count); the final matrix is |sources|² rows of metadata."""
+    c = corpus_with_plants(spark, sf_dir)
+    fs = (c.groupBy(F.md5(F.col("text")).alias("fp"), "source")
+          .agg(F.count("*").alias("n")))
+    a, b = fs.alias("a"), fs.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.source") <= F.col("b.source")))
+             .select(F.col("a.fp").alias("fp"),
+                     F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"),
+                     F.when(F.col("a.source") == F.col("b.source"),
+                            (F.col("a.n") * (F.col("a.n") - 1) / 2)
+                            .cast("long"))
+                     .otherwise(F.col("a.n") * F.col("b.n"))
+                     .alias("n_pairs")))
+    return (pairs.filter(F.col("n_pairs") > 0)
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").cast("long").alias("n_shared_fps"),
+                 F.sum("n_pairs").cast("long").alias("n_dup_pairs"))
+            .orderBy("source_a", "source_b"))
+
+
+_D15_SQL = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+fs AS (
+  SELECT md5(text) AS fp, source, COUNT(*) AS n
+  FROM corpus GROUP BY 1, 2),
+pairs AS (
+  SELECT a.fp, a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source
+              THEN CAST(a.n * (a.n - 1) / 2 AS BIGINT)
+              ELSE CAST(a.n * b.n AS BIGINT) END AS n_pairs
+  FROM fs a JOIN fs b ON a.fp = b.fp AND a.source <= b.source)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+       CAST(SUM(n_pairs) AS BIGINT) AS n_dup_pairs
+FROM pairs WHERE n_pairs > 0
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
+    "d15_source_overlap": d15_source_overlap,
     "d14_semantic_dedup": d14_semantic_dedup,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_lsh_dedup": d2_minhash_lsh_dedup,
@@ -1359,6 +1414,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d15_source_overlap": _D15_SQL,
     "d14_semantic_dedup": _d14_sql(),
     "d1_exact_dedup": _D1_SQL,
     "d2_minhash_lsh_dedup": _d2_sql(),

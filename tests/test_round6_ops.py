@@ -274,6 +274,26 @@ def test_a10_recall_bounds_and_subset(spark):
         assert abs(r.recall - round(r.k_post / r.k_truth, 4)) < 1e-9
 
 
+def test_d15_matrix_accounts_for_planted_pairs(spark):
+    """The planted duplicates (25 same-source copies) must appear as
+    within-source pairs, the total pair count must equal Σ C(n,2)
+    over fingerprint groups, and every matrix row must have
+    source_a ≤ source_b."""
+    from pyspark.sql import functions as F
+    from postgres_scanner_spark.operators import dedup
+    rows = dedup.d15_source_overlap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.n_dup_pairs >= r.n_shared_fps > 0
+    total_pairs = sum(r.n_dup_pairs for r in rows)
+    sizes = (dedup.corpus_with_plants(spark, SF)
+             .groupBy(F.md5("text").alias("fp"))
+             .agg(F.count("*").alias("n")).collect())
+    expect = sum(s.n * (s.n - 1) // 2 for s in sizes)
+    assert total_pairs == expect
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
