@@ -1395,7 +1395,91 @@ ORDER BY source_a, source_b
 """
 
 
+# ------------------------------ D16 content-defined chunk dedup (CDC)
+_D16_WIN = 3          # rolling-hash window (words)
+_D16_MOD = 16         # boundary when h % MOD == 0 → ~16-word chunks
+
+
+def d16_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync boundary trick):
+    a chunk ends wherever the rolling hash of the trailing 3-word
+    window ≡ 0 (mod 16), so boundaries are a function of CONTENT —
+    an insertion shifts only the chunks it touches, unlike D11's
+    fixed-stride spans. Shared chunks across documents are then exact
+    hash matches: the insertion-robust shared-passage detector, and
+    the storage-dedup primitive (chunk store + manifest) at corpus
+    scale.
+
+    Rolling hash is the engine-portable md5-prefix integer (X2's
+    idiom — DuckDB's hash() and Spark's xxhash64 disagree, md5
+    doesn't). Scale: boundary flags and chunk ids come from windows
+    partitioned per document (bounded by doc length); chunk
+    assembly is one (doc, chunk) aggregate; the cross-doc share
+    report is ONE shuffle keyed on chunk_hash — only 32-hex hashes
+    move, never chunk text."""
+    from pyspark.sql.window import Window
+    c = corpus_with_plants(spark, sf_dir)
+    tok = c.select("doc_id", F.posexplode(_tokens()).alias("pos", "w")) \
+        .filter(F.col("w") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = F.concat_ws(
+        "\x01",
+        F.coalesce(F.lag("w", 2).over(wd), F.lit("")),
+        F.coalesce(F.lag("w", 1).over(wd), F.lit("")), F.col("w"))
+    h = F.conv(F.substring(F.md5(ctx), 1, 8), 16, 10).cast("bigint")
+    flagged = tok.withColumn("boundary",
+                             (h % _D16_MOD == 0).cast("int"))
+    wcum = wd.rowsBetween(Window.unboundedPreceding, -1)
+    chunked = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wcum), F.lit(0)))
+    chunks = (chunked.groupBy("doc_id", "chunk_id")
+              .agg(F.md5(F.concat_ws(" ", F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                  lambda x: x["w"]))).alias("chunk_hash"),
+                   F.count("*").cast("long").alias("n_words")))
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_occ"),
+                 F.min("n_words").cast("long").alias("n_words"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("chunk_hash"))
+
+
+_D16_SQL = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (
+  SELECT doc_id, i AS pos, t[CAST(i AS INT) + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM corpus), UNNEST(range(len(t))) AS u(i)
+  WHERE t[CAST(i AS INT) + 1] <> ''),
+flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN CAST(('0x' || substr(md5(
+                COALESCE(LAG(w, 2) OVER dw, '') || chr(1) ||
+                COALESCE(LAG(w, 1) OVER dw, '') || chr(1) || w), 1, 8))
+              AS BIGINT) % {_D16_MOD} = 0 THEN 1 ELSE 0 END AS boundary
+  FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+chunked AS (
+  SELECT doc_id, pos, w,
+         COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM chunked GROUP BY doc_id, chunk_id)
+SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(MIN(n_words) AS BIGINT) AS n_words
+FROM chunks GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY chunk_hash
+"""
+
+
 QUERIES = {
+    "d16_cdc_chunk_dedup": d16_cdc_chunk_dedup,
     "d15_source_overlap": d15_source_overlap,
     "d14_semantic_dedup": d14_semantic_dedup,
     "d1_exact_dedup": d1_exact_dedup,
@@ -1414,6 +1498,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d16_cdc_chunk_dedup": _D16_SQL,
     "d15_source_overlap": _D15_SQL,
     "d14_semantic_dedup": _d14_sql(),
     "d1_exact_dedup": _D1_SQL,

@@ -294,6 +294,65 @@ def test_d15_matrix_accounts_for_planted_pairs(spark):
     assert total_pairs == expect
 
 
+def _cdc_chunks(words):
+    """Python replay of D16's boundary rule."""
+    import hashlib
+    out, cur = [], []
+    for i, w in enumerate(words):
+        ctx = "\x01".join([words[i - 2] if i >= 2 else "",
+                           words[i - 1] if i >= 1 else "", w])
+        cur.append(w)
+        if int(hashlib.md5(ctx.encode()).hexdigest()[:8], 16) % 16 == 0:
+            out.append(" ".join(cur))
+            cur = []
+    if cur:
+        out.append(" ".join(cur))
+    return out
+
+
+def test_d16_replay_and_insertion_robustness(spark):
+    """(a) Spark's chunk hashes for a document equal the Python
+    replay of the boundary rule; (b) the CDC property: prepending a
+    word to a document leaves most chunks identical (only the head
+    chunk(s) change) — the insertion-robustness fixed-stride spans
+    lack."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from postgres_scanner_spark.operators import dedup
+    rows = dedup.d16_cdc_chunk_dedup(spark, SF).collect()
+    assert rows and all(r.n_occ >= r.n_docs >= 2 for r in rows)
+    doc = (spark.read.parquet(f"{SF}/documents.parquet")
+           .orderBy("doc_id").first())
+    words = [w for w in doc.text.lower().split(" ") if w]
+    expected = {hashlib.md5(c.encode()).hexdigest()
+                for c in _cdc_chunks(words)}
+    # rebuild this one doc's chunk hashes through the same plan code
+    c = dedup.corpus_with_plants(spark, SF).filter(
+        F.col("doc_id") == doc.doc_id)
+    tok = c.select("doc_id",
+                   F.posexplode(F.split(F.lower("text"), " "))
+                   .alias("pos", "w")).filter(F.col("w") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = F.concat_ws("\x01",
+                      F.coalesce(F.lag("w", 2).over(wd), F.lit("")),
+                      F.coalesce(F.lag("w", 1).over(wd), F.lit("")),
+                      F.col("w"))
+    h = F.conv(F.substring(F.md5(ctx), 1, 8), 16, 10).cast("bigint")
+    got = {r.ch for r in tok
+           .withColumn("b", (h % dedup._D16_MOD == 0).cast("int"))
+           .withColumn("cid", F.coalesce(F.sum("b").over(
+               wd.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+           .groupBy("doc_id", "cid")
+           .agg(F.md5(F.concat_ws(" ", F.transform(
+               F.array_sort(F.collect_list(F.struct("pos", "w"))),
+               lambda x: x["w"]))).alias("ch")).collect()}
+    assert got == expected
+    shifted = {hashlib.md5(c.encode()).hexdigest()
+               for c in _cdc_chunks(["zzz"] + words)}
+    assert len(expected & shifted) / len(expected) > 0.5
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
