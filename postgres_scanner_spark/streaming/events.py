@@ -986,41 +986,20 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-# ----------------- E17 streaming dedup ingest (D8's probe, stateful)
-def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest WITH inline dedup — the steady-state loop a
-    training-data pipeline actually runs: documents arrive in
-    micro-batches; each batch dedups within itself (min doc_id per
-    content hash) and against everything already ingested (D8's
-    hash-probe anatomy: the store side contributes only its 32-hex
-    hashes, stored text never moves), and only survivors land in the
-    managed store as an atomic snapshot append.
-
-    Three mtime-ordered micro-batches by doc_id range (so a
-    first-seen winner is always the min doc_id — making the drained
-    store equal to the batch-global D1 dedup, the full oracle):
-    batch 2 carries copies of docs 0-9 (+500000, cross-batch dups vs
-    batch 1), batch 3 copies of docs 10-19 (+600000) plus TWO copies
-    of the last doc (+700000/+700001 — same-batch dups, and their
-    original is in batch 3 itself).
-
-    Scale: per batch the anti-join keys on the content hash with the
-    batch side bounded (AQE picks the probe build side); the store
-    grows by survivors only; state lives in the store, not in
-    executor memory — restartable from the checkpoint + store alone.
-    """
+def _stage_doc_batches(src: str, prefix: str) -> tuple[str, str]:
+    """Stage documents.parquet as THREE mtime-ordered micro-batch
+    files with planted cross/same-batch duplicates (layout documented
+    in e17's docstring); returns (stage_dir, cache_key). Shared by
+    e17 (exact-hash ingest) and e20 (LSH near-dup ingest) so both
+    drain the identical stream."""
     import hashlib
     import os
     import shutil
     import time as _time
-    from ..storage import ManagedStore
-    from .. import tables as _tb
-    _tb.ensure_session_defaults(spark)
-    src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
     stage = os.path.join(
-        "/tmp", "pg_spark_dedupin_" + hashlib.md5(key.encode()).hexdigest()[:8])
+        "/tmp", prefix + hashlib.md5(key.encode()).hexdigest()[:8])
     if not os.path.isdir(stage):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -1056,6 +1035,40 @@ def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, stage)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    return stage, key
+
+
+# ----------------- E17 streaming dedup ingest (D8's probe, stateful)
+def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest WITH inline dedup — the steady-state loop a
+    training-data pipeline actually runs: documents arrive in
+    micro-batches; each batch dedups within itself (min doc_id per
+    content hash) and against everything already ingested (D8's
+    hash-probe anatomy: the store side contributes only its 32-hex
+    hashes, stored text never moves), and only survivors land in the
+    managed store as an atomic snapshot append.
+
+    Three mtime-ordered micro-batches by doc_id range (so a
+    first-seen winner is always the min doc_id — making the drained
+    store equal to the batch-global D1 dedup, the full oracle):
+    batch 2 carries copies of docs 0-9 (+500000, cross-batch dups vs
+    batch 1), batch 3 copies of docs 10-19 (+600000) plus TWO copies
+    of the last doc (+700000/+700001 — same-batch dups, and their
+    original is in batch 3 itself).
+
+    Scale: per batch the anti-join keys on the content hash with the
+    batch side bounded (AQE picks the probe build side); the store
+    grows by survivors only; state lives in the store, not in
+    executor memory — restartable from the checkpoint + store alone.
+    """
+    import hashlib
+    import os
+    import shutil
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stage, key = _stage_doc_batches(src, "pg_spark_dedupin_")
     root = os.path.join(
         "/tmp", "pg_spark_dedupst_" + hashlib.md5(key.encode()).hexdigest()[:8])
     shutil.rmtree(root, ignore_errors=True)
@@ -1204,6 +1217,151 @@ FROM routed GROUP BY 1, 2, 3 ORDER BY route, reason, lang
 """
 
 
+# ------------- E20 streaming NEAR-dup ingest (LSH band index, stateful)
+def e20_streaming_neardup_ingest(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """E17's steady-state ingest loop upgraded from exact-hash to
+    NEAR-dup: each micro-batch computes MinHash-LSH band hashes
+    (D2/D9's shared `minhash_bands` machinery), drops docs that
+    band-collide with an earlier-id doc in the SAME batch, then
+    drops docs that band-collide with the store's materialized band
+    index (D9's incremental probe — only kept docs' bands are ever
+    indexed, so the state is the index a production near-dup ingest
+    maintains); survivors and their band rows land as atomic
+    appends. Same 3-batch staged stream as e17 — the planted copies
+    collide in every band and must all drop.
+
+    Policy note: the within-batch rule drops X iff ANY smaller-id
+    batch doc shares a band (order-free, so it is SQL-expressible —
+    the oracle unrolls the 3 batches as staged CTE generations);
+    docs too short to shingle (<3 words) carry no bands and always
+    pass, in both engines.
+
+    Scale: per batch only the batch shingles; the probe semi-joins
+    the (band_id, band_hash) index — 32-hex tuples, never text; the
+    index grows by survivors only. State = store, restartable."""
+    import hashlib
+    import os
+    import shutil
+    from ..operators.dedup import minhash_bands, shingle_index
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stage, key = _stage_doc_batches(src, "pg_spark_lshin_")
+    root = os.path.join(
+        "/tmp", "pg_spark_lshst_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    store.create_table("docs_lsh", spark.createDataFrame(
+        [], "doc_id BIGINT, lang STRING"))
+    store.create_table("band_index", spark.createDataFrame(
+        [], "band_id INT, band_hash STRING, doc_id BIGINT"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bands = (minhash_bands(shingle_index(
+            batch_df.select("doc_id", "text"), 3))
+            .select("doc_id", F.col("band_id").cast("int").alias("band_id"),
+                    "band_hash"))
+        a, b = bands.alias("a"), bands.alias("b")
+        drop_in = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                          & (F.col("a.band_hash") == F.col("b.band_hash"))
+                          & (F.col("b.doc_id") < F.col("a.doc_id")))
+                   .select(F.col("a.doc_id").alias("doc_id")).distinct())
+        within = batch_df.select("doc_id", "lang") \
+            .join(drop_in, "doc_id", "left_anti")
+        idx = store.scan("band_index").select("band_id", "band_hash")
+        coll = (bands.join(within.select("doc_id"), "doc_id", "left_semi")
+                .join(idx, ["band_id", "band_hash"], "left_semi")
+                .select("doc_id").distinct())
+        kept = within.join(coll, "doc_id", "left_anti")
+        store.insert("docs_lsh", kept)
+        store.insert("band_index",
+                     bands.join(kept.select("doc_id"), "doc_id",
+                                "left_semi")
+                     .select("band_id", "band_hash", "doc_id"))
+
+    schema = spark.read.parquet(src).schema
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1")
+             .parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(root, "_ckpt"))
+             .start())
+        _drain(q)
+    return (store.scan("docs_lsh")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("lang"))
+
+
+def _e20_sql() -> str:
+    from ..operators.dedup import (
+        N_BANDS, _sql_shingles, _sql_sig_clause,
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, batch, {b} AS band_id, "
+        f"md5(mh{2*b}||mh{2*b+1}) AS band_hash FROM sig"
+        for b in range(N_BANDS))
+    return f"""
+WITH params AS (SELECT COUNT(*) AS nn FROM documents),
+streamed AS (
+  SELECT doc_id, text, lang, 1 AS batch FROM documents, params
+  WHERE doc_id < nn // 3
+  UNION ALL
+  SELECT doc_id, text, lang, 2 FROM documents, params
+  WHERE doc_id >= nn // 3 AND doc_id < 2 * nn // 3
+  UNION ALL
+  SELECT doc_id + 500000, text, lang, 2 FROM documents
+  WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id, text, lang, 3 FROM documents, params
+  WHERE doc_id >= 2 * nn // 3
+  UNION ALL
+  SELECT doc_id + 600000, text, lang, 3 FROM documents
+  WHERE doc_id >= 10 AND doc_id < 20
+  UNION ALL
+  SELECT doc_id + 700000 + g.i, text, lang, 3
+  FROM documents, (SELECT unnest(range(2)) AS i) g, params
+  WHERE doc_id = nn - 1),
+tok AS (SELECT doc_id, batch, string_split(lower(text), ' ') AS t
+        FROM streamed),
+sh AS (SELECT doc_id, batch, {_sql_shingles(3)} AS shingles
+       FROM tok WHERE len(t) >= 3),
+sig AS (SELECT doc_id, batch, shingles, {_sql_sig_clause()} FROM sh),
+bands AS ({band_rows}),
+drop_in AS (
+  SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+    ON a.batch = b.batch AND a.band_id = b.band_id
+   AND a.band_hash = b.band_hash AND b.doc_id < a.doc_id),
+w AS (
+  SELECT s.doc_id, s.lang, s.batch FROM streamed s
+  LEFT JOIN drop_in d ON s.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+k1 AS (SELECT doc_id, lang FROM w WHERE batch = 1),
+k2 AS (
+  SELECT w.doc_id, w.lang FROM w WHERE batch = 2 AND NOT EXISTS (
+    SELECT 1 FROM bands mb JOIN bands kb
+      ON mb.band_id = kb.band_id AND mb.band_hash = kb.band_hash
+    WHERE mb.doc_id = w.doc_id
+      AND kb.doc_id IN (SELECT doc_id FROM k1))),
+k3 AS (
+  SELECT w.doc_id, w.lang FROM w WHERE batch = 3 AND NOT EXISTS (
+    SELECT 1 FROM bands mb JOIN bands kb
+      ON mb.band_id = kb.band_id AND mb.band_hash = kb.band_hash
+    WHERE mb.doc_id = w.doc_id
+      AND kb.doc_id IN (SELECT doc_id FROM k1
+                        UNION ALL SELECT doc_id FROM k2))),
+kept AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+         UNION ALL SELECT * FROM k3)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 # ------------- E19 exactly-once ingest via idempotent batch replay
 def e19_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ingest on top of foreachBatch's at-least-once
@@ -1304,12 +1462,14 @@ QUERIES = {
     "e17_streaming_dedup_ingest": e17_streaming_dedup_ingest,
     "e18_streaming_quality_router": e18_streaming_quality_router,
     "e19_idempotent_replay": e19_idempotent_replay,
+    "e20_streaming_neardup_ingest": e20_streaming_neardup_ingest,
 }
 
 ORACLE = {
     "e17_streaming_dedup_ingest": _E17_SQL,
     "e18_streaming_quality_router": _E18_SQL,
     "e19_idempotent_replay": _E19_SQL,
+    "e20_streaming_neardup_ingest": _e20_sql(),
     "e1_hourly_event_rollup": _E1_SQL,
     "e2_sessionization": _E2_SQL,
     "e4_top_users": _E4_SQL,

@@ -353,6 +353,21 @@ def test_d16_replay_and_insertion_robustness(spark):
     assert len(expected & shifted) / len(expected) > 0.5
 
 
+def test_e20_drops_all_planted_neardups(spark):
+    """Every planted copy (doc_id ≥ 500000) band-collides with its
+    original and must be dropped: the kept id_sum can only contain
+    original ids (any surviving plant alone would exceed the
+    all-originals ceiling). Natural band collisions may drop a few
+    originals too — kept ≤ N — but most of the corpus survives."""
+    from postgres_scanner_spark.streaming import events
+    rows = events.e20_streaming_neardup_ingest(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    kept = sum(r.n_kept for r in rows)
+    assert 0 < kept <= n
+    assert sum(r.id_sum for r in rows) <= n * (n - 1) // 2
+    assert kept >= n // 2      # LSH false-positive rate stays sane
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
