@@ -1310,6 +1310,61 @@ ORDER BY event_type, hour
 """
 
 
+# ---- W18: retention cohort matrix ------------------------------------
+def w18_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by FIRST-activity
+    day; for each (cohort_day, age_days) cell, how many of the
+    cohort were active that day and what fraction of the cohort that
+    is — the matrix every product-analytics warehouse materializes
+    (and the engagement-decay view a data-flywheel pipeline reads).
+
+    Scale: first-activity is one min-aggregate keyed on user_id;
+    daily activity is one distinct on (user_id, day); the join back
+    is keyed on user_id (co-partitioned with the aggregate's
+    output); the matrix itself is |days|² metadata. Retention is an
+    exact integer ratio divided once in double."""
+    e = _t(spark, sf_dir, "events")
+    act = (e.select("user_id", F.to_date("ts").alias("day"))
+           .distinct())
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    cells = (act.join(firsts, "user_id")
+             .groupBy("cohort",
+                      F.datediff("day", "cohort").alias("age_days"))
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("n_active")))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_size"))
+    return (cells.join(sizes, "cohort")
+            .select(F.date_format("cohort", "yyyy-MM-dd")
+                    .alias("cohort_day"),
+                    F.col("age_days").cast("int").alias("age_days"),
+                    "n_active", "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 4)
+                    .alias("retention"))
+            .orderBy("cohort_day", "age_days"))
+
+
+_W18_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+firsts AS (
+  SELECT user_id, MIN(day) AS cohort FROM act GROUP BY user_id),
+cells AS (
+  SELECT cohort, datediff('day', cohort, day) AS age_days,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM act a JOIN firsts USING (user_id)
+  GROUP BY cohort, age_days),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(age_days AS INT) AS age_days, n_active, cohort_size,
+       ROUND(n_active * 1.0 / cohort_size, 4) AS retention
+FROM cells JOIN sizes USING (cohort)
+ORDER BY cohort_day, age_days
+"""
+
+
 # ---- X12: corpus compilation funnel ----------------------------------
 _X12_BUDGET_FRAC = 0.5     # select half the surviving tokens
 _X12_MIN_CHARS, _X12_MAX_CHARS = 50, 5000
@@ -1454,6 +1509,7 @@ QUERIES = {
     "w16_time_weighted_avg": w16_time_weighted_avg,
     "x12_corpus_compile": x12_corpus_compile,
     "w17_ohlc_bars": w17_ohlc_bars,
+    "w18_retention_cohorts": w18_retention_cohorts,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1486,6 +1542,7 @@ ORACLE = {
     "w16_time_weighted_avg": _W16_SQL,
     "x12_corpus_compile": _X12_SQL,
     "w17_ohlc_bars": _W17_SQL,
+    "w18_retention_cohorts": _W18_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

@@ -368,6 +368,25 @@ def test_e20_drops_all_planted_neardups(spark):
     assert kept >= n // 2      # LSH false-positive rate stays sane
 
 
+def test_w18_cohort_invariants(spark):
+    """Age-0 retention is exactly 1.0 for every cohort (everyone is
+    active on their first day); n_active ≤ cohort_size everywhere;
+    cohort sizes sum to the distinct-user count."""
+    from postgres_scanner_spark.functions import analytics
+    rows = analytics.w18_retention_cohorts(spark, SF).collect()
+    n_users = (spark.read.parquet(f"{SF}/events.parquet")
+               .select("user_id").distinct().count())
+    by_cohort = {}
+    for r in rows:
+        assert 0 < r.n_active <= r.cohort_size, r
+        assert r.age_days >= 0
+        if r.age_days == 0:
+            assert r.n_active == r.cohort_size and r.retention == 1.0
+        by_cohort[r.cohort_day] = r.cohort_size
+    assert sum(by_cohort.values()) == n_users
+    assert any(r.age_days > 0 for r in rows)
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
