@@ -1362,6 +1362,79 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+# --------- E21 watermarked streaming dedup (event-time-bounded state)
+def e21_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refinement e7's docstring names: `dropDuplicatesWithin
+    Watermark` — dedup state bounded in EVENT TIME instead of
+    growing one entry per key forever. The staged stream delivers
+    every event once, then RE-delivers the last half-hour's events
+    in a second micro-batch (the at-least-once re-delivery window a
+    real source produces); the re-deliveries land inside the 2-hour
+    watermark, hit live dedup state, and drop — the drained rollup
+    equals the batch distinct-event aggregate exactly.
+
+    Scale: state is keyed on event_id but EXPIRES at the watermark
+    horizon — memory ∝ events-per-2-hours, not corpus size, which is
+    the property that makes ingest dedup survivable at 100 TB/day
+    (e7's unbounded dropDuplicates is the correctness baseline)."""
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
+    stage = os.path.join(
+        "/tmp", "pg_spark_wmdedup_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.isdir(stage):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        tmp = f"{stage}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        mx = pc.max(t["ts"]).as_py()
+        import datetime as _dt
+        cut = mx - _dt.timedelta(minutes=30)
+        redeliver = t.filter(pc.greater_equal(t["ts"], cut))
+        pq.write_table(t, os.path.join(tmp, "b1.parquet"))
+        pq.write_table(redeliver, os.path.join(tmp, "b2.parquet"))
+        now = _time.time()
+        os.utime(os.path.join(tmp, "b1.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(tmp, "b2.parquet"), (now - 30, now - 30))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        # parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
+        # (session is UTC-pinned, so the instant is unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             .alias("sum_value"))
+    )
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory").queryName("e21_wmdedup")
+             .outputMode("complete").trigger(availableNow=True).start())
+        _drain(q)
+    return spark.table("e21_wmdedup").orderBy("event_type")
+
+
+_E21_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ------------- E19 exactly-once ingest via idempotent batch replay
 def e19_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ingest on top of foreachBatch's at-least-once
@@ -1463,6 +1536,7 @@ QUERIES = {
     "e18_streaming_quality_router": e18_streaming_quality_router,
     "e19_idempotent_replay": e19_idempotent_replay,
     "e20_streaming_neardup_ingest": e20_streaming_neardup_ingest,
+    "e21_watermark_dedup": e21_watermark_dedup,
 }
 
 ORACLE = {
@@ -1470,6 +1544,7 @@ ORACLE = {
     "e18_streaming_quality_router": _E18_SQL,
     "e19_idempotent_replay": _E19_SQL,
     "e20_streaming_neardup_ingest": _e20_sql(),
+    "e21_watermark_dedup": _E21_SQL,
     "e1_hourly_event_rollup": _E1_SQL,
     "e2_sessionization": _E2_SQL,
     "e4_top_users": _E4_SQL,

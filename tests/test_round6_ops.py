@@ -387,6 +387,34 @@ def test_w18_cohort_invariants(spark):
     assert any(r.age_days > 0 for r in rows)
 
 
+def test_e21_redelivery_absorbed(spark):
+    """The staged second batch re-delivers a non-empty slice of
+    events; the drained rollup must equal one clean pass (every
+    re-delivered row absorbed by the watermark dedup state)."""
+    import glob
+    import hashlib
+    import os
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from postgres_scanner_spark.streaming import events
+    rows = {r.event_type: r
+            for r in events.e21_watermark_dedup(spark, SF).collect()}
+    src = f"{SF}/events.parquet"
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
+    stage = os.path.join(
+        "/tmp",
+        "pg_spark_wmdedup_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+    assert len(files) == 2
+    assert pq.read_table(files[1]).num_rows > 0   # real re-delivery
+    clean = {r.event_type: r for r in spark.read.parquet(src)
+             .groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n")).collect()}
+    assert {t: r.n for t, r in rows.items()} == \
+        {t: r.n for t, r in clean.items()}
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
