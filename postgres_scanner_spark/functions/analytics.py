@@ -1490,6 +1490,79 @@ ORDER BY f.source
 """
 
 
+# ---- X13: near-dup-safe train/val/test split -------------------------
+def x13_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10's leakage guarantee upgraded from exact to NEAR-dup:
+    split assignment keys on the duplicate-CLUSTER label (D6's
+    connected components over exact + prefix keys), so a document
+    and its mutated near-copies can never straddle train/eval — the
+    guarantee exact-fingerprint splits (X10) cannot give, and the
+    one that actually matters for benchmark decontamination.
+
+    80/10/10 by md5 bucket of the cluster id — a pure function of
+    the cluster, stable across runs/engines/cluster sizes. Audit
+    columns: docs, clusters, and id_sum per split (the oracle's
+    recursive-CTE components must agree on every one).
+
+    Scale: inherits D6's label propagation (star edges, ≤4 rounds);
+    the assignment itself is one hash of the label — no extra
+    shuffle beyond the final 3-row aggregate."""
+    from ..operators.dedup import _d6_labels
+    _corpus, labels = _d6_labels(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("lbl").cast("string")), 1, 4),
+                    16, 10).cast("bigint") % 10
+    split = (F.when(bucket <= 7, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    return (labels.select(split.alias("split"), "doc_id", "lbl")
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("lbl").cast("long").alias("n_clusters"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("split"))
+
+
+def _x13_sql() -> str:
+    from ..operators.dedup import _SQL_CORPUS
+    return f"""
+WITH RECURSIVE
+corpus AS ({_SQL_CORPUS}),
+full_c AS (
+  SELECT doc_id, lower(text) AS text FROM corpus
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(string_split(lower(text), ' ')[1:8], ' ')
+           || ' zzz mutated tail'
+  FROM documents WHERE doc_id < 10),
+keys AS (
+  SELECT doc_id, md5(text) AS k FROM full_c
+  UNION ALL
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS k
+  FROM full_c),
+hubs AS (SELECT k, MIN(doc_id) AS hub FROM keys GROUP BY k),
+star AS (SELECT DISTINCT h.hub AS src, k.doc_id AS dst
+         FROM keys k JOIN hubs h USING (k) WHERE k.doc_id <> h.hub),
+bidir AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM full_c
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.doc_id),
+comp AS (SELECT doc_id, MIN(lbl) AS lbl FROM reach GROUP BY doc_id),
+assigned AS (
+  SELECT doc_id, lbl,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(lbl AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 10 <= 7 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(lbl AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM comp)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_clusters,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -1508,6 +1581,7 @@ QUERIES = {
     "w15_gapfill_locf": w15_gapfill_locf,
     "w16_time_weighted_avg": w16_time_weighted_avg,
     "x12_corpus_compile": x12_corpus_compile,
+    "x13_neardup_safe_split": x13_neardup_safe_split,
     "w17_ohlc_bars": w17_ohlc_bars,
     "w18_retention_cohorts": w18_retention_cohorts,
     "x1_sketch_aggregates": x1_sketch_aggregates,
@@ -1541,6 +1615,7 @@ ORACLE = {
     "w15_gapfill_locf": _W15_SQL,
     "w16_time_weighted_avg": _W16_SQL,
     "x12_corpus_compile": _X12_SQL,
+    "x13_neardup_safe_split": _x13_sql(),
     "w17_ohlc_bars": _W17_SQL,
     "w18_retention_cohorts": _W18_SQL,
     "x1_sketch_aggregates": _X1_SQL,

@@ -415,6 +415,28 @@ def test_e21_redelivery_absorbed(spark):
         {t: r.n for t, r in clean.items()}
 
 
+def test_x13_no_cluster_straddles_splits(spark):
+    """Direct check of the leakage guarantee: recompute labels and
+    verify every cluster maps to exactly one split, and the three
+    splits partition the doc universe."""
+    from pyspark.sql import functions as F
+    from postgres_scanner_spark.functions import analytics
+    from postgres_scanner_spark.operators.dedup import _d6_labels
+    rows = analytics.x13_neardup_safe_split(spark, SF).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    _c, labels = _d6_labels(spark, SF)
+    n_docs = labels.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    bucket = F.conv(F.substring(F.md5(F.col("lbl").cast("string")), 1, 4),
+                    16, 10).cast("bigint") % 10
+    split = (F.when(bucket <= 7, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    straddlers = (labels.select("lbl", split.alias("split")).distinct()
+                  .groupBy("lbl").agg(F.count("*").alias("k"))
+                  .filter(F.col("k") > 1).count())
+    assert straddlers == 0
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
