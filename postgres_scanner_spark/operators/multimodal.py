@@ -817,6 +817,137 @@ FROM planned GROUP BY shard_id ORDER BY shard_id
 """
 
 
+# ---- M10: WebDataset SAMPLE-grouped shards ---------------------------
+_M10_DOCS_PER_SHARD = 8
+
+
+def m10_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True WebDataset layout: a SAMPLE is several members sharing a
+    basename ({id}.txt text, {id}.json metadata, {id}.vec float32
+    embedding when one exists) packed adjacently in the tar — the
+    multi-modality grouping m6's one-member-per-doc shards don't
+    exercise, and the layout every multimodal dataloader expects.
+    Shards build per group on executors (applyInPandas), parse back
+    blind via the 512-byte ustar walk (m6's parser), and the member
+    manifest re-groups by basename into per-sample completeness rows
+    (a sample is complete iff all 3 modalities are present — vectors
+    exist only where embeddings has a matching id).
+
+    Scale: the doc⟷embedding join keys on the id (co-partitionable);
+    shard build and parse are executor-local over binary; nothing
+    but the manifest (rows ∝ samples) ever shuffles. Oracle: the
+    ustar size arithmetic and modality presence are pure SQL over
+    text/lang/embedding lengths; checksum validation rides every
+    parsed member (checksums_ok must be TRUE — pins the round-trip).
+    """
+    import json as _json
+    import struct as _struct
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    base = (d.join(e, "doc_id", "left")
+            .withColumn("shard_id", (F.col("doc_id")
+                                     / _M10_DOCS_PER_SHARD)
+                        .cast("long")))
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tar:
+            for row in pdf.sort_values("doc_id").itertuples():
+                stem = f"{int(row.doc_id):012d}"
+                members = [
+                    (f"{stem}.json", _json.dumps(
+                        {"doc_id": int(row.doc_id), "lang": row.lang},
+                        separators=(",", ":")).encode()),
+                    (f"{stem}.txt", str(row.text).encode("utf-8")),
+                ]
+                if row.embedding is not None:
+                    members.append((f"{stem}.vec", b"".join(
+                        _struct.pack("<f", float(v))
+                        for v in row.embedding)))
+                for name, data in members:
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tar.addfile(ti, io.BytesIO(data))
+        return pd.DataFrame({"shard_id": [int(pdf["shard_id"].iloc[0])],
+                             "tar": [buf.getvalue()]})
+
+    shard_schema = T.StructType([
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("tar", T.BinaryType()),
+    ])
+
+    def parse_manifest(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+        def walk(shard_id: int, blob: bytes):
+            off = 0
+            while off + 512 <= len(blob):
+                hdr = blob[off:off + 512]
+                if hdr == b"\0" * 512:
+                    break
+                name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
+                size = int(hdr[124:136].split(b"\0", 1)[0] or b"0", 8)
+                stored = int(hdr[148:156].split(b"\0", 1)[0].strip()
+                             or b"0", 8)
+                calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+                yield (shard_id, name, size, stored == calc)
+                off += 512 + ((size + 511) // 512) * 512
+
+        for pdf in batches:
+            rows = [r for sid, blob in zip(pdf["shard_id"], pdf["tar"])
+                    for r in walk(int(sid), bytes(blob))]
+            yield pd.DataFrame(rows, columns=[
+                "shard_id", "member_name", "size", "checksum_ok"])
+
+    manifest_schema = T.StructType([
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("member_name", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("checksum_ok", T.BooleanType()),
+    ])
+    manifest = (base.groupBy("shard_id")
+                .applyInPandas(build_shard, schema=shard_schema)
+                .mapInPandas(parse_manifest, schema=manifest_schema))
+    return (manifest
+            .withColumn("doc_id",
+                        F.substring("member_name", 1, 12).cast("bigint"))
+            .groupBy("shard_id", "doc_id")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum("size").cast("long").alias("sample_bytes"),
+                 F.min("checksum_ok").alias("checksums_ok"))
+            .withColumn("complete", F.col("n_members") == 3)
+            .orderBy("doc_id"))
+
+
+_M10_SQL = f"""
+WITH base AS (
+  SELECT d.doc_id,
+         CAST(d.doc_id // {_M10_DOCS_PER_SHARD} AS BIGINT) AS shard_id,
+         CAST(strlen(d.text) AS BIGINT) AS txt_size,
+         CAST(strlen('{{"doc_id":' || d.doc_id || ',"lang":"' || d.lang
+              || '"}}') AS BIGINT) AS json_size,
+         CASE WHEN e.vec_id IS NOT NULL
+              THEN CAST(4 * len(e.embedding) AS BIGINT) END AS vec_size
+  FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id)
+SELECT shard_id, doc_id,
+       CAST(2 + CASE WHEN vec_size IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS n_members,
+       txt_size + json_size + COALESCE(vec_size, 0) AS sample_bytes,
+       TRUE AS checksums_ok,
+       vec_size IS NOT NULL AS complete
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
@@ -827,6 +958,7 @@ QUERIES = {
     "m7_npy_tensor_parse": m7_npy_tensor_parse,
     "m8_jsonl_shard_codec": m8_jsonl_shard_codec,
     "m9_shard_repack_plan": m9_shard_repack_plan,
+    "m10_webdataset_samples": m10_webdataset_samples,
 }
 
 ORACLE: dict[str, str] = {
@@ -839,4 +971,5 @@ ORACLE: dict[str, str] = {
     "m7_npy_tensor_parse": _m7_sql(),
     "m8_jsonl_shard_codec": _M8_SQL,
     "m9_shard_repack_plan": _M9_SQL,
+    "m10_webdataset_samples": _M10_SQL,
 }

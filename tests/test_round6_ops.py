@@ -437,6 +437,23 @@ def test_x13_no_cluster_straddles_splits(spark):
     assert straddlers == 0
 
 
+def test_m10_samples_grouped_and_checksummed(spark):
+    """Every document yields one sample row; completeness tracks
+    embedding presence exactly; every parsed member passed its ustar
+    checksum (pins the build→parse round-trip)."""
+    from postgres_scanner_spark.operators import multimodal as mm
+    rows = mm.m10_webdataset_samples(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    vec_ids = {r.vec_id for r in spark.read.parquet(
+        f"{SF}/embeddings.parquet").select("vec_id").collect()}
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.checksums_ok is True, r
+        assert r.complete == (r.doc_id in vec_ids), r
+        assert r.n_members == (3 if r.complete else 2), r
+        assert r.shard_id == r.doc_id // mm._M10_DOCS_PER_SHARD
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""

@@ -182,6 +182,67 @@ def a6_shape(embs: DataFrame) -> int:
     return upd.count()
 
 
+def t17_shape(docs: DataFrame) -> int:
+    """Reference-LM scoring: per-(doc,word) counts joined to the
+    vocabulary on the word key (the Zipf-hot token shuffle)."""
+    tok = docs.select("doc_id",
+                      F.explode(F.split(F.lower("text"), " ")).alias("w")) \
+        .filter(F.col("w") != "")
+    per_word = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    refc = (tok.filter(F.col("doc_id") % 20 == 0)
+            .groupBy("w").agg(F.count("*").alias("c")))
+    scored = per_word.join(refc, "w", "left")
+    return (scored.groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.log(F.coalesce("c", F.lit(0)) + 1))
+                 .alias("s")).count())
+
+
+def m9_shape(docs: DataFrame) -> int:
+    """Hierarchical prefix sum (shard repack): per-bucket parallel
+    cumsum + tiny bucket-offset relation — must never plan a
+    single-partition window over the data."""
+    from pyspark.sql.window import Window
+    member = docs.select(
+        "doc_id", (F.col("doc_id") / 256).cast("long").alias("bkt"),
+        (F.lit(512) + 512 * F.ceil(F.octet_length("text") / 512.0)
+         .cast("long")).alias("bytes"))
+    w_local = (Window.partitionBy("bkt").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = member.withColumn(
+        "lp", F.coalesce(F.sum("bytes").over(w_local), F.lit(0)))
+    totals = member.groupBy("bkt").agg(F.sum("bytes").alias("bb"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "bkt", F.coalesce(F.sum("bb").over(w_b), F.lit(0)).alias("off"))
+    planned = local.join(F.broadcast(offs), "bkt").select(
+        ((F.col("off") + F.col("lp")) / 65536).cast("long").alias("sid"))
+    return planned.groupBy("sid").count().count()
+
+
+def d16_shape(docs: DataFrame) -> int:
+    """CDC chunking: per-doc rolling-hash boundaries + chunk-hash
+    share report (chunk text never crosses docs)."""
+    from pyspark.sql.window import Window
+    tok = docs.select("doc_id",
+                      F.posexplode(F.split(F.lower("text"), " "))
+                      .alias("pos", "w")).filter(F.col("w") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = F.concat_ws("\x01",
+                      F.coalesce(F.lag("w", 2).over(wd), F.lit("")),
+                      F.coalesce(F.lag("w", 1).over(wd), F.lit("")),
+                      F.col("w"))
+    h = F.conv(F.substring(F.md5(ctx), 1, 8), 16, 10).cast("bigint")
+    flagged = tok.withColumn("b", (h % 16 == 0).cast("int"))
+    chunked = flagged.withColumn(
+        "cid", F.coalesce(F.sum("b").over(
+            wd.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    chunks = (chunked.groupBy("doc_id", "cid")
+              .agg(F.md5(F.concat_ws(" ", F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                  lambda x: x["w"]))).alias("ch")))
+    return chunks.groupBy("ch").count().count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from postgres_scanner_spark import get_spark
@@ -201,6 +262,9 @@ def main() -> None:
     d10_shape(docs.limit(50))
     t11_shape(docs.limit(50))
     a6_shape(embs.limit(50))
+    t17_shape(docs.limit(50))
+    m9_shape(docs.limit(50))
+    d16_shape(docs.limit(50))
     print(f"{'op':10} {'R':>3} {'rows':>12} {'sec':>8} {'sec/R':>8}")
     for name, base, key, stride, fn in (
             ("q1_agg", li, "l_orderkey", 10_000_000, q1_shape),
@@ -211,7 +275,10 @@ def main() -> None:
             ("x6_shuf", docs, "doc_id", 1_000_000, x6_shape),
             ("d10_boil", docs, "doc_id", 1_000_000, d10_shape),
             ("t11_bpe", docs, "doc_id", 1_000_000, t11_shape),
-            ("a6_lloyd", embs, "vec_id", 1_000_000, a6_shape)):
+            ("a6_lloyd", embs, "vec_id", 1_000_000, a6_shape),
+            ("t17_lm", docs, "doc_id", 1_000_000, t17_shape),
+            ("m9_pack", docs, "doc_id", 1_000_000, m9_shape),
+            ("d16_cdc", docs, "doc_id", 1_000_000, d16_shape)):
         for r in (1, 4, 16):
             # persist the amplified input: a real R×-sized table is
             # materialized storage, while the amplify() union would
