@@ -1044,6 +1044,170 @@ ORDER BY query_id
 """
 
 
+# ---------------- A11 MMR diversified top-k (retrieval de-dup)
+_MMR_CAND = 8      # cosine preselect depth
+_MMR_K = 3         # diversified picks
+_MMR_LAMBDA = 0.5  # relevance/diversity trade-off
+
+
+def a11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    pick k results that balance relevance against redundancy —
+    score = cos(q,d) − λ·max cos(d, already-picked). The retrieval
+    twin of the dedup surface: without it a near-dup-heavy corpus
+    returns k copies of one document (exactly what A1 does on the
+    planted dups).
+
+    Greedy selection unrolls to K=3 deterministic rounds; after the
+    cosine top-8 preselect per query (A1's broadcast scan shape),
+    every round operates on ≤ |queries|×8 rows — metadata-sized, so
+    the unrolled joins cost nothing at any corpus scale, and the
+    oracle is the identical 3-round SQL. Ties break on neighbor_id;
+    scores rounded to 6 before comparison so both engines rank the
+    same doubles."""
+    from .. import tables
+    e = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"))
+    c = e.filter(F.col("vec_id") >= N_QUERIES)
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.col("neighbor_id"))
+    cand = (c.crossJoin(F.broadcast(q))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "embedding", "norm", F.round(cos, 6).alias("rel"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MMR_CAND)
+            .drop("rk"))
+    from ..runtime import scratch_persist
+    cand = scratch_persist(cand)
+    # pairwise candidate-candidate cosines (≤ 8×8 per query)
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_cos = _dot(F.col("a.embedding"), F.col("b.embedding")) \
+        / (F.col("a.norm") * F.col("b.norm"))
+    pairs = scratch_persist(
+        a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+               & (F.col("a.neighbor_id") != F.col("b.neighbor_id")))
+        .select(F.col("a.query_id").alias("query_id"),
+                F.col("a.neighbor_id").alias("nid"),
+                F.col("b.neighbor_id").alias("other"),
+                F.round(pair_cos, 6).alias("sim")))
+    slim = cand.select("query_id", F.col("neighbor_id").alias("nid"),
+                       "rel")
+    picked = None      # (query_id, nid, rank, score)
+    remaining = slim
+    for step in range(1, _MMR_K + 1):
+        if picked is None:
+            scored = remaining.withColumn("mmr", F.col("rel"))
+        else:
+            mx = (pairs.join(picked.select("query_id",
+                                           F.col("nid").alias("other")),
+                             ["query_id", "other"])
+                  .groupBy("query_id", "nid")
+                  .agg(F.max("sim").alias("mxsim")))
+            scored = (remaining.join(mx, ["query_id", "nid"], "left")
+                      .withColumn("mmr",
+                                  F.round(F.col("rel") - _MMR_LAMBDA
+                                          * F.coalesce("mxsim",
+                                                       F.lit(0.0)), 6)))
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr"), F.col("nid"))
+        best = (scored.withColumn("r", F.row_number().over(ws))
+                .filter(F.col("r") == 1)
+                .select("query_id", "nid", F.lit(step).alias("rank"),
+                        F.col("mmr").alias("score")))
+        picked = best if picked is None else picked.unionByName(best)
+        remaining = remaining.join(
+            best.select("query_id", "nid"), ["query_id", "nid"],
+            "left_anti")
+    return (picked.select("query_id", F.col("nid").alias("neighbor_id"),
+                          F.col("rank").cast("int").alias("rank"),
+                          F.round("score", 6).alias("mmr_score"))
+            .orderBy("query_id", "rank"))
+
+
+def _a11_sql() -> str:
+    dot_qc = _SQL_DOT.format(u="q_emb", v="c.embedding")
+    dot_ab = _SQL_DOT.format(u="a.embedding", v="b.embedding")
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+cand AS (
+  SELECT * FROM (
+    SELECT query_id, c.vec_id AS nid, c.embedding, c.norm,
+           ROUND({dot_qc} / (q_norm * c.norm), 6) AS rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ROUND({dot_qc} / (q_norm * c.norm), 6) DESC,
+                      c.vec_id) AS rk
+    FROM c CROSS JOIN q)
+  WHERE rk <= {_MMR_CAND}),
+pairs AS (
+  SELECT a.query_id, a.nid, b.nid AS other,
+         ROUND({dot_ab} / (a.norm * b.norm), 6) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.nid <> b.nid),
+p1 AS (
+  SELECT query_id, nid, rel AS score FROM (
+    SELECT query_id, nid, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, nid) AS r
+    FROM cand) WHERE r = 1),
+s2 AS (
+  SELECT c.query_id, c.nid, ROUND(c.rel - {_MMR_LAMBDA} *
+           COALESCE((SELECT MAX(p.sim) FROM pairs p
+                     JOIN p1 ON p1.query_id = p.query_id
+                            AND p1.nid = p.other
+                     WHERE p.query_id = c.query_id
+                       AND p.nid = c.nid), 0.0), 6) AS mmr
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM p1
+                    WHERE p1.query_id = c.query_id
+                      AND p1.nid = c.nid)),
+p2 AS (
+  SELECT query_id, nid, mmr AS score FROM (
+    SELECT query_id, nid, mmr,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, nid) AS r
+    FROM s2) WHERE r = 1),
+s3 AS (
+  SELECT c.query_id, c.nid, ROUND(c.rel - {_MMR_LAMBDA} *
+           COALESCE((SELECT MAX(p.sim) FROM pairs p
+                     WHERE p.query_id = c.query_id AND p.nid = c.nid
+                       AND p.other IN (
+                         SELECT nid FROM p1
+                         WHERE p1.query_id = c.query_id
+                         UNION ALL
+                         SELECT nid FROM p2
+                         WHERE p2.query_id = c.query_id)), 0.0), 6)
+           AS mmr
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM p1
+                    WHERE p1.query_id = c.query_id AND p1.nid = c.nid)
+    AND NOT EXISTS (SELECT 1 FROM p2
+                    WHERE p2.query_id = c.query_id AND p2.nid = c.nid)),
+p3 AS (
+  SELECT query_id, nid, mmr AS score FROM (
+    SELECT query_id, nid, mmr,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, nid) AS r
+    FROM s3) WHERE r = 1),
+picked AS (
+  SELECT query_id, nid, 1 AS rank, score FROM p1
+  UNION ALL SELECT query_id, nid, 2, score FROM p2
+  UNION ALL SELECT query_id, nid, 3, score FROM p3)
+SELECT query_id, nid AS neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(score, 6) AS mmr_score
+FROM picked ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
@@ -1055,6 +1219,7 @@ QUERIES = {
     "a8_sq8_ann": a8_sq8_ann,
     "a9_mih_hamming_ann": a9_mih_hamming_ann,
     "a10_filtered_ann": a10_filtered_ann,
+    "a11_mmr_diversified": a11_mmr_diversified,
 }
 
 ORACLE = {
@@ -1068,4 +1233,5 @@ ORACLE = {
     "a8_sq8_ann": _A8_SQL,
     "a9_mih_hamming_ann": _a9_sql(),
     "a10_filtered_ann": _a10_sql(),
+    "a11_mmr_diversified": _a11_sql(),
 }

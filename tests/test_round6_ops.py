@@ -454,6 +454,48 @@ def test_m10_samples_grouped_and_checksummed(spark):
         assert r.shard_id == r.doc_id // mm._M10_DOCS_PER_SHARD
 
 
+def test_a11_matches_greedy_replay(spark):
+    """Full Python replay of the MMR greedy (top-8 preselect, 3
+    rounds, λ=0.5, same rounding and tiebreaks) must pick the same
+    neighbors in the same order."""
+    import math
+    from postgres_scanner_spark.operators import ann
+    embs = {r.vec_id: [float(v) for v in r.embedding]
+            for r in spark.read.parquet(
+                f"{SF}/embeddings.parquet").collect()}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u))
+                    * math.sqrt(sum(b * b for b in v)))
+
+    got = {}
+    for r in ann.a11_mmr_diversified(spark, SF).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid in range(ann.N_QUERIES):
+        rel = sorted(
+            ((round(cos(embs[qid], embs[n]), 6), -n), n)
+            for n in embs if n >= ann.N_QUERIES)
+        cand = [(s[0], n) for s, n in
+                sorted(rel, key=lambda x: (-x[0][0], x[1]))
+                [:ann._MMR_CAND]]
+        picked = []
+        remaining = dict(cand[::-1])  # later dup keys overwrite; none
+        remaining = {n: s for s, n in cand}
+        for _ in range(ann._MMR_K):
+            best = None
+            for n, s in remaining.items():
+                pen = max((round(cos(embs[n], embs[p]), 6)
+                           for p in picked), default=0.0)
+                mmr = round(s - ann._MMR_LAMBDA * pen, 6)
+                key = (-mmr, n)
+                if best is None or key < best[0]:
+                    best = (key, n)
+            picked.append(best[1])
+            del remaining[best[1]]
+        assert got[qid] == picked, (qid, got[qid], picked)
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""

@@ -189,6 +189,7 @@ def test_plan_lint_all_queries(spark):
         "ds16_above_avg_balance_nations",  # 1-row global-average scalar
         "ds17_substr_cohort_revenue",      # 1-row global-average scalar
         "a10_filtered_ann",        # query set (5 rows) × corpus, as A1
+        "a11_mmr_diversified",     # query set (5 rows) × corpus, as A1
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
