@@ -61,7 +61,7 @@ _COST_ORDER = [
     "d16_cdc_chunk_dedup", "e20_streaming_neardup_ingest",
     "w18_retention_cohorts", "e21_watermark_dedup",
     "x13_neardup_safe_split", "m10_webdataset_samples",
-    "a11_mmr_diversified",
+    "a11_mmr_diversified", "p14_timezone_convert",
     "w9_continuous_aggregate", "w14_first_touch", "w12_range_frame",
     "w11_grouping_sets", "w13_dist_windows", "w10_skew_join",
     "ds1_above_avg_customers", "ds6_top_customers_per_region",

@@ -355,7 +355,50 @@ ORDER BY o_orderpriority
 """
 
 
+# ---- P14: timezone conversion parity (AT TIME ZONE semantics) --------
+_P14_ZONES = ("America/New_York", "Asia/Tokyo", "Europe/Berlin",
+              "Australia/Adelaide")
+
+
+def p14_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG `AT TIME ZONE` semantics through both engines: event
+    timestamps (UTC instants) rendered in four IANA zones — including
+    a half-hour-offset zone (Adelaide, +10:30 in January) — rolled up
+    by LOCAL hour-of-day. Spark's from_utc_timestamp and DuckDB's
+    timezone(zone, timezone('UTC', ts)) must agree on every bucket;
+    both read the IANA tzdb, so this pins that the session/JVM/ICU
+    zone plumbing is wired identically (the classic silent-skew trap
+    when one side treats naive timestamps as local).
+
+    Scale: per-row zone conversion is codegen'd; one (zone, hour)
+    aggregate — 4×24 output rows regardless of volume."""
+    e = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    parts = [
+        e.select(F.lit(z).alias("zone"),
+                 F.hour(F.from_utc_timestamp(ts, z)).cast("int")
+                 .alias("local_hour"))
+        for z in _P14_ZONES
+    ]
+    allz = parts[0]
+    for p in parts[1:]:
+        allz = allz.unionByName(p)
+    return (allz.groupBy("zone", "local_hour")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("zone", "local_hour"))
+
+
+_P14_SQL = " UNION ALL ".join(
+    f"""SELECT '{z}' AS zone,
+       CAST(hour(timezone('{z}', timezone('UTC', ts))) AS INT)
+         AS local_hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2""" for z in _P14_ZONES
+) + " ORDER BY zone, local_hour"
+
+
 QUERIES = {
+    "p14_timezone_convert": p14_timezone_convert,
     "p13_range_arrays": p13_range_arrays,
     "p1_count_star": p1_count_star,
     "p2_nulls": p2_nulls,
@@ -372,6 +415,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "p14_timezone_convert": _P14_SQL,
     "p13_range_arrays": _P13_SQL,
     "p1_count_star": _P1_SQL,
     "p2_nulls": _P2_SQL,

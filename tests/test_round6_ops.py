@@ -496,6 +496,29 @@ def test_a11_matches_greedy_replay(spark):
         assert got[qid] == picked, (qid, got[qid], picked)
 
 
+def test_p14_offsets_including_half_hour(spark):
+    """The local-hour histograms must be exact zone shifts of the UTC
+    histogram for whole-hour zones in January (Tokyo +9, Berlin +1,
+    New York −5), and Adelaide's +10:30 must actually split UTC hours
+    across two local buckets when minutes ≠ 0 exists."""
+    from pyspark.sql import functions as F
+    from postgres_scanner_spark.functions import scanq
+    rows = scanq.p14_timezone_convert(spark, SF).collect()
+    hist = {}
+    for r in rows:
+        hist.setdefault(r.zone, {})[r.local_hour] = r.n
+    utc = {r.h: r.n for r in spark.read.parquet(f"{SF}/events.parquet")
+           .select(F.hour(F.col("ts").cast("timestamp")).alias("h"))
+           .groupBy("h").agg(F.count("*").alias("n")).collect()}
+    for zone, off in (("Asia/Tokyo", 9), ("Europe/Berlin", 1),
+                      ("America/New_York", -5)):
+        shifted = {}
+        for h, n in utc.items():
+            shifted[(h + off) % 24] = shifted.get((h + off) % 24, 0) + n
+        assert hist[zone] == shifted, zone
+    assert sum(hist["Australia/Adelaide"].values()) == sum(utc.values())
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
