@@ -98,6 +98,10 @@ class Catalog:
         # session's current database (SQL USE); owned here so the
         # direct API and the SQL router stay consistent
         self.current: str | None = None
+        # SET pg_array_as_varchar invalidates cached table schemas
+        # (reference: postgres_extension.cpp:171-173 ClearCacheOnSetting)
+        from .settings import register_cache_clearer
+        register_cache_clearer(self.clear_cache)
 
     # -- reference: postgres_attach.cpp AttachFunction
     def attach(self, source: str, alias: str = "pg", *,

@@ -9,10 +9,36 @@ they are process-global here, like DuckDB's config.
 
 from __future__ import annotations
 
+import weakref
+
 from dataclasses import dataclass, field
 from typing import Any
 
 DEFAULT_PAGES_PER_TASK = 1000  # reference: postgres_scanner.hpp DEFAULT_PAGES_PER_TASK
+
+# Catalogs register their clear_cache here; flipping a schema-shaping
+# setting invalidates every cached table schema, mirroring the
+# reference's ClearCacheOnSetting callback on pg_array_as_varchar
+# (reference: postgres_extension.cpp:171-173) — without it a table
+# probed before SET keeps its old array typing forever.
+_CACHE_CLEARERS: list = []      # weakref.WeakMethod entries
+
+
+def register_cache_clearer(method) -> None:
+    _CACHE_CLEARERS.append(weakref.WeakMethod(method))
+
+
+def _clear_registered_caches() -> None:
+    alive = []
+    for ref in _CACHE_CLEARERS:
+        fn = ref()
+        if fn is not None:
+            alive.append(ref)
+            try:
+                fn()
+            except Exception:
+                pass  # a half-detached catalog must not break SET
+    _CACHE_CLEARERS[:] = alive
 
 
 @dataclass
@@ -46,6 +72,8 @@ class Settings:
             if name == "pg_pages_per_task" and self.pg_pages_per_task == 0:
                 # reference: postgres_scanner.cpp:107 — 0 resets to default
                 self.pg_pages_per_task = DEFAULT_PAGES_PER_TASK
+            if name == "pg_array_as_varchar" and value != cur:
+                _clear_registered_caches()
         else:
             self._extra[name] = value
 

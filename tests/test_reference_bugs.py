@@ -1131,3 +1131,33 @@ def test_attach_types_macaddr_wire():
     BinaryCopyWriter([pgt.MACADDROID]).write(buf, [(mac,), (None,)])
     assert list(BinaryCopyReader([pgt.MACADDROID]).read(
         io.BytesIO(buf.getvalue()))) == [(mac,), (None,)]
+
+
+def test_array_as_varchar_set_clears_cache(spark, tmp_path):
+    """reference: postgres_extension.cpp:171-173 — SET
+    pg_array_as_varchar runs ClearCacheOnSetting, so a table schema
+    probed BEFORE the flip must not be served stale after it."""
+    import os
+    import duckdb
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.settings import SETTINGS
+    db_path = str(tmp_path / "cache.db")
+    con = duckdb.connect(db_path)
+    con.execute("CREATE TABLE t (id INTEGER, a INTEGER[])")
+    con.execute("INSERT INTO t VALUES (1, [1, 2])")
+    con.close()
+    cat = Catalog(spark)
+    d = cat.attach(f"duckdb://{db_path}", alias="whc",
+                   register_views=False)
+    cat.table("whc", "t")
+    assert "t" in d._table_cache
+    try:
+        SETTINGS.set("pg_array_as_varchar", True)
+        assert d._table_cache == {}      # flipped -> cache invalidated
+        cat.table("whc", "t")
+        assert "t" in d._table_cache
+        SETTINGS.set("pg_array_as_varchar", True)   # no-op: same value
+        assert "t" in d._table_cache
+    finally:
+        SETTINGS.set("pg_array_as_varchar", False)
+    assert d._table_cache == {}          # flip back also clears
