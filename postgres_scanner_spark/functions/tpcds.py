@@ -638,7 +638,10 @@ def ds15_channel_growth_ratio(spark: SparkSession, sf_dir: str
         return F.sum(F.when(cond, F.col("o_totalprice").cast(_DEC))
                      .otherwise(F.lit(0).cast(_DEC))).alias(name)
 
-    per = (o.filter(yr.isin(1994, 1995))
+    # sargable range instead of year() IN (...): the predicate must
+    # reach the parquet scan (PushedFilters) / remote WHERE
+    per = (o.filter((F.col("o_orderdate") >= "1994-01-01")
+                    & (F.col("o_orderdate") < "1996-01-01"))
            .groupBy(F.col("o_custkey").alias("custkey"))
            .agg(tot(True, 1994, "p94"), tot(True, 1995, "p95"),
                 tot(False, 1994, "s94"), tot(False, 1995, "s95")))
@@ -701,7 +704,8 @@ def ds16_above_avg_balance_nations(spark: SparkSession, sf_dir: str
     n = _t(spark, sf_dir, "nation")
     gavg = c.agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
                   / F.count("*")).alias("global_avg"))
-    active = (o.filter(F.year("o_orderdate") == 1994)
+    active = (o.filter((F.col("o_orderdate") >= "1994-01-01")
+                       & (F.col("o_orderdate") < "1995-01-01"))
               .select("o_custkey").distinct())
     return (c.join(active, c.c_custkey == active.o_custkey)
             .crossJoin(broadcast(gavg))
@@ -800,7 +804,8 @@ def ds18_multi_exists_cohort(spark: SparkSession, sf_dir: str
     a left-semi ∘ (union of semis) chain."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    o94 = o.filter(F.year("o_orderdate") == 1994).select(
+    o94 = o.filter((F.col("o_orderdate") >= "1994-01-01")
+                   & (F.col("o_orderdate") < "1995-01-01")).select(
         "o_custkey", F.quarter("o_orderdate").alias("q"))
     q1 = o94.filter(F.col("q") == 1).select("o_custkey").distinct()
     q23 = (o94.filter(F.col("q").isin(2, 3))
@@ -842,7 +847,8 @@ def ds19_two_fact_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     yr_o = F.year("o_orderdate")
-    head = (o.filter(yr_o.isin(1994, 1995))
+    head = (o.filter((F.col("o_orderdate") >= "1994-01-01")
+                     & (F.col("o_orderdate") < "1996-01-01"))
             .groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.sum(F.when(yr_o == 1994,
                               F.col("o_totalprice").cast(_DEC))
@@ -853,7 +859,8 @@ def ds19_two_fact_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr_l = F.year("l_shipdate")
     rev = (l.join(o.select("o_orderkey", "o_custkey"),
                   l.l_orderkey == F.col("o_orderkey"))
-           .filter(yr_l.isin(1994, 1995))
+           .filter((F.col("l_shipdate") >= "1994-01-01")
+                   & (F.col("l_shipdate") < "1996-01-01"))
            .groupBy(F.col("o_custkey").alias("custkey"))
            .agg(F.sum(F.when(yr_l == 1994, _rev(l))
                       .otherwise(F.lit(0).cast("decimal(14,4)")))
