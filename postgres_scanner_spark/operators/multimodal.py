@@ -948,6 +948,76 @@ FROM base ORDER BY doc_id
 """
 
 
+# ---- M11: parquet footer manifest (lakehouse compaction input) -------
+_M11_TABLES = (("documents", "doc_id"), ("events", "event_id"),
+               ("lineitem", "l_orderkey"))
+
+
+def m11_parquet_footer_manifest(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Row-group manifest read from the parquet FOOTERS, executor-
+    side — the input a lakehouse compaction/pruning planner consumes
+    (which files are runt-sized, what each row group's zone map
+    covers) without touching data pages. File paths parallelize over
+    executors via mapInPandas; each task opens only the footer of
+    its files (OS reads the tail bytes — at 100 TB this is the
+    manifest scan that costs MBs, not TBs).
+
+    The oracle is STRONG despite footers being binary: a footer's
+    row count and key-column statistics (min/max/null-count) must
+    equal the SQL aggregates over the same rows — so the oracle
+    cross-checks that the zone maps the planner would prune on are
+    the truth. (Driver testdata is single-row-group per file —
+    PLANS.md 'local-file caveat'; a multi-RG file yields one row per
+    group through the identical code path.)"""
+    import os
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    files = spark.createDataFrame(
+        [(t, k, os.path.join(sf_dir, f"{t}.parquet"))
+         for t, k in _M11_TABLES], "tbl STRING, key STRING, path STRING")
+
+    def read_footers(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                md = pq.ParquetFile(r.path).metadata
+                ci = md.schema.to_arrow_schema().get_field_index(r.key)
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(ci).statistics
+                    rows.append((r.tbl, g, rg.num_rows,
+                                 int(st.min), int(st.max),
+                                 int(st.null_count)))
+            yield pd.DataFrame(rows, columns=[
+                "tbl", "rg_id", "n_rows", "key_min", "key_max",
+                "key_nulls"])
+
+    schema = T.StructType([
+        T.StructField("tbl", T.StringType()),
+        T.StructField("rg_id", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("key_min", T.LongType()),
+        T.StructField("key_max", T.LongType()),
+        T.StructField("key_nulls", T.LongType()),
+    ])
+    return (files.repartition(len(_M11_TABLES))
+            .mapInPandas(read_footers, schema=schema)
+            .orderBy("tbl", "rg_id"))
+
+
+_M11_SQL = " UNION ALL ".join(
+    f"""SELECT '{t}' AS tbl, 0 AS rg_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({k}) AS BIGINT) AS key_min,
+       CAST(MAX({k}) AS BIGINT) AS key_max,
+       CAST(SUM(CASE WHEN {k} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS key_nulls
+FROM {t}""" for t, k in _M11_TABLES
+) + " ORDER BY tbl, rg_id"
+
+
 QUERIES = {
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
@@ -959,6 +1029,7 @@ QUERIES = {
     "m8_jsonl_shard_codec": m8_jsonl_shard_codec,
     "m9_shard_repack_plan": m9_shard_repack_plan,
     "m10_webdataset_samples": m10_webdataset_samples,
+    "m11_parquet_footer_manifest": m11_parquet_footer_manifest,
 }
 
 ORACLE: dict[str, str] = {
@@ -972,4 +1043,5 @@ ORACLE: dict[str, str] = {
     "m8_jsonl_shard_codec": _M8_SQL,
     "m9_shard_repack_plan": _M9_SQL,
     "m10_webdataset_samples": _M10_SQL,
+    "m11_parquet_footer_manifest": _M11_SQL,
 }
