@@ -1478,7 +1478,150 @@ ORDER BY chunk_hash
 """
 
 
+# -------------------------- D17 LSH (bands × rows) parameter sweep
+_D17_CONFIGS = ((8, 1), (4, 2), (2, 4))   # b×r over the 8 permutations
+
+
+def d17_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH TUNING table: candidate volume, surviving true pairs,
+    precision and recall for every (bands × rows) split of the 8
+    minhash permutations — the S-curve trade a dedup engineer reads
+    before picking d2's production setting (more bands → higher
+    recall, more junk candidates; more rows/band → the opposite).
+
+    Ground truth = the (8,1) candidate set verified at Jaccard ≥ 0.5:
+    any (b,r) collision implies per-permutation equality, so every
+    config's candidates are a SUBSET of (8,1)'s — one verification
+    pass scores all three configs (no config re-verifies).
+
+    Scale: one shingle pass + ONE signature aggregate feed all
+    configs; candidate joins are band-keyed (d2's shape); run the
+    sweep on a hash-sample (x2) at 100 TB — it is a tuning job, not
+    a production pass, and the docstring of d2 records the winner."""
+    shx = scratch_persist(
+        shingle_index(corpus_with_plants(spark, sf_dir), 3))
+    h0 = F.md5(F.concat(F.lit("0:"), F.col("s")))
+    h1 = F.md5(F.concat(F.lit("1:"), F.col("s")))
+    sig = scratch_persist(shx.groupBy("doc_id").agg(
+        *[F.min(F.substring([h0, h1][m // 4], 1 + 8 * (m % 4), 8))
+          .alias(f"mh{m}") for m in range(N_MINHASH)],
+        F.count("*").alias("n")))
+
+    def cand_pairs(b: int, r: int) -> DataFrame:
+        bands = sig.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band_id"),
+                         F.md5(F.concat(*[F.col(f"mh{i * r + j}")
+                                          for j in range(r)]))
+                         .alias("bh"))
+                for i in range(b)])).alias("bd")
+        ).select("doc_id", "bd.band_id", "bd.bh")
+        x, y = bands.alias("x"), bands.alias("y")
+        return (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+                       & (F.col("x.bh") == F.col("y.bh"))
+                       & (F.col("x.doc_id") < F.col("y.doc_id")))
+                .select(F.col("x.doc_id").alias("doc_a"),
+                        F.col("y.doc_id").alias("doc_b"))
+                .distinct())
+
+    base = scratch_persist(cand_pairs(8, 1))
+    sizes = sig.select("doc_id", "n")
+    a_sh = shx.select(F.col("doc_id").alias("doc_a"), "s")
+    b_sh = shx.select(F.col("doc_id").alias("bdoc"),
+                      F.col("s").alias("s2"))
+    inter = (base.join(a_sh, "doc_a")
+             .join(b_sh, (F.col("doc_b") == F.col("bdoc"))
+                   & (F.col("s") == F.col("s2")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("ni")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    truth = scratch_persist(
+        base.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a").join(nb, "doc_b")
+        .filter(F.coalesce(jac, F.lit(0.0)) >= 0.5)
+        .select("doc_a", "doc_b"))
+    n_truth = truth.count()
+    out = None
+    for b, r in _D17_CONFIGS:
+        cand = scratch_persist(cand_pairs(b, r))
+        n_cand = cand.count()
+        n_true = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+        row = spark.createDataFrame(
+            [(b, r, n_cand, n_true,
+              round(n_true / n_cand, 4) if n_cand else 0.0,
+              round(n_true / n_truth, 4) if n_truth else 0.0)],
+            "bands INT, rows INT, n_candidates BIGINT, n_true BIGINT, "
+            "precision DOUBLE, recall DOUBLE")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")
+
+
+def _d17_sql() -> str:
+    sig = _sql_sig_clause()
+
+    def band_rows(b: int, r: int) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {i} AS band_id, md5({parts}) AS bh FROM sig"
+            .format(i=i, parts="||".join(f"mh{i * r + j}"
+                                         for j in range(r)))
+            for i in range(b))
+
+    def cand(b: int, r: int, name: str) -> str:
+        return (f"{name}_bands AS ({band_rows(b, r)}), "
+                f"{name} AS (SELECT DISTINCT x.doc_id AS doc_a, "
+                f"y.doc_id AS doc_b FROM {name}_bands x "
+                f"JOIN {name}_bands y ON x.band_id = y.band_id "
+                f"AND x.bh = y.bh AND x.doc_id < y.doc_id)")
+
+    selects = " UNION ALL ".join(
+        f"""SELECT {b} AS bands, {r} AS rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c{b}x{r}) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c{b}x{r} c
+        JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         AS n_true,
+       ROUND((SELECT COUNT(*) FROM c{b}x{r} c JOIN truth t
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+             / nullif((SELECT COUNT(*) FROM c{b}x{r}), 0), 4)
+         AS precision,
+       ROUND((SELECT COUNT(*) FROM c{b}x{r} c JOIN truth t
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+             / nullif((SELECT COUNT(*) FROM truth), 0), 4) AS recall"""
+        for b, r in _D17_CONFIGS)
+    return f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles(3)} AS shingles
+       FROM tok WHERE len(t) >= 3),
+sig AS (SELECT doc_id, shingles, {sig} FROM sh),
+{cand(8, 1, 'c8x1')},
+{cand(4, 2, 'c4x2')},
+{cand(2, 4, 'c2x4')},
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM c8x1 c
+  JOIN shx x ON x.doc_id = c.doc_a
+  JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b),
+truth AS (
+  SELECT c.doc_a, c.doc_b
+  FROM c8x1 c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE COALESCE(i.ni * 1.0 / (sa.n + sb.n - i.ni), 0) >= 0.5)
+{selects}
+ORDER BY bands
+"""
+
+
 QUERIES = {
+    "d17_lsh_param_sweep": d17_lsh_param_sweep,
     "d16_cdc_chunk_dedup": d16_cdc_chunk_dedup,
     "d15_source_overlap": d15_source_overlap,
     "d14_semantic_dedup": d14_semantic_dedup,
@@ -1498,6 +1641,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d17_lsh_param_sweep": _d17_sql(),
     "d16_cdc_chunk_dedup": _D16_SQL,
     "d15_source_overlap": _D15_SQL,
     "d14_semantic_dedup": _d14_sql(),

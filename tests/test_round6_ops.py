@@ -519,6 +519,26 @@ def test_p14_offsets_including_half_hour(spark):
     assert sum(hist["Australia/Adelaide"].values()) == sum(utc.values())
 
 
+def test_d17_configs_nest_and_recall_anchors(spark):
+    """Candidate sets nest — an r-row band collision implies
+    collisions in every finer split — so counts must be monotone in
+    rows/band, and (8,1) recall is 1.0 by construction (truth is its
+    verified subset). The planted exact dups (identical signatures)
+    must survive every config."""
+    from postgres_scanner_spark.operators import dedup
+    rows = {(r.bands, r.rows): r
+            for r in dedup.d17_lsh_param_sweep(spark, SF).collect()}
+    assert set(rows) == set(dedup._D17_CONFIGS)
+    c81, c42, c24 = rows[(8, 1)], rows[(4, 2)], rows[(2, 4)]
+    assert c81.n_candidates >= c42.n_candidates >= c24.n_candidates
+    assert c81.n_true >= c42.n_true >= c24.n_true
+    assert c81.recall == 1.0
+    n_plants = dedup._DUP_N      # exact copies collide at any config
+    for r in rows.values():
+        assert r.n_true >= n_plants, r
+        assert 0 <= r.precision <= 1 and 0 <= r.recall <= 1
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
