@@ -1365,6 +1365,80 @@ ORDER BY cohort_day, age_days
 """
 
 
+# ---- W19: truncated exponential moving average -----------------------
+_W19_ALPHA = 0.2
+_W19_LOOKBACK = 30    # days
+
+
+def w19_ema_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue —
+    metrics-standard smoothing (α=0.2), TRUNCATED at a 30-day
+    lookback and renormalized so the window is exact arithmetic
+    instead of an unbounded recurrence (the recurrence form is not
+    window-expressible; the truncated form is, identically, in both
+    engines). Weights decay by CALENDAR distance, so gaps in the
+    series age out correctly rather than being skipped.
+
+    Determinism: daily revenues are exact decimals; each engine
+    computes Σ revᵢ·(1−α)^gapᵢ over the SAME day-sorted list (Spark
+    array_sort + aggregate, DuckDB list(... ORDER BY) + list_sum) —
+    summation order fixed; final ratio rounded to 6.
+
+    Scale: the daily rollup is the only data-volume shuffle; the EMA
+    window runs over |days| rows (time-bound metadata — same class
+    as w12's trailing window)."""
+    l = _t(spark, sf_dir, "lineitem")
+    daily = (l.groupBy(F.to_date("l_shipdate").alias("day"))
+             .agg(F.sum(F.col("l_extendedprice").cast(_DEC))
+                  .alias("rev_dec")))
+    d = F.datediff("day", F.lit("1970-01-01"))
+    w = (Window.orderBy(d)
+         .rangeBetween(-(_W19_LOOKBACK - 1), 0))
+    series = daily.select(
+        "day", d.alias("dn"),
+        F.col("rev_dec").cast("double").alias("revenue"))
+    lst = F.array_sort(F.collect_list(F.struct("dn", "revenue")).over(w))
+    decay = 1.0 - _W19_ALPHA
+    num = F.aggregate(
+        lst, F.lit(0.0),
+        lambda a, x: a + x["revenue"]
+        * F.pow(F.lit(decay), F.col("dn") - x["dn"]))
+    den = F.aggregate(
+        lst, F.lit(0.0),
+        lambda a, x: a + F.pow(F.lit(decay), F.col("dn") - x["dn"]))
+    return (series
+            .withColumn("ema", F.round(num / den, 6))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "revenue", "ema")
+            .orderBy("day"))
+
+
+_W19_SQL = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+  FROM lineitem GROUP BY day),
+series AS (
+  SELECT day, datediff('day', DATE '1970-01-01', day) AS dn,
+         CAST(rev_dec AS DOUBLE) AS revenue
+  FROM daily),
+windowed AS (
+  SELECT day, dn, revenue,
+         list_sort(list(struct_pack(dn := dn, revenue := revenue))
+           OVER (ORDER BY dn
+                 RANGE BETWEEN {_W19_LOOKBACK - 1} PRECEDING
+                       AND CURRENT ROW)) AS lst
+  FROM series)
+SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+       ROUND(
+         list_sum(list_transform(lst,
+           x -> x.revenue * pow({1.0 - _W19_ALPHA}, dn - x.dn)))
+         / list_sum(list_transform(lst,
+           x -> pow({1.0 - _W19_ALPHA}, dn - x.dn))), 6) AS ema
+FROM windowed ORDER BY day
+"""
+
+
 # ---- X12: corpus compilation funnel ----------------------------------
 _X12_BUDGET_FRAC = 0.5     # select half the surviving tokens
 _X12_MIN_CHARS, _X12_MAX_CHARS = 50, 5000
@@ -1584,6 +1658,7 @@ QUERIES = {
     "x13_neardup_safe_split": x13_neardup_safe_split,
     "w17_ohlc_bars": w17_ohlc_bars,
     "w18_retention_cohorts": w18_retention_cohorts,
+    "w19_ema_daily_revenue": w19_ema_daily_revenue,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1618,6 +1693,7 @@ ORACLE = {
     "x13_neardup_safe_split": _x13_sql(),
     "w17_ohlc_bars": _W17_SQL,
     "w18_retention_cohorts": _W18_SQL,
+    "w19_ema_daily_revenue": _W19_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

@@ -539,6 +539,33 @@ def test_d17_configs_nest_and_recall_anchors(spark):
         assert 0 <= r.precision <= 1 and 0 <= r.recall <= 1
 
 
+def test_w19_ema_replay_and_smoothing(spark):
+    """Python replay of the truncated, renormalized EMA over the
+    daily series must match; the EMA must actually smooth (its
+    variance is below the raw series' variance)."""
+    from datetime import date
+    from postgres_scanner_spark.functions import analytics
+    rows = analytics.w19_ema_daily_revenue(spark, SF).collect()
+    assert rows
+    series = [(date.fromisoformat(r.day).toordinal(), r.revenue, r.ema)
+              for r in rows]
+    decay = 1.0 - analytics._W19_ALPHA
+    for i, (dn, _rev, ema) in enumerate(series):
+        win = [(d, v) for d, v, _ in series[max(0, i - 35):i + 1]
+               if dn - analytics._W19_LOOKBACK < d <= dn]
+        num = sum(v * decay ** (dn - d) for d, v in sorted(win))
+        den = sum(decay ** (dn - d) for d, v in sorted(win))
+        assert abs(ema - round(num / den, 6)) < 1e-6, series[i]
+    revs = [v for _, v, _ in series]
+    emas = [e for _, _, e in series]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    assert var(emas) < var(revs)
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
