@@ -1365,6 +1365,82 @@ ORDER BY cohort_day, age_days
 """
 
 
+# ---- X14: corpus snapshot diff ---------------------------------------
+def x14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset VERSION diff — the release-note artifact between two
+    corpus snapshots: which documents were added, removed, modified
+    (same id, different content fingerprint), or unchanged, with doc
+    and token deltas per change class. Snapshot B derives from A by
+    deterministic rules (every 7th doc removed, every 5th surviving
+    doc's text 'edited' by a marker token, docs +900000 added for
+    doc_id < 15) so the diff is fully SQL-checkable; in production
+    A and B are two table versions (the store's time travel — S21 —
+    provides exactly these inputs).
+
+    Scale: ONE full-outer join keyed on doc_id with md5 fingerprints
+    computed in the scan projection — content never crosses the
+    shuffle, only (id, fingerprint, n_tok); the report is 4 rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.col("text")), " "))
+    a = d.select("doc_id", F.md5(F.lower("text")).alias("fp_a"),
+                 toks.alias("tok_a"))
+    surviving = d.filter(F.col("doc_id") % 7 != 0)
+    edited = surviving.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" edited-v2")))
+        .otherwise(F.col("text")).alias("text"))
+    added = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text")
+    b_docs = edited.unionByName(added)
+    b = b_docs.select("doc_id", F.md5(F.lower("text")).alias("fp_b"),
+                      F.size(F.split(F.lower(F.col("text")), " "))
+                      .alias("tok_b"))
+    j = a.join(b, "doc_id", "full_outer")
+    change = (F.when(F.col("fp_a").isNull(), "added")
+              .when(F.col("fp_b").isNull(), "removed")
+              .when(F.col("fp_a") != F.col("fp_b"), "modified")
+              .otherwise("unchanged"))
+    return (j.select(change.alias("change"),
+                     F.coalesce("tok_b", F.lit(0)).alias("tok_b"),
+                     F.coalesce("tok_a", F.lit(0)).alias("tok_a"))
+            .groupBy("change")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("tok_b") - F.col("tok_a")).cast("long")
+                 .alias("token_delta"))
+            .orderBy("change"))
+
+
+_X14_SQL = """
+WITH a AS (
+  SELECT doc_id, md5(lower(text)) AS fp_a,
+         len(string_split(lower(text), ' ')) AS tok_a
+  FROM documents),
+b_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' edited-v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 900000, text FROM documents WHERE doc_id < 15),
+b AS (
+  SELECT doc_id, md5(lower(text)) AS fp_b,
+         len(string_split(lower(text), ' ')) AS tok_b
+  FROM b_docs),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b,
+         COALESCE(tok_a, 0) AS tok_a, COALESCE(tok_b, 0) AS tok_b
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT CASE WHEN fp_a IS NULL THEN 'added'
+            WHEN fp_b IS NULL THEN 'removed'
+            WHEN fp_a <> fp_b THEN 'modified'
+            ELSE 'unchanged' END AS change,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_b - tok_a) AS BIGINT) AS token_delta
+FROM j GROUP BY change ORDER BY change
+"""
+
+
 # ---- W19: truncated exponential moving average -----------------------
 _W19_ALPHA = 0.2
 _W19_LOOKBACK = 30    # days
@@ -1659,6 +1735,7 @@ QUERIES = {
     "w17_ohlc_bars": w17_ohlc_bars,
     "w18_retention_cohorts": w18_retention_cohorts,
     "w19_ema_daily_revenue": w19_ema_daily_revenue,
+    "x14_snapshot_diff": x14_snapshot_diff,
     "x1_sketch_aggregates": x1_sketch_aggregates,
     "x2_hash_sample": x2_hash_sample,
     "x3_vocab_topk": x3_vocab_topk,
@@ -1694,6 +1771,7 @@ ORACLE = {
     "w17_ohlc_bars": _W17_SQL,
     "w18_retention_cohorts": _W18_SQL,
     "w19_ema_daily_revenue": _W19_SQL,
+    "x14_snapshot_diff": _X14_SQL,
     "x1_sketch_aggregates": _X1_SQL,
     "x2_hash_sample": _X2_SQL,
     "x3_vocab_topk": _X3_SQL,

@@ -566,6 +566,26 @@ def test_w19_ema_replay_and_smoothing(spark):
     assert var(emas) < var(revs)
 
 
+def test_x14_diff_counts_match_rules(spark):
+    """The diff classes must reproduce the derivation rules exactly:
+    removed = docs ≡ 0 (mod 7), added = 15, modified = survivors
+    ≡ 0 (mod 5), everything else unchanged; totals partition A ∪ B."""
+    from postgres_scanner_spark.functions import analytics
+    rows = {r.change: r for r in
+            analytics.x14_snapshot_diff(spark, SF).collect()}
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    removed = len([i for i in range(n) if i % 7 == 0])
+    modified = len([i for i in range(n)
+                    if i % 7 != 0 and i % 5 == 0])
+    assert rows["added"].n_docs == 15
+    assert rows["removed"].n_docs == removed
+    assert rows["modified"].n_docs == modified
+    assert rows["unchanged"].n_docs == n - removed - modified
+    assert rows["unchanged"].token_delta == 0
+    assert rows["removed"].token_delta < 0 < rows["added"].token_delta
+    assert rows["modified"].token_delta == modified  # +1 marker token
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
