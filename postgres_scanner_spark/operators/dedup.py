@@ -1527,9 +1527,15 @@ def d17_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_persist(cand_pairs(8, 1))
     sizes = sig.select("doc_id", "n")
-    a_sh = shx.select(F.col("doc_id").alias("doc_a"), "s")
-    b_sh = shx.select(F.col("doc_id").alias("bdoc"),
-                      F.col("s").alias("s2"))
+    # verification touches only COLLISION-SET docs (d2's narrowing):
+    # semi-join the shingle index down before the intersection join
+    hit_ids = (base.select(F.col("doc_a").alias("doc_id"))
+               .unionByName(base.select(F.col("doc_b").alias("doc_id")))
+               .distinct())
+    shx_c = shx.join(hit_ids, "doc_id", "left_semi")
+    a_sh = shx_c.select(F.col("doc_id").alias("doc_a"), "s")
+    b_sh = shx_c.select(F.col("doc_id").alias("bdoc"),
+                        F.col("s").alias("s2"))
     inter = (base.join(a_sh, "doc_a")
              .join(b_sh, (F.col("doc_b") == F.col("bdoc"))
                    & (F.col("s") == F.col("s2")))
