@@ -508,6 +508,36 @@ def _stream_exec(dsn: str, sql: str):
         return cur.fetchall()
 
 
+def _stream_exec_iter(dsn: str, sql: str, arraysize: int = 10_000):
+    """Streaming variant of _stream_exec for row-bearing scans: yields
+    rows in fetchmany chunks so a task never builds its whole slice
+    as one Python list. duckdb:// drains incrementally from the
+    relation; live PG uses a SERVER-SIDE (named) cursor so the
+    server, not the client, holds the un-fetched tail. Scalar probes
+    keep using _stream_exec (1-row results)."""
+    if dsn.startswith("duckdb://"):
+        import duckdb
+        con = duckdb.connect(dsn[len("duckdb://"):], read_only=True)
+        try:
+            cur = con.execute(sql)
+            while chunk := cur.fetchmany(arraysize):
+                yield from chunk
+        finally:
+            con.close()
+        return
+    try:
+        import psycopg
+    except ImportError as exc:
+        raise ImportError(
+            "live Postgres streaming needs psycopg; use a "
+            "duckdb:// dsn in this environment") from exc
+    with psycopg.connect(dsn) as con:
+        with con.cursor(name="pg_spark_slice") as cur:
+            cur.itersize = arraysize
+            cur.execute(sql)
+            yield from cur
+
+
 def _validate_stream_key(schema: T.StructType, options):
     """Common option validation for both stream readers: stream_key
     must name an integer column of the declared schema (offsets must
@@ -663,11 +693,12 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
     ALL row traffic to executors:
 
     - latestOffset(): one `SELECT max(key)` scalar on the driver.
-    - partitions(start, end): when max_rows_per_poll is set, one
-      index-only probe selects every max_rows-th key in (start, end]
-      as slice boundaries (so slices are ~max_rows rows each, EXACT
-      under sparse or duplicate keys — a numeric stride would
-      misbalance both); unset, the whole range is one slice. The
+    - partitions(start, end): one index-only probe selects every
+      max_rows-th key in (start, end] as slice boundaries (so slices
+      are ~max_rows rows each, EXACT under sparse or duplicate keys
+      — a numeric stride would misbalance both). max_rows comes from
+      max_rows_per_poll, else max_rows_per_batch, else a bounded
+      default — a fresh stream's initial backlog always splits. The
       probe returns backlog/max_rows scalars — bounded and tiny.
     - read(partition): runs ON THE EXECUTOR that owns the slice,
       scanning `key > lo AND key <= hi` — an index range scan the
@@ -686,7 +717,13 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
         self.dsn = options.get("dsn", "")
         self.table = options.get("table", "")
         self.key = _validate_stream_key(schema, options)
-        self.max_rows = int(options.get("max_rows_per_poll", "0"))
+        # slice size: max_rows_per_poll if given, else the Simple
+        # reader's max_rows_per_batch (same memory-cap intent), else
+        # a bounded default — the INITIAL BACKLOG of a new stream on
+        # a large table must never plan as one whole-range slice
+        self.max_rows = (int(options.get("max_rows_per_poll", "0"))
+                         or int(options.get("max_rows_per_batch", "0"))
+                         or 1_000_000)
         self.cols = ", ".join(f'"{f.name}"' for f in schema.fields)
 
     def initialOffset(self) -> dict:
@@ -712,8 +749,6 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
         lo, hi = start.get("last_key"), end.get("last_key")
         if hi is None or (lo is not None and hi <= lo):
             return []           # empty range: no work this batch
-        if not self.max_rows:
-            return [_KeySlice(lo, hi)]
         # boundary probe: every max_rows-th key in (lo, hi], driver-
         # side, index-only in PG. DISTINCT collapses duplicate-key
         # boundaries (a dup group larger than the cap would repeat
@@ -737,9 +772,11 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
         return slices
 
     def read(self, partition):
-        # executor-side: this is the only place rows move
-        return iter(_stream_exec(
-            self.dsn, self._range_sql(partition.lo, partition.hi)))
+        # executor-side: this is the only place rows move — streamed
+        # in fetchmany chunks (server-side cursor on live PG), never
+        # materialized as one list in the task
+        return _stream_exec_iter(
+            self.dsn, self._range_sql(partition.lo, partition.hi))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint
@@ -922,6 +959,28 @@ class PostgresScanWriter(DataSourceArrowWriter):
         }.get(dt, "TEXT")
 
     @staticmethod
+    def _typmod(sql_type: str, udt: str
+                ) -> tuple[int | None, int | None, int | None]:
+        """DDL type modifiers → the (character_maximum_length,
+        numeric_precision, numeric_scale) triple information_schema
+        reports, for the overwrite definition-match probe. Types
+        without an explicit modifier yield Nones (matching PG's NULL
+        for unconstrained varchar/numeric)."""
+        import re
+        m = re.search(r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+                      sql_type.strip().lower())
+        if not m:
+            return (None, None, None)
+        a = int(m.group(1))
+        b = int(m.group(2)) if m.group(2) is not None else None
+        if udt == "numeric":
+            # numeric(p) means scale 0 in PG
+            return (None, a, b if b is not None else 0)
+        if udt in ("varchar", "bpchar"):
+            return (a, None, None)
+        return (None, None, None)   # e.g. time(p)/interval fields
+
+    @staticmethod
     def _udt_name(sql_type: str) -> str:
         """DDL type name → the udt_name information_schema reports for
         it, for the overwrite definition-match probe. Arrays report
@@ -993,18 +1052,33 @@ class PostgresScanWriter(DataSourceArrowWriter):
             # way to honor Spark's mode("overwrite") contract when the
             # shapes diverge.
             if self.overwrite:
+                # typmods matter too: numeric(10,2) surviving a
+                # TRUNCATE would silently round values an incoming
+                # numeric(12,6) write expects to keep, and a shorter
+                # varchar(n) would abort the COPY mid-write — so the
+                # match covers length/precision/scale, not just the
+                # base udt. Non-numeric udts normalize prec/scale to
+                # None (information_schema reports intrinsic widths
+                # like int4→32 that are not typmods).
                 cur.execute(
-                    "SELECT column_name, udt_name "
-                    "FROM information_schema.columns "
+                    "SELECT column_name, udt_name, "
+                    "character_maximum_length, numeric_precision, "
+                    "numeric_scale FROM information_schema.columns "
                     "WHERE table_schema = %s AND table_name = %s "
                     "ORDER BY ordinal_position",
                     (pg_schema, self.table))
-                existing = [(n, u) for n, u in cur.fetchall()]
-                want = [
-                    (f.name, self._udt_name(
-                        overrides.get(f.name,
-                                      self._pg_sql_type(f.dataType))))
-                    for f in self.schema_.fields]
+                existing = [
+                    (n, u, cl,
+                     p if u == "numeric" else None,
+                     s if u == "numeric" else None)
+                    for n, u, cl, p, s in cur.fetchall()]
+                want = []
+                for f in self.schema_.fields:
+                    ddl = overrides.get(f.name,
+                                        self._pg_sql_type(f.dataType))
+                    u = self._udt_name(ddl)
+                    cl, p, s = self._typmod(ddl, u)
+                    want.append((f.name, u, cl, p, s))
                 if existing and existing == want:
                     cur.execute(f"TRUNCATE TABLE {target}")
                 else:

@@ -84,10 +84,16 @@ class Settings:
 
     def reset(self) -> None:
         fresh = Settings()
+        flipped = self.pg_array_as_varchar != fresh.pg_array_as_varchar
         for k in vars(fresh):
             if not k.startswith("_"):
                 setattr(self, k, getattr(fresh, k))
         self._extra.clear()
+        if flipped:
+            # RESET changes the setting like SET does — same
+            # ClearCacheOnSetting semantics (a stale schema surviving
+            # reset is the exact bug the clearer exists to prevent)
+            _clear_registered_caches()
 
 
 SETTINGS = Settings()

@@ -359,9 +359,15 @@ class ManagedStore:
             for n, label in zip(row, labels):
                 if n:
                     raise ConstraintError(label)
+        # key comparison happens on the NORMALIZED values: bpchar
+        # ignores trailing blanks in comparisons (PG rejects inserting
+        # 'a ' next to 'a' in a CHAR PK), and stored rows are already
+        # trimmed — comparing raw batch values against trimmed stored
+        # ones would let post-trim duplicates through
+        normed = self._apply_char_limits(table, batch)
         for keycols in meta.get("keys", ()):
             # SQL UNIQUE treats NULL keys as distinct — drop them first
-            keyed = batch
+            keyed = normed
             for c in keycols:
                 keyed = keyed.filter(F.col(c).isNotNull())
             keyed = keyed.select(*keycols)

@@ -1077,8 +1077,11 @@ def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [], "doc_id BIGINT, h STRING, lang STRING"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.select(
-            "doc_id", "lang", F.md5(F.lower(F.col("text"))).alias("h"))
+        from ..runtime import scratch_persist
+        # read twice (the min-id group and the join back) — persist
+        # so the md5 over text computes once per batch
+        b = scratch_persist(batch_df.select(
+            "doc_id", "lang", F.md5(F.lower(F.col("text"))).alias("h")))
         firsts = (b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
                   .join(b, ["h", "doc_id"]))
         existing = store.scan("docs_dedup").select("h")
@@ -1259,8 +1262,13 @@ def e20_streaming_neardup_ingest(spark: SparkSession, sf_dir: str
         [], "band_id INT, band_hash STRING, doc_id BIGINT"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        bands = (minhash_bands(shingle_index(
-            batch_df.select("doc_id", "text"), 3))
+        from ..runtime import scratch_persist
+        # the band set feeds the within-batch self-join (2 reads),
+        # the store-index probe, and the index append — without the
+        # persist Catalyst re-runs shingling+minhash per consumer
+        bands = scratch_persist(
+            minhash_bands(shingle_index(
+                batch_df.select("doc_id", "text"), 3))
             .select("doc_id", F.col("band_id").cast("int").alias("band_id"),
                     "band_hash"))
         a, b = bands.alias("a"), bands.alias("b")

@@ -348,3 +348,29 @@ def test_detach_restores_shared_bare_name(spark, tmp_path):
     # a's binding must be restored, not destroyed
     assert [r.v for r in spark.sql("SELECT * FROM shared").collect()] == [1]
     cat.detach("a")
+
+
+def test_char_pk_uniqueness_on_normalized_values(spark, tmp_path):
+    """bpchar comparison ignores trailing blanks: inserting
+    'hello     ' into a CHAR(10) PRIMARY KEY that already holds
+    'hello' must be a duplicate-key error (PG rejects it), both
+    against stored rows and within one batch."""
+    from postgres_scanner_spark.catalog import Catalog
+    from postgres_scanner_spark.queryfn import pg_execute
+    import pytest as _pytest
+    root = str(tmp_path / "store")
+    ManagedStore(spark, root)
+    import os
+    open(os.path.join(root, "_managed_store"), "w").close()
+    cat = Catalog(spark)
+    cat.attach(root, alias="s")
+    pg_execute(cat, "s", "CREATE TABLE cpk(c CHAR(10) PRIMARY KEY)")
+    pg_execute(cat, "s", "INSERT INTO cpk VALUES ('hello')")
+    with _pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(cat, "s", "INSERT INTO cpk VALUES ('hello     ')")
+    with _pytest.raises(ConstraintError, match="duplicate key"):
+        pg_execute(cat, "s", "INSERT INTO cpk VALUES ('a'), ('a    ')")
+    # distinct-after-trim values still insert fine
+    pg_execute(cat, "s", "INSERT INTO cpk VALUES ('world   ')")
+    assert cat.attached["s"].store.scan("cpk").count() == 2
+    cat.detach("s")

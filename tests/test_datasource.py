@@ -500,11 +500,23 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
     # overwrite onto a MATCHING existing definition TRUNCATEs instead
     # of DROP+CREATE — indexes/grants/views on the target survive
     executed.clear()
-    _Cursor.existing_def = [("id", "int4"), ("price", "numeric"),
-                            ("tags", "_int4")]
+    _Cursor.existing_def = [
+        ("id", "int4", None, 32, 0),          # intrinsic width,
+        ("price", "numeric", None, 10, 2),    # NOT a typmod for int4
+        ("tags", "_int4", None, None, None)]
     msgs2 = [w.write(iter([(9, None, None)]))]
     w.commit(msgs2)
     assert executed[1:] == ['TRUNCATE TABLE "public"."t"', create_sql]
+    # same base types but a DIFFERENT typmod (numeric scale) must
+    # NOT truncate: the surviving column would silently round values
+    executed.clear()
+    _Cursor.existing_def = [
+        ("id", "int4", None, 32, 0),
+        ("price", "numeric", None, 12, 6),
+        ("tags", "_int4", None, None, None)]
+    w.commit([w.write(iter([(7, None, None)]))])
+    assert executed[1] == 'DROP TABLE IF EXISTS "public"."t"'
+    copied.pop()
     _Cursor.existing_def = []
     assert [sql for sql, _ in copied] == [
         'COPY "public"."t" FROM STDIN (FORMAT binary)'] * 3
@@ -794,21 +806,43 @@ def test_partitioned_stream_reader_slices():
         assert len(owners) == 1
 
 
-def test_partitioned_stream_reader_empty_and_uncapped():
-    """start == end (or a stale max) plans zero partitions; no cap
-    plans exactly one whole-range slice without probing the source."""
+def test_partitioned_stream_reader_empty_and_uncapped(tmp_path):
+    """start == end (or a stale max) plans zero partitions WITHOUT
+    touching the source; with no explicit cap the default still
+    SLICES (boundary probe against the source — a fresh stream's
+    backlog must never plan as one unbounded slice), and
+    max_rows_per_batch is honored as the slice size."""
+    import duckdb
     from pyspark.sql import types as T
     from postgres_scanner_spark import pg_datasource as pgd
 
     schema = T.StructType([T.StructField("id", T.LongType())])
+    # empty-range cases never open a connection: a bogus dsn proves it
     r = pgd.PostgresScanPartitionedStreamReader(
         schema, {"dsn": "duckdb://ignored", "table": "ev",
                  "stream_key": "id"})
+    assert r.max_rows == 1_000_000          # bounded default, never 0
     assert r.partitions({"last_key": 5}, {"last_key": 5}) == []
     assert r.partitions({"last_key": 9}, {"last_key": 7}) == []
     assert r.partitions({"last_key": None}, {"last_key": None}) == []
-    (s,) = r.partitions({"last_key": 3}, {"last_key": 9})
-    assert (s.lo, s.hi) == (3, 9)
+    db = str(tmp_path / "slice.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev AS SELECT range AS id FROM range(10)")
+    con.close()
+    r2 = pgd.PostgresScanPartitionedStreamReader(
+        schema, {"dsn": f"duckdb://{db}", "table": "ev",
+                 "stream_key": "id"})
+    (s1,) = r2.partitions({"last_key": 3}, {"last_key": 9})
+    assert (s1.lo, s1.hi) == (3, 9)          # under the cap: one slice
+    # the Simple reader's memory-cap option doubles as the slice size
+    r3 = pgd.PostgresScanPartitionedStreamReader(
+        schema, {"dsn": f"duckdb://{db}", "table": "ev",
+                 "stream_key": "id", "max_rows_per_batch": "2"})
+    assert r3.max_rows == 2
+    parts = r3.partitions({"last_key": None}, {"last_key": 9})
+    assert len(parts) == 5                   # 10 rows / 2 per slice
+    got = [row[0] for p_ in parts for row in r3.read(p_)]
+    assert got == list(range(10))
 
 
 def test_partitioned_stream_reader_end_to_end(registered, tmp_path):
