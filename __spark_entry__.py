@@ -63,7 +63,7 @@ _COST_ORDER = [
     "x13_neardup_safe_split", "m10_webdataset_samples",
     "a11_mmr_diversified", "p14_timezone_convert",
     "m11_parquet_footer_manifest", "d17_lsh_param_sweep",
-    "w19_ema_daily_revenue", "x14_snapshot_diff",
+    "w19_ema_daily_revenue", "x14_snapshot_diff", "d18_doc_novelty",
     "w9_continuous_aggregate", "w14_first_touch", "w12_range_frame",
     "w11_grouping_sets", "w13_dist_windows", "w10_skew_join",
     "ds1_above_avg_customers", "ds6_top_customers_per_region",

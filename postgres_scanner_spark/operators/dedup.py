@@ -1478,6 +1478,66 @@ ORDER BY chunk_hash
 """
 
 
+# ----------------------- D18 per-document novelty / duplication rate
+_D18_K = 8            # shingle width (words)
+_D18_BUCKETS = ((0.0, "novel"), (0.25, "mixed"), (0.75, "derivative"))
+
+
+def d18_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT duplication rate: the fraction of a doc's 8-gram
+    shingles that occur in ANY other document — the memorization-risk
+    diagnostic pair-finders (d2/d4) don't give: a doc can be 40%
+    assembled from copied passages without having any single near-dup
+    partner. Docs bucket into novel (<25% shared), mixed, derivative
+    (≥75%) — the slice a curation pass reviews before keeping
+    high-duplication documents.
+
+    Scale: the shingle DF count is ONE (shingle → n_docs) aggregate
+    over the inverted index — the same index d4/d7 build — and the
+    per-doc rate is a second aggregate keyed on doc_id; shingles
+    hash to 32-hex before shuffling (texts never move). Output is a
+    3-row histogram + token mass per bucket."""
+    c = corpus_with_plants(spark, sf_dir)
+    shx = scratch_persist(shingle_index(c, _D18_K))
+    df = shx.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (shx.join(df, "s")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_sh"),
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                    .alias("n_shared")))
+    rate = F.col("n_shared") / F.col("n_sh")
+    bucket = (F.when(rate < 0.25, "novel")
+              .when(rate < 0.75, "mixed").otherwise("derivative"))
+    return (per_doc.select(bucket.alias("novelty"), "n_sh", "n_shared")
+            .groupBy("novelty")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_sh").cast("long").alias("n_shingles"),
+                 F.sum("n_shared").cast("long").alias("n_shared"))
+            .orderBy("novelty"))
+
+
+_D18_SQL = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+shx AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest({_sql_shingles(_D18_K)}) AS s
+    FROM tok WHERE len(t) >= {_D18_K})),
+df AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM shx GROUP BY s),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_sh,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM shx JOIN df USING (s) GROUP BY doc_id)
+SELECT CASE WHEN n_shared * 1.0 / n_sh < 0.25 THEN 'novel'
+            WHEN n_shared * 1.0 / n_sh < 0.75 THEN 'mixed'
+            ELSE 'derivative' END AS novelty,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_shared) AS BIGINT) AS n_shared
+FROM per_doc GROUP BY novelty ORDER BY novelty
+"""
+
+
 # -------------------------- D17 LSH (bands × rows) parameter sweep
 _D17_CONFIGS = ((8, 1), (4, 2), (2, 4))   # b×r over the 8 permutations
 
@@ -1627,6 +1687,7 @@ ORDER BY bands
 
 
 QUERIES = {
+    "d18_doc_novelty": d18_doc_novelty,
     "d17_lsh_param_sweep": d17_lsh_param_sweep,
     "d16_cdc_chunk_dedup": d16_cdc_chunk_dedup,
     "d15_source_overlap": d15_source_overlap,
@@ -1647,6 +1708,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d18_doc_novelty": _D18_SQL,
     "d17_lsh_param_sweep": _d17_sql(),
     "d16_cdc_chunk_dedup": _D16_SQL,
     "d15_source_overlap": _D15_SQL,

@@ -586,6 +586,22 @@ def test_x14_diff_counts_match_rules(spark):
     assert rows["modified"].token_delta == modified  # +1 marker token
 
 
+def test_d18_planted_copies_are_derivative(spark):
+    """The planted exact copies (and their originals) share 100% of
+    their shingles, so the derivative bucket must hold at least
+    2×_DUP_N docs; every doc lands in exactly one bucket; shared ≤
+    total shingles per bucket."""
+    from postgres_scanner_spark.operators import dedup
+    rows = {r.novelty: r
+            for r in dedup.d18_doc_novelty(spark, SF).collect()}
+    assert rows["derivative"].n_docs >= 2 * dedup._DUP_N
+    total = sum(r.n_docs for r in rows.values())
+    corpus_n = dedup.corpus_with_plants(spark, SF).count()
+    assert total <= corpus_n        # docs with <8 words carry no row
+    for r in rows.values():
+        assert 0 <= r.n_shared <= r.n_shingles
+
+
 def test_t15_matches_manual_replay(spark):
     """Replaying the merge list by hand over a sample of words gives
     the same per-word token counts the vocab-side encode computes."""
