@@ -25,11 +25,12 @@ Parity with the reference's execution strategy:
 
 Backends:
 - `duckdb:///path/file.db` — a local DuckDB file standing in for the
-  Postgres server in this container (no live PG / psycopg here).
-  Page ranges are emulated over rowid so task decomposition is
-  exercised for real.
-- libpq DSNs (`host=... dbname=...`) — require psycopg on the
-  executors; gated behind an import-try.
+  Postgres server. Page ranges are emulated over rowid so task
+  decomposition is exercised for real.
+- libpq DSNs (`host=... dbname=...`) — a real PostgreSQL server over
+  psycopg when installed, else the vendored pure-Python wire client
+  (pgclient.py). Exercised end-to-end against a live server in
+  tests/test_live_pg.py.
 """
 
 from __future__ import annotations
@@ -319,6 +320,9 @@ class PostgresScanReader(DataSourceReader):
                 f'"{f.name}"{self._col_cast(f)} AS "{f.name}"'
                 for f in self.schema_.fields)
             return [_Task(f"SELECT {cols} FROM ({self.query}) AS q")]
+        if self.approx_pages <= 0 and \
+                not self.dsn.startswith("duckdb://"):
+            self.approx_pages = self._probe_pages()
         tasks = plan_scan_tasks(self.approx_pages,
                                 pages_per_task=self.pages_per_task,
                                 max_tasks=SETTINGS.pg_connection_limit)
@@ -332,6 +336,28 @@ class PostgresScanReader(DataSourceReader):
             task_wheres = [
                 t.predicate if len(tasks) > 1 else "" for t in tasks]
         return [_Task(self._sql(w)) for w in task_wheres]
+
+    def _probe_pages(self) -> int:
+        """Live PG: exact heap page count via pg_relation_size — the
+        reference sizes its parallel scan from the same catalog
+        number (postgres_scanner.cpp PostgresBindData approx_num_pages
+        from the pg_class probe). One cheap driver-side catalog
+        query; any failure degrades to a single-task scan."""
+        from .pgclient import pg_driver
+        try:
+            with pg_driver().connect(self.dsn) as con, \
+                    con.cursor() as cur:
+                cur.execute(
+                    "SELECT (pg_relation_size(c.oid) / "
+                    "current_setting('block_size')::int)::int "
+                    "FROM pg_class c JOIN pg_namespace n "
+                    "ON n.oid = c.relnamespace "
+                    "WHERE n.nspname = %s AND c.relname = %s",
+                    (self.pg_schema, self.table))
+                row = cur.fetchone()
+                return int(row[0]) if row else 0
+        except Exception:
+            return 0
 
     def _col_cast(self, f: T.StructField) -> str:
         """Per-column server-side cast; geometry columns (known from
@@ -453,12 +479,8 @@ class PostgresScanReader(DataSourceReader):
         mocked psycopg feeding recorded PGCOPY chunks
         (tests/test_datasource.py) plus fixture-level decoder tests
         (tests/test_pgwire.py) — everything but the TCP socket."""
-        try:
-            import psycopg
-        except ImportError as exc:
-            raise ImportError(
-                "live Postgres scans need psycopg on the executors; "
-                "use a duckdb:// dsn in this environment") from exc
+        from .pgclient import pg_driver
+        psycopg = pg_driver()
         from .pgwire import BinaryCopyReader, ChunkStream, spark_field_oid
         from .types import GEOMETRY_OIDS
         oids = [
@@ -497,12 +519,8 @@ def _stream_exec(dsn: str, sql: str):
             return con.execute(sql).fetchall()
         finally:
             con.close()
-    try:
-        import psycopg
-    except ImportError as exc:
-        raise ImportError(
-            "live Postgres streaming needs psycopg; use a "
-            "duckdb:// dsn in this environment") from exc
+    from .pgclient import pg_driver
+    psycopg = pg_driver()
     with psycopg.connect(dsn) as con, con.cursor() as cur:
         cur.execute(sql)
         return cur.fetchall()
@@ -525,12 +543,8 @@ def _stream_exec_iter(dsn: str, sql: str, arraysize: int = 10_000):
         finally:
             con.close()
         return
-    try:
-        import psycopg
-    except ImportError as exc:
-        raise ImportError(
-            "live Postgres streaming needs psycopg; use a "
-            "duckdb:// dsn in this environment") from exc
+    from .pgclient import pg_driver
+    psycopg = pg_driver()
     with psycopg.connect(dsn) as con:
         with con.cursor(name="pg_spark_slice") as cur:
             cur.itersize = arraysize
@@ -1007,12 +1021,8 @@ class PostgresScanWriter(DataSourceArrowWriter):
         return ("_" + udt) if dims else udt
 
     def _commit_live_pg(self, messages) -> None:
-        try:
-            import psycopg
-        except ImportError as exc:
-            raise ImportError(
-                "live Postgres writes need psycopg; use a duckdb:// "
-                "dsn in this environment") from exc
+        from .pgclient import pg_driver
+        psycopg = pg_driver()
         pg_schema = self.options.get("schema", "public")
         target = f'"{pg_schema}"."{self.table}"'
         # column_types option: JSON {column: pg_type} overriding the
@@ -1180,12 +1190,8 @@ class PostgresScanDataSource(DataSource):
                 T.StructField(n, _duck_type(t), True)
                 for n, t, *_ in desc
             ])
-        try:
-            import psycopg
-        except ImportError as exc:
-            raise ImportError(
-                "schema probe for live Postgres needs psycopg; pass "
-                ".schema() explicitly or use a duckdb:// dsn") from exc
+        from .pgclient import pg_driver
+        psycopg = pg_driver()
         from .types import pg_type_to_spark
         if query:
             # result-set probe: run the query LIMIT 0 server-side and

@@ -1,0 +1,631 @@
+"""Minimal pure-Python PostgreSQL wire-protocol client.
+
+The live-scan paths in this package speak a small psycopg subset:
+``connect(dsn)`` / ``Connection.cursor()`` / ``Cursor.execute`` /
+``fetchall`` / ``description`` / ``Cursor.copy`` (COPY sub-protocol)
+/ named server-side cursors. No Postgres driver ships in this
+container, but the frontend/backend protocol v3 is public and small
+(PostgreSQL docs, "Frontend/Backend Protocol"), and this repo already
+owns the hard part — the PGCOPY binary payload codec (pgwire.py). So
+this module implements just the message framing those paths need:
+
+- startup + auth: trust, cleartext password, md5
+- simple query ('Q') with text-format result decoding by OID
+- COPY IN/OUT sub-protocol ('G'/'H'/'d'/'c'/'f') — payload bytes are
+  passed through untouched; pgwire does binary encode/decode
+- transactions (BEGIN/COMMIT/ROLLBACK via the same simple protocol,
+  tracked by ReadyForQuery's status byte)
+- DECLARE/FETCH named cursors for the streaming reader's chunked
+  drain
+
+It intentionally does NOT implement the extended (Parse/Bind)
+protocol, SSL negotiation, SCRAM, or listen/notify — the reference's
+scanner also runs over plain libpq simple queries + COPY
+(reference: src/postgres_connection.cpp PostgresConnection::Query /
+BeginCopyTo; the protocol constants below match libpq's
+protocol.h message bytes).
+
+``pg_driver()`` returns the installed psycopg module when present and
+this module otherwise, so every live path works in both worlds with
+one import line. The API mirrors the psycopg3 subset the package
+uses; anything else raises AttributeError — loudly, not silently.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import socket
+import struct
+from collections import namedtuple
+from datetime import date, datetime, time, timezone
+from decimal import Decimal
+
+from .connection import parse_dsn
+
+
+class Error(Exception):
+    """Server-reported error (maps ErrorResponse severity/code/text)."""
+
+    def __init__(self, fields: dict):
+        self.severity = fields.get("S", "ERROR")
+        self.sqlstate = fields.get("C", "")
+        msg = fields.get("M", "unknown error")
+        detail = fields.get("D")
+        super().__init__(msg if not detail else f"{msg}\n{detail}")
+        self.fields = fields
+
+
+DatabaseError = Error  # dbapi-ish alias
+
+
+def pg_driver():
+    """psycopg when installed (it is not, in this container), else
+    this module — both expose the same ``connect`` surface."""
+    try:
+        import psycopg
+        return psycopg
+    except ImportError:
+        import sys
+        return sys.modules[__name__]
+
+
+# ---------------------------------------------------------- literals
+def _escape(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, Decimal)):
+        return str(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "'\\x" + bytes(v).hex() + "'::bytea"
+    if isinstance(v, (datetime, date, time)):
+        return "'" + v.isoformat(sep=" ") + "'" \
+            if isinstance(v, datetime) else "'" + v.isoformat() + "'"
+    s = str(v)
+    if "\\" in s:
+        return " E'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    return "'" + s.replace("'", "''") + "'"
+
+
+_PLACEHOLDER = re.compile(r"%s|%%")
+
+
+def _interpolate(sql: str, params) -> str:
+    """Client-side %s substitution (the simple protocol has no binds).
+    Only trusted internal callers pass params; values are still
+    escaped as proper literals."""
+    if params is None:
+        return sql
+    it = iter(params)
+
+    def repl(m):
+        if m.group(0) == "%%":
+            return "%"
+        return _escape(next(it))
+
+    out = _PLACEHOLDER.sub(repl, sql)
+    leftover = list(it)
+    if leftover:
+        raise ValueError(f"{len(leftover)} unused query parameters")
+    return out
+
+
+# ------------------------------------------------- text-format decode
+def _dec_bool(s: str):
+    return s == "t"
+
+
+def _dec_bytea(s: str):
+    if s.startswith("\\x"):
+        return bytes.fromhex(s[2:])
+    # legacy escape format
+    return s.encode("latin1").decode("unicode_escape").encode("latin1")
+
+
+_TZ_SHORT = re.compile(r"([+-]\d\d)$")
+
+
+def _dec_timestamptz(s: str):
+    s = _TZ_SHORT.sub(r"\1:00", s)
+    return datetime.fromisoformat(s).astimezone(timezone.utc)
+
+
+def _dec_timestamp(s: str):
+    return datetime.fromisoformat(s)
+
+
+_DECODERS = {
+    16: _dec_bool,            # bool
+    17: _dec_bytea,           # bytea
+    20: int, 21: int, 23: int, 26: int,   # int8/2/4, oid
+    700: float, 701: float,   # float4/8
+    1700: Decimal,            # numeric
+    1082: date.fromisoformat,             # date
+    1083: time.fromisoformat,             # time
+    1114: _dec_timestamp,                 # timestamp
+    1184: _dec_timestamptz,               # timestamptz
+}
+
+
+def _decode(oid: int, raw: bytes):
+    s = raw.decode("utf-8")
+    dec = _DECODERS.get(oid)
+    return dec(s) if dec else s
+
+
+Column = namedtuple(
+    "Column", "name type_code display_size internal_size precision "
+              "scale null_ok")
+
+
+def _column(name: str, oid: int, typmod: int) -> Column:
+    prec = scale = None
+    if oid == 1700 and typmod >= 4:         # numeric typmod packing
+        prec = (typmod - 4) >> 16
+        scale = (typmod - 4) & 0xFFFF
+    return Column(name, oid, None, None, prec, scale, None)
+
+
+# ------------------------------------------------------ wire framing
+class _Proto:
+    """One socket; reads/writes protocol v3 messages."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self._rbuf = b""
+        self.tx_status = "I"        # ReadyForQuery: I / T / E
+        self.notices: list[dict] = []
+
+    # -- raw framing
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self._rbuf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise Error({"M": "server closed the connection"})
+            self._rbuf += chunk
+        out, self._rbuf = self._rbuf[:n], self._rbuf[n:]
+        return out
+
+    def read_msg(self) -> tuple[str, bytes]:
+        hdr = self._recv_exact(5)
+        tag = chr(hdr[0])
+        (length,) = struct.unpack("!I", hdr[1:5])
+        body = self._recv_exact(length - 4)
+        if tag == "E":
+            raise Error(_err_fields(body))
+        if tag == "N":
+            self.notices.append(_err_fields(body))
+            return self.read_msg()
+        return tag, body
+
+    def send(self, tag: str, body: bytes = b"") -> None:
+        self.sock.sendall(
+            tag.encode() + struct.pack("!I", len(body) + 4) + body)
+
+    def send_startup(self, user: str, dbname: str) -> None:
+        params = (f"user\0{user}\0database\0{dbname}\0"
+                  f"client_encoding\0UTF8\0"
+                  f"application_name\0postgres_scanner_spark\0\0")
+        body = struct.pack("!I", 196608) + params.encode()
+        self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
+
+    def authenticate(self, user: str, password: str | None) -> None:
+        while True:
+            tag, body = self.read_msg()
+            if tag == "R":
+                (code,) = struct.unpack("!I", body[:4])
+                if code == 0:
+                    continue                     # AuthenticationOk
+                if code == 3:                    # cleartext
+                    if password is None:
+                        raise Error({"M": "password required"})
+                    self.send("p", password.encode() + b"\0")
+                elif code == 5:                  # md5
+                    if password is None:
+                        raise Error({"M": "password required"})
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        password.encode() + user.encode()).hexdigest()
+                    outer = hashlib.md5(
+                        inner.encode() + salt).hexdigest()
+                    self.send("p", b"md5" + outer.encode() + b"\0")
+                else:
+                    raise Error(
+                        {"M": f"unsupported auth method {code} "
+                              f"(trust/password/md5 only)"})
+            elif tag in ("S", "K"):              # ParameterStatus/KeyData
+                continue
+            elif tag == "Z":
+                self.tx_status = chr(body[0])
+                return
+            else:
+                raise Error({"M": f"unexpected message {tag!r} "
+                                  f"during startup"})
+
+    def drain_ready(self) -> None:
+        """Consume to ReadyForQuery after an error mid-protocol."""
+        while True:
+            try:
+                tag, body = self.read_msg()
+            except Error:
+                continue
+            if tag == "Z":
+                self.tx_status = chr(body[0])
+                return
+
+
+def _err_fields(body: bytes) -> dict:
+    fields = {}
+    i = 0
+    while i < len(body) and body[i] != 0:
+        code = chr(body[i])
+        j = body.index(b"\0", i + 1)
+        fields[code] = body[i + 1:j].decode("utf-8", "replace")
+        i = j + 1
+    return fields
+
+
+# ---------------------------------------------------------- results
+class _Result:
+    __slots__ = ("description", "rows", "tag")
+
+    def __init__(self):
+        self.description: list[Column] | None = None
+        self.rows: list[tuple] = []
+        self.tag: str | None = None
+
+
+# ------------------------------------------------------------- copy
+class Copy:
+    """COPY sub-protocol handle (psycopg3 ``cursor.copy()`` shape):
+    iterate for COPY TO STDOUT chunks, ``write()`` for COPY FROM
+    STDIN. Payload bytes are opaque here — pgwire owns the PGCOPY
+    binary framing."""
+
+    def __init__(self, proto: _Proto, sql: str):
+        self._p = proto
+        self._mode: str | None = None
+        self._done = False
+        proto.send("Q", sql.encode() + b"\0")
+        while True:
+            tag, body = proto.read_msg()
+            if tag == "H":               # CopyOutResponse
+                self._mode = "out"
+                break
+            if tag == "G":               # CopyInResponse
+                self._mode = "in"
+                break
+            if tag in ("S", "N", "C"):
+                continue
+            if tag == "Z":
+                proto.tx_status = chr(body[0])
+                raise Error({"M": f"not a COPY statement: {sql!r}"})
+
+    # COPY TO STDOUT ------------------------------------------------
+    def __iter__(self):
+        assert self._mode == "out"
+        while True:
+            tag, body = self._p.read_msg()
+            if tag == "d":
+                yield body
+            elif tag == "c":             # CopyDone
+                break
+            elif tag in ("S", "N"):
+                continue
+            else:
+                raise Error({"M": f"unexpected {tag!r} during COPY OUT"})
+        self._finish_out()
+
+    def read(self) -> bytes:
+        """One CopyData chunk, b'' at end (psycopg3 Copy.read)."""
+        assert self._mode == "out"
+        if self._done:
+            return b""
+        tag, body = self._p.read_msg()
+        if tag == "d":
+            return body
+        if tag == "c":
+            self._finish_out()
+            return b""
+        raise Error({"M": f"unexpected {tag!r} during COPY OUT"})
+
+    def _finish_out(self):
+        if self._done:
+            return
+        self._done = True
+        while True:
+            tag, body = self._p.read_msg()
+            if tag == "Z":
+                self._p.tx_status = chr(body[0])
+                return
+            # CommandComplete / ParameterStatus etc.
+
+    # COPY FROM STDIN -----------------------------------------------
+    def write(self, data) -> None:
+        assert self._mode == "in"
+        if data:
+            self._p.send("d", bytes(data))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if self._mode == "in":
+            if exc_type is None:
+                self._p.send("c")                 # CopyDone
+            else:
+                msg = str(exc)[:200].encode() + b"\0"
+                self._p.send("f", msg)            # CopyFail
+            while True:
+                try:
+                    tag, body = self._p.read_msg()
+                except Error:
+                    if exc_type is None:
+                        raise
+                    self._p.drain_ready()
+                    return False
+                if tag == "Z":
+                    self._p.tx_status = chr(body[0])
+                    break
+        elif self._mode == "out" and not self._done:
+            # abandoned early: drain the stream
+            for _ in self:
+                pass
+        return False
+
+
+# ----------------------------------------------------------- cursor
+class Cursor:
+    def __init__(self, conn: "Connection"):
+        self._conn = conn
+        self._res = _Result()
+        self._pos = 0
+        self.arraysize = 1000
+
+    # psycopg-compatible surface
+    @property
+    def description(self):
+        return self._res.description
+
+    @property
+    def rowcount(self) -> int:
+        return len(self._res.rows)
+
+    def execute(self, sql: str, params=None) -> "Cursor":
+        self._conn._ensure_tx()
+        self._res = self._conn._simple_query(_interpolate(sql, params))
+        self._pos = 0
+        return self
+
+    def executemany(self, sql: str, seq) -> None:
+        for params in seq:
+            self.execute(sql, params)
+
+    def fetchone(self):
+        if self._pos >= len(self._res.rows):
+            return None
+        row = self._res.rows[self._pos]
+        self._pos += 1
+        return row
+
+    def fetchmany(self, n: int | None = None):
+        n = n or self.arraysize
+        out = self._res.rows[self._pos:self._pos + n]
+        self._pos += len(out)
+        return out
+
+    def fetchall(self):
+        out = self._res.rows[self._pos:]
+        self._pos = len(self._res.rows)
+        return out
+
+    def __iter__(self):
+        while (row := self.fetchone()) is not None:
+            yield row
+
+    def copy(self, sql: str) -> Copy:
+        self._conn._ensure_tx()
+        return Copy(self._conn._proto, sql)
+
+    def close(self) -> None:
+        self._res = _Result()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class ServerCursor(Cursor):
+    """Named cursor: DECLARE ... CURSOR FOR + chunked FETCH — the
+    server holds the un-fetched tail (psycopg3 server-side cursor
+    semantics; used by _stream_exec_iter)."""
+
+    def __init__(self, conn: "Connection", name: str):
+        super().__init__(conn)
+        self.name = name
+        self.itersize = 2000
+        self._declared = False
+        self._exhausted = False
+
+    def execute(self, sql: str, params=None) -> "ServerCursor":
+        self._conn._ensure_tx(force_begin=True)   # cursors need a tx
+        self._conn._simple_query(
+            f'DECLARE "{self.name}" NO SCROLL CURSOR FOR '
+            + _interpolate(sql, params))
+        self._declared = True
+        self._exhausted = False
+        self._res = _Result()
+        self._pos = 0
+        return self
+
+    def _fetch_chunk(self) -> bool:
+        res = self._conn._simple_query(
+            f'FETCH FORWARD {int(self.itersize)} FROM "{self.name}"')
+        if self._res.description is None:
+            self._res.description = res.description
+        self._res.rows = res.rows
+        self._pos = 0
+        if not res.rows:
+            self._exhausted = True
+        return bool(res.rows)
+
+    def fetchone(self):
+        if self._pos >= len(self._res.rows):
+            if self._exhausted or not self._fetch_chunk():
+                return None
+        return super().fetchone()
+
+    def fetchall(self):
+        out = list(self)
+        return out
+
+    def __iter__(self):
+        while (row := self.fetchone()) is not None:
+            yield row
+
+    def close(self) -> None:
+        if self._declared and not self._conn.closed:
+            try:
+                self._conn._simple_query(f'CLOSE "{self.name}"')
+            except Error:
+                pass
+        self._declared = False
+        super().close()
+
+
+# ------------------------------------------------------- connection
+class Connection:
+    def __init__(self, dsn: str, autocommit: bool = False):
+        info = parse_dsn(dsn)
+        self.info = info
+        self.autocommit = autocommit
+        self.closed = False
+        user = info.user or "postgres"
+        host = info.host or "localhost"
+        if host.startswith("/"):
+            sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            sock.connect(f"{host}/.s.PGSQL.{info.port}")
+        else:
+            sock = socket.create_connection((host, info.port))
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._proto = _Proto(sock)
+        self._proto.send_startup(user, info.dbname or user)
+        self._proto.authenticate(user, info.password)
+
+    # -- internals
+    def _ensure_tx(self, force_begin: bool = False) -> None:
+        if self.closed:
+            raise Error({"M": "connection is closed"})
+        if (not self.autocommit or force_begin) and \
+                self._proto.tx_status == "I":
+            self._simple_query("BEGIN")
+
+    def _simple_query(self, sql: str) -> _Result:
+        p = self._proto
+        p.send("Q", sql.encode() + b"\0")
+        res = _Result()
+        while True:
+            try:
+                tag, body = p.read_msg()
+            except Error:
+                p.drain_ready()
+                raise
+            if tag == "T":               # RowDescription
+                (nf,) = struct.unpack("!H", body[:2])
+                cols, i = [], 2
+                for _ in range(nf):
+                    j = body.index(b"\0", i)
+                    name = body[i:j].decode()
+                    (_tbl, _att, oid, _len, typmod, _fmt) = \
+                        struct.unpack("!IHIhih", body[j + 1:j + 19])
+                    cols.append(_column(name, oid, typmod))
+                    i = j + 19
+                res.description = cols
+            elif tag == "D":             # DataRow
+                (nc,) = struct.unpack("!H", body[:2])
+                vals, i = [], 2
+                for c in range(nc):
+                    (ln,) = struct.unpack("!i", body[i:i + 4])
+                    i += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        oid = res.description[c].type_code \
+                            if res.description else 25
+                        vals.append(_decode(oid, body[i:i + ln]))
+                        i += ln
+                res.rows.append(tuple(vals))
+            elif tag == "C":             # CommandComplete
+                res.tag = body.rstrip(b"\0").decode()
+            elif tag in ("I", "S", "n"):  # Empty/ParamStatus/NoData
+                continue
+            elif tag in ("G", "H"):
+                raise Error(
+                    {"M": "COPY statements must go through "
+                          "cursor.copy(), not execute()"})
+            elif tag == "Z":
+                p.tx_status = chr(body[0])
+                return res
+            else:
+                raise Error({"M": f"unexpected message {tag!r}"})
+
+    # -- psycopg-compatible surface
+    def cursor(self, name: str | None = None) -> Cursor:
+        return ServerCursor(self, name) if name else Cursor(self)
+
+    def execute(self, sql: str, params=None) -> Cursor:
+        cur = Cursor(self)
+        return cur.execute(sql, params)
+
+    def commit(self) -> None:
+        if self._proto.tx_status != "I":
+            self._simple_query("COMMIT")
+
+    def rollback(self) -> None:
+        if self._proto.tx_status != "I":
+            self._simple_query("ROLLBACK")
+
+    def close(self) -> None:
+        if not self.closed:
+            try:
+                self._proto.send("X")    # Terminate
+            except OSError:
+                pass
+            try:
+                self._proto.sock.close()
+            finally:
+                self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        try:
+            if exc_type is None:
+                self.commit()
+            else:
+                try:
+                    self.rollback()
+                except Error:
+                    pass
+        finally:
+            self.close()
+        return False
+
+
+def connect(dsn: str = "", autocommit: bool = False, **kw) -> Connection:
+    """psycopg.connect-shaped entry point. Accepts the same libpq
+    key=value / URI DSNs as connection.parse_dsn; kwargs override
+    (host=, port=, dbname=, user=, password=)."""
+    if kw:
+        parts = [dsn] if dsn else []
+        for k, v in kw.items():
+            if v is not None:
+                parts.append(f"{k}={v}")
+        dsn = " ".join(parts)
+    return Connection(dsn, autocommit=autocommit)
