@@ -1460,19 +1460,33 @@ def w19_ema_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort + aggregate, DuckDB list(... ORDER BY) + list_sum) —
     summation order fixed; final ratio rounded to 6.
 
-    Scale: the daily rollup is the only data-volume shuffle; the EMA
-    window runs over |days| rows (time-bound metadata — same class
-    as w12's trailing window)."""
+    Scale: the daily rollup is the only data-volume shuffle, and the
+    EMA window is BUCKET-PARALLEL (x6's trick): the lookback is a
+    bounded 30 days, so each day is hashed to bucket floor(dn/30)
+    and also copied into the successor bucket as read-only context —
+    every day's full 30-day range then lives inside one bucket and
+    the window runs partitionBy(bucket), no single-partition
+    Exchange. Cost: a 2× duplication of the |days|-row rollup; works
+    unchanged if the grain ever becomes user-day (add the user to
+    the partition key)."""
     l = _t(spark, sf_dir, "lineitem")
     daily = (l.groupBy(F.to_date("l_shipdate").alias("day"))
              .agg(F.sum(F.col("l_extendedprice").cast(_DEC))
                   .alias("rev_dec")))
     d = F.datediff("day", F.lit("1970-01-01"))
-    w = (Window.orderBy(d)
-         .rangeBetween(-(_W19_LOOKBACK - 1), 0))
     series = daily.select(
         "day", d.alias("dn"),
         F.col("rev_dec").cast("double").alias("revenue"))
+    B = _W19_LOOKBACK
+    bkt = F.floor(F.col("dn") / B)
+    home = series.select("day", "dn", "revenue", bkt.alias("bkt"),
+                         F.lit(True).alias("own"))
+    ctx = series.select("day", "dn", "revenue",
+                        (bkt + 1).alias("bkt"),
+                        F.lit(False).alias("own"))
+    series = home.unionByName(ctx)
+    w = (Window.partitionBy("bkt").orderBy("dn")
+         .rangeBetween(-(_W19_LOOKBACK - 1), 0))
     lst = F.array_sort(F.collect_list(F.struct("dn", "revenue")).over(w))
     decay = 1.0 - _W19_ALPHA
     num = F.aggregate(
@@ -1484,6 +1498,7 @@ def w19_ema_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + F.pow(F.lit(decay), F.col("dn") - x["dn"]))
     return (series
             .withColumn("ema", F.round(num / den, 6))
+            .filter("own")       # context copies computed, not emitted
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "revenue", "ema")
             .orderBy("day"))

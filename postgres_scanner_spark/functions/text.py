@@ -708,9 +708,14 @@ def _bpe_merges(spark: SparkSession,
         pair, n = pairs[0]["pair"], int(pairs[0]["n"])
         a, b = pair.split(SEP)
         rows.append((r, a, b, a + b, n))
-        vocab = scratch_persist(vocab.select(
+        # lazy merge chain over the ONE persisted round-0 vocab:
+        # round r's plan is r stacked replace()s (pure codegen, no
+        # per-round cache rewrite) feeding the pair aggregate — K
+        # bounded, so plan depth stays trivial and each round's job
+        # only pays the aggregate, not a cache materialization
+        vocab = vocab.select(
             F.replace(F.col("syms"), F.lit(SEP + a + SEP + b + SEP),
-                      F.lit(SEP + a + b + SEP)).alias("syms"), "cnt"))
+                      F.lit(SEP + a + b + SEP)).alias("syms"), "cnt")
     return rows
 
 

@@ -1610,20 +1610,43 @@ def d17_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(na, "doc_a").join(nb, "doc_b")
         .filter(F.coalesce(jac, F.lit(0.0)) >= 0.5)
         .select("doc_a", "doc_b"))
-    n_truth = truth.count()
-    out = None
+    # ONE unioned aggregate scores every config (vs a per-config
+    # count+semi-join pass — 3 configs × 2 actions → 1 job): tag each
+    # candidate set with its (bands, rows), flag truth membership with
+    # a left join, and groupBy(config). (8,1) reuses the persisted
+    # base instead of recomputing. Ratios round ENGINE-side
+    # (F.round = round-half-up, same as the oracle's ROUND) — Python
+    # round() is half-to-even and can differ by one ulp on exact
+    # .xxxx5 boundaries.
+    tagged = None
     for b, r in _D17_CONFIGS:
-        cand = scratch_persist(cand_pairs(b, r))
-        n_cand = cand.count()
-        n_true = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
-        row = spark.createDataFrame(
-            [(b, r, n_cand, n_true,
-              round(n_true / n_cand, 4) if n_cand else 0.0,
-              round(n_true / n_truth, 4) if n_truth else 0.0)],
-            "bands INT, rows INT, n_candidates BIGINT, n_true BIGINT, "
-            "precision DOUBLE, recall DOUBLE")
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("bands")
+        c = (base if (b, r) == (8, 1) else cand_pairs(b, r)) \
+            .withColumn("bands", F.lit(b)).withColumn("rows", F.lit(r))
+        tagged = c if tagged is None else tagged.unionByName(c)
+    per = (tagged
+           .join(truth.withColumn("is_true", F.lit(1)),
+                 ["doc_a", "doc_b"], "left")
+           .groupBy("bands", "rows")
+           .agg(F.count("*").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+                .alias("n_true")))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    # every config emits a row even with zero candidates (the oracle
+    # UNION ALLs a constant select per config)
+    cfg = spark.createDataFrame(list(_D17_CONFIGS), "bands INT, rows INT")
+    per = (cfg.join(per, ["bands", "rows"], "left")
+           .withColumn("n_candidates",
+                       F.coalesce("n_candidates", F.lit(0)))
+           .withColumn("n_true", F.coalesce("n_true", F.lit(0))))
+    nz = lambda c: F.when(F.col(c) > 0, F.col(c))  # noqa: E731
+    return (per.crossJoin(F.broadcast(n_truth))   # 1-row scalar
+            .select("bands", "rows", "n_candidates",
+                    F.col("n_true").cast("bigint").alias("n_true"),
+                    F.round(F.col("n_true") / nz("n_candidates"), 4)
+                    .alias("precision"),
+                    F.round(F.col("n_true") / nz("n_truth"), 4)
+                    .alias("recall"))
+            .orderBy("bands"))
 
 
 def _d17_sql() -> str:

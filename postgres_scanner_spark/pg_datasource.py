@@ -707,13 +707,17 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
     ALL row traffic to executors:
 
     - latestOffset(): one `SELECT max(key)` scalar on the driver.
-    - partitions(start, end): one index-only probe selects every
-      max_rows-th key in (start, end] as slice boundaries (so slices
-      are ~max_rows rows each, EXACT under sparse or duplicate keys
-      — a numeric stride would misbalance both). max_rows comes from
-      max_rows_per_poll, else max_rows_per_batch, else a bounded
-      default — a fresh stream's initial backlog always splits. The
-      probe returns backlog/max_rows scalars — bounded and tiny.
+    - partitions(start, end): KEYSET-STEPPED boundary probes — one
+      `ORDER BY key OFFSET max_rows-1 LIMIT 1` index walk per slice,
+      so slices are ~max_rows rows each, EXACT under sparse or
+      duplicate keys (a numeric stride would misbalance both) and
+      probe cost tracks SLICE COUNT, not backlog size: in steady
+      state (small new range) it is a single short index probe,
+      where a row_number() window over (lo, hi] would re-sort the
+      whole backlog on the driver connection every trigger. max_rows
+      comes from max_rows_per_poll, else max_rows_per_batch, else a
+      bounded default — a fresh stream's initial backlog always
+      splits.
     - read(partition): runs ON THE EXECUTOR that owns the slice,
       scanning `key > lo AND key <= hi` — an index range scan the
       source serves without a full table pass. No row ever transits
@@ -763,27 +767,30 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
         lo, hi = start.get("last_key"), end.get("last_key")
         if hi is None or (lo is not None and hi <= lo):
             return []           # empty range: no work this batch
-        # boundary probe: every max_rows-th key in (lo, hi], driver-
-        # side, index-only in PG. DISTINCT collapses duplicate-key
-        # boundaries (a dup group larger than the cap would repeat
-        # its key); the final hi closes the last partial slice.
-        cond = f'"{self.key}" <= {int(hi)}'
-        if lo is not None:
-            cond += f' AND "{self.key}" > {int(lo)}'
-        probe = (f'SELECT DISTINCT k FROM ('
-                 f'SELECT "{self.key}" AS k, row_number() OVER '
-                 f'(ORDER BY "{self.key}") AS rn FROM "{self.table}" '
-                 f'WHERE {cond}) s WHERE rn % {self.max_rows} = 0 '
-                 f'ORDER BY k')
-        bounds = [int(r[0]) for r in _stream_exec(self.dsn, probe)]
-        if not bounds or bounds[-1] != int(hi):
-            bounds.append(int(hi))
+        # keyset stepping: each probe walks max_rows index entries
+        # forward from the previous boundary and returns ONE key —
+        # no sort, no backlog-sized materialization, and the loop
+        # stops as soon as the remainder fits one slice. A slice can
+        # exceed max_rows only when a duplicate-key group straddles
+        # its boundary (same collapse the old DISTINCT applied).
+        hi = int(hi)
         slices, prev = [], lo
-        for b in bounds:
-            if prev is None or b > prev:
-                slices.append(_KeySlice(prev, b))
-                prev = b
-        return slices
+        while True:
+            cond = f'"{self.key}" <= {hi}'
+            if prev is not None:
+                cond += f' AND "{self.key}" > {int(prev)}'
+            rows = _stream_exec(
+                self.dsn,
+                f'SELECT "{self.key}" FROM "{self.table}" '
+                f'WHERE {cond} ORDER BY "{self.key}" '
+                f'OFFSET {self.max_rows - 1} LIMIT 1')
+            b = int(rows[0][0]) if rows and rows[0][0] is not None \
+                else None
+            if b is None or b >= hi:
+                slices.append(_KeySlice(prev, hi))
+                return slices
+            slices.append(_KeySlice(prev, b))
+            prev = b
 
     def read(self, partition):
         # executor-side: this is the only place rows move — streamed
@@ -794,6 +801,14 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint
+
+
+# udts whose typmod is a sub-second datetime precision — the
+# overwrite definition-match probe compares it via
+# information_schema.datetime_precision (date is excluded: it
+# reports 0 there but carries no typmod)
+_DT_UDTS = frozenset(
+    {"timestamp", "timestamptz", "time", "timetz", "interval"})
 
 
 class _SpoolMsg(WriterCommitMessage):
@@ -974,25 +989,36 @@ class PostgresScanWriter(DataSourceArrowWriter):
 
     @staticmethod
     def _typmod(sql_type: str, udt: str
-                ) -> tuple[int | None, int | None, int | None]:
+                ) -> tuple[int | None, int | None, int | None,
+                           int | None]:
         """DDL type modifiers → the (character_maximum_length,
-        numeric_precision, numeric_scale) triple information_schema
-        reports, for the overwrite definition-match probe. Types
-        without an explicit modifier yield Nones (matching PG's NULL
-        for unconstrained varchar/numeric)."""
+        numeric_precision, numeric_scale, datetime_precision) tuple
+        information_schema reports, for the overwrite
+        definition-match probe. Datetime/time/interval sub-second
+        precision and bit lengths are modeled too — a surviving
+        timestamp(0) column must NOT 'match' an unconstrained
+        incoming TIMESTAMP, or the TRUNCATE path would silently
+        round sub-second values on COPY (same silent-coercion class
+        the numeric check prevents). Defaults mirror PG: bare
+        datetime types report precision 6, bare bpchar/bit report
+        length 1, unconstrained varchar/varbit/numeric report NULL."""
         import re
         m = re.search(r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
                       sql_type.strip().lower())
-        if not m:
-            return (None, None, None)
-        a = int(m.group(1))
-        b = int(m.group(2)) if m.group(2) is not None else None
+        a = int(m.group(1)) if m else None
+        b = int(m.group(2)) if m and m.group(2) is not None else None
         if udt == "numeric":
+            if a is None:
+                return (None, None, None, None)
             # numeric(p) means scale 0 in PG
-            return (None, a, b if b is not None else 0)
-        if udt in ("varchar", "bpchar"):
-            return (a, None, None)
-        return (None, None, None)   # e.g. time(p)/interval fields
+            return (None, a, b if b is not None else 0, None)
+        if udt in ("varchar", "varbit"):
+            return (a, None, None, None)
+        if udt in ("bpchar", "bit"):
+            return (a if a is not None else 1, None, None, None)
+        if udt in _DT_UDTS:
+            return (None, None, None, a if a is not None else 6)
+        return (None, None, None, None)
 
     @staticmethod
     def _udt_name(sql_type: str) -> str:
@@ -1017,7 +1043,12 @@ class PostgresScanWriter(DataSourceArrowWriter):
             "timestamp with time zone": "timestamptz",
             "decimal": "numeric", "character varying": "varchar",
             "char": "bpchar", "character": "bpchar",
+            "time": "time", "time without time zone": "time",
+            "time with time zone": "timetz",
+            "bit varying": "varbit",
         }.get(base, base)
+        if udt.startswith("interval"):
+            udt = "interval"    # interval day to second → udt interval
         return ("_" + udt) if dims else udt
 
     def _commit_live_pg(self, messages) -> None:
@@ -1073,22 +1104,26 @@ class PostgresScanWriter(DataSourceArrowWriter):
                 cur.execute(
                     "SELECT column_name, udt_name, "
                     "character_maximum_length, numeric_precision, "
-                    "numeric_scale FROM information_schema.columns "
+                    "numeric_scale, datetime_precision "
+                    "FROM information_schema.columns "
                     "WHERE table_schema = %s AND table_name = %s "
                     "ORDER BY ordinal_position",
                     (pg_schema, self.table))
                 existing = [
                     (n, u, cl,
                      p if u == "numeric" else None,
-                     s if u == "numeric" else None)
-                    for n, u, cl, p, s in cur.fetchall()]
+                     s if u == "numeric" else None,
+                     # date reports datetime_precision 0 yet has no
+                     # typmod — only the sub-second family compares
+                     dtp if u in _DT_UDTS else None)
+                    for n, u, cl, p, s, dtp in cur.fetchall()]
                 want = []
                 for f in self.schema_.fields:
                     ddl = overrides.get(f.name,
                                         self._pg_sql_type(f.dataType))
                     u = self._udt_name(ddl)
-                    cl, p, s = self._typmod(ddl, u)
-                    want.append((f.name, u, cl, p, s))
+                    cl, p, s, dtp = self._typmod(ddl, u)
+                    want.append((f.name, u, cl, p, s, dtp))
                 if existing and existing == want:
                     cur.execute(f"TRUNCATE TABLE {target}")
                 else:

@@ -501,9 +501,9 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
     # of DROP+CREATE — indexes/grants/views on the target survive
     executed.clear()
     _Cursor.existing_def = [
-        ("id", "int4", None, 32, 0),          # intrinsic width,
-        ("price", "numeric", None, 10, 2),    # NOT a typmod for int4
-        ("tags", "_int4", None, None, None)]
+        ("id", "int4", None, 32, 0, None),    # intrinsic width,
+        ("price", "numeric", None, 10, 2, None),   # NOT an int4 typmod
+        ("tags", "_int4", None, None, None, None)]
     msgs2 = [w.write(iter([(9, None, None)]))]
     w.commit(msgs2)
     assert executed[1:] == ['TRUNCATE TABLE "public"."t"', create_sql]
@@ -511,9 +511,9 @@ def test_write_live_pg_with_mocked_psycopg(monkeypatch):
     # NOT truncate: the surviving column would silently round values
     executed.clear()
     _Cursor.existing_def = [
-        ("id", "int4", None, 32, 0),
-        ("price", "numeric", None, 12, 6),
-        ("tags", "_int4", None, None, None)]
+        ("id", "int4", None, 32, 0, None),
+        ("price", "numeric", None, 12, 6, None),
+        ("tags", "_int4", None, None, None, None)]
     w.commit([w.write(iter([(7, None, None)]))])
     assert executed[1] == 'DROP TABLE IF EXISTS "public"."t"'
     copied.pop()
@@ -783,10 +783,16 @@ def test_partitioned_stream_reader_slices():
     keys = list(range(10)) + [k for k in range(1000, 1005) for _ in (0, 1)]
 
     def fake_exec(dsn, sql):
-        assert "row_number" in sql      # the boundary probe
-        lo = 24 if "> 24" in sql else None
-        ks = sorted(k for k in keys if lo is None or k > lo)
-        return [(k,) for i, k in enumerate(ks, 1) if i % 10 == 0]
+        # keyset boundary probe: one ORDER BY ... OFFSET n LIMIT 1
+        # index walk per slice (cost ∝ slice count, not backlog)
+        import re
+        assert "OFFSET" in sql and "LIMIT 1" in sql
+        m = re.search(r'> (\d+)', sql)
+        lo = int(m.group(1)) if m else None
+        off = int(re.search(r'OFFSET (\d+)', sql).group(1))
+        ks = sorted(k for k in keys
+                    if (lo is None or k > lo) and k <= 1004)
+        return [(ks[off],)] if off < len(ks) else []
 
     orig = pgd._stream_exec
     pgd._stream_exec = fake_exec

@@ -356,6 +356,39 @@ def test_live_overwrite_truncate_preserves_index(registered, pg,
     assert cur.fetchall() == []                            # DROP path
 
 
+def test_live_overwrite_datetime_typmod_drops(registered, pg,
+                                              pg_server):
+    """A surviving timestamp(0) column must NOT 'match' an incoming
+    unconstrained TIMESTAMP on overwrite — TRUNCATE would silently
+    round sub-second values on COPY. The probe compares
+    information_schema.datetime_precision, so this layout takes the
+    DROP path (index gone); a true same-precision overwrite still
+    TRUNCATEs (index survives)."""
+    spark = registered
+    from datetime import datetime
+    schema = T.StructType([T.StructField("id", T.IntegerType()),
+                           T.StructField("ts", T.TimestampNTZType())])
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 0, 123456))], schema)
+    cur = pg.cursor()
+    cur.execute("DROP TABLE IF EXISTS dt_t")
+    cur.execute('CREATE TABLE dt_t ("id" int4, "ts" timestamp(0))')
+    cur.execute("CREATE INDEX dt_idx ON dt_t (id)")
+    (df.write.format("postgres_scan").option("dsn", pg_server)
+       .option("table", "dt_t").mode("overwrite").save())
+    cur.execute(
+        "SELECT indexname FROM pg_indexes WHERE tablename = 'dt_t'")
+    assert cur.fetchall() == []          # DROP path: precision differed
+    cur.execute("SELECT ts FROM dt_t")
+    assert cur.fetchone()[0].microsecond == 123456   # nothing rounded
+    cur.execute("CREATE INDEX dt_idx2 ON dt_t (id)")
+    (df.write.format("postgres_scan").option("dsn", pg_server)
+       .option("table", "dt_t").mode("overwrite").save())
+    cur.execute(
+        "SELECT indexname FROM pg_indexes WHERE tablename = 'dt_t'")
+    assert [r[0] for r in cur.fetchall()] == ["dt_idx2"]  # TRUNCATE
+
+
 # --------------------------------------- streaming source (S29/S30)
 def test_live_partitioned_stream_read(registered, pg, pg_server,
                                       tmp_path):
