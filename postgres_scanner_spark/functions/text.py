@@ -26,7 +26,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return tables.load(spark, sf_dir, name)
 
 
-def _tokens():
+def _tokens(unicode_mode: bool = False):
+    """Whitespace tokens (default — the oracle-pinned behavior of
+    every pre-r7 query), or Unicode-category tokens (letters/digits
+    of any script) for multilingual corpora; CJK needs character
+    shingles — see operators.dedup.d19 / t18_script_id."""
+    if unicode_mode:
+        return F.filter(
+            F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"),
+            lambda x: x != "")
     return F.split(F.lower(F.col("text")), " ")
 
 
@@ -1016,7 +1024,98 @@ FROM tiled ORDER BY doc_id
 """
 
 
+# ---- T18: Unicode script ID (beyond T1's ASCII stopwords) -----------
+# Codepoint ranges written as escapes so the Spark regex and the
+# DuckDB regex are the SAME literal string. The synthetic corpus is
+# ASCII, so non-Latin behavior is exercised on deterministic planted
+# docs (UNICODE_PLANTS) unioned in BOTH engines.
+_SCRIPT_RANGES = (
+    ("han", "一-鿿"),
+    ("kana", "぀-ヿ"),
+    ("hangul", "가-힯"),
+    ("arabic", "؀-ۿ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("latin", "a-zA-Z"),
+)
+
+# (doc_id, text): Chinese near-dup pair + exact dup (d19's planted
+# truth), Japanese kana, Korean, Arabic, Cyrillic. IDs far above the
+# corpus range.
+UNICODE_PLANTS = [
+    (910001, "机器学习模型需要大量高质量的训练数据来提升性能表现和泛化能力"),
+    (910002, "机器学习模型需要大量高质量的训练数据来提升性能表现和泛化效果"),
+    (910003, "机器学习模型需要大量高质量的训练数据来提升性能表现和泛化能力"),
+    (910004, "今天天气很好我们一起去公园散步看花赏景放松心情"),
+    (910005, "すもももももももものうちももにもいろいろなももがある"),
+    (910006, "こんにちは世界プログラミングはとても楽しいです"),
+    (910007, "안녕하세요 세계 딥러닝 모델 학습 데이터 구축 방법"),
+    (910008, "데이터 엔지니어링 파이프라인 설계와 운영 모범 사례"),
+    (910009, "التعلم الآلي يحتاج إلى بيانات تدريب عالية الجودة"),
+    (910010, "معالجة اللغة الطبيعية مجال بحثي ممتع ومفيد"),
+    (910011, "машинное обучение требует качественных обучающих данных"),
+]
+
+
+def unicode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ UNICODE_PLANTS, (doc_id, text) only — shared by
+    T18 and D19 so the Spark corpus and the oracle corpus cannot
+    drift."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    p = spark.createDataFrame(UNICODE_PLANTS, "doc_id BIGINT, text STRING")
+    return d.unionByName(p)
+
+
+def unicode_corpus_sql() -> str:
+    plants = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in UNICODE_PLANTS)
+    return f"SELECT doc_id, text FROM documents UNION ALL {plants}"
+
+
+def t18_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document writing-script classification by codepoint-range
+    counts (Han / kana / Hangul / Arabic / Cyrillic / Latin), the
+    T1 extension a multilingual corpus needs: T1's stopword-ratio
+    heuristic can only say en/other and silently calls every CJK doc
+    'other'. argmax with a FIXED tie-break order so both engines
+    pick identically; all-zero counts → 'other'.
+
+    Scale: one regexp_replace+length per range per row — pure
+    whole-stage codegen, no shuffle at all (the orderBy is the
+    gate's presentation sort)."""
+    c = unicode_corpus(spark, sf_dir)
+    cnt = {s: F.length(F.regexp_replace(F.col("text"), f"[^{r}]", ""))
+           for s, r in _SCRIPT_RANGES}
+    mx = F.greatest(*cnt.values())
+    pred = F.when(mx == F.lit(0), F.lit("other"))
+    for s, _ in _SCRIPT_RANGES:
+        pred = pred.when(cnt[s] == mx, F.lit(s))
+    return (c.select("doc_id", pred.otherwise("other").alias("script"))
+            .orderBy("doc_id"))
+
+
+def _t18_sql() -> str:
+    cols = ", ".join(
+        f"length(regexp_replace(text, '[^{r}]', '', 'g')) AS c_{s}"
+        for s, r in _SCRIPT_RANGES)
+    mx = "greatest(" + ", ".join(f"c_{s}" for s, _ in _SCRIPT_RANGES) + ")"
+    whens = " ".join(f"WHEN c_{s} = mx THEN '{s}'"
+                     for s, _ in _SCRIPT_RANGES)
+    return f"""
+WITH corpus AS ({unicode_corpus_sql()}),
+counted AS (SELECT doc_id, {cols} FROM corpus),
+m AS (SELECT doc_id, *, {mx} AS mx FROM counted)
+SELECT doc_id, CASE WHEN mx = 0 THEN 'other' {whens}
+       ELSE 'other' END AS script
+FROM m ORDER BY doc_id
+"""
+
+
+_T18_SQL = _t18_sql()
+
+
 QUERIES = {
+    "t18_script_id": t18_script_id,
     "t17_perplexity_buckets": t17_perplexity_buckets,
     "t16_quality_classifier": t16_quality_classifier,
     "t15_bpe_encode": t15_bpe_encode,
@@ -1037,6 +1136,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t18_script_id": _T18_SQL,
     "t16_quality_classifier": _T16_SQL,
     "t17_perplexity_buckets": _T17_SQL,
     "t15_bpe_encode": _T15_SQL,

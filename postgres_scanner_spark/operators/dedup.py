@@ -63,7 +63,16 @@ _SQL_CORPUS = f"""
 """
 
 
-def _tokens() -> Column:
+def _tokens(unicode_mode: bool = False) -> Column:
+    """Whitespace tokens (default — the oracle-pinned behavior of
+    every pre-r7 query), or Unicode-category tokens: maximal runs of
+    letters/digits of ANY script, so Arabic/Cyrillic/accents
+    tokenize correctly. Space-free scripts (CJK) need character
+    shingles instead — see d19, which routes by script."""
+    if unicode_mode:
+        return F.filter(
+            F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"),
+            lambda x: x != "")
     return F.split(F.lower(F.col("text")), " ")
 
 
@@ -1709,7 +1718,141 @@ ORDER BY bands
 """
 
 
+# ---- D19: Unicode-robust shingle dedup ------------------------------
+# Space-free scripts (CJK) produce ONE "word" per document under the
+# whitespace tokenizer, so d2/d4-style word shingling silently
+# degrades to whole-text equality there. D19 routes each document by
+# script: CJK-dominant docs shingle by CHARACTER k-grams, the rest by
+# word k-grams over a Unicode-category tokenizer (letters+digits of
+# any script, not just ASCII) — then one shared inverted-index
+# Jaccard join scores both classes.
+_D19_K = 3
+_D19_THRESH = 0.5
+# han + kana + hangul (same literal ranges as t18)
+_D19_CJK = "一-鿿぀-ヿ가-힯"
+_D19_WORD_SPLIT = r"[^\p{L}\p{N}]+"   # Unicode-category tokenizer
+
+
+def d19_unicode_shingle_dedup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (Jaccard ≥ 0.5) over a corpus with
+    planted CJK docs (functions.text.UNICODE_PLANTS: an exact
+    Chinese dup pair and a one-char-off near-dup), robust to
+    space-free scripts.
+
+    Routing: a doc is CJK-class when > 1/3 of its characters are
+    Han/kana/Hangul (integer-exact compare, no float ratio). CJK
+    docs → distinct lowercase character-3-grams; all others →
+    distinct word-3-grams over the \\p{{L}}\\p{{N}} tokenizer (so
+    Arabic/Cyrillic tokenize correctly too). Gram keys are
+    class-prefixed ('c:'/'w:') — the two universes never collide.
+
+    Scale (d4's shape): the ONLY data shuffle is keyed on gram; the
+    hot-gram cap drops postings whose document frequency exceeds
+    {frac} of the corpus BEFORE the self-join (numerator and
+    denominator both computed over the capped universe, so the
+    statistic stays a true Jaccard), keeping the join linear in
+    posting-list length — never all-pairs.""".format(
+        frac=_D4_MAX_DF_FRAC)
+    from ..functions.text import unicode_corpus
+    c = unicode_corpus(spark, sf_dir)
+    cjk_cnt = F.length(
+        F.regexp_replace(F.col("text"), f"[^{_D19_CJK}]", ""))
+    c = c.withColumn("low", F.lower(F.col("text"))) \
+         .withColumn("is_cjk", cjk_cnt * 3 > F.length("text"))
+    n = F.length("low")
+    cidx = F.when(n >= _D19_K,
+                  F.sequence(F.lit(1), n - (_D19_K - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    cg = (c.filter("is_cjk")
+          .select("doc_id",
+                  F.explode(F.transform(
+                      cidx,
+                      lambda i: F.col("low").substr(i, F.lit(_D19_K))))
+                  .alias("g"))
+          .distinct()
+          .select("doc_id", F.concat(F.lit("c:"), "g").alias("s")))
+    toks = F.filter(F.split(F.col("low"), _D19_WORD_SPLIT),
+                    lambda x: x != "")
+    w = c.filter(~F.col("is_cjk")).withColumn("t", toks)
+    nw = F.size("t")
+    widx = F.when(nw >= _D19_K,
+                  F.sequence(F.lit(0), nw - _D19_K)) \
+        .otherwise(F.array().cast("array<int>"))
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(F.col("t"), i + j)
+                                  for j in range(1, _D19_K + 1)])
+
+    wg = (w.select("doc_id",
+                   F.explode(F.transform(widx, gram)).alias("g"))
+          .distinct()
+          .select("doc_id", F.concat(F.lit("w:"), "g").alias("s")))
+    shx = scratch_persist(cg.unionByName(wg))
+    ndocs = shx.agg(F.count_distinct("doc_id").alias("n_docs"))
+    keep = (shx.groupBy("s").agg(F.count("*").alias("df"))
+            .crossJoin(F.broadcast(ndocs))   # 1-row scalar
+            .filter(F.col("df") <= _D4_MAX_DF_FRAC * F.col("n_docs"))
+            .select("s"))
+    shf = scratch_persist(shx.join(keep, "s", "left_semi"))
+    sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = shf.alias("x"), shf.alias("y")
+    inter = (x.join(y, (F.col("x.s") == F.col("y.s"))
+                    & (F.col("x.doc_id") < F.col("y.doc_id")))
+             .groupBy(F.col("x.doc_id").alias("doc_a"),
+                      F.col("y.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("ni")))
+    jac = F.col("ni") / (F.col("sa.n") + F.col("sb.n") - F.col("ni"))
+    return (inter
+            .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .filter(jac >= _D19_THRESH)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _d19_sql() -> str:
+    from ..functions.text import unicode_corpus_sql
+    return f"""
+WITH corpus AS ({unicode_corpus_sql()}),
+cls AS (SELECT doc_id, lower(text) AS low,
+        CASE WHEN length(regexp_replace(text, '[^{_D19_CJK}]', '', 'g'))
+                  * 3 > length(text)
+             THEN 1 ELSE 0 END AS is_cjk
+        FROM corpus),
+cg AS (SELECT DISTINCT doc_id,
+              'c:' || substr(low, CAST(i AS INT), {_D19_K}) AS s
+       FROM (SELECT doc_id, low,
+                    unnest(range(1, length(low) - {_D19_K - 2})) AS i
+             FROM cls WHERE is_cjk = 1)),
+wt AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(low,
+                          '{_D19_WORD_SPLIT}'), x -> x <> '') AS t
+       FROM cls WHERE is_cjk = 0),
+wg AS (SELECT DISTINCT doc_id, 'w:' || g AS s
+       FROM (SELECT doc_id, unnest({_sql_shingles(_D19_K)}) AS g
+             FROM wt WHERE len(t) >= {_D19_K})),
+shx AS (SELECT doc_id, s FROM cg UNION ALL SELECT doc_id, s FROM wg),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM shx),
+keep AS (SELECT s FROM shx, nd GROUP BY s, n_docs
+         HAVING COUNT(*) <= {_D4_MAX_DF_FRAC} * n_docs),
+shf AS (SELECT shx.* FROM shx JOIN keep USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
+          FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b,
+       ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {_D19_THRESH}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
+    "d19_unicode_shingle_dedup": d19_unicode_shingle_dedup,
     "d18_doc_novelty": d18_doc_novelty,
     "d17_lsh_param_sweep": d17_lsh_param_sweep,
     "d16_cdc_chunk_dedup": d16_cdc_chunk_dedup,
@@ -1731,6 +1874,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d19_unicode_shingle_dedup": _d19_sql(),
     "d18_doc_novelty": _D18_SQL,
     "d17_lsh_param_sweep": _d17_sql(),
     "d16_cdc_chunk_dedup": _D16_SQL,
