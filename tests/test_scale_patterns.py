@@ -323,3 +323,58 @@ def test_connection_limit_concurrent_scans(spark, tmp_path):
         assert results == [4096 * 4095 // 2] * 4
     finally:
         SETTINGS.pg_connection_limit = old
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """PROOF, not assumption, that Spark's AQE skew-join split
+    rescues the documented Zipf-hot shuffle joins (t9/t15/t17 token
+    joins list AQE skew-split as their mitigation): build a join
+    with one mega-hot key, lower the skew thresholds to sandbox
+    scale, and assert the FINAL adaptive plan marked the sort-merge
+    join skew=true (the hot partition was split) while producing
+    exact results. At production scale the same trigger fires at the
+    default 256 MB threshold."""
+    confs = {
+        # force the shuffle-join path (skew split only applies there)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # sandbox-sized skew thresholds (prod default: 256 MB / 5x)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # keep AQE from first coalescing the skew away
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # Zipf-extreme: 95% of the fact side shares token 'the'
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit("the"))
+            .otherwise(F.concat(F.lit("tok_"), F.col("id")))
+            .alias("tok"),
+            F.col("id").alias("v"))
+        dim = spark.range(0, 50_000).select(
+            F.when(F.col("id") == 0, F.lit("the"))
+            .otherwise(F.concat(F.lit("tok_"), F.col("id") * 20))
+            .alias("tok"),
+            (F.col("id") * 2).alias("w"))
+        joined = fact.join(dim, "tok")
+        agg = joined.agg(F.count("*").alias("n"),
+                         F.sum(F.col("v") + F.col("w")).alias("s"))
+        row = agg.collect()[0]
+        # exact expectation: hot key 190k×1 + 9,999 cold matches
+        # (fact's tok_0 has no dim partner: dim id=0 is the hot key)
+        assert row.n == 190_000 + 9_999
+        # the FINAL adaptive plan of the executed query carries the
+        # skew flag on the sort-merge join node
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
