@@ -190,6 +190,8 @@ def test_plan_lint_all_queries(spark):
         "ds17_substr_cohort_revenue",      # 1-row global-average scalar
         "a10_filtered_ann",        # query set (5 rows) × corpus, as A1
         "a11_mmr_diversified",     # query set (5 rows) × corpus, as A1
+        "d17_lsh_param_sweep",     # 1-row n_truth scalar × 3 configs
+        "d19_unicode_shingle_dedup",  # scalar n_docs → DF cap, as d4
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
