@@ -731,14 +731,17 @@ def _t14_parts() -> list[str]:
     """The training CTE chain (v0..vK vocab states, p1..pK picked
     merges) shared by the T14 and T15 oracles."""
     S = "chr(1)"
-    parts = [f"""v0 AS (
+    # every v{r} is referenced twice (by p{r+1} and v{r+1}): without
+    # MATERIALIZED DuckDB inlines the chain and the replay blows up
+    # 2^K — 2.5 s -> 0.05 s at sf0.01
+    parts = [f"""v0 AS MATERIALIZED (
   SELECT {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g') AS syms, cnt
   FROM (SELECT w, COUNT(*) AS cnt
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
               FROM documents)
         WHERE w <> '' GROUP BY w))"""]
     for r in range(1, _T14_ROUNDS + 1):
-        parts.append(f"""p{r} AS (
+        parts.append(f"""p{r} AS MATERIALIZED (
   SELECT split_part(pair, {S}, 1) AS a, split_part(pair, {S}, 2) AS b,
          CAST(n AS BIGINT) AS n
   FROM (SELECT pair, SUM(cnt) AS n
@@ -747,7 +750,7 @@ def _t14_parts() -> list[str]:
               FROM (SELECT list_filter(string_split(syms, {S}),
                            x -> x <> '') AS l, cnt FROM v{r-1}))
         GROUP BY pair ORDER BY n DESC, pair LIMIT 1))""")
-        parts.append(f"""v{r} AS (
+        parts.append(f"""v{r} AS MATERIALIZED (
   SELECT replace(syms, {S}||a||{S}||b||{S}, {S}||a||b||{S}) AS syms, cnt
   FROM v{r-1} CROSS JOIN p{r})""")
     return parts
@@ -817,7 +820,7 @@ def _t15_sql() -> str:
     corpus tokens back on."""
     S = "chr(1)"
     parts = _t14_parts()
-    parts.append("""toks AS (
+    parts.append("""toks AS MATERIALIZED (
   SELECT doc_id, w FROM (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
     FROM documents) WHERE w <> '')""")
@@ -825,7 +828,7 @@ def _t15_sql() -> str:
   SELECT w, {S} || regexp_replace(w, '(.)', '\\1' || {S}, 'g') AS syms
   FROM (SELECT DISTINCT w FROM toks))""")
     for r in range(1, _T14_ROUNDS + 1):
-        parts.append(f"""w{r} AS (
+        parts.append(f"""w{r} AS MATERIALIZED (
   SELECT w, replace(syms, {S}||a||{S}||b||{S}, {S}||a||b||{S}) AS syms
   FROM w{r-1} CROSS JOIN p{r})""")
     parts.append(f"""enc AS (

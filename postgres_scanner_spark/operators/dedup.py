@@ -254,10 +254,10 @@ def _d2_sql() -> str:
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
 tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
-sh AS (SELECT doc_id, {_sql_shingles(3)} AS shingles
+sh AS MATERIALIZED (SELECT doc_id, {_sql_shingles(3)} AS shingles
        FROM tok WHERE len(t) >= 3),
 sig AS (SELECT doc_id, shingles, {sig} FROM sh),
-bands AS ({band_rows}),
+bands AS MATERIALIZED ({band_rows}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -1670,7 +1670,7 @@ def _d17_sql() -> str:
 
     def cand(b: int, r: int, name: str) -> str:
         return (f"{name}_bands AS ({band_rows(b, r)}), "
-                f"{name} AS (SELECT DISTINCT x.doc_id AS doc_a, "
+                f"{name} AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, "
                 f"y.doc_id AS doc_b FROM {name}_bands x "
                 f"JOIN {name}_bands y ON x.band_id = y.band_id "
                 f"AND x.bh = y.bh AND x.doc_id < y.doc_id)")
@@ -1692,9 +1692,9 @@ def _d17_sql() -> str:
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
 tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
-sh AS (SELECT doc_id, {_sql_shingles(3)} AS shingles
+sh AS MATERIALIZED (SELECT doc_id, {_sql_shingles(3)} AS shingles
        FROM tok WHERE len(t) >= 3),
-sig AS (SELECT doc_id, shingles, {sig} FROM sh),
+sig AS MATERIALIZED (SELECT doc_id, shingles, {sig} FROM sh),
 {cand(8, 1, 'c8x1')},
 {cand(4, 2, 'c4x2')},
 {cand(2, 4, 'c2x4')},

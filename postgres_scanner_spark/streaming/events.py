@@ -1316,7 +1316,7 @@ def _e20_sql() -> str:
         for b in range(N_BANDS))
     return f"""
 WITH params AS (SELECT COUNT(*) AS nn FROM documents),
-streamed AS (
+streamed AS MATERIALIZED (
   SELECT doc_id, text, lang, 1 AS batch FROM documents, params
   WHERE doc_id < nn // 3
   UNION ALL
@@ -1337,19 +1337,19 @@ streamed AS (
   WHERE doc_id = nn - 1),
 tok AS (SELECT doc_id, batch, string_split(lower(text), ' ') AS t
         FROM streamed),
-sh AS (SELECT doc_id, batch, {_sql_shingles(3)} AS shingles
+sh AS MATERIALIZED (SELECT doc_id, batch, {_sql_shingles(3)} AS shingles
        FROM tok WHERE len(t) >= 3),
-sig AS (SELECT doc_id, batch, shingles, {_sql_sig_clause()} FROM sh),
-bands AS ({band_rows}),
+sig AS MATERIALIZED (SELECT doc_id, batch, shingles, {_sql_sig_clause()} FROM sh),
+bands AS MATERIALIZED ({band_rows}),
 drop_in AS (
   SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
     ON a.batch = b.batch AND a.band_id = b.band_id
    AND a.band_hash = b.band_hash AND b.doc_id < a.doc_id),
-w AS (
+w AS MATERIALIZED (
   SELECT s.doc_id, s.lang, s.batch FROM streamed s
   LEFT JOIN drop_in d ON s.doc_id = d.doc_id WHERE d.doc_id IS NULL),
-k1 AS (SELECT doc_id, lang FROM w WHERE batch = 1),
-k2 AS (
+k1 AS MATERIALIZED (SELECT doc_id, lang FROM w WHERE batch = 1),
+k2 AS MATERIALIZED (
   SELECT w.doc_id, w.lang FROM w WHERE batch = 2 AND NOT EXISTS (
     SELECT 1 FROM bands mb JOIN bands kb
       ON mb.band_id = kb.band_id AND mb.band_hash = kb.band_hash
