@@ -1764,17 +1764,9 @@ def d19_unicode_shingle_dedup(spark: SparkSession,
     cidx = F.when(n >= _D19_K,
                   F.sequence(F.lit(1), n - (_D19_K - 1))) \
         .otherwise(F.array().cast("array<int>"))
-    cg = (c.filter("is_cjk")
-          .select("doc_id",
-                  F.explode(F.transform(
-                      cidx,
-                      lambda i: F.col("low").substr(i, F.lit(_D19_K))))
-                  .alias("g"))
-          .distinct()
-          .select("doc_id", F.concat(F.lit("c:"), "g").alias("s")))
     toks = F.filter(F.split(F.col("low"), _D19_WORD_SPLIT),
                     lambda x: x != "")
-    w = c.filter(~F.col("is_cjk")).withColumn("t", toks)
+    c = c.withColumn("t", toks)
     nw = F.size("t")
     widx = F.when(nw >= _D19_K,
                   F.sequence(F.lit(0), nw - _D19_K)) \
@@ -1784,11 +1776,18 @@ def d19_unicode_shingle_dedup(spark: SparkSession,
         return F.concat_ws(" ", *[F.element_at(F.col("t"), i + j)
                                   for j in range(1, _D19_K + 1)])
 
-    wg = (w.select("doc_id",
-                   F.explode(F.transform(widx, gram)).alias("g"))
-          .distinct()
-          .select("doc_id", F.concat(F.lit("w:"), "g").alias("s")))
-    shx = scratch_persist(cg.unionByName(wg))
+    # ONE scan + explode + distinct for both classes: CASE evaluates
+    # only the taken branch per row, and the class prefix keeps the
+    # two gram universes disjoint, so distinct-per-class == distinct
+    # over the union (every doc is in exactly one class)
+    grams = F.when(
+        F.col("is_cjk"),
+        F.transform(cidx, lambda i: F.concat(
+            F.lit("c:"), F.col("low").substr(i, F.lit(_D19_K))))) \
+        .otherwise(F.transform(widx, lambda i: F.concat(
+            F.lit("w:"), gram(i))))
+    shx = scratch_persist(
+        c.select("doc_id", F.explode(grams).alias("s")).distinct())
     ndocs = shx.agg(F.count_distinct("doc_id").alias("n_docs"))
     keep = (shx.groupBy("s").agg(F.count("*").alias("df"))
             .crossJoin(F.broadcast(ndocs))   # 1-row scalar
