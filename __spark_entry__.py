@@ -50,6 +50,7 @@ _MODULES = (
 # New round-7 queries are spliced in at the front — never graded.
 _COST_ORDER = [
     "t18_script_id", "d19_unicode_shingle_dedup",
+    "t19_source_kl_divergence", "m12_pruned_rowgroup_scan",
     "x4_source_mix", "m3_image_dims", "ds7_yoy_growth",
     "m8_jsonl_shard_codec", "ds5_nation_share", "ds9_channel_rollup",
     "m6_tar_shard_manifest", "a4_knn_label", "d10_boilerplate_removal",

@@ -1117,7 +1117,72 @@ FROM m ORDER BY doc_id
 _T18_SQL = _t18_sql()
 
 
+# ---- T19: per-source KL divergence (domain-mixture diagnostic) -------
+def t19_source_kl_divergence(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """How far each source's token distribution sits from the
+    corpus-wide mixture: KL(source ‖ corpus) in nats, plus token
+    mass and vocabulary size per source — the diagnostic a data-mix
+    curator reads before re-weighting sources (a source with tiny KL
+    adds volume, not diversity; a huge-KL source shifts the mixture).
+
+    Determinism: the KL sum is a per-source fold over (w, term)
+    pairs in sorted-w order (T9's ordered-sum idiom) so the float
+    accumulation order is identical in both engines.
+
+    Scale: token text shuffles once into (source, w) partial counts;
+    everything after is count-sized. The fold array is one entry per
+    DISTINCT (source, word) — bounded by vocabulary, not corpus; on
+    an open-vocab web corpus apply a document-frequency floor first
+    (T10's df relation) to cap it."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("source", F.explode(_tokens()).alias("w"))
+           .filter(F.col("w") != ""))
+    cs = scratch_persist(
+        tok.groupBy("source", "w").agg(F.count("*").alias("c_sw")))
+    cw = cs.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = cs.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    ntot = cs.agg(F.sum("c_sw").alias("n"))
+    p = F.col("c_sw") / F.col("n_s")
+    q = F.col("c_w") / F.col("n")
+    terms = (cs.join(cw, "w").join(ns, "source")
+             .crossJoin(F.broadcast(ntot))   # 1-row scalar
+             .select("source", "w", "n_s",
+                     (p * F.log(p / q)).alias("term")))
+    return (terms.groupBy("source")
+            .agg(F.max("n_s").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("vocab"),
+                 F.round(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("w", "term"))),
+                     F.lit(0.0), lambda a, x: a + x["term"]), 6)
+                 .alias("kl_nats"))
+            .orderBy("source"))
+
+
+_T19_SQL = """
+WITH tok AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents) WHERE w <> ''),
+cs AS MATERIALIZED (
+  SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w),
+cw AS (SELECT w, SUM(c_sw) AS c_w FROM cs GROUP BY w),
+ns AS (SELECT source, SUM(c_sw) AS n_s FROM cs GROUP BY source),
+nt AS (SELECT SUM(c_sw) AS n FROM cs),
+terms AS (
+  SELECT source, w, n_s,
+         (c_sw * 1.0 / n_s) * ln((c_sw * 1.0 / n_s) / (c_w * 1.0 / n))
+           AS term
+  FROM cs JOIN cw USING (w) JOIN ns USING (source), nt)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(list_sum(list(term ORDER BY w)), 6) AS kl_nats
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "t19_source_kl_divergence": t19_source_kl_divergence,
     "t18_script_id": t18_script_id,
     "t17_perplexity_buckets": t17_perplexity_buckets,
     "t16_quality_classifier": t16_quality_classifier,
@@ -1139,6 +1204,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t19_source_kl_divergence": _T19_SQL,
     "t18_script_id": _T18_SQL,
     "t16_quality_classifier": _T16_SQL,
     "t17_perplexity_buckets": _T17_SQL,

@@ -1018,7 +1018,152 @@ FROM {t}""" for t, k in _M11_TABLES
 ) + " ORDER BY tbl, rg_id"
 
 
+# ---- M12: zone-map pruned row-group scan (the planner M11 feeds) -----
+_M12_RG_ROWS = 64
+
+
+def m12_pruned_rowgroup_scan(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """The CONSUMER of M11's zone maps: plan a key-range probe
+    (doc_id ∈ [mx//4, mx//2 + mx//8]) against per-row-group
+    min/max statistics, then READ ONLY the selected row groups —
+    the I/O path a lakehouse point/range query takes. Emits one row
+    per row group: its zone map, whether the planner selected it,
+    and (for selected groups only) the matched-row count and key sum
+    from the pruned read — unselected groups are provably
+    untouched (their counts come from zone-map soundness, not I/O).
+
+    The probe runs against a STAGED copy of documents re-written
+    sorted-by-key with _M12_RG_ROWS rows per row group (driver
+    testdata is one group per file, which makes pruning
+    all-or-nothing; at scale the layout already exists — it is the
+    lakehouse's sort-partitioned table, this stage just recreates it
+    locally). Deterministic boundaries (groups of exactly
+    _M12_RG_ROWS rows in key order) are what give the oracle full
+    arithmetic reconstruction: rank // _M12_RG_ROWS is the row's
+    group.
+
+    Scale: the footer scan reads MBs of tails (M11's argument); the
+    pruned read's I/O is proportional to SELECTED groups — the whole
+    point; both fan out over executors via mapInPandas. Reference:
+    the ctid-range split of postgres_scanner.cpp:238 is this same
+    plan with pages for row groups."""
+    import hashlib
+    import os
+    from .. import tables
+    from ..runtime import scratch_persist
+    tables.ensure_session_defaults(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{_M12_RG_ROWS}"
+    stage = os.path.join(
+        "/tmp", "pg_spark_rgstage_"
+        + hashlib.md5(key.encode()).hexdigest()[:8] + ".parquet")
+    if not os.path.exists(stage):
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, columns=["doc_id"]).sort_by("doc_id")
+        tmp = stage + ".tmp"
+        pq.write_table(t, tmp, row_group_size=_M12_RG_ROWS)
+        os.replace(tmp, stage)
+
+    files = spark.createDataFrame([(stage,)], "path STRING")
+
+    def footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                md = pq.ParquetFile(r.path).metadata
+                ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    s = rg.column(ci).statistics
+                    rows.append((r.path, g, rg.num_rows,
+                                 int(s.min), int(s.max)))
+            yield pd.DataFrame(rows, columns=[
+                "path", "rg_id", "n_rows", "key_min", "key_max"])
+
+    fschema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("rg_id", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("key_min", T.LongType()),
+        T.StructField("key_max", T.LongType()),
+    ])
+    rgs = scratch_persist(files.mapInPandas(footers, schema=fschema))
+    mx = rgs.agg(F.max("key_max").alias("mx"))
+    sel = (rgs.crossJoin(F.broadcast(mx))   # 1-row scalar
+           .withColumn("lo", F.expr("mx div 4"))
+           .withColumn("hi", F.expr("mx div 2 + mx div 8"))
+           .withColumn("selected", (F.col("key_min") <= F.col("hi"))
+                       & (F.col("key_max") >= F.col("lo"))))
+
+    def pruned_read(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                tb = pq.ParquetFile(r.path).read_row_group(
+                    int(r.rg_id), columns=["doc_id"])
+                col = tb.column("doc_id")
+                mask = pc.and_(pc.greater_equal(col, int(r.lo)),
+                               pc.less_equal(col, int(r.hi)))
+                hit = tb.filter(mask).column("doc_id")
+                total = pc.sum(hit).as_py()
+                rows.append((int(r.rg_id), len(hit),
+                             int(total) if total is not None else 0))
+            yield pd.DataFrame(rows, columns=[
+                "rg_id", "n_matched", "key_sum"])
+
+    rschema = T.StructType([
+        T.StructField("rg_id", T.IntegerType()),
+        T.StructField("n_matched", T.LongType()),
+        T.StructField("key_sum", T.LongType()),
+    ])
+    reads = (sel.filter("selected")
+             .select("path", "rg_id", "lo", "hi")
+             .mapInPandas(pruned_read, schema=rschema))
+    return (sel.join(reads, "rg_id", "left")
+            .select("rg_id", "n_rows", "key_min", "key_max", "selected",
+                    F.coalesce("n_matched", F.lit(0)).cast("long")
+                    .alias("n_matched"),
+                    F.coalesce("key_sum", F.lit(0)).cast("long")
+                    .alias("key_sum"))
+            .orderBy("rg_id"))
+
+
+_M12_SQL = f"""
+WITH r AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY doc_id) - 1 AS rk
+           FROM documents),
+b AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+g AS (SELECT CAST(rk // {_M12_RG_ROWS} AS INT) AS rg_id,
+             COUNT(*) AS n_rows,
+             MIN(doc_id) AS key_min, MAX(doc_id) AS key_max,
+             SUM(CASE WHEN doc_id BETWEEN mx // 4
+                       AND mx // 2 + mx // 8 THEN 1 ELSE 0 END) AS n_m,
+             SUM(CASE WHEN doc_id BETWEEN mx // 4
+                       AND mx // 2 + mx // 8 THEN doc_id ELSE 0 END) AS s_m,
+             MAX(mx) AS mx
+      FROM r, b GROUP BY 1)
+SELECT rg_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(key_min AS BIGINT) AS key_min,
+       CAST(key_max AS BIGINT) AS key_max,
+       (key_min <= mx // 2 + mx // 8 AND key_max >= mx // 4) AS selected,
+       CAST(CASE WHEN key_min <= mx // 2 + mx // 8
+                  AND key_max >= mx // 4
+                 THEN n_m ELSE 0 END AS BIGINT) AS n_matched,
+       CAST(CASE WHEN key_min <= mx // 2 + mx // 8
+                  AND key_max >= mx // 4
+                 THEN s_m ELSE 0 END AS BIGINT) AS key_sum
+FROM g ORDER BY rg_id
+"""
+
+
 QUERIES = {
+    "m12_pruned_rowgroup_scan": m12_pruned_rowgroup_scan,
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
     "m3_image_dims": m3_image_dims,
@@ -1033,6 +1178,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "m12_pruned_rowgroup_scan": _M12_SQL,
     "m1_decode_features": _M1_SQL,
     "m2_frame_sample": _M2_SQL,
     "m3_image_dims": _M3_SQL,

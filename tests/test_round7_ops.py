@@ -108,3 +108,64 @@ def test_d19_word_branch_uses_unicode_tokens(spark):
         assert got[(920001, 920002)] >= 0.5
     finally:
         tx.UNICODE_PLANTS = plants
+
+
+def test_t19_kl_properties(spark):
+    """KL(source ‖ corpus) is non-negative for every source (Gibbs),
+    one row per source, and the per-source token masses add up to
+    the corpus token count."""
+    from postgres_scanner_spark.functions.text import (
+        t19_source_kl_divergence, _tokens,
+    )
+    from postgres_scanner_spark import tables
+    df = t19_source_kl_divergence(spark, SF).collect()
+    assert all(r.kl_nats >= 0 for r in df)
+    d = tables.load(spark, SF, "documents")
+    n_sources = d.select("source").distinct().count()
+    assert len(df) == n_sources
+    n_tok = (d.select(F.explode(_tokens()).alias("w"))
+             .filter("w <> ''").count())
+    assert sum(r.n_tokens for r in df) == n_tok
+
+
+def test_t19_oracle_parity(spark):
+    from postgres_scanner_spark.functions.text import (
+        t19_source_kl_divergence, _T19_SQL,
+    )
+    from tests.oracle_harness import compare
+    ok, problems = compare("t19", t19_source_kl_divergence(spark, SF),
+                           _T19_SQL, SF)
+    assert ok, problems
+
+
+def test_m12_prunes_and_reads_only_selected(spark):
+    """500 docs (ids 0..499) at 64 rows/group → 8 groups; the probe
+    [mx//4, mx//2+mx//8] = [124, 311] must select exactly groups
+    1–4, count every id in range once, and report zero matches on
+    unselected groups (which the pruned read never opens)."""
+    from postgres_scanner_spark.operators.multimodal import (
+        m12_pruned_rowgroup_scan,
+    )
+    rows = m12_pruned_rowgroup_scan(spark, SF).collect()
+    assert len(rows) == 8
+    assert [r.rg_id for r in rows] == list(range(8))
+    assert {r.rg_id for r in rows if r.selected} == {1, 2, 3, 4}
+    assert sum(r.n_matched for r in rows) == 311 - 124 + 1
+    assert sum(r.key_sum for r in rows) == sum(range(124, 312))
+    for r in rows:
+        if not r.selected:
+            assert r.n_matched == 0 and r.key_sum == 0
+    # zone maps are sound and the layout is key-sorted: contiguous,
+    # non-overlapping [min,max] spans
+    for a, b in zip(rows, rows[1:]):
+        assert a.key_max < b.key_min
+
+
+def test_m12_oracle_parity(spark):
+    from postgres_scanner_spark.operators.multimodal import (
+        m12_pruned_rowgroup_scan, _M12_SQL,
+    )
+    from tests.oracle_harness import compare
+    ok, problems = compare("m12", m12_pruned_rowgroup_scan(spark, SF),
+                           _M12_SQL, SF)
+    assert ok, problems

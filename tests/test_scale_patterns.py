@@ -192,6 +192,8 @@ def test_plan_lint_all_queries(spark):
         "a11_mmr_diversified",     # query set (5 rows) × corpus, as A1
         "d17_lsh_param_sweep",     # 1-row n_truth scalar × 3 configs
         "d19_unicode_shingle_dedup",  # scalar n_docs → DF cap, as d4
+        "t19_source_kl_divergence",   # 1-row corpus token total scalar
+        "m12_pruned_rowgroup_scan",   # 1-row max-key scalar × rg rows
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
