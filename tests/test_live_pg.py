@@ -424,6 +424,46 @@ def test_live_partitioned_stream_read(registered, pg, pg_server,
     assert out.filter("id > 10").count() == 5
 
 
+def test_live_stream_write_quadrant(registered, pg, pg_server,
+                                    tmp_path):
+    """S30 against a real server — the full live quadrant: the
+    partitioned stream reader polls a live table by monotonic key
+    and the stream writer lands each micro-batch in ANOTHER live
+    table via one COPY FROM STDIN (FORMAT binary) transaction."""
+    spark = registered
+    cur = pg.cursor()
+    cur.execute("DROP TABLE IF EXISTS sq_src")
+    cur.execute("DROP TABLE IF EXISTS sq_tgt")
+    cur.execute("CREATE TABLE sq_src (id int8, v text)")
+    cur.execute("INSERT INTO sq_src SELECT g, 'x' || g "
+                "FROM generate_series(1, 20) g")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        q = (spark.readStream.format("postgres_scan").schema(schema)
+             .option("dsn", pg_server).option("table", "sq_src")
+             .option("stream_key", "id").load()
+             .writeStream.format("postgres_scan")
+             .option("dsn", pg_server).option("table", "sq_tgt")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    run()
+    cur.execute("SELECT COUNT(*), SUM(id) FROM sq_tgt")
+    assert cur.fetchone() == (20, 210)
+    # a second backlog lands exactly once (checkpointed offsets)
+    cur.execute("INSERT INTO sq_src SELECT g + 20, 'y' || g "
+                "FROM generate_series(1, 5) g")
+    run()
+    cur.execute("SELECT COUNT(*), SUM(id) FROM sq_tgt")
+    assert cur.fetchone() == (25, 325)
+    cur.execute("SELECT COUNT(*) FROM sq_tgt WHERE id > 20")
+    assert cur.fetchone() == (5,)
+
+
 def test_live_copy_out_wire_interop(pg):
     """pgwire's PGCOPY decoder reads a REAL server's COPY BINARY
     stream (the exact bytes libpq-based scanners consume)."""
