@@ -361,6 +361,15 @@ ORDER BY doc_a, doc_b
 
 # ----------------------------------------- D4 n-gram Jaccard similarity
 _D4_MAX_DF_FRAC = 0.5   # drop shingles present in > half the corpus
+# A fractional cap alone does NOT survive scale-up: posting-list
+# length then grows with the corpus and the s=s self-join grows with
+# its SQUARE (observed: d19 at sf1 = 5M docs GC-thrashed a 128 GB
+# JVM). The effective cap is min(frac·n_docs, ABS) — the absolute
+# term is what keeps Σ len² ≤ ABS · Σ len linear in the index, the
+# same policy D11 pins with its flat _D11_MAX_DF. 256 leaves every
+# driver-SF result byte-identical (min(0.5·500, 256) = 250 = the old
+# cap at sf ≤ 0.01).
+_D4_MAX_DF_ABS = 256
 
 
 def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +390,9 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"))
     dfreq = shx.groupBy("s").agg(F.count("*").alias("df"))
     keep = (dfreq.crossJoin(F.broadcast(ndocs))
-            .filter(F.col("df") <= _D4_MAX_DF_FRAC * F.col("n_docs"))
+            .filter(F.col("df") <= F.least(
+                _D4_MAX_DF_FRAC * F.col("n_docs"),
+                F.lit(float(_D4_MAX_DF_ABS))))
             .select("s"))
     # capped index feeds the self-join (twice) and the sizes — persist
     shf = scratch_persist(shx.join(keep, "s", "left_semi"))
@@ -413,7 +424,7 @@ sh AS (SELECT doc_id, {_sql_shingles(2)} AS shingles FROM tok WHERE len(t) >= 2)
 shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM shx),
 keep AS (SELECT s FROM shx, nd GROUP BY s, n_docs
-         HAVING COUNT(*) <= {_D4_MAX_DF_FRAC} * n_docs),
+         HAVING COUNT(*) <= LEAST({_D4_MAX_DF_FRAC} * n_docs, {_D4_MAX_DF_ABS})),
 shf AS (SELECT shx.* FROM shx JOIN keep USING (s)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
 inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
@@ -1743,17 +1754,18 @@ def d19_unicode_shingle_dedup(spark: SparkSession,
     Routing: a doc is CJK-class when > 1/3 of its characters are
     Han/kana/Hangul (integer-exact compare, no float ratio). CJK
     docs → distinct lowercase character-3-grams; all others →
-    distinct word-3-grams over the \\p{{L}}\\p{{N}} tokenizer (so
+    distinct word-3-grams over the \\p{L}\\p{N} tokenizer (so
     Arabic/Cyrillic tokenize correctly too). Gram keys are
     class-prefixed ('c:'/'w:') — the two universes never collide.
 
     Scale (d4's shape): the ONLY data shuffle is keyed on gram; the
     hot-gram cap drops postings whose document frequency exceeds
-    {frac} of the corpus BEFORE the self-join (numerator and
-    denominator both computed over the capped universe, so the
-    statistic stays a true Jaccard), keeping the join linear in
-    posting-list length — never all-pairs.""".format(
-        frac=_D4_MAX_DF_FRAC)
+    min(_D4_MAX_DF_FRAC of the corpus, _D4_MAX_DF_ABS) BEFORE the
+    self-join (numerator and denominator both computed over the
+    capped universe, so the statistic stays a true Jaccard) — the
+    ABSOLUTE term bounds every posting list, keeping the join linear
+    in the index instead of quadratic in corpus growth (see the
+    _D4_MAX_DF_ABS comment)."""
     from ..functions.text import unicode_corpus
     c = unicode_corpus(spark, sf_dir)
     cjk_cnt = F.length(
@@ -1791,7 +1803,9 @@ def d19_unicode_shingle_dedup(spark: SparkSession,
     ndocs = shx.agg(F.count_distinct("doc_id").alias("n_docs"))
     keep = (shx.groupBy("s").agg(F.count("*").alias("df"))
             .crossJoin(F.broadcast(ndocs))   # 1-row scalar
-            .filter(F.col("df") <= _D4_MAX_DF_FRAC * F.col("n_docs"))
+            .filter(F.col("df") <= F.least(
+                _D4_MAX_DF_FRAC * F.col("n_docs"),
+                F.lit(float(_D4_MAX_DF_ABS))))
             .select("s"))
     shf = scratch_persist(shx.join(keep, "s", "left_semi"))
     sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1834,7 +1848,7 @@ wg AS (SELECT DISTINCT doc_id, 'w:' || g AS s
 shx AS (SELECT doc_id, s FROM cg UNION ALL SELECT doc_id, s FROM wg),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM shx),
 keep AS (SELECT s FROM shx, nd GROUP BY s, n_docs
-         HAVING COUNT(*) <= {_D4_MAX_DF_FRAC} * n_docs),
+         HAVING COUNT(*) <= LEAST({_D4_MAX_DF_FRAC} * n_docs, {_D4_MAX_DF_ABS})),
 shf AS (SELECT shx.* FROM shx JOIN keep USING (s)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
 inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
