@@ -1523,7 +1523,143 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------- E22: streaming contamination guard (D7 inside the loop)
+def e22_streaming_contamination_guard(spark: SparkSession, sf_dir: str
+                                      ) -> DataFrame:
+    """Benchmark decontamination moved INSIDE the ingest loop: the
+    eval set's 5-gram shingles (D7's 'src0' benchmark) are indexed
+    ONCE before the stream starts; every micro-batch then drops any
+    document sharing a shingle with the eval set — every doc lands in
+    the routed store with a kept flag (kept=0 rows ARE the quarantine
+    audit trail a compliance pass reads, one insert per batch).
+    Batches 2/3 of the staged stream
+    re-deliver copies of docs 0-19, so planted contamination flows
+    through mid-stream and must be caught there.
+
+    The guard is STATIC state: one persisted Bloom bitmap + eval
+    shingle relation broadcast into every micro-batch (no cross-batch
+    mutable state — restartable trivially), with the Bloom filtering
+    batch shingles MAP-SIDE and the exact semi-join scrubbing Bloom
+    false positives (D7's two-step, per batch).
+
+    Scale: the eval set is benchmark-sized and fixed; each batch
+    shingles only itself; quarantine grows by flagged docs only.
+    Reference: the reference has no streaming surface — this is
+    test/sql decontamination practice composed with S29's loop."""
+    import hashlib
+    import os
+    import shutil
+    from ..operators.dedup import (
+        _BLOOM_M_BITS, bloom_build, bloom_might_contain, shingle_index,
+    )
+    from ..runtime import scratch_persist
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stage, key = _stage_doc_batches(src, "pg_spark_contamin_")
+    root = os.path.join(
+        "/tmp",
+        "pg_spark_contamst_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    # one routed table with a kept flag = clean set AND quarantine
+    # audit trail in a single per-batch insert (kept=0 rows are the
+    # quarantine; two separate tables would double the snapshot cost)
+    store.create_table("routed", spark.createDataFrame(
+        [], "doc_id BIGINT, lang STRING, kept INT"))
+    docs = _tb.load(spark, sf_dir, "documents")
+    ev = scratch_persist(
+        shingle_index(docs.filter(F.col("source") == "src0"), 5)
+        .select("s").distinct())
+    m_bits = _BLOOM_M_BITS
+    bloom = scratch_persist(bloom_build(ev, "s", m_bits))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..runtime import scratch_persist as sp
+        b = sp(batch_df.select("doc_id", "lang", "text"))
+        bad = (shingle_index(b, 5)
+               .crossJoin(F.broadcast(bloom))      # 1-row bitmap
+               .filter(bloom_might_contain("s", m_bits))
+               .join(ev, "s", "left_semi")         # exact: fps scrubbed
+               .select("doc_id").distinct())
+        store.insert(
+            "routed",
+            b.join(bad.withColumn("bad", F.lit(1)), "doc_id", "left")
+            .select("doc_id", "lang",
+                    F.when(F.col("bad").isNull(), 1).otherwise(0)
+                    .alias("kept")))
+
+    schema = spark.read.parquet(src).schema
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1")
+             .parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(root, "_ckpt"))
+             .start())
+        _drain(q)
+    return (store.scan("routed").groupBy("lang")
+            .agg(F.sum("kept").cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("kept") == 1, F.col("doc_id"))
+                       .otherwise(0)).cast("long").alias("kept_id_sum"),
+                 F.sum(1 - F.col("kept")).cast("long")
+                 .alias("n_quarantined"))
+            .orderBy("lang"))
+
+
+def _e22_sql() -> str:
+    from ..operators.dedup import _sql_shingles
+    return f"""
+WITH params AS (SELECT COUNT(*) AS nn FROM documents),
+streamed AS MATERIALIZED (
+  SELECT doc_id, text, lang, 1 AS batch FROM documents, params
+  WHERE doc_id < nn // 3
+  UNION ALL
+  SELECT doc_id, text, lang, 2 FROM documents, params
+  WHERE doc_id >= nn // 3 AND doc_id < 2 * nn // 3
+  UNION ALL
+  SELECT doc_id + 500000, text, lang, 2 FROM documents
+  WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id, text, lang, 3 FROM documents, params
+  WHERE doc_id >= 2 * nn // 3
+  UNION ALL
+  SELECT doc_id + 600000, text, lang, 3 FROM documents
+  WHERE doc_id >= 10 AND doc_id < 20
+  UNION ALL
+  SELECT doc_id + 700000 + g.i, text, lang, 3
+  FROM documents, (SELECT unnest(range(2)) AS i) g, params
+  WHERE doc_id = nn - 1),
+ev AS MATERIALIZED (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({_sql_shingles(5)}) AS s
+    FROM (SELECT string_split(lower(text), ' ') AS t
+          FROM documents WHERE source = 'src0')
+    WHERE len(t) >= 5)),
+ssh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest({_sql_shingles(5)}) AS s
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM streamed)
+    WHERE len(t) >= 5)),
+bad AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM ssh WHERE s IN (SELECT s FROM ev)),
+tagged AS (
+  SELECT st.lang, st.doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+  FROM streamed st LEFT JOIN bad b USING (doc_id))
+SELECT lang, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum,
+       CAST(SUM(1 - kept) AS BIGINT) AS n_quarantined
+FROM tagged GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
+    "e22_streaming_contamination_guard": e22_streaming_contamination_guard,
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
     "e3_streaming_hourly": e3_streaming_hourly,
@@ -1548,6 +1684,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e22_streaming_contamination_guard": _e22_sql(),
     "e17_streaming_dedup_ingest": _E17_SQL,
     "e18_streaming_quality_router": _E18_SQL,
     "e19_idempotent_replay": _E19_SQL,

@@ -169,3 +169,34 @@ def test_m12_oracle_parity(spark):
     ok, problems = compare("m12", m12_pruned_rowgroup_scan(spark, SF),
                            _M12_SQL, SF)
     assert ok, problems
+
+
+def test_e22_guard_quarantines_eval_overlap(spark):
+    """Every streamed doc lands exactly once (kept + quarantined =
+    stream size incl. the planted re-deliveries); every src0 doc with
+    >= 5 words self-hits the eval index, so quarantine is at least
+    that large; clean docs exist too."""
+    from postgres_scanner_spark.streaming.events import (
+        e22_streaming_contamination_guard,
+    )
+    from postgres_scanner_spark import tables
+    rows = e22_streaming_contamination_guard(spark, SF).collect()
+    d = tables.load(spark, SF, "documents")
+    n = d.count()
+    streamed = n + 10 + 10 + 2          # staged re-deliveries
+    assert sum(r.n_kept + r.n_quarantined for r in rows) == streamed
+    src0_big = d.filter(
+        "source = 'src0' AND size(split(lower(text), ' ')) >= 5").count()
+    assert sum(r.n_quarantined for r in rows) >= src0_big
+    assert sum(r.n_kept for r in rows) > 0
+
+
+def test_e22_oracle_parity(spark):
+    from postgres_scanner_spark.streaming.events import (
+        e22_streaming_contamination_guard, _e22_sql,
+    )
+    from tests.oracle_harness import compare
+    ok, problems = compare(
+        "e22", e22_streaming_contamination_guard(spark, SF),
+        _e22_sql(), SF)
+    assert ok, problems
