@@ -1208,7 +1208,192 @@ FROM picked ORDER BY query_id, rank
 """
 
 
+# ---- A12: IVF-PQ composite ANN (the billion-vector production layout)
+def a12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexIVFPQ's shape, composed from A3 + A5: the coarse
+    inverted file bounds WHICH vectors a query scores (probed lists
+    only) and product quantization bounds WHAT is scored per vector
+    (8 codes, ADC table lookups) — the two scale axes (scan fraction
+    and bytes/vector) multiply. Codes quantize the RAW vectors
+    (FAISS's by_residual=false variant) so A5's encoder is reused
+    verbatim and the oracle stays bit-identical; the final TOP_K
+    comes from an exact-cosine rerank of the ADC shortlist.
+
+    Scale: at 10 B vectors the resident index is 8 B/vector of codes
+    + a list id; a query's ADC pass touches ~N_PROBE/N_CENTROIDS of
+    the codes; centroids, probes, and the per-query distance tables
+    all broadcast; the corpus embeddings are read only for the
+    shortlist fetch. Real deployments train both quantizers with
+    KMeans — deterministic corpus seeds here keep the DuckDB oracle
+    exact (A3/A5's convention)."""
+    from .. import tables
+    e = scratch_persist(
+        _with_norm(tables.load(spark, sf_dir, "embeddings")))
+    # coarse IVF assignment (A3's one-pass: corpus lists AND probes)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"), F.col("norm").alias("c_norm"))
+    csim = _dot(F.col("embedding"), F.col("c_emb")) \
+        / (F.col("norm") * F.col("c_norm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "cent_id")
+    assigned = scratch_persist(
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id", csim.alias("c_sim"))
+        .withColumn("crk", F.row_number().over(wa)))
+    lists = assigned.filter(
+        (F.col("crk") == 1) & (F.col("vec_id") >= N_QUERIES)) \
+        .select("vec_id", "cent_id")
+    probes = assigned.filter(
+        (F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)) \
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    # PQ encode (A5's encoder over raw vectors)
+    sub_ids = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = F.slice("embedding", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
+    pq_cent = (
+        e.filter((F.col("vec_id") >= N_QUERIES)
+                 & (F.col("vec_id") < N_QUERIES + _PQ_K))
+        .crossJoin(F.broadcast(sub_ids))
+        .select((F.col("vec_id") - N_QUERIES).cast("int").alias("k"),
+                F.col("m"), sub.alias("c_sub")))
+    l2 = F.aggregate(
+        F.zip_with(F.col("v_sub"), F.col("c_sub"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, z: acc + z)
+    codes = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(sub_ids))
+        .select("vec_id", "m", sub.alias("v_sub"))
+        .join(F.broadcast(pq_cent), "m")
+        .select("vec_id", "m", "k", l2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("best"))
+        .select("vec_id", "m", F.col("best.k").alias("code")))
+    dt = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(sub_ids))
+        .select(F.col("vec_id").alias("query_id"), "m", sub.alias("v_sub"))
+        .join(F.broadcast(pq_cent), "m")
+        .select("query_id", "m", "k", l2.alias("dtv")))
+    # ADC restricted to probed lists; ordered fold (bit-deterministic)
+    cand = (codes.join(lists, "vec_id")
+            .join(F.broadcast(probes), "cent_id")
+            .select("query_id", "vec_id", "m", "code"))
+    adc = (cand.alias("c")
+           .join(F.broadcast(dt).alias("t"),
+                 (F.col("c.query_id") == F.col("t.query_id"))
+                 & (F.col("c.m") == F.col("t.m"))
+                 & (F.col("c.code") == F.col("t.k")))
+           .select(F.col("c.query_id").alias("query_id"), "vec_id",
+                   F.col("c.m").alias("m"), "dtv")
+           .groupBy("query_id", "vec_id")
+           .agg(F.aggregate(
+               F.array_sort(F.collect_list(F.struct("m", "dtv"))),
+               F.lit(0.0), lambda acc, x: acc + x["dtv"]).alias("adc")))
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    shortlist = (adc.withColumn("ark", F.row_number().over(w_adc))
+                 .filter(F.col("ark") <= _PQ_RERANK)
+                 .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        shortlist
+        .join(e, shortlist.neighbor_id == e.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank"))
+
+
+def _a12_sql() -> str:
+    sub = ("list_transform(range({n}), i -> "
+           "CAST(embedding[m * {n} + i + 1] AS DOUBLE))").format(n=_PQ_SUB)
+    l2 = ("list_sum(list_transform(range({n}), i -> "
+          "(v_sub[i+1] - c_sub[i+1]) * (v_sub[i+1] - c_sub[i+1])))"
+          ).format(n=_PQ_SUB)
+    return f"""
+WITH n AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
+         FROM n WHERE vec_id < {N_CENTROIDS}),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           {_SQL_DOT.format(u='embedding', v='c_emb')} / (norm * c_norm)
+             DESC, cent_id) AS crk
+  FROM n CROSS JOIN cent),
+lists AS (SELECT vec_id, cent_id FROM assigned
+          WHERE crk = 1 AND vec_id >= {N_QUERIES}),
+probes AS (SELECT vec_id AS query_id, cent_id FROM assigned
+           WHERE crk <= {N_PROBE} AND vec_id < {N_QUERIES}),
+ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
+pq_cent AS MATERIALIZED (
+  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS k, m, {sub} AS c_sub
+  FROM n CROSS JOIN ms
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + _PQ_K}),
+corpus_sub AS (
+  SELECT vec_id, m, {sub} AS v_sub FROM n CROSS JOIN ms
+  WHERE vec_id >= {N_QUERIES}),
+enc AS (
+  SELECT vec_id, m, k, {l2} AS d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY {l2}, k) AS rn
+  FROM corpus_sub JOIN pq_cent USING (m)),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
+query_sub AS (
+  SELECT vec_id AS query_id, m, {sub} AS v_sub FROM n CROSS JOIN ms
+  WHERE vec_id < {N_QUERIES}),
+dt AS MATERIALIZED (
+  SELECT query_id, m, k, {l2} AS dtv
+  FROM query_sub JOIN pq_cent USING (m)),
+adc AS (
+  SELECT p.query_id, c.vec_id,
+         list_sum(list(dtv ORDER BY c.m)) AS adc
+  FROM codes c
+  JOIN lists l ON l.vec_id = c.vec_id
+  JOIN probes p ON p.cent_id = l.cent_id
+  JOIN dt ON dt.query_id = p.query_id AND dt.m = c.m AND dt.k = c.code
+  GROUP BY p.query_id, c.vec_id),
+shortlist AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS ark
+  FROM adc),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM n WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_SQL_DOT.format(u='q_emb', v='c.embedding')} / (q_norm * c.norm)
+           AS cos_raw
+  FROM shortlist s
+  JOIN n c ON s.neighbor_id = c.vec_id
+  JOIN q ON s.query_id = q.query_id
+  WHERE s.ark <= {_PQ_RERANK}),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "a12_ivfpq_ann": a12_ivfpq_ann,
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
     "a3_ivf_ann": a3_ivf_ann,
@@ -1223,6 +1408,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a12_ivfpq_ann": _a12_sql(),
     "a1_cosine_topk": _A1_SQL,
     "a2_lsh_ann": _a2_sql(),
     "a3_ivf_ann": _a3_sql(),

@@ -200,3 +200,38 @@ def test_e22_oracle_parity(spark):
         "e22", e22_streaming_contamination_guard(spark, SF),
         _e22_sql(), SF)
     assert ok, problems
+
+
+def test_a12_ivfpq_properties(spark):
+    """IVF-PQ returns TOP_K rows per query, every neighbor comes
+    from a probed coarse list, and recall@3 vs the exact baseline
+    (a1) is positive — the composite index finds real neighbors,
+    not artifacts of its own quantization."""
+    from postgres_scanner_spark.operators.ann import (
+        N_QUERIES, TOP_K, a1_cosine_topk, a12_ivfpq_ann,
+    )
+    got = a12_ivfpq_ann(spark, SF).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(per_q) == set(range(N_QUERIES))
+    assert all(len(v) == TOP_K for v in per_q.values())
+    exact = a1_cosine_topk(spark, SF).collect()
+    ex_q = {}
+    for r in exact:
+        ex_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(set(per_q[q]) & ex_q[q]) for q in per_q)
+    assert hits > 0          # composite quantizer finds true neighbors
+    # no neighbor is a query vector; ranks are 1..TOP_K
+    assert all(r.neighbor_id >= N_QUERIES for r in got)
+    assert sorted(r.rank for r in got if r.query_id == 0) == [1, 2, 3]
+
+
+def test_a12_oracle_parity(spark):
+    from postgres_scanner_spark.operators.ann import (
+        a12_ivfpq_ann, _a12_sql,
+    )
+    from tests.oracle_harness import compare
+    ok, problems = compare("a12", a12_ivfpq_ann(spark, SF),
+                           _a12_sql(), SF)
+    assert ok, problems

@@ -194,6 +194,7 @@ def test_plan_lint_all_queries(spark):
         "d19_unicode_shingle_dedup",  # scalar n_docs → DF cap, as d4
         "t19_source_kl_divergence",   # 1-row corpus token total scalar
         "m12_pruned_rowgroup_scan",   # 1-row max-key scalar × rg rows
+        "a12_ivfpq_ann",              # corpus × 8 centroids / 16 subcents
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
