@@ -370,6 +370,82 @@ _PQ_K = 16         # sub-centroids per subspace
 _PQ_RERANK = 10    # ADC candidates reranked exactly
 
 
+def _pq_model(spark: SparkSession, e: DataFrame
+              ) -> tuple[DataFrame, DataFrame]:
+    """The ONE product-quantizer implementation shared by A5 and A12
+    (the minhash_bands convention: parity cannot drift between the
+    flat and the IVF-composed deployment of the same codes).
+    Returns (codes, dt): per-(vec, m) corpus codes and the per-query
+    16×8 ADC distance tables. Sub-centroids are subvectors of corpus
+    seeds (deterministic — the oracle replays them exactly)."""
+    sub_ids = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = F.slice("embedding", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
+    cent = (
+        e.filter((F.col("vec_id") >= N_QUERIES)
+                 & (F.col("vec_id") < N_QUERIES + _PQ_K))
+        .crossJoin(F.broadcast(sub_ids))
+        .select((F.col("vec_id") - N_QUERIES).cast("int").alias("k"),
+                F.col("m"), sub.alias("c_sub"))
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("v_sub"), F.col("c_sub"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, z: acc + z)
+    # encode: argmin_k L2(sub, centroid) per (vec, m) — struct-min
+    # aggregates map-side (ties break on smallest k via struct order)
+    codes = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(sub_ids))
+        .select("vec_id", "m", sub.alias("v_sub"))
+        .join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "k", l2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("best"))
+        .select("vec_id", "m", F.col("best.k").alias("code"))
+    )
+    dt = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(sub_ids))
+        .select(F.col("vec_id").alias("query_id"), "m", sub.alias("v_sub"))
+        .join(F.broadcast(cent), "m")
+        .select("query_id", "m", "k", l2.alias("dtv"))
+    )
+    return codes, dt
+
+
+def _pq_adc_fold() -> Column:
+    """ADC: ordered fold over the 8 subspace entries of a
+    (query, vec) group — bit-deterministic across engines."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct("m", "dtv"))),
+        F.lit(0.0), lambda acc, x: acc + x["dtv"])
+
+
+def _pq_exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of an ADC shortlist → the final
+    (query_id, neighbor_id, cos_sim, rank) TOP_K rows (shared A5/A12
+    tail)."""
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
+    cos = _dot(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        shortlist
+        .join(e, shortlist.neighbor_id == e.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank"))
+
+
 def a5_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: the memory-compression scale path.
 
@@ -393,89 +469,38 @@ def a5_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five subtrees read the HOF-computed norms (centroids, corpus
     # encode, query table, query side, rerank fetch) — persist once
     e = scratch_persist(_with_norm(tables.load(spark, sf_dir, "embeddings")))
-    sub_ids = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
-    sub = F.slice("embedding", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
-    # sub-centroids: subvectors of corpus seeds (vec_id 5..20)
-    cent = (
-        e.filter((F.col("vec_id") >= N_QUERIES)
-                 & (F.col("vec_id") < N_QUERIES + _PQ_K))
-        .crossJoin(F.broadcast(sub_ids))
-        .select((F.col("vec_id") - N_QUERIES).cast("int").alias("k"),
-                F.col("m"), sub.alias("c_sub"))
-    )
-    l2 = F.aggregate(
-        F.zip_with(F.col("v_sub"), F.col("c_sub"),
-                   lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0), lambda acc, z: acc + z)
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
-    # encode: argmin_k L2(sub, centroid) per (vec, m) — struct-min
-    # aggregates map-side (ties break on smallest k via struct order)
-    codes = (
-        corpus.crossJoin(F.broadcast(sub_ids))
-        .select("vec_id", "m", sub.alias("v_sub"))
-        .join(F.broadcast(cent), "m")
-        .select("vec_id", "m", "k", l2.alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "k")).alias("best"))
-        .select("vec_id", "m", F.col("best.k").alias("code"))
-    )
-    # per-query distance table: 5 queries × 8 subspaces × 16 centroids
-    dt = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(sub_ids))
-        .select(F.col("vec_id").alias("query_id"), "m", sub.alias("v_sub"))
-        .join(F.broadcast(cent), "m")
-        .select("query_id", "m", "k", l2.alias("dtv"))
-    )
+    codes, dt = _pq_model(spark, e)
     # ADC: ordered fold over the 8 subspace entries (bit-deterministic)
     adc = (
         codes.join(F.broadcast(dt), (codes.m == dt.m) & (codes.code == dt.k))
         .select("vec_id", "query_id", codes.m.alias("m"), "dtv")
         .groupBy("query_id", "vec_id")
-        .agg(F.aggregate(
-            F.array_sort(F.collect_list(F.struct("m", "dtv"))),
-            F.lit(0.0), lambda acc, x: acc + x["dtv"]).alias("adc"))
+        .agg(_pq_adc_fold().alias("adc"))
     )
     w_adc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
     shortlist = adc.withColumn("ark", F.row_number().over(w_adc)) \
         .filter(F.col("ark") <= _PQ_RERANK) \
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    # exact rerank of the ADC shortlist
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
-    cos = _dot(F.col("q_emb"), F.col("embedding")) \
-        / (F.col("q_norm") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.col("neighbor_id"))
-    return (
-        shortlist
-        .join(e, shortlist.neighbor_id == e.vec_id)
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id",
-                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
-                F.col("rank").cast("int").alias("rank"))
-        .orderBy("query_id", "rank")
-    )
+    return _pq_exact_rerank(e, shortlist)
 
 
-def _a5_sql() -> str:
+def _pq_sql_common(cent_name: str) -> str:
+    """The shared A5/A12 PQ oracle prefix (n, ms, sub-centroids,
+    corpus encode, per-query ADC tables) — ONE SQL text, so the
+    encoder cannot drift between the flat and IVF-composed oracles.
+    `cent_name` names the sub-centroid CTE (A12 also has a coarse
+    centroid CTE, so the names must not collide)."""
     sub = ("list_transform(range({n}), i -> "
            "CAST(embedding[m * {n} + i + 1] AS DOUBLE))").format(n=_PQ_SUB)
     l2 = ("list_sum(list_transform(range({n}), i -> "
           "(v_sub[i+1] - c_sub[i+1]) * (v_sub[i+1] - c_sub[i+1])))"
           ).format(n=_PQ_SUB)
-    return f"""
-WITH n AS (
+    return f"""n AS MATERIALIZED (
   SELECT vec_id, embedding,
          sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
   FROM embeddings),
 ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
-cent AS (
+{cent_name} AS MATERIALIZED (
   SELECT CAST(vec_id - {N_QUERIES} AS INT) AS k, m, {sub} AS c_sub
   FROM n CROSS JOIN ms
   WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + _PQ_K}),
@@ -485,20 +510,21 @@ corpus_sub AS (
 enc AS (
   SELECT vec_id, m, k, {l2} AS d2,
          ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY {l2}, k) AS rn
-  FROM corpus_sub JOIN cent USING (m)),
-codes AS (SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
+  FROM corpus_sub JOIN {cent_name} USING (m)),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
 query_sub AS (
   SELECT vec_id AS query_id, m, {sub} AS v_sub FROM n CROSS JOIN ms
   WHERE vec_id < {N_QUERIES}),
-dt AS (
+dt AS MATERIALIZED (
   SELECT query_id, m, k, {l2} AS dtv
-  FROM query_sub JOIN cent USING (m)),
-adc AS (
-  SELECT query_id, vec_id,
-         list_sum(list(dtv ORDER BY c.m)) AS adc
-  FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.k
-  GROUP BY query_id, vec_id),
-shortlist AS (
+  FROM query_sub JOIN {cent_name} USING (m))"""
+
+
+def _pq_sql_tail() -> str:
+    """Shared A5/A12 oracle tail: ADC shortlist window + exact-cosine
+    rerank (expects an `adc(query_id, vec_id, adc)` CTE upstream)."""
+    return f"""shortlist AS (
   SELECT query_id, vec_id AS neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY adc, vec_id) AS ark
@@ -521,7 +547,18 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
-ORDER BY query_id, rank
+ORDER BY query_id, rank"""
+
+
+def _a5_sql() -> str:
+    return f"""
+WITH {_pq_sql_common('cent')},
+adc AS (
+  SELECT query_id, vec_id,
+         list_sum(list(dtv ORDER BY c.m)) AS adc
+  FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.k
+  GROUP BY query_id, vec_id),
+{_pq_sql_tail()}
 """
 
 
@@ -1246,35 +1283,8 @@ def a12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = assigned.filter(
         (F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)) \
         .select(F.col("vec_id").alias("query_id"), "cent_id")
-    # PQ encode (A5's encoder over raw vectors)
-    sub_ids = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
-    sub = F.slice("embedding", F.col("m") * _PQ_SUB + 1, _PQ_SUB)
-    pq_cent = (
-        e.filter((F.col("vec_id") >= N_QUERIES)
-                 & (F.col("vec_id") < N_QUERIES + _PQ_K))
-        .crossJoin(F.broadcast(sub_ids))
-        .select((F.col("vec_id") - N_QUERIES).cast("int").alias("k"),
-                F.col("m"), sub.alias("c_sub")))
-    l2 = F.aggregate(
-        F.zip_with(F.col("v_sub"), F.col("c_sub"),
-                   lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0), lambda acc, z: acc + z)
-    codes = (
-        e.filter(F.col("vec_id") >= N_QUERIES)
-        .crossJoin(F.broadcast(sub_ids))
-        .select("vec_id", "m", sub.alias("v_sub"))
-        .join(F.broadcast(pq_cent), "m")
-        .select("vec_id", "m", "k", l2.alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "k")).alias("best"))
-        .select("vec_id", "m", F.col("best.k").alias("code")))
-    dt = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(sub_ids))
-        .select(F.col("vec_id").alias("query_id"), "m", sub.alias("v_sub"))
-        .join(F.broadcast(pq_cent), "m")
-        .select("query_id", "m", "k", l2.alias("dtv")))
+    # PQ model: A5's shared encoder (codes) + per-query ADC tables
+    codes, dt = _pq_model(spark, e)
     # ADC restricted to probed lists; ordered fold (bit-deterministic)
     cand = (codes.join(lists, "vec_id")
             .join(F.broadcast(probes), "cent_id")
@@ -1287,44 +1297,17 @@ def a12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("c.query_id").alias("query_id"), "vec_id",
                    F.col("c.m").alias("m"), "dtv")
            .groupBy("query_id", "vec_id")
-           .agg(F.aggregate(
-               F.array_sort(F.collect_list(F.struct("m", "dtv"))),
-               F.lit(0.0), lambda acc, x: acc + x["dtv"]).alias("adc")))
+           .agg(_pq_adc_fold().alias("adc")))
     w_adc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
     shortlist = (adc.withColumn("ark", F.row_number().over(w_adc))
                  .filter(F.col("ark") <= _PQ_RERANK)
                  .select("query_id", F.col("vec_id").alias("neighbor_id")))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
-    cos = _dot(F.col("q_emb"), F.col("embedding")) \
-        / (F.col("q_norm") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.col("neighbor_id"))
-    return (
-        shortlist
-        .join(e, shortlist.neighbor_id == e.vec_id)
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id",
-                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
-                F.col("rank").cast("int").alias("rank"))
-        .orderBy("query_id", "rank"))
+    return _pq_exact_rerank(e, shortlist)
 
 
 def _a12_sql() -> str:
-    sub = ("list_transform(range({n}), i -> "
-           "CAST(embedding[m * {n} + i + 1] AS DOUBLE))").format(n=_PQ_SUB)
-    l2 = ("list_sum(list_transform(range({n}), i -> "
-          "(v_sub[i+1] - c_sub[i+1]) * (v_sub[i+1] - c_sub[i+1])))"
-          ).format(n=_PQ_SUB)
     return f"""
-WITH n AS MATERIALIZED (
-  SELECT vec_id, embedding,
-         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
-  FROM embeddings),
+WITH {_pq_sql_common('pq_cent')},
 cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
          FROM n WHERE vec_id < {N_CENTROIDS}),
 assigned AS MATERIALIZED (
@@ -1337,26 +1320,6 @@ lists AS (SELECT vec_id, cent_id FROM assigned
           WHERE crk = 1 AND vec_id >= {N_QUERIES}),
 probes AS (SELECT vec_id AS query_id, cent_id FROM assigned
            WHERE crk <= {N_PROBE} AND vec_id < {N_QUERIES}),
-ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
-pq_cent AS MATERIALIZED (
-  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS k, m, {sub} AS c_sub
-  FROM n CROSS JOIN ms
-  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + _PQ_K}),
-corpus_sub AS (
-  SELECT vec_id, m, {sub} AS v_sub FROM n CROSS JOIN ms
-  WHERE vec_id >= {N_QUERIES}),
-enc AS (
-  SELECT vec_id, m, k, {l2} AS d2,
-         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY {l2}, k) AS rn
-  FROM corpus_sub JOIN pq_cent USING (m)),
-codes AS MATERIALIZED (
-  SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
-query_sub AS (
-  SELECT vec_id AS query_id, m, {sub} AS v_sub FROM n CROSS JOIN ms
-  WHERE vec_id < {N_QUERIES}),
-dt AS MATERIALIZED (
-  SELECT query_id, m, k, {l2} AS dtv
-  FROM query_sub JOIN pq_cent USING (m)),
 adc AS (
   SELECT p.query_id, c.vec_id,
          list_sum(list(dtv ORDER BY c.m)) AS adc
@@ -1365,30 +1328,7 @@ adc AS (
   JOIN probes p ON p.cent_id = l.cent_id
   JOIN dt ON dt.query_id = p.query_id AND dt.m = c.m AND dt.k = c.code
   GROUP BY p.query_id, c.vec_id),
-shortlist AS (
-  SELECT query_id, vec_id AS neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY adc, vec_id) AS ark
-  FROM adc),
-q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
-      FROM n WHERE vec_id < {N_QUERIES}),
-scored AS (
-  SELECT s.query_id, s.neighbor_id,
-         {_SQL_DOT.format(u='q_emb', v='c.embedding')} / (q_norm * c.norm)
-           AS cos_raw
-  FROM shortlist s
-  JOIN n c ON s.neighbor_id = c.vec_id
-  JOIN q ON s.query_id = q.query_id
-  WHERE s.ark <= {_PQ_RERANK}),
-ranked AS (
-  SELECT query_id, neighbor_id, cos_raw,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
-       CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {TOP_K}
-ORDER BY query_id, rank
+{_pq_sql_tail()}
 """
 
 

@@ -1062,7 +1062,11 @@ def m12_pruned_rowgroup_scan(spark: SparkSession, sf_dir: str
     if not os.path.exists(stage):
         import pyarrow.parquet as pq
         t = pq.read_table(src, columns=["doc_id"]).sort_by("doc_id")
-        tmp = stage + ".tmp"
+        # pid-unique spool + atomic rename (the _stage_doc_batches
+        # pattern): two concurrent stagers must never interleave
+        # writes into one file; whichever replace lands last wins
+        # with an identical, complete file
+        tmp = f"{stage}.tmp.{os.getpid()}"
         pq.write_table(t, tmp, row_group_size=_M12_RG_ROWS)
         os.replace(tmp, stage)
 

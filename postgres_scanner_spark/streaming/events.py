@@ -997,7 +997,9 @@ def _stage_doc_batches(src: str, prefix: str) -> tuple[str, str]:
     import shutil
     import time as _time
     st = os.stat(src)
-    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
+    # v3: re-delivery offsets derived from MAX(doc_id)+1 (v1 used
+    # flat constants, v2 row counts — stale stages must not be reused)
+    key = f"v3:{src}:{st.st_mtime_ns}:{st.st_size}"
     stage = os.path.join(
         "/tmp", prefix + hashlib.md5(key.encode()).hexdigest()[:8])
     if not os.path.isdir(stage):
@@ -1014,17 +1016,27 @@ def _stage_doc_batches(src: str, prefix: str) -> tuple[str, str]:
             return tbl.set_column(idx, "doc_id",
                                   pc.add(tbl["doc_id"], delta))
 
+        # re-delivery offsets derive from MAX(doc_id)+1 — not the row
+        # count: ids can be sparse (the sf1 benchdata tiles copies at
+        # ~1M offsets, 50k rows but max id 9M), and an offset inside
+        # the id range makes shifted copies collide with real docs,
+        # where the oracle's per-doc_id algebra diverges from the
+        # per-row sink; max() keeps every driver-SF id byte-identical
+        # to the original +500000/600000/700000 constants
+        mx1 = pc.max(t["doc_id"]).as_py() + 1
+        d1, d2, d3 = (max(500000, 10 * mx1), max(600000, 20 * mx1),
+                      max(700000, 30 * mx1))
         b1 = t.filter(pc.less(t["doc_id"], n // 3))
         b2 = pa.concat_tables([
             t.filter(pc.and_(pc.greater_equal(t["doc_id"], n // 3),
                              pc.less(t["doc_id"], 2 * n // 3))),
-            shifted(t.filter(pc.less(t["doc_id"], 10)), 500000)])
+            shifted(t.filter(pc.less(t["doc_id"], 10)), d1)])
         last = t.filter(pc.equal(t["doc_id"], n - 1))
         b3 = pa.concat_tables([
             t.filter(pc.greater_equal(t["doc_id"], 2 * n // 3)),
             shifted(t.filter(pc.and_(pc.greater_equal(t["doc_id"], 10),
-                                     pc.less(t["doc_id"], 20))), 600000),
-            shifted(last, 700000), shifted(last, 700001)])
+                                     pc.less(t["doc_id"], 20))), d2),
+            shifted(last, d3), shifted(last, d3 + 1)])
         for i, part in enumerate((b1, b2, b3)):
             pq.write_table(part, os.path.join(tmp, f"b{i + 1}.parquet"))
         now = _time.time()
@@ -1051,10 +1063,11 @@ def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three mtime-ordered micro-batches by doc_id range (so a
     first-seen winner is always the min doc_id — making the drained
     store equal to the batch-global D1 dedup, the full oracle):
-    batch 2 carries copies of docs 0-9 (+500000, cross-batch dups vs
-    batch 1), batch 3 copies of docs 10-19 (+600000) plus TWO copies
-    of the last doc (+700000/+700001 — same-batch dups, and their
-    original is in batch 3 itself).
+    batch 2 carries copies of docs 0-9 (id-shifted by a
+    corpus-derived, collision-free offset — cross-batch dups vs
+    batch 1), batch 3 copies of docs 10-19 plus TWO copies of the
+    last doc (same-batch dups, and their original is in batch 3
+    itself).
 
     Scale: per batch the anti-join keys on the content hash with the
     batch side bounded (AQE picks the probe build side); the store
@@ -1106,18 +1119,20 @@ def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _E17_SQL = """
-WITH streamed AS (
+WITH p AS (SELECT COUNT(*) AS nn, MAX(doc_id) + 1 AS mx1
+           FROM documents),
+streamed AS (
   SELECT doc_id, lower(text) AS lt, lang FROM documents
   UNION ALL
-  SELECT doc_id + 500000, lower(text), lang FROM documents
-  WHERE doc_id < 10
+  SELECT doc_id + GREATEST(500000, 10 * mx1), lower(text), lang
+  FROM documents, p WHERE doc_id < 10
   UNION ALL
-  SELECT doc_id + 600000, lower(text), lang FROM documents
-  WHERE doc_id >= 10 AND doc_id < 20
+  SELECT doc_id + GREATEST(600000, 20 * mx1), lower(text), lang
+  FROM documents, p WHERE doc_id >= 10 AND doc_id < 20
   UNION ALL
-  SELECT doc_id + 700000 + g.i, lower(text), lang
-  FROM documents, (SELECT unnest(range(2)) AS i) g
-  WHERE doc_id = (SELECT COUNT(*) FROM documents) - 1),
+  SELECT doc_id + GREATEST(700000, 30 * mx1) + g.i, lower(text), lang
+  FROM documents, (SELECT unnest(range(2)) AS i) g, p
+  WHERE doc_id = nn - 1),
 kept AS (
   SELECT MIN(doc_id) AS doc_id FROM streamed GROUP BY md5(lt))
 SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -1315,7 +1330,8 @@ def _e20_sql() -> str:
         f"md5(mh{2*b}||mh{2*b+1}) AS band_hash FROM sig"
         for b in range(N_BANDS))
     return f"""
-WITH params AS (SELECT COUNT(*) AS nn FROM documents),
+WITH params AS (SELECT COUNT(*) AS nn, MAX(doc_id) + 1 AS mx1
+               FROM documents),
 streamed AS MATERIALIZED (
   SELECT doc_id, text, lang, 1 AS batch FROM documents, params
   WHERE doc_id < nn // 3
@@ -1323,16 +1339,16 @@ streamed AS MATERIALIZED (
   SELECT doc_id, text, lang, 2 FROM documents, params
   WHERE doc_id >= nn // 3 AND doc_id < 2 * nn // 3
   UNION ALL
-  SELECT doc_id + 500000, text, lang, 2 FROM documents
-  WHERE doc_id < 10
+  SELECT doc_id + GREATEST(500000, 10 * mx1), text, lang, 2
+  FROM documents, params WHERE doc_id < 10
   UNION ALL
   SELECT doc_id, text, lang, 3 FROM documents, params
   WHERE doc_id >= 2 * nn // 3
   UNION ALL
-  SELECT doc_id + 600000, text, lang, 3 FROM documents
-  WHERE doc_id >= 10 AND doc_id < 20
+  SELECT doc_id + GREATEST(600000, 20 * mx1), text, lang, 3
+  FROM documents, params WHERE doc_id >= 10 AND doc_id < 20
   UNION ALL
-  SELECT doc_id + 700000 + g.i, text, lang, 3
+  SELECT doc_id + GREATEST(700000, 30 * mx1) + g.i, text, lang, 3
   FROM documents, (SELECT unnest(range(2)) AS i) g, params
   WHERE doc_id = nn - 1),
 tok AS (SELECT doc_id, batch, string_split(lower(text), ' ') AS t
@@ -1612,7 +1628,8 @@ def e22_streaming_contamination_guard(spark: SparkSession, sf_dir: str
 def _e22_sql() -> str:
     from ..operators.dedup import _sql_shingles
     return f"""
-WITH params AS (SELECT COUNT(*) AS nn FROM documents),
+WITH params AS (SELECT COUNT(*) AS nn, MAX(doc_id) + 1 AS mx1
+               FROM documents),
 streamed AS MATERIALIZED (
   SELECT doc_id, text, lang, 1 AS batch FROM documents, params
   WHERE doc_id < nn // 3
@@ -1620,16 +1637,16 @@ streamed AS MATERIALIZED (
   SELECT doc_id, text, lang, 2 FROM documents, params
   WHERE doc_id >= nn // 3 AND doc_id < 2 * nn // 3
   UNION ALL
-  SELECT doc_id + 500000, text, lang, 2 FROM documents
-  WHERE doc_id < 10
+  SELECT doc_id + GREATEST(500000, 10 * mx1), text, lang, 2
+  FROM documents, params WHERE doc_id < 10
   UNION ALL
   SELECT doc_id, text, lang, 3 FROM documents, params
   WHERE doc_id >= 2 * nn // 3
   UNION ALL
-  SELECT doc_id + 600000, text, lang, 3 FROM documents
-  WHERE doc_id >= 10 AND doc_id < 20
+  SELECT doc_id + GREATEST(600000, 20 * mx1), text, lang, 3
+  FROM documents, params WHERE doc_id >= 10 AND doc_id < 20
   UNION ALL
-  SELECT doc_id + 700000 + g.i, text, lang, 3
+  SELECT doc_id + GREATEST(700000, 30 * mx1) + g.i, text, lang, 3
   FROM documents, (SELECT unnest(range(2)) AS i) g, params
   WHERE doc_id = nn - 1),
 ev AS MATERIALIZED (
