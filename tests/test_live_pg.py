@@ -485,3 +485,32 @@ def test_live_copy_out_wire_interop(pg):
     assert len(rows) == 50
     assert rows[0] == (1, 1.5, "r1")
     assert rows[-1] == (50, 75.0, "r50")
+
+
+def test_pgclient_literal_fuzz(pg):
+    """Property test on the client's literal escaping + text-protocol
+    decode against a REAL backend: arbitrary (NUL/surrogate-free)
+    text, int8, float8, and bytea values round-trip exactly through
+    %s interpolation → simple-query → typed decode. This is the
+    classic corruption/injection surface of a wire client — quotes,
+    backslashes, control chars, multilingual text, shortest-repr
+    floats."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    chars = st.characters(blacklist_characters="\x00",
+                          blacklist_categories=("Cs",))
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(s=st.text(chars, max_size=60),
+           i=st.integers(-(2 ** 62), 2 ** 62),
+           f=st.floats(allow_nan=False, allow_infinity=False, width=64),
+           b=st.binary(max_size=40))
+    def roundtrip(s, i, f, b):
+        cur = pg.cursor()
+        cur.execute("SELECT %s::text, %s::int8, %s::float8, %s::bytea",
+                    (s, i, f, b))
+        assert cur.fetchone() == (s, i, f, b)
+
+    roundtrip()
