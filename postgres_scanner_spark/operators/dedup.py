@@ -1768,8 +1768,9 @@ def d19_unicode_shingle_dedup(spark: SparkSession,
     _D4_MAX_DF_ABS comment)."""
     from ..functions.text import unicode_corpus
     c = unicode_corpus(spark, sf_dir)
-    cjk_cnt = F.length(
-        F.regexp_replace(F.col("text"), f"[^{_D19_CJK}]", ""))
+    # regexp_count counts class matches without building the
+    # stripped string (t18's 2×-at-sf1 finding)
+    cjk_cnt = F.regexp_count(F.col("text"), F.lit(f"[{_D19_CJK}]"))
     c = c.withColumn("low", F.lower(F.col("text"))) \
          .withColumn("is_cjk", cjk_cnt * 3 > F.length("text"))
     n = F.length("low")
