@@ -70,8 +70,11 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = _tokens()
     n_chars = F.length("text")
-    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
-    n_upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    # regexp_count counts class matches without materializing the
+    # stripped string (t18's 2×-at-sf1 finding); oracles keep the
+    # replace-based spelling — equal by definition for char classes
+    n_alpha = F.regexp_count(F.col("text"), F.lit("[a-zA-Z ]"))
+    n_upper = F.regexp_count(F.col("text"), F.lit("[A-Z]"))
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
     n_toks = F.size(toks)
     score = (
@@ -160,8 +163,11 @@ def t5_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_toks = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_EN_STOPWORDS)))
     n_chars = F.length("text")
-    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
-    n_upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    # regexp_count counts class matches without materializing the
+    # stripped string (t18's 2×-at-sf1 finding); oracles keep the
+    # replace-based spelling — equal by definition for char classes
+    n_alpha = F.regexp_count(F.col("text"), F.lit("[a-zA-Z ]"))
+    n_upper = F.regexp_count(F.col("text"), F.lit("[A-Z]"))
     quality = (
         F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
         + (n_alpha / n_chars) * 0.3
