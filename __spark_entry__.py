@@ -52,6 +52,7 @@ _COST_ORDER = [
     "t18_script_id", "d19_unicode_shingle_dedup",
     "t19_source_kl_divergence", "m12_pruned_rowgroup_scan",
     "e22_streaming_contamination_guard", "a12_ivfpq_ann",
+    "w20_asof_directional",
     "x4_source_mix", "m3_image_dims", "ds7_yoy_growth",
     "m8_jsonl_shard_codec", "ds5_nation_share", "ds9_channel_rollup",
     "m6_tar_shard_manifest", "a4_knn_label", "d10_boilerplate_removal",

@@ -1728,7 +1728,103 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# ---- W20: directional as-of join (merge_asof parity) -----------------
+_W20_TOL_US = 3_600 * 1_000_000   # 1-hour tolerance, in microseconds
+
+
+def w20_asof_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6's as-of join extended to the full pandas-merge_asof /
+    feature-store lookup surface: per purchase, the nearest view
+    BACKWARD, FORWARD, and NEAREST-either-way, each subject to a
+    1-hour tolerance — the semantics a point-in-time feature fetch
+    needs (backward = no-leakage training lookup, forward = label
+    attribution, nearest = sensor alignment). Nearest ties break
+    backward (pandas' rule).
+
+    Determinism: gaps are exact INTEGER microseconds (unix_micros /
+    epoch_us) — no float time arithmetic, so per-user sums are
+    order-free. The union-tag technique needs ONE partition sort;
+    both direction frames ride the same window exchange.
+
+    Scale: one shuffle keyed on user_id (same as w6); frames are
+    running first/last — no self-join, no range explosion."""
+    e = _t(spark, sf_dir, "events")
+    base = (e.filter(F.col("event_type").isin("purchase", "view"))
+            .select("user_id", "ts", "event_id",
+                    (F.col("event_type") == "purchase")
+                    .cast("int").alias("is_p")))
+    order = [F.col("ts"), F.col("event_id")]
+    wb = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wf = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(1, Window.unboundedFollowing))
+    vts = F.when(F.col("is_p") == 0, F.col("ts"))
+    tagged = (base
+              .withColumn("bts", F.last(vts, ignorenulls=True).over(wb))
+              .withColumn("fts", F.first(vts, ignorenulls=True).over(wf))
+              .filter(F.col("is_p") == 1))
+    # NTZ → timestamp cast is identity under the session's pinned UTC
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    bgap = us("ts") - us("bts")
+    fgap = us("fts") - us("ts")
+    p = tagged.select(
+        "user_id",
+        F.when(bgap <= _W20_TOL_US, bgap).alias("bg"),
+        F.when(fgap <= _W20_TOL_US, fgap).alias("fg"))
+    ng = (F.when(F.col("bg").isNotNull()
+                 & (F.col("fg").isNull() | (F.col("bg") <= F.col("fg"))),
+                 F.col("bg"))
+          .otherwise(F.col("fg")))
+    return (p.withColumn("ng", ng)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.count("bg").cast("long").alias("n_back"),
+                 F.count("fg").cast("long").alias("n_fwd"),
+                 F.count("ng").cast("long").alias("n_near"),
+                 F.coalesce(F.sum("ng"), F.lit(0)).cast("long")
+                 .alias("sum_near_gap_us"))
+            .orderBy("user_id"))
+
+
+_W20_SQL = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('purchase', 'view')),
+wv AS (
+  SELECT user_id, is_p, ts,
+         last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS bts,
+         first_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS fts
+  FROM base),
+p AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(bts) <= {_W20_TOL_US}
+              THEN epoch_us(ts) - epoch_us(bts) END AS bg,
+         CASE WHEN epoch_us(fts) - epoch_us(ts) <= {_W20_TOL_US}
+              THEN epoch_us(fts) - epoch_us(ts) END AS fg
+  FROM wv WHERE is_p = 1),
+n AS (
+  SELECT user_id, bg, fg,
+         CASE WHEN bg IS NOT NULL AND (fg IS NULL OR bg <= fg) THEN bg
+              ELSE fg END AS ng
+  FROM p)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(bg) AS BIGINT) AS n_back,
+       CAST(COUNT(fg) AS BIGINT) AS n_fwd,
+       CAST(COUNT(ng) AS BIGINT) AS n_near,
+       CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS sum_near_gap_us
+FROM n GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "w20_asof_directional": w20_asof_directional,
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
     "w3_window_rank": w3_window_rank,
@@ -1770,6 +1866,7 @@ ORACLE = {
     "w3_window_rank": _W3_SQL,
     "w4_moving_avg": _W4_SQL,
     "w5_lag_delta": _W5_SQL,
+    "w20_asof_directional": _W20_SQL,
     "w6_asof_join": _W6_SQL,
     "w7_percentiles": _W7_SQL,
     "w8_range_join": _w8_sql(),

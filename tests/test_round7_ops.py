@@ -235,3 +235,32 @@ def test_a12_oracle_parity(spark):
     ok, problems = compare("a12", a12_ivfpq_ann(spark, SF),
                            _a12_sql(), SF)
     assert ok, problems
+
+
+def test_w20_directional_asof_properties(spark):
+    """Direction algebra: nearest matches exactly when either
+    direction does (n_near = |bg∪fg| per user), the nearest gap sum
+    can never exceed the backward sum where both are defined, and
+    every purchase row is accounted for vs w6's backward-only join."""
+    from postgres_scanner_spark.functions.analytics import (
+        w6_asof_join, w20_asof_directional,
+    )
+    rows = w20_asof_directional(spark, SF).collect()
+    assert rows, "no purchase users at this SF"
+    for r in rows:
+        assert max(r.n_back, r.n_fwd) <= r.n_near <= r.n_back + r.n_fwd
+        assert r.n_near <= r.n_purchases
+        assert r.sum_near_gap_us >= 0
+    w6 = {r.user_id: r.n_purchases for r in w6_asof_join(spark, SF).collect()}
+    w20 = {r.user_id: r.n_purchases for r in rows}
+    assert w20 == w6          # same purchase universe as the w6 join
+
+
+def test_w20_oracle_parity(spark):
+    from postgres_scanner_spark.functions.analytics import (
+        w20_asof_directional, _W20_SQL,
+    )
+    from tests.oracle_harness import compare
+    ok, problems = compare("w20", w20_asof_directional(spark, SF),
+                           _W20_SQL, SF)
+    assert ok, problems
