@@ -439,16 +439,34 @@ def x5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences. Documents crossing a window boundary are the
     chunk-split points a loader needs to know.
 
-    One global running-sum window over (hash, doc_id) — at 100 TB this
-    would be a per-shard tape (partition by source/date, same plan) to
-    avoid the single global ordering; the manifest math is identical."""
+    Scale design (100 TB): the tape offset is a HIERARCHICAL prefix
+    sum (m9's idiom), not one global running-sum window. The tape
+    order is (md5(doc_id), doc_id); its first two hex chars split the
+    corpus into 256 buckets that are CONTIGUOUS ranges of that order
+    (a bucket is a prefix of the sort key), so (1) per-bucket inclusive
+    cumsum windows run fully parallel, (2) the 256 bucket totals get
+    their own exclusive cumsum and broadcast back, (3) end_off =
+    bucket_offset + local_cumsum — byte-identical to the global window
+    by associativity of +, which is exactly what the single-window
+    oracle checks."""
     d = _t(spark, sf_dir, "documents")
     tok = F.size(F.split(F.col("text"), " "))
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    laid = d.select("doc_id", tok.alias("n_tok")) \
-        .withColumn("end_off", F.sum("n_tok").over(w)) \
-        .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select("doc_id", tok.alias("n_tok"), h.alias("h"),
+                    F.substring(h, 1, 2).alias("bkt"))
+    w_local = (Window.partitionBy("bkt").orderBy("h", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = base.withColumn("local_end", F.sum("n_tok").over(w_local))
+    w_bkt = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))   # ≤256 rows
+    offsets = (base.groupBy("bkt").agg(F.sum("n_tok").alias("bkt_tok"))
+               .select("bkt", F.coalesce(F.sum("bkt_tok").over(w_bkt),
+                                         F.lit(0)).alias("bkt_off")))
+    laid = (local.join(F.broadcast(offsets), "bkt")
+            .select("doc_id", "n_tok",
+                    (F.col("bkt_off") + F.col("local_end"))
+                    .alias("end_off"))
+            .withColumn("start_off", F.col("end_off") - F.col("n_tok")))
     # integer division (DIV), not float floor: exact at any tape
     # offset, matching DuckDB's // operator bit-for-bit
     first_bin = F.expr(f"start_off DIV {_X5_CTX}")

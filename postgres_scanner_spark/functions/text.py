@@ -534,14 +534,28 @@ def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σx, Σy, Σxy, Σx² → slope/intercept): per-term log products cast
     to DECIMAL before summing, so the cross-row aggregation order
     cannot perturb a bit; the one division happens once on the exact
-    sums. Two shuffles total (term count, rank window)."""
-    from pyspark.sql.window import Window
+    sums. Two shuffles total (term count, top-k).
+
+    Scale note (100 TB): the top-100 selection is orderBy + limit,
+    which Spark plans as TakeOrderedAndProject — per-partition top-k
+    heaps merged on the driver — NOT a global-sort window. A
+    row_number window with no partition spec (the naive spelling)
+    would move the entire vocabulary (10^8-10^9 terms at corpus
+    scale) into ONE partition; here only 100 rows ever leave the
+    parallel stage. The rank over those 100 survivors is a bounded
+    array sort (collect_list → sort_array → posexplode) — no window
+    operator anywhere in the plan, so nothing can ever fall back to
+    a whole-data single-partition sort."""
     d = _t(spark, sf_dir, "documents")
     freq = (d.select(F.explode(_tokens()).alias("term"))
             .groupBy("term").agg(F.count("*").alias("c")))
-    w = Window.orderBy(F.desc("c"), "term")
-    top = (freq.withColumn("rk", F.row_number().over(w))
-           .filter(F.col("rk") <= 100))
+    top100 = freq.orderBy(F.desc("c"), "term").limit(100)
+    top = (top100
+           .agg(F.sort_array(F.collect_list(F.struct(
+               (-F.col("c")).alias("negc"), "term", "c"))).alias("arr"))
+           .select(F.posexplode("arr").alias("pos", "s"))
+           .select(F.col("s.term").alias("term"), F.col("s.c").alias("c"),
+                   (F.col("pos") + 1).alias("rk")))
     dec = "decimal(28,15)"
     x = F.log(F.col("rk").cast("double"))
     y = F.log(F.col("c").cast("double"))
