@@ -526,6 +526,43 @@ def _stream_exec(dsn: str, sql: str):
         return cur.fetchall()
 
 
+class _ProbeConn:
+    """ONE connection reused across a sequence of scalar probes — the
+    keyset boundary walk issues O(backlog/max_rows) probes on a fresh
+    stream's initial backlog, and a connect/auth/close per probe
+    (what _stream_exec does) would make connection setup dominate the
+    walk. Steady state is still one probe; this only changes the
+    cold-start cost from O(slices) handshakes to one."""
+
+    def __init__(self, dsn: str):
+        if dsn.startswith("duckdb://"):
+            import duckdb
+            self._con = duckdb.connect(dsn[len("duckdb://"):],
+                                       read_only=True)
+            self._duck = True
+        else:
+            from .pgclient import pg_driver
+            self._con = pg_driver().connect(dsn)
+            self._duck = False
+
+    def exec(self, sql: str):
+        if self._duck:
+            return self._con.execute(sql).fetchall()
+        with self._con.cursor() as cur:
+            cur.execute(sql)
+            return cur.fetchall()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            self._con.close()
+        except Exception:
+            pass
+        return False
+
+
 def _stream_exec_iter(dsn: str, sql: str, arraysize: int = 10_000):
     """Streaming variant of _stream_exec for row-bearing scans: yields
     rows in fetchmany chunks so a task never builds its whole slice
@@ -775,22 +812,22 @@ class PostgresScanPartitionedStreamReader(DataSourceStreamReader):
         # its boundary (same collapse the old DISTINCT applied).
         hi = int(hi)
         slices, prev = [], lo
-        while True:
-            cond = f'"{self.key}" <= {hi}'
-            if prev is not None:
-                cond += f' AND "{self.key}" > {int(prev)}'
-            rows = _stream_exec(
-                self.dsn,
-                f'SELECT "{self.key}" FROM "{self.table}" '
-                f'WHERE {cond} ORDER BY "{self.key}" '
-                f'OFFSET {self.max_rows - 1} LIMIT 1')
-            b = int(rows[0][0]) if rows and rows[0][0] is not None \
-                else None
-            if b is None or b >= hi:
-                slices.append(_KeySlice(prev, hi))
-                return slices
-            slices.append(_KeySlice(prev, b))
-            prev = b
+        with _ProbeConn(self.dsn) as pc:   # one conn for the whole walk
+            while True:
+                cond = f'"{self.key}" <= {hi}'
+                if prev is not None:
+                    cond += f' AND "{self.key}" > {int(prev)}'
+                rows = pc.exec(
+                    f'SELECT "{self.key}" FROM "{self.table}" '
+                    f'WHERE {cond} ORDER BY "{self.key}" '
+                    f'OFFSET {self.max_rows - 1} LIMIT 1')
+                b = int(rows[0][0]) if rows and rows[0][0] is not None \
+                    else None
+                if b is None or b >= hi:
+                    slices.append(_KeySlice(prev, hi))
+                    return slices
+                slices.append(_KeySlice(prev, b))
+                prev = b
 
     def read(self, partition):
         # executor-side: this is the only place rows move — streamed

@@ -9,7 +9,16 @@ container, but the frontend/backend protocol v3 is public and small
 owns the hard part — the PGCOPY binary payload codec (pgwire.py). So
 this module implements just the message framing those paths need:
 
-- startup + auth: trust, cleartext password, md5
+- startup + auth: trust, cleartext password, md5, and
+  SCRAM-SHA-256 (RFC 5802/7677 over AuthenticationSASL — the
+  default auth of PG >= 14 and of every managed cloud Postgres;
+  reference parity: test/sql/scanner/aws-rds.test authenticates to
+  an RDS endpoint, which is SCRAM-only)
+- SSL/TLS session encryption via the SSLRequest handshake
+  (one 80877103 magic packet, then a TLS client hello), honoring
+  libpq's sslmode= DSN parameter: disable / allow / prefer
+  (default) / require / verify-ca / verify-full (reference:
+  test/sql/scanner/ssl.test — sslmode in the DSN)
 - simple query ('Q') with text-format result decoding by OID
 - COPY IN/OUT sub-protocol ('G'/'H'/'d'/'c'/'f') — payload bytes are
   passed through untouched; pgwire does binary encode/decode
@@ -19,11 +28,11 @@ this module implements just the message framing those paths need:
   drain
 
 It intentionally does NOT implement the extended (Parse/Bind)
-protocol, SSL negotiation, SCRAM, or listen/notify — the reference's
-scanner also runs over plain libpq simple queries + COPY
-(reference: src/postgres_connection.cpp PostgresConnection::Query /
-BeginCopyTo; the protocol constants below match libpq's
-protocol.h message bytes).
+protocol, SCRAM channel binding (SCRAM-SHA-256-PLUS), or
+listen/notify — the reference's scanner also runs over plain libpq
+simple queries + COPY (reference: src/postgres_connection.cpp
+PostgresConnection::Query / BeginCopyTo; the protocol constants
+below match libpq's protocol.h message bytes).
 
 ``pg_driver()`` returns the installed psycopg module when present and
 this module otherwise, so every live path works in both worlds with
@@ -33,10 +42,15 @@ uses; anything else raises AttributeError — loudly, not silently.
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import hmac
+import os
 import re
 import socket
+import ssl as _ssl
 import struct
+import unicodedata
 from collections import namedtuple
 from datetime import date, datetime, time, timezone
 from decimal import Decimal
@@ -76,7 +90,17 @@ def _escape(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float, Decimal)):
+    if isinstance(v, float):
+        # non-finite floats need PG's quoted spellings: a bare
+        # inf/nan is a syntax error server-side
+        if v != v:
+            return "'NaN'::float8"
+        if v == float("inf"):
+            return "'Infinity'::float8"
+        if v == float("-inf"):
+            return "'-Infinity'::float8"
+        return str(v)
+    if isinstance(v, (int, Decimal)):
         return str(v)
     if isinstance(v, (bytes, bytearray, memoryview)):
         return "'\\x" + bytes(v).hex() + "'::bytea"
@@ -168,6 +192,139 @@ def _column(name: str, oid: int, typmod: int) -> Column:
     return Column(name, oid, None, None, prec, scale, None)
 
 
+# ------------------------------------------------- SCRAM-SHA-256
+def _saslprep(s: str) -> str:
+    """Minimal SASLprep (RFC 4013): pure-ASCII strings pass through
+    (the common case, and what libpq fast-paths); otherwise map
+    non-ASCII spaces to space, drop map-to-nothing characters, and
+    NFKC-normalize. Enough for every password PG itself accepts."""
+    if s.isascii():
+        return s
+    out = []
+    for ch in s:
+        if unicodedata.category(ch) == "Zs":
+            out.append(" ")
+        elif unicodedata.category(ch) == "Cf":
+            continue                       # map-to-nothing
+        else:
+            out.append(ch)
+    return unicodedata.normalize("NFKC", "".join(out))
+
+
+class ScramClient:
+    """Client side of SCRAM-SHA-256 (RFC 5802, SHA-256 parameters per
+    RFC 7677), as carried over PostgreSQL's AuthenticationSASL
+    messages. The crypto is pure stdlib: pbkdf2_hmac + hmac + sha256.
+
+    Split from the socket loop so the exchange is unit-testable
+    against the RFC 7677 published vector (nonce injectable)."""
+
+    def __init__(self, password: str, nonce: str | None = None,
+                 username: str = ""):
+        self._password = _saslprep(password).encode("utf-8")
+        # 18 random bytes -> 24 base64 chars; '+'/'/' are legal nonce
+        # chars (printable, not comma)
+        self.nonce = nonce or base64.b64encode(
+            os.urandom(18)).decode("ascii")
+        # PG ignores the n= authcid (it uses the startup user), so
+        # send it empty exactly like libpq does; injectable so the
+        # RFC 7677 test vector (n=user) can drive the exchange
+        self._client_first_bare = f"n={username},r={self.nonce}"
+        self._auth_message: bytes | None = None
+        self._salted: bytes | None = None
+
+    def client_first(self) -> bytes:
+        # gs2 header "n,," = no channel binding supported
+        return ("n,," + self._client_first_bare).encode("utf-8")
+
+    def client_final(self, server_first: bytes) -> bytes:
+        attrs = dict(p.split("=", 1)
+                     for p in server_first.decode("utf-8").split(","))
+        server_nonce, salt_b64, iters = attrs["r"], attrs["s"], attrs["i"]
+        if not server_nonce.startswith(self.nonce):
+            raise Error({"M": "SCRAM: server nonce does not extend "
+                              "the client nonce"})
+        self._salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password, base64.b64decode(salt_b64),
+            int(iters))
+        client_key = hmac.digest(self._salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        # c=biws is base64("n,,") — the gs2 header echoed back
+        without_proof = f"c=biws,r={server_nonce}"
+        self._auth_message = (
+            self._client_first_bare + ","
+            + server_first.decode("utf-8") + "," + without_proof
+        ).encode("utf-8")
+        sig = hmac.digest(stored_key, self._auth_message, "sha256")
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        return (without_proof + ",p="
+                + base64.b64encode(proof).decode("ascii")).encode("utf-8")
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        """Check v= — proves the server actually knows the credential
+        (mutual auth; a MITM without the verifier cannot forge it)."""
+        attrs = dict(p.split("=", 1)
+                     for p in server_final.decode("utf-8").split(","))
+        server_key = hmac.digest(self._salted, b"Server Key", "sha256")
+        expect = hmac.digest(server_key, self._auth_message, "sha256")
+        got = base64.b64decode(attrs.get("v", ""))
+        if not hmac.compare_digest(expect, got):
+            raise Error({"M": "SCRAM: server signature verification "
+                              "failed (server does not know the "
+                              "credential)"})
+
+
+# ------------------------------------------------- SSL negotiation
+_SSLREQUEST = struct.pack("!II", 8, 80877103)   # length + magic
+
+
+def negotiate_ssl(sock: socket.socket, host: str, sslmode: str,
+                  options: dict) -> socket.socket:
+    """libpq's SSLRequest dance (PG docs "SSL Session Encryption"):
+    send the 80877103 magic, read ONE byte — 'S' means the server is
+    ready for a TLS handshake on this very socket, 'N' means it is
+    not. verify-ca checks the chain against sslrootcert; verify-full
+    additionally matches the certificate hostname; require/prefer
+    encrypt without verification (libpq semantics)."""
+    sock.sendall(_SSLREQUEST)
+    answer = b""
+    while len(answer) < 1:
+        chunk = sock.recv(1)
+        if not chunk:
+            raise Error({"M": "server closed during SSL negotiation"})
+        answer += chunk
+    if answer == b"N":
+        if sslmode in ("require", "verify-ca", "verify-full"):
+            raise Error({"M": f"server does not support SSL, but "
+                              f"sslmode={sslmode} requires it"})
+        return sock                        # prefer: plaintext fallback
+    if answer != b"S":
+        raise Error({"M": f"unexpected SSL negotiation response "
+                          f"{answer!r}"})
+    ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+    rootcert = options.get("sslrootcert")
+    if sslmode == "verify-full":
+        ctx.check_hostname = True
+        ctx.verify_mode = _ssl.CERT_REQUIRED
+        if rootcert:
+            ctx.load_verify_locations(rootcert)
+        else:
+            ctx.load_default_certs()
+    elif sslmode == "verify-ca":
+        ctx.check_hostname = False
+        ctx.verify_mode = _ssl.CERT_REQUIRED
+        if rootcert:
+            ctx.load_verify_locations(rootcert)
+        else:
+            ctx.load_default_certs()
+    else:                                  # prefer / require / allow
+        ctx.check_hostname = False
+        ctx.verify_mode = _ssl.CERT_NONE
+    if options.get("sslcert") and options.get("sslkey"):
+        ctx.load_cert_chain(options["sslcert"], options["sslkey"])
+    return ctx.wrap_socket(sock, server_hostname=host)
+
+
 # ------------------------------------------------------ wire framing
 class _Proto:
     """One socket; reads/writes protocol v3 messages."""
@@ -212,6 +369,7 @@ class _Proto:
         self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
 
     def authenticate(self, user: str, password: str | None) -> None:
+        scram: ScramClient | None = None
         while True:
             tag, body = self.read_msg()
             if tag == "R":
@@ -231,10 +389,35 @@ class _Proto:
                     outer = hashlib.md5(
                         inner.encode() + salt).hexdigest()
                     self.send("p", b"md5" + outer.encode() + b"\0")
+                elif code == 10:                 # AuthenticationSASL
+                    if password is None:
+                        raise Error({"M": "password required"})
+                    mechs = body[4:].split(b"\0")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        names = [m.decode() for m in mechs if m]
+                        raise Error(
+                            {"M": f"no common SASL mechanism (server "
+                                  f"offers {names}, client supports "
+                                  f"SCRAM-SHA-256)"})
+                    scram = ScramClient(password)
+                    first = scram.client_first()
+                    self.send("p", b"SCRAM-SHA-256\0"
+                              + struct.pack("!i", len(first)) + first)
+                elif code == 11:                 # SASLContinue
+                    if scram is None:
+                        raise Error({"M": "SASLContinue without SASL "
+                                          "exchange in progress"})
+                    self.send("p", scram.client_final(body[4:]))
+                elif code == 12:                 # SASLFinal
+                    if scram is None:
+                        raise Error({"M": "SASLFinal without SASL "
+                                          "exchange in progress"})
+                    scram.verify_server_final(body[4:])
                 else:
                     raise Error(
                         {"M": f"unsupported auth method {code} "
-                              f"(trust/password/md5 only)"})
+                              f"(trust/password/md5/scram-sha-256 "
+                              f"only)"})
             elif tag in ("S", "K"):              # ParameterStatus/KeyData
                 continue
             elif tag == "Z":
@@ -290,7 +473,7 @@ class Copy:
         self._done = False
         proto.send("Q", sql.encode() + b"\0")
         while True:
-            tag, body = proto.read_msg()
+            tag, body = self._read_drain()
             if tag == "H":               # CopyOutResponse
                 self._mode = "out"
                 break
@@ -303,11 +486,22 @@ class Copy:
                 proto.tx_status = chr(body[0])
                 raise Error({"M": f"not a COPY statement: {sql!r}"})
 
+    def _read_drain(self) -> tuple[str, bytes]:
+        """read_msg, but on a server ErrorResponse consume through the
+        pending ReadyForQuery before re-raising — otherwise the stale
+        'Z' stays buffered and the NEXT command on this connection
+        (e.g. the context-manager rollback) desyncs the protocol."""
+        try:
+            return self._p.read_msg()
+        except Error:
+            self._p.drain_ready()
+            raise
+
     # COPY TO STDOUT ------------------------------------------------
     def __iter__(self):
         assert self._mode == "out"
         while True:
-            tag, body = self._p.read_msg()
+            tag, body = self._read_drain()
             if tag == "d":
                 yield body
             elif tag == "c":             # CopyDone
@@ -323,7 +517,7 @@ class Copy:
         assert self._mode == "out"
         if self._done:
             return b""
-        tag, body = self._p.read_msg()
+        tag, body = self._read_drain()
         if tag == "d":
             return body
         if tag == "c":
@@ -336,7 +530,7 @@ class Copy:
             return
         self._done = True
         while True:
-            tag, body = self._p.read_msg()
+            tag, body = self._read_drain()
             if tag == "Z":
                 self._p.tx_status = chr(body[0])
                 return
@@ -411,7 +605,7 @@ class Cursor:
         return row
 
     def fetchmany(self, n: int | None = None):
-        n = n or self.arraysize
+        n = n if n is not None else self.arraysize   # fetchmany(0) == []
         out = self._res.rows[self._pos:self._pos + n]
         self._pos += len(out)
         return out
@@ -507,12 +701,22 @@ class Connection:
         self.closed = False
         user = info.user or "postgres"
         host = info.host or "localhost"
+        sslmode = (info.options.get("sslmode") or "prefer").lower()
+        if sslmode not in ("disable", "allow", "prefer", "require",
+                           "verify-ca", "verify-full"):
+            raise Error({"M": f"invalid sslmode {sslmode!r}"})
+        self.ssl_in_use = False
         if host.startswith("/"):
+            # unix sockets are never SSL-wrapped (libpq semantics:
+            # sslmode is ignored for local sockets)
             sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             sock.connect(f"{host}/.s.PGSQL.{info.port}")
         else:
             sock = socket.create_connection((host, info.port))
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if sslmode not in ("disable", "allow"):
+                sock = negotiate_ssl(sock, host, sslmode, info.options)
+                self.ssl_in_use = isinstance(sock, _ssl.SSLSocket)
         self._proto = _Proto(sock)
         self._proto.send_startup(user, info.dbname or user)
         self._proto.authenticate(user, info.password)

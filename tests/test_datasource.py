@@ -782,24 +782,40 @@ def test_partitioned_stream_reader_slices():
     # sparse keys + one duplicate run: 0..9, 1000..1004 (x2 each)
     keys = list(range(10)) + [k for k in range(1000, 1005) for _ in (0, 1)]
 
-    def fake_exec(dsn, sql):
-        # keyset boundary probe: one ORDER BY ... OFFSET n LIMIT 1
-        # index walk per slice (cost ∝ slice count, not backlog)
-        import re
-        assert "OFFSET" in sql and "LIMIT 1" in sql
-        m = re.search(r'> (\d+)', sql)
-        lo = int(m.group(1)) if m else None
-        off = int(re.search(r'OFFSET (\d+)', sql).group(1))
-        ks = sorted(k for k in keys
-                    if (lo is None or k > lo) and k <= 1004)
-        return [(ks[off],)] if off < len(ks) else []
+    probe_conns = []
 
-    orig = pgd._stream_exec
-    pgd._stream_exec = fake_exec
+    class FakeProbeConn:
+        # the boundary walk must reuse ONE connection for all its
+        # probes (ADVICE r7: per-probe connect/auth dominates a fresh
+        # stream's initial backlog walk)
+        def __init__(self, dsn):
+            probe_conns.append(self)
+
+        def exec(self, sql):
+            # keyset boundary probe: one ORDER BY ... OFFSET n LIMIT 1
+            # index walk per slice (cost ∝ slice count, not backlog)
+            import re
+            assert "OFFSET" in sql and "LIMIT 1" in sql
+            m = re.search(r'> (\d+)', sql)
+            lo = int(m.group(1)) if m else None
+            off = int(re.search(r'OFFSET (\d+)', sql).group(1))
+            ks = sorted(k for k in keys
+                        if (lo is None or k > lo) and k <= 1004)
+            return [(ks[off],)] if off < len(ks) else []
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    orig = pgd._ProbeConn
+    pgd._ProbeConn = FakeProbeConn
     try:
         slices = r.partitions({"last_key": None}, {"last_key": 1004})
     finally:
-        pgd._stream_exec = orig
+        pgd._ProbeConn = orig
+    assert len(probe_conns) == 1          # whole walk on one connection
     assert len(slices) > 1                       # >1 input partition
     assert slices[0].lo is None
     for a, b in zip(slices, slices[1:]):
