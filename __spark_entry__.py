@@ -40,37 +40,47 @@ _MODULES = (
 
 # Registration order = certification ROTATION. The driver grades
 # queries() in iteration order and hard-caps the record at 50 entries
-# (a count cap, so cost can't move it). Rounds 1-6 cumulatively
-# certified 131 of 169 queries; this round leads with the 38
-# never-driver-graded entries (cost-ascending within that set, from
-# the round-6 measured full-gate run) so CORRECTNESS_r07 closes the
-# full registry: every queries() entry will have at least one green
-# driver row across r1-r7. The remaining 131 re-register
-# cost-ascending as sentinels (the 12 cheapest fill the 50-cap).
-# New round-7 queries are spliced in at the front — never graded.
+# (a count cap, so cost can't move it). Round 7 closed the registry:
+# every query has >=1 green driver row across r1-r7. From round 8 the
+# order is FRESHNESS-ROTATED: queries sorted by the round of their
+# most recent green CORRECTNESS row, oldest first (ties keep the
+# prior cost-ascending order), so each round's 50-query window
+# re-certifies the stalest cohort. For r8 that is the 6 r2-certified
+# dedup/ANN headliners, the 25 r4 cohort, and the 19 cheapest of the
+# r5 cohort. Regenerate with tools/rotate_order.py after each round.
 _COST_ORDER = [
-    "t18_script_id", "d19_unicode_shingle_dedup",
-    "t19_source_kl_divergence", "m12_pruned_rowgroup_scan",
-    "e22_streaming_contamination_guard", "a12_ivfpq_ann",
-    "w20_asof_directional",
-    "x4_source_mix", "m3_image_dims", "ds7_yoy_growth",
-    "m8_jsonl_shard_codec", "ds5_nation_share", "ds9_channel_rollup",
-    "m6_tar_shard_manifest", "a4_knn_label", "d10_boilerplate_removal",
-    "ds13_low_revenue_parts", "d7_contamination", "e7_streaming_dedup",
-    "e12_stream_static_join", "a6_kmeans_lloyd", "e13_checkpoint_resume",
-    "a3_ivf_ann", "e11_streaming_sessions", "a5_pq_ann", "a8_sq8_ann",
-    "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
-    "d11_verbatim_spans", "e6_stateful_anomaly", "e10_late_data_policy",
-    "d9_incremental_lsh", "e3_streaming_hourly", "e15_stream_left_outer",
-    "e8_stream_stream_join", "e14_streaming_upsert", "a2_lsh_ann",
-    "d13_dedup_apply", "d6_dedup_clusters", "a7_ann_recall",
-    "e16_connector_stream", "d12_dedup_eval", "w6_asof_join",
-    "x1_sketch_aggregates", "p13_range_arrays", "t16_quality_classifier",
-    "t14_bpe_train", "t15_bpe_encode", "d14_semantic_dedup",
-    "e17_streaming_dedup_ingest", "a9_mih_hamming_ann", "w15_gapfill_locf",
-    "t17_perplexity_buckets", "m9_shard_repack_plan",
-    "w16_time_weighted_avg", "e18_streaming_quality_router",
-    "x12_corpus_compile", "w17_ohlc_bars", "e19_idempotent_replay",
+    "d1_exact_dedup", "a1_cosine_topk", "d3_simhash_dedup",
+    "d5_embedding_dedup", "d2_minhash_lsh_dedup", "d4_ngram_jaccard",
+    "q13_customer_distribution", "q20_potential_promo", "t12_zipf_fit",
+    "w1_rollup", "q10_returned_items", "q12_shipmode",
+    "q18_large_volume_customer", "q22_global_sales_opportunity",
+    "q16_parts_supplier", "t5_filter_pipeline", "q11_important_stock",
+    "t8_entropy_quality", "t7_repetition_stats", "q9_product_profit",
+    "t10_tfidf_keywords", "q23_session_sql", "q7_volume_shipping",
+    "q8_market_share", "q3_shipping_priority", "q1_pricing_summary",
+    "q4_order_priority", "p12_binary_ops", "q5_local_supplier_volume",
+    "t9_bigram_logprob", "q2_min_cost_supplier", "p1_count_star",
+    "ds4_price_buckets", "e4_top_users", "ds11_timeband_counts",
+    "q6_forecast_revenue", "x2_hash_sample", "x9_temperature_mix",
+    "e5_event_funnel", "p4_filter_pushdown", "p6_interval",
+    "t3_token_count", "p2_nulls", "t4_fingerprint",
+    "t13_context_chunks", "p5_arrays", "x3_vocab_topk",
+    "t2_quality_score", "w2_cube", "p3_decimals", "p7_timestamp_parts",
+    "x5_sequence_pack", "p11_struct_fields", "p10_verify_checksum",
+    "x8_epoch_plan", "p8_json", "w4_moving_avg",
+    "q19_discounted_revenue", "p9_uuid", "t1_language_id",
+    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
+    "ds3_brand_year", "q14_promo_effect", "x11_quality_topk_sample",
+    "w5_lag_delta", "w3_window_rank", "ds2_weekday_share",
+    "w7_percentiles", "q17_small_quantity", "ds8_customer_cohort",
+    "q21_suppliers_waiting", "m2_frame_sample", "m7_npy_tensor_parse",
+    "e1_hourly_event_rollup", "ds12_order_size_band",
+    "ds14_shipping_lag", "q15_top_supplier", "x7_dataset_card",
+    "ds10_avg_measures", "e17_streaming_dedup_ingest",
+    "a9_mih_hamming_ann", "w15_gapfill_locf", "t17_perplexity_buckets",
+    "m9_shard_repack_plan", "w16_time_weighted_avg",
+    "e18_streaming_quality_router", "x12_corpus_compile",
+    "w17_ohlc_bars", "e19_idempotent_replay",
     "ds15_channel_growth_ratio", "ds16_above_avg_balance_nations",
     "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
     "ds19_two_fact_growth", "ds20_category_share_window",
@@ -85,33 +95,25 @@ _COST_ORDER = [
     "w11_grouping_sets", "w13_dist_windows", "w10_skew_join",
     "ds1_above_avg_customers", "ds6_top_customers_per_region",
     "x6_global_shuffle", "e2_sessionization", "d8_incremental_dedup",
-    "m5_video_container", "m4_wav_features", "p1_count_star",
-    "ds4_price_buckets", "e4_top_users", "ds11_timeband_counts",
-    "q6_forecast_revenue", "x2_hash_sample", "x9_temperature_mix",
-    "e5_event_funnel", "p4_filter_pushdown", "p6_interval",
-    "t3_token_count", "p2_nulls", "t4_fingerprint", "t13_context_chunks",
-    "p5_arrays", "x3_vocab_topk", "t2_quality_score", "w2_cube",
-    "p3_decimals", "p7_timestamp_parts", "x5_sequence_pack",
-    "p11_struct_fields", "p10_verify_checksum", "x8_epoch_plan", "p8_json",
-    "w4_moving_avg", "q19_discounted_revenue", "p9_uuid", "t1_language_id",
-    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
-    "ds3_brand_year", "q14_promo_effect", "x11_quality_topk_sample",
-    "w5_lag_delta", "w3_window_rank", "ds2_weekday_share",
-    "w7_percentiles", "q17_small_quantity", "ds8_customer_cohort",
-    "q21_suppliers_waiting", "m2_frame_sample", "m7_npy_tensor_parse",
-    "e1_hourly_event_rollup", "ds12_order_size_band", "ds14_shipping_lag",
-    "q15_top_supplier", "x7_dataset_card", "ds10_avg_measures",
-    "d1_exact_dedup", "q13_customer_distribution", "q20_potential_promo",
-    "t12_zipf_fit", "w1_rollup", "a1_cosine_topk", "q10_returned_items",
-    "q12_shipmode", "q18_large_volume_customer",
-    "q22_global_sales_opportunity", "q16_parts_supplier",
-    "t5_filter_pipeline", "q11_important_stock", "t8_entropy_quality",
-    "t7_repetition_stats", "q9_product_profit", "t10_tfidf_keywords",
-    "q23_session_sql", "q7_volume_shipping", "q8_market_share",
-    "q3_shipping_priority", "q1_pricing_summary", "q4_order_priority",
-    "p12_binary_ops", "q5_local_supplier_volume", "t9_bigram_logprob",
-    "q2_min_cost_supplier", "d3_simhash_dedup", "d5_embedding_dedup",
-    "d2_minhash_lsh_dedup", "d4_ngram_jaccard",
+    "m5_video_container", "m4_wav_features", "t18_script_id",
+    "d19_unicode_shingle_dedup", "t19_source_kl_divergence",
+    "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",
+    "a12_ivfpq_ann", "w20_asof_directional", "x4_source_mix",
+    "m3_image_dims", "ds7_yoy_growth", "m8_jsonl_shard_codec",
+    "ds5_nation_share", "ds9_channel_rollup", "m6_tar_shard_manifest",
+    "a4_knn_label", "d10_boilerplate_removal", "ds13_low_revenue_parts",
+    "d7_contamination", "e7_streaming_dedup", "e12_stream_static_join",
+    "a6_kmeans_lloyd", "e13_checkpoint_resume", "a3_ivf_ann",
+    "e11_streaming_sessions", "a5_pq_ann", "a8_sq8_ann",
+    "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
+    "d11_verbatim_spans", "e6_stateful_anomaly", "e10_late_data_policy",
+    "d9_incremental_lsh", "e3_streaming_hourly",
+    "e15_stream_left_outer", "e8_stream_stream_join",
+    "e14_streaming_upsert", "a2_lsh_ann", "d13_dedup_apply",
+    "d6_dedup_clusters", "a7_ann_recall", "e16_connector_stream",
+    "d12_dedup_eval", "w6_asof_join", "x1_sketch_aggregates",
+    "p13_range_arrays", "t16_quality_classifier", "t14_bpe_train",
+    "t15_bpe_encode", "d14_semantic_dedup",
 ]
 _RANK = {n: i for i, n in enumerate(_COST_ORDER)}
 

@@ -1,10 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Besides the Spark timings ("queries"), every run also measures the
+DuckDB oracle on the SAME parquet files in the SAME process
+("duckdb") and stamps a data-generation key ("data_key", a hash of
+the parquet file names + sizes + row counts). Rationale: the r7
+verdict found a silent testdata regeneration had halved the DuckDB
+side between rounds, making cross-round Spark/DuckDB ratios
+incomparable — with both engines and the data key recorded per run,
+any BENCH_rN/BENCH_rM comparison can first check the data actually
+matches (same data_key) and always has a same-run baseline.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -17,9 +28,54 @@ sys.path.insert(0, str(_REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q9_product_profit", "q13_customer_distribution",
+    "q18_large_volume_customer", "q21_suppliers_waiting",
+    "d2_minhash_lsh_dedup", "a1_cosine_topk", "e1_hourly_event_rollup",
+    "t3_token_count",
+]
+
+
+def _data_key(sf_dir: str) -> str:
+    """Hash of (name, size, n_rows) for every parquet table — changes
+    iff the generated data changes, cheap to compute (footer-only)."""
+    import pyarrow.parquet as pq
+    parts = []
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        try:
+            n = pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            n = -1
+        parts.append(f"{p.name}:{p.stat().st_size}:{n}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _bench_duckdb(oracles: dict[str, str], names: list[str]) -> dict:
+    """Time each oracle SQL on the same parquet with the same CPU
+    budget; two passes, per-query min (same protocol as Spark)."""
+    import duckdb
+    from oracle_harness import TABLES
+    con = duckdb.connect()
+    con.execute(f"SET threads={int(CPUS)}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    con.close()
+    return timings
+
 
 def main() -> None:
     os.environ["SPARK_GRAFT_CACHE"] = "1"   # bench mode: partitioned table cache
+    sys.path.insert(0, str(_REPO / "tests"))
     from postgres_scanner_spark import get_spark, tables
     import __spark_entry__ as entrymod
 
@@ -36,15 +92,7 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     tables.warm(spark, SF_DIR)
     qs = entrymod.queries()
-    headline = [
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "q9_product_profit", "q13_customer_distribution",
-        "q18_large_volume_customer", "q21_suppliers_waiting",
-    ]
-    headline += [k for k in (
-        "d2_minhash_lsh_dedup", "a1_cosine_topk", "e1_hourly_event_rollup",
-        "t3_token_count",
-    ) if k in qs]
+    headline = [n for n in HEADLINE if n in qs]
     # warm the JVM + parquet footer caches once so timings measure the
     # query, not session startup
     qs["q6_forecast_revenue"](spark, SF_DIR).collect()
@@ -61,13 +109,17 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             _ = n
+    spark.stop()
+    duck = _bench_duckdb(entrymod.oracle_sql(), headline)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "queries": timings, "sf": float(sf), "cpus": int(CPUS),
+        "duckdb": duck,
+        "duckdb_total": round(sum(duck.values()), 3),
+        "data_key": _data_key(SF_DIR),
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -22,23 +22,41 @@ is meant to live for the whole bench session.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_SCRATCH: list[DataFrame] = []
+# Scratch is tracked PER THREAD: a parallel gate (tools/gate_check.py
+# --jobs N) runs queries on concurrent worker threads, and a global
+# list would let worker A's start-of-query release unpersist worker
+# B's in-flight intermediates (correct — lineage recomputes — but it
+# defeats the persist). Thread-local keeps the single-threaded
+# contract identical while bounding live scratch to one query's worth
+# per worker.
+_TL = threading.local()
+
+
+def _bucket() -> list[DataFrame]:
+    b = getattr(_TL, "scratch", None)
+    if b is None:
+        b = _TL.scratch = []
+    return b
 
 
 def scratch_persist(df: DataFrame) -> DataFrame:
     """persist() + register for release before the next query."""
     df.persist()
-    _SCRATCH.append(df)
+    _bucket().append(df)
     return df
 
 
 def release_scratch() -> int:
-    """Unpersist every scratch DataFrame; returns how many."""
-    n = len(_SCRATCH)
-    while _SCRATCH:
-        df = _SCRATCH.pop()
+    """Unpersist every scratch DataFrame recorded by THIS thread;
+    returns how many."""
+    b = _bucket()
+    n = len(b)
+    while b:
+        df = b.pop()
         try:
             df.unpersist()
         except Exception:

@@ -4,12 +4,25 @@ timing. Runs every queries() entry vs its oracle_sql() at the given
 sf dir and prints a summary; exits nonzero on any mismatch.
 
 Usage: python tools/gate_check.py [sf_dir] [name_filter...]
+       GATE_JOBS=N python tools/gate_check.py   (default 4)
+
+Queries run on GATE_JOBS worker threads, each with its OWN child
+SparkSession (spark.newSession(): private SQLConf + temp-view
+namespace, shared SparkContext/executors), pulling from one shared
+work list. Correctness is per-query and config-independent, so
+concurrency changes wall-time only: the per-query driver latency
+(plan + schedule + collect + DuckDB oracle) overlaps instead of
+serializing. Scratch-persist release is thread-local (runtime.py),
+so one worker's start-of-query release never drops another's
+in-flight intermediates.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -21,6 +34,7 @@ sys.path.insert(0, str(_REPO / "tests"))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    jobs = int(os.environ.get("GATE_JOBS", "4"))
     import __spark_entry__ as entry
     from oracle_harness import compare
     from postgres_scanner_spark import get_spark
@@ -28,31 +42,57 @@ def main() -> None:
     spark = get_spark(cpus="32")
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    results = {}
+    names = [n for n in qs
+             if not only or any(s in n for s in only)]
+    results: dict[str, tuple] = {}
+    lock = threading.Lock()
+    it = iter(names)
     t_total = time.perf_counter()
-    for name, fn in qs.items():
-        if only and not any(s in name for s in only):
-            continue
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            if name in oracles:
-                ok, probs = compare(name, df, oracles[name], sf_dir,
-                                    verbose=False)
-                detail = "; ".join(str(p) for p in probs)
-            else:
-                n = df.count()
-                ok, detail = n >= 0, f"rows_only n={n}"
-        except Exception as exc:  # noqa: BLE001
-            ok, detail = False, f"err: {type(exc).__name__}: {exc}"
-        dt = time.perf_counter() - t0
-        results[name] = (ok, round(dt, 2), detail)
-        flag = "ok " if ok else "FAIL"
-        print(f"{flag} {dt:6.2f}s {name} {'' if ok else detail}",
-              flush=True)
+
+    def worker() -> None:
+        # child session: own conf (tiny-SF tuning: small shuffle
+        # fan-out, no AQE stage materialization — correctness is
+        # config-independent; the driver's own gate picks its own
+        # session) + own temp-view namespace for memory sinks
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", "8")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        from postgres_scanner_spark.runtime import release_scratch
+        while True:
+            with lock:
+                name = next(it, None)
+            if name is None:
+                release_scratch()
+                return
+            t0 = time.perf_counter()
+            try:
+                df = qs[name](sess, sf_dir)
+                if name in oracles:
+                    ok, probs = compare(name, df, oracles[name], sf_dir,
+                                        verbose=False)
+                    detail = "; ".join(str(p) for p in probs)
+                else:
+                    n = df.count()
+                    ok, detail = n >= 0, f"rows_only n={n}"
+            except Exception as exc:  # noqa: BLE001
+                ok, detail = False, f"err: {type(exc).__name__}: {exc}"
+            dt = time.perf_counter() - t0
+            with lock:
+                results[name] = (ok, round(dt, 2), detail)
+                flag = "ok " if ok else "FAIL"
+                print(f"{flag} {dt:6.2f}s {name} {'' if ok else detail}",
+                      flush=True)
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(max(1, jobs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     total = time.perf_counter() - t_total
     bad = [n for n, (ok, _, _) in results.items() if not ok]
-    print(f"\ntotal {total:.1f}s  {len(results) - len(bad)}/{len(results)} ok")
+    print(f"\ntotal {total:.1f}s  {len(results) - len(bad)}/{len(results)} ok"
+          f"  (jobs={jobs})")
     if bad:
         print("FAILED:", ", ".join(bad))
     slow = sorted(results.items(), key=lambda kv: -kv[1][1])[:10]
