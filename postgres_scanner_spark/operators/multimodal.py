@@ -1019,7 +1019,15 @@ FROM {t}""" for t, k in _M11_TABLES
 
 
 # ---- M12: zone-map pruned row-group scan (the planner M11 feeds) -----
+# Rows per staged row group: max(_M12_RG_ROWS, n // _M12_MAX_GROUPS).
+# The floor keeps driver-SF output byte-identical (500 docs → 8
+# groups of 64); the ceiling on GROUP COUNT is what scales — a flat
+# 64 would stage 50M sf10 docs as 780k row groups (a pathological
+# footer no lakehouse writes, and each selected-group read would
+# re-parse it). Derived-from-data per the PLANS.md standing rule;
+# the oracle uses the identical GREATEST() formula.
 _M12_RG_ROWS = 64
+_M12_MAX_GROUPS = 512
 
 
 def m12_pruned_rowgroup_scan(spark: SparkSession, sf_dir: str
@@ -1053,21 +1061,25 @@ def m12_pruned_rowgroup_scan(spark: SparkSession, sf_dir: str
     from .. import tables
     from ..runtime import scratch_persist
     tables.ensure_session_defaults(spark)
+    import pyarrow.parquet as pq
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{_M12_RG_ROWS}"
+    # footer-only row count → data-derived rows-per-group (bounded
+    # group count; floor keeps driver-SF layouts byte-identical)
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    rg_rows = max(_M12_RG_ROWS, n_src // _M12_MAX_GROUPS)
+    key = f"v2:{src}:{st.st_mtime_ns}:{st.st_size}:{rg_rows}"
     stage = os.path.join(
         "/tmp", "pg_spark_rgstage_"
         + hashlib.md5(key.encode()).hexdigest()[:8] + ".parquet")
     if not os.path.exists(stage):
-        import pyarrow.parquet as pq
         t = pq.read_table(src, columns=["doc_id"]).sort_by("doc_id")
         # pid-unique spool + atomic rename (the _stage_doc_batches
         # pattern): two concurrent stagers must never interleave
         # writes into one file; whichever replace lands last wins
         # with an identical, complete file
         tmp = f"{stage}.tmp.{os.getpid()}"
-        pq.write_table(t, tmp, row_group_size=_M12_RG_ROWS)
+        pq.write_table(t, tmp, row_group_size=rg_rows)
         os.replace(tmp, stage)
 
     files = spark.createDataFrame([(stage,)], "path STRING")
@@ -1106,10 +1118,14 @@ def m12_pruned_rowgroup_scan(spark: SparkSession, sf_dir: str
                     ) -> Iterator[pd.DataFrame]:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        handles: dict = {}   # parse each file's footer once per task
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                tb = pq.ParquetFile(r.path).read_row_group(
+                pf = handles.get(r.path)
+                if pf is None:
+                    pf = handles[r.path] = pq.ParquetFile(r.path)
+                tb = pf.read_row_group(
                     int(r.rg_id), columns=["doc_id"])
                 col = tb.column("doc_id")
                 mask = pc.and_(pc.greater_equal(col, int(r.lo)),
@@ -1142,8 +1158,11 @@ _M12_SQL = f"""
 WITH r AS (SELECT doc_id,
                   row_number() OVER (ORDER BY doc_id) - 1 AS rk
            FROM documents),
-b AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
-g AS (SELECT CAST(rk // {_M12_RG_ROWS} AS INT) AS rg_id,
+b AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx,
+             GREATEST({_M12_RG_ROWS},
+                      COUNT(*) // {_M12_MAX_GROUPS}) AS rgr
+      FROM documents),
+g AS (SELECT CAST(rk // rgr AS INT) AS rg_id,
              COUNT(*) AS n_rows,
              MIN(doc_id) AS key_min, MAX(doc_id) AS key_max,
              SUM(CASE WHEN doc_id BETWEEN mx // 4

@@ -706,6 +706,18 @@ class Connection:
                            "verify-ca", "verify-full"):
             raise Error({"M": f"invalid sslmode {sslmode!r}"})
         self.ssl_in_use = False
+        try:
+            self._handshake(info, user, host, sslmode)
+        except Error:
+            # libpq 'allow': try plaintext FIRST, fall back to SSL
+            # only if the server turns the clear connection away
+            # (e.g. an hostssl-only pg_hba)
+            if sslmode != "allow" or host.startswith("/"):
+                raise
+            self._handshake(info, user, host, "require")
+
+    def _handshake(self, info, user: str, host: str,
+                   sslmode: str) -> None:
         if host.startswith("/"):
             # unix sockets are never SSL-wrapped (libpq semantics:
             # sslmode is ignored for local sockets)

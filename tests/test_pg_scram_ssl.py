@@ -242,6 +242,18 @@ def test_plaintext_tcp_rejected(pg_ssl_server):
                                      "sslmode=disable"))
 
 
+def test_sslmode_allow_falls_back_to_ssl(pg_ssl_server):
+    """libpq 'allow' semantics: plaintext first; when the hostssl-only
+    HBA turns the clear connection away, retry over TLS."""
+    from postgres_scanner_spark import pgclient
+    dsn, _ = pg_ssl_server
+    con = pgclient.connect(dsn.replace("sslmode=require",
+                                       "sslmode=allow"))
+    assert con.ssl_in_use is True          # the retry path was taken
+    assert con.execute("SELECT 5").fetchone() == (5,)
+    con.close()
+
+
 def test_sslmode_verify_ca_and_full(pg_ssl_server):
     """verify-ca validates the chain against sslrootcert; verify-full
     additionally matches the SAN (127.0.0.1 is in the cert's SAN)."""
