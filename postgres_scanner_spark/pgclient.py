@@ -10,10 +10,12 @@ owns the hard part — the PGCOPY binary payload codec (pgwire.py). So
 this module implements just the message framing those paths need:
 
 - startup + auth: trust, cleartext password, md5, and
-  SCRAM-SHA-256 (RFC 5802/7677 over AuthenticationSASL — the
-  default auth of PG >= 14 and of every managed cloud Postgres;
-  reference parity: test/sql/scanner/aws-rds.test authenticates to
-  an RDS endpoint, which is SCRAM-only)
+  SCRAM-SHA-256 / SCRAM-SHA-256-PLUS (RFC 5802/7677 over
+  AuthenticationSASL, RFC 5929 tls-server-end-point channel binding
+  with libpq's channel_binding=prefer|require|disable — the default
+  auth of PG >= 14 and of every managed cloud Postgres; reference
+  parity: test/sql/scanner/aws-rds.test authenticates to an RDS
+  endpoint, which is SCRAM-only)
 - SSL/TLS session encryption via the SSLRequest handshake
   (one 80877103 magic packet, then a TLS client hello), honoring
   libpq's sslmode= DSN parameter: disable / allow / prefer
@@ -28,11 +30,11 @@ this module implements just the message framing those paths need:
   drain
 
 It intentionally does NOT implement the extended (Parse/Bind)
-protocol, SCRAM channel binding (SCRAM-SHA-256-PLUS), or
-listen/notify — the reference's scanner also runs over plain libpq
-simple queries + COPY (reference: src/postgres_connection.cpp
-PostgresConnection::Query / BeginCopyTo; the protocol constants
-below match libpq's protocol.h message bytes).
+protocol or listen/notify — the reference's scanner also runs over
+plain libpq simple queries + COPY (reference:
+src/postgres_connection.cpp PostgresConnection::Query / BeginCopyTo;
+the protocol constants below match libpq's protocol.h message
+bytes).
 
 ``pg_driver()`` returns the installed psycopg module when present and
 this module otherwise, so every live path works in both worlds with
@@ -212,20 +214,32 @@ def _saslprep(s: str) -> str:
 
 
 class ScramClient:
-    """Client side of SCRAM-SHA-256 (RFC 5802, SHA-256 parameters per
-    RFC 7677), as carried over PostgreSQL's AuthenticationSASL
-    messages. The crypto is pure stdlib: pbkdf2_hmac + hmac + sha256.
+    """Client side of SCRAM-SHA-256 and SCRAM-SHA-256-PLUS (RFC 5802,
+    SHA-256 parameters per RFC 7677; channel binding per RFC 5929
+    tls-server-end-point), as carried over PostgreSQL's
+    AuthenticationSASL messages. The crypto is pure stdlib:
+    pbkdf2_hmac + hmac + sha256.
+
+    gs2 selects the binding posture: "n" = client cannot bind (no
+    TLS), "y" = client could bind but the server did not advertise
+    -PLUS (downgrade protection: a MITM stripping -PLUS from the
+    mechanism list makes the server reject this), "p=..." = binding
+    in use, with cbind_data = the hash of the server's TLS
+    certificate mixed into the proof.
 
     Split from the socket loop so the exchange is unit-testable
     against the RFC 7677 published vector (nonce injectable)."""
 
     def __init__(self, password: str, nonce: str | None = None,
-                 username: str = ""):
+                 username: str = "", gs2: str = "n",
+                 cbind_data: bytes = b""):
         self._password = _saslprep(password).encode("utf-8")
         # 18 random bytes -> 24 base64 chars; '+'/'/' are legal nonce
         # chars (printable, not comma)
         self.nonce = nonce or base64.b64encode(
             os.urandom(18)).decode("ascii")
+        self._gs2 = gs2 + ",,"              # no authzid
+        self._cbind = cbind_data
         # PG ignores the n= authcid (it uses the startup user), so
         # send it empty exactly like libpq does; injectable so the
         # RFC 7677 test vector (n=user) can drive the exchange
@@ -234,8 +248,7 @@ class ScramClient:
         self._salted: bytes | None = None
 
     def client_first(self) -> bytes:
-        # gs2 header "n,," = no channel binding supported
-        return ("n,," + self._client_first_bare).encode("utf-8")
+        return (self._gs2 + self._client_first_bare).encode("utf-8")
 
     def client_final(self, server_first: bytes) -> bytes:
         attrs = dict(p.split("=", 1)
@@ -249,8 +262,11 @@ class ScramClient:
             int(iters))
         client_key = hmac.digest(self._salted, b"Client Key", "sha256")
         stored_key = hashlib.sha256(client_key).digest()
-        # c=biws is base64("n,,") — the gs2 header echoed back
-        without_proof = f"c=biws,r={server_nonce}"
+        # c= carries base64(gs2-header || cbind-data); with no channel
+        # binding that is base64("n,,") = "biws"
+        cbind_input = self._gs2.encode("utf-8") + self._cbind
+        without_proof = ("c=" + base64.b64encode(cbind_input)
+                         .decode("ascii") + f",r={server_nonce}")
         self._auth_message = (
             self._client_first_bare + ","
             + server_first.decode("utf-8") + "," + without_proof
@@ -272,6 +288,25 @@ class ScramClient:
             raise Error({"M": "SCRAM: server signature verification "
                               "failed (server does not know the "
                               "credential)"})
+
+
+def tls_server_end_point(der: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point channel-binding data: the hash
+    of the server certificate (DER) using the certificate's own
+    signature hash algorithm, with MD5/SHA-1 upgraded to SHA-256 (the
+    RFC's rule; also PG be_tls_get_certificate_hash). Falls back to
+    SHA-256 when the cert can't be parsed — matching what PG hashes
+    for every certificate it can actually serve."""
+    name = "sha256"
+    try:
+        from cryptography import x509
+        algo = x509.load_der_x509_certificate(
+            der).signature_hash_algorithm
+        if algo is not None and algo.name.lower() not in ("md5", "sha1"):
+            name = algo.name.lower()
+    except Exception:
+        pass
+    return hashlib.new(name, der).digest()
 
 
 # ------------------------------------------------- SSL negotiation
@@ -368,7 +403,8 @@ class _Proto:
         body = struct.pack("!I", 196608) + params.encode()
         self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
 
-    def authenticate(self, user: str, password: str | None) -> None:
+    def authenticate(self, user: str, password: str | None,
+                     channel_binding: str = "prefer") -> None:
         scram: ScramClient | None = None
         while True:
             tag, body = self.read_msg()
@@ -392,16 +428,44 @@ class _Proto:
                 elif code == 10:                 # AuthenticationSASL
                     if password is None:
                         raise Error({"M": "password required"})
-                    mechs = body[4:].split(b"\0")
-                    if b"SCRAM-SHA-256" not in mechs:
-                        names = [m.decode() for m in mechs if m]
+                    mechs = [m.decode() for m in body[4:].split(b"\0")
+                             if m]
+                    # channel binding: over TLS, hash the server cert
+                    # and prefer SCRAM-SHA-256-PLUS (libpq
+                    # channel_binding=prefer default)
+                    cbind = b""
+                    if channel_binding != "disable" and \
+                            isinstance(self.sock, _ssl.SSLSocket):
+                        der = self.sock.getpeercert(binary_form=True)
+                        if der:
+                            cbind = tls_server_end_point(der)
+                    use_plus = bool(cbind) and \
+                        "SCRAM-SHA-256-PLUS" in mechs
+                    if channel_binding == "require" and not use_plus:
+                        raise Error(
+                            {"M": "channel_binding=require, but "
+                                  "channel binding is not available "
+                                  "(no SSL, or the server does not "
+                                  "offer SCRAM-SHA-256-PLUS)"})
+                    if use_plus:
+                        mech = "SCRAM-SHA-256-PLUS"
+                        scram = ScramClient(
+                            password, gs2="p=tls-server-end-point",
+                            cbind_data=cbind)
+                    elif "SCRAM-SHA-256" in mechs:
+                        mech = "SCRAM-SHA-256"
+                        # 'y' = we COULD bind but the server offered
+                        # no -PLUS (downgrade protection); 'n' when
+                        # we can't bind or binding is disabled
+                        scram = ScramClient(
+                            password, gs2="y" if cbind else "n")
+                    else:
                         raise Error(
                             {"M": f"no common SASL mechanism (server "
-                                  f"offers {names}, client supports "
-                                  f"SCRAM-SHA-256)"})
-                    scram = ScramClient(password)
+                                  f"offers {mechs}, client supports "
+                                  f"SCRAM-SHA-256[-PLUS])"})
                     first = scram.client_first()
-                    self.send("p", b"SCRAM-SHA-256\0"
+                    self.send("p", mech.encode() + b"\0"
                               + struct.pack("!i", len(first)) + first)
                 elif code == 11:                 # SASLContinue
                     if scram is None:
@@ -705,6 +769,11 @@ class Connection:
         if sslmode not in ("disable", "allow", "prefer", "require",
                            "verify-ca", "verify-full"):
             raise Error({"M": f"invalid sslmode {sslmode!r}"})
+        self._cb_mode = (info.options.get("channel_binding")
+                         or "prefer").lower()
+        if self._cb_mode not in ("disable", "prefer", "require"):
+            raise Error(
+                {"M": f"invalid channel_binding {self._cb_mode!r}"})
         self.ssl_in_use = False
         try:
             self._handshake(info, user, host, sslmode)
@@ -731,7 +800,8 @@ class Connection:
                 self.ssl_in_use = isinstance(sock, _ssl.SSLSocket)
         self._proto = _Proto(sock)
         self._proto.send_startup(user, info.dbname or user)
-        self._proto.authenticate(user, info.password)
+        self._proto.authenticate(user, info.password,
+                                 channel_binding=self._cb_mode)
 
     # -- internals
     def _ensure_tx(self, force_begin: bool = False) -> None:

@@ -67,6 +67,62 @@ def test_scram_rejects_nonce_truncation():
         c.client_final(b"r=evilnonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
 
 
+def test_scram_plus_channel_binding_cbind_input():
+    """SCRAM-SHA-256-PLUS: the c= attribute must carry
+    base64(gs2-header || cbind-data), and the binding data must be
+    mixed into the proof (two different cert hashes → different
+    proofs for identical nonces/salt)."""
+    import base64
+    from postgres_scanner_spark.pgclient import ScramClient
+    sf = (b"r=clientnonceAAAABBBB%servernonce,"
+          b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+
+    def final(cb: bytes) -> bytes:
+        c = ScramClient("pw", nonce="clientnonceAAAABBBB",
+                        gs2="p=tls-server-end-point", cbind_data=cb)
+        assert c.client_first() == (
+            b"p=tls-server-end-point,,n=,r=clientnonceAAAABBBB")
+        return c.client_final(sf)
+
+    f1, f2 = final(b"\x01\x02\x03"), final(b"\x01\x02\x04")
+    want_c = base64.b64encode(
+        b"p=tls-server-end-point,," + b"\x01\x02\x03").decode()
+    assert f1.decode().startswith(f"c={want_c},r=")
+    assert f1.split(b",p=")[1] != f2.split(b",p=")[1]   # proof differs
+
+
+def test_tls_server_end_point_hash():
+    """RFC 5929: hash the cert DER with its signature hash; SHA-256
+    certs hash with sha256, and a SHA-1-signed cert upgrades to
+    sha256 rather than using the broken digest."""
+    import datetime
+    import hashlib as hl
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+    from postgres_scanner_spark.pgclient import tls_server_end_point
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime(2026, 1, 1)
+    builder = (x509.CertificateBuilder()
+               .subject_name(name).issuer_name(name)
+               .public_key(key.public_key())
+               .serial_number(x509.random_serial_number())
+               .not_valid_before(now)
+               .not_valid_after(now + datetime.timedelta(days=30)))
+    der256 = builder.sign(key, hashes.SHA256()).public_bytes(
+        __import__("cryptography.hazmat.primitives.serialization",
+                   fromlist=["Encoding"]).Encoding.DER)
+    assert tls_server_end_point(der256) == hl.sha256(der256).digest()
+    der384 = builder.sign(key, hashes.SHA384()).public_bytes(
+        __import__("cryptography.hazmat.primitives.serialization",
+                   fromlist=["Encoding"]).Encoding.DER)
+    assert tls_server_end_point(der384) == hl.sha384(der384).digest()
+
+
 def test_saslprep_ascii_and_unicode():
     from postgres_scanner_spark.pgclient import _saslprep
     assert _saslprep("plain ascii!") == "plain ascii!"
@@ -220,6 +276,26 @@ def test_scram_ssl_roundtrip(pgs):
     cur.execute("SELECT ssl FROM pg_stat_ssl "
                 "WHERE pid = pg_backend_pid()")
     assert cur.fetchone() == (True,)
+
+
+def test_channel_binding_plus_require_and_disable(pg_ssl_server):
+    """PG >= 11 offers SCRAM-SHA-256-PLUS on SSL connections: with
+    channel_binding=require the client must authenticate via the
+    -PLUS mechanism (cert hash mixed into the proof — MITM-resistant
+    even with an unverified cert); disable must still authenticate
+    over plain SCRAM; and a wrong password must still fail under
+    -PLUS (the binding never bypasses the proof)."""
+    from postgres_scanner_spark import pgclient
+    dsn, _ = pg_ssl_server
+    for mode in ("require", "disable", "prefer"):
+        con = pgclient.connect(dsn + f" channel_binding={mode}")
+        assert con.ssl_in_use is True
+        assert con.execute("SELECT 3").fetchone() == (3,)
+        con.close()
+    bad = dsn.replace(f"password='{PG_PASSWORD}'", "password=wrong")
+    with pytest.raises(pgclient.Error,
+                       match="password authentication failed"):
+        pgclient.connect(bad + " channel_binding=require")
 
 
 def test_scram_wrong_password_rejected(pg_ssl_server):
