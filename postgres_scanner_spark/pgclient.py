@@ -174,9 +174,72 @@ _DECODERS = {
     1184: _dec_timestamptz,               # timestamptz
 }
 
+# array OID → element OID for the common wire families (psycopg
+# returns Python lists for these; raw text would leak '{1,2,3}'
+# strings into callers)
+_ARRAY_ELEM = {
+    1000: 16,                 # bool[]
+    1005: 21, 1007: 23, 1016: 20, 1028: 26,   # int2/4/8[], oid[]
+    1021: 700, 1022: 701,     # float4/8[]
+    1231: 1700,               # numeric[]
+    1009: 25, 1015: 1043, 1014: 1042,         # text/varchar/bpchar[]
+    1182: 1082, 1183: 1083,   # date[], time[]
+    1115: 1114, 1185: 1184,   # timestamp[], timestamptz[]
+    2951: 2950,               # uuid[]
+}
+
+
+def _parse_array_text(s: str, dec) -> list:
+    """PG array output syntax → (possibly nested) Python list:
+    '{1,2,3}', '{{1,2},{3,4}}', '{"a b","c\\"d",NULL}', '{}', and the
+    explicit-bounds prefix '[0:2]={...}'. Double-quoted elements
+    un-escape \\" and \\\\; bare NULL is None."""
+    i = s.find("{")            # skip any [lo:hi]= bounds decoration
+    pos = i
+
+    def parse() -> list:
+        nonlocal pos
+        pos += 1               # consume '{'
+        out: list = []
+        if s[pos] == "}":
+            pos += 1
+            return out
+        while True:
+            ch = s[pos]
+            if ch == "{":
+                out.append(parse())
+            elif ch == '"':
+                pos += 1
+                buf = []
+                while s[pos] != '"':
+                    if s[pos] == "\\":
+                        pos += 1
+                    buf.append(s[pos])
+                    pos += 1
+                pos += 1
+                out.append(dec("".join(buf)))
+            else:
+                j = pos
+                while s[j] not in ",}":
+                    j += 1
+                tok = s[pos:j]
+                pos = j
+                out.append(None if tok == "NULL" else dec(tok))
+            if s[pos] == ",":
+                pos += 1
+            else:              # '}'
+                pos += 1
+                return out
+
+    return parse()
+
 
 def _decode(oid: int, raw: bytes):
     s = raw.decode("utf-8")
+    elem = _ARRAY_ELEM.get(oid)
+    if elem is not None:
+        edec = _DECODERS.get(elem, str)
+        return _parse_array_text(s, edec)
     dec = _DECODERS.get(oid)
     return dec(s) if dec else s
 

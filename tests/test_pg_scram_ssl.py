@@ -421,6 +421,31 @@ def test_literal_fuzz_over_ssl(pgs):
     roundtrip()
 
 
+def test_text_protocol_array_decode(pgs):
+    """Simple-query array results decode to Python lists (psycopg
+    parity): quoting, escapes, NULLs, nesting, empty arrays, typed
+    elements."""
+    from decimal import Decimal
+    cur = pgs.cursor()
+    cur.execute("""SELECT '{1,2,3}'::int4[],
+                          '{{1,2},{3,4}}'::int8[][],
+                          ARRAY['a b', 'c"d', 'e\\f', NULL, ',}{']::text[],
+                          '{}'::text[],
+                          '{1.5,NULL}'::float8[],
+                          '{1.250,2.500}'::numeric(10,3)[],
+                          '{t,f,NULL}'::bool[],
+                          '{2024-01-02,2024-03-04}'::date[]""")
+    r = cur.fetchone()
+    assert r[0] == [1, 2, 3]
+    assert r[1] == [[1, 2], [3, 4]]
+    assert r[2] == ["a b", 'c"d', "e\\f", None, ",}{"]
+    assert r[3] == []
+    assert r[4] == [1.5, None]
+    assert r[5] == [Decimal("1.250"), Decimal("2.500")]
+    assert r[6] == [True, False, None]
+    assert [str(d) for d in r[7]] == ["2024-01-02", "2024-03-04"]
+
+
 def test_copy_error_drains_ready(pgs):
     """ADVICE: a failed COPY must leave the connection usable — the
     pending ReadyForQuery is consumed, so the next command does not
