@@ -143,6 +143,66 @@ def test_escape_nonfinite_floats():
     assert _escape(1.5) == "1.5"
 
 
+def test_array_text_parser_property():
+    """Property test: any nested list of ints/strings/None rendered
+    in PG's own array output syntax parses back exactly. The
+    renderer follows array_out's rules: quote when the element is
+    empty, equals NULL case-insensitively, or contains
+    {},"\\ / whitespace; backslash-escape " and \\ inside quotes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from postgres_scanner_spark.pgclient import _parse_array_text
+
+    def needs_quote(s: str) -> bool:
+        return (s == "" or s.upper() == "NULL"
+                or any(c in '{},"\\ \t\n' for c in s))
+
+    def render(v) -> str:
+        if isinstance(v, list):
+            return "{" + ",".join(render(x) for x in v) + "}"
+        if v is None:
+            return "NULL"
+        s = str(v)
+        if isinstance(v, str) and needs_quote(s):
+            return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return s
+
+    elem = st.one_of(
+        st.none(), st.integers(-10**9, 10**9),
+        st.text(st.characters(blacklist_characters="\x00",
+                              blacklist_categories=("Cs",)),
+                max_size=12))
+    nested = st.recursive(
+        st.lists(elem, max_size=5),
+        lambda inner: st.lists(inner, min_size=1, max_size=3),
+        max_leaves=6)
+
+    @settings(max_examples=200, deadline=None)
+    @given(v=nested)
+    def roundtrip(v):
+        def dec(tok):        # ints decode, everything else is text
+            try:
+                return int(tok)
+            except ValueError:
+                return tok
+        got = _parse_array_text(render(v), dec)
+
+        # rendered ints parse back as ints; unquoted numeric-LOOKING
+        # strings also decode as ints (same int() on both sides)
+        def expect(x):
+            if isinstance(x, list):
+                return [expect(i) for i in x]
+            if x is None or isinstance(x, int):
+                return x
+            try:
+                return int(x)
+            except ValueError:
+                return x
+        assert got == expect(v)
+
+    roundtrip()
+
+
 def test_fetchmany_zero_returns_empty():
     from postgres_scanner_spark import pgclient
 
