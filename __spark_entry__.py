@@ -49,6 +49,7 @@ _MODULES = (
 # dedup/ANN headliners, the 25 r4 cohort, and the 19 cheapest of the
 # r5 cohort. Regenerate with tools/rotate_order.py after each round.
 _COST_ORDER = [
+    "e23_stateful_quota_admission",     # new in r8 — never graded
     "d1_exact_dedup", "a1_cosine_topk", "d3_simhash_dedup",
     "d5_embedding_dedup", "d2_minhash_lsh_dedup", "d4_ngram_jaccard",
     "q13_customer_distribution", "q20_potential_promo", "t12_zipf_fit",

@@ -1675,7 +1675,165 @@ FROM tagged GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------- E23 cross-batch quota admission (ValueState carry)
+_E23_QUOTA = 30    # per-user admission cap — a rate-limit semantic
+#                    parameter, not corpus-derived; sf1 oracle-verified
+
+
+def e23_stateful_quota_admission(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Per-user ingestion quota enforced ACROSS micro-batches — the
+    per-source/per-user rate cap every multi-tenant ingest runs (admit
+    the first N items per key, reject the rest), implemented as an
+    applyInPandasWithState operator whose state is the running
+    admitted count.
+
+    What this pins that e6 cannot: e6's symlink stage can deliver
+    everything in one batch, so its oracle equals a batch aggregate
+    whether or not state carries. Here events stage as THREE
+    mtime-ordered files split on event_id value cutoffs, and the
+    output includes `exhaust_ord` — the per-user ordinal of the batch
+    whose arrivals crossed the quota. That number is a function of
+    the CUMULATIVE count carried across invocations: lose the state
+    between batches and batch 2 re-admits from zero, moving
+    exhaust_ord. The oracle reconstructs the same cutoffs
+    ((MAX(event_id)+1) // 3 thirds — the identical integer formula)
+    and the same running sum in SQL.
+
+    Scale: state is three longs per user key; each micro-batch
+    shuffles only on user_id (the state operator's keyed exchange);
+    emissions are one row per (user, batch-with-arrivals). The final
+    per-user row is selected by the monotone n_seen, e6's idiom."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
+    stage = os.path.join(
+        "/tmp", "pg_spark_quotain_"
+        + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.isdir(stage):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        tmp = f"{stage}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        m = pc.max(t["event_id"]).as_py() + 1
+        cut1, cut2 = m // 3, 2 * m // 3
+        parts = (
+            t.filter(pc.less(t["event_id"], cut1)),
+            t.filter(pc.and_(pc.greater_equal(t["event_id"], cut1),
+                             pc.less(t["event_id"], cut2))),
+            t.filter(pc.greater_equal(t["event_id"], cut2)))
+        now = _time.time()
+        for i, part in enumerate(parts):
+            p = os.path.join(tmp, f"b{i + 1}.parquet")
+            pq.write_table(part, p)
+            os.utime(p, (now - 60 + 30 * i, now - 60 + 30 * i))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    schema = spark.read.parquet(src).schema
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_admitted", T.LongType()),
+        T.StructField("exhaust_ord", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_admitted", T.LongType()),
+        T.StructField("exhaust_ord", T.LongType()),
+    ])
+    quota = _E23_QUOTA
+
+    def update(key_, pdfs, state: GroupState):
+        (user_id,) = key_
+        n_batches, n_seen, n_admitted, exhaust = (
+            state.get if state.exists else (0, 0, 0, 0))
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if n == 0:                 # no arrivals: nothing to emit
+            return
+        n_batches += 1
+        n_seen += n
+        adm = min(quota - n_admitted, n)
+        if adm > 0:
+            n_admitted += adm
+        if exhaust == 0 and n_admitted >= quota:
+            exhaust = n_batches    # the batch that crossed the cap
+        state.update((n_batches, n_seen, n_admitted, exhaust))
+        yield pd.DataFrame({
+            "user_id": [user_id], "n_batches": [n_batches],
+            "n_seen": [n_seen], "n_admitted": [n_admitted],
+            "exhaust_ord": [exhaust]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    with _stream_shuffle(spark):
+        q = (stream.writeStream.format("memory").queryName("e23_quota")
+             .outputMode("update").trigger(availableNow=True).start())
+        _drain(q)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (spark.table("e23_quota")
+            .withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+            .select("user_id", "n_batches", "n_seen", "n_admitted",
+                    (F.col("n_seen") - F.col("n_admitted"))
+                    .alias("n_rejected"), "exhaust_ord")
+            .orderBy("user_id"))
+
+
+_E23_SQL = f"""
+WITH b AS (SELECT CAST(MAX(event_id) + 1 AS BIGINT) AS m FROM events),
+tagged AS (
+  SELECT user_id,
+         CASE WHEN event_id < m // 3 THEN 1
+              WHEN event_id < 2 * m // 3 THEN 2 ELSE 3 END AS batch
+  FROM events, b),
+per_ub AS (SELECT user_id, batch, COUNT(*) AS n
+           FROM tagged GROUP BY user_id, batch),
+cum AS (
+  SELECT user_id, batch, n,
+         SUM(n) OVER (PARTITION BY user_id ORDER BY batch
+                      ROWS UNBOUNDED PRECEDING) AS cum_seen,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch) AS ord
+  FROM per_ub)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(n) AS BIGINT) AS n_seen,
+       CAST(LEAST({_E23_QUOTA}, SUM(n)) AS BIGINT) AS n_admitted,
+       CAST(SUM(n) - LEAST({_E23_QUOTA}, SUM(n)) AS BIGINT)
+         AS n_rejected,
+       CAST(COALESCE(MIN(CASE WHEN cum_seen >= {_E23_QUOTA}
+                              THEN ord END), 0) AS BIGINT)
+         AS exhaust_ord
+FROM cum GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "e23_stateful_quota_admission": e23_stateful_quota_admission,
     "e22_streaming_contamination_guard": e22_streaming_contamination_guard,
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
     "e2_sessionization": e2_sessionization,
@@ -1701,6 +1859,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e23_stateful_quota_admission": _E23_SQL,
     "e22_streaming_contamination_guard": _e22_sql(),
     "e17_streaming_dedup_ingest": _E17_SQL,
     "e18_streaming_quality_router": _E18_SQL,
