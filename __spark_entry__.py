@@ -50,6 +50,8 @@ _MODULES = (
 # r5 cohort. Regenerate with tools/rotate_order.py after each round.
 _COST_ORDER = [
     "e23_stateful_quota_admission",     # new in r8 — never graded
+    "x15_length_bucketed_batches",      # new in r8 — never graded
+    "x16_domain_reweight",              # new in r8 — never graded
     "d1_exact_dedup", "a1_cosine_topk", "d3_simhash_dedup",
     "d5_embedding_dedup", "d2_minhash_lsh_dedup", "d4_ngram_jaccard",
     "q13_customer_distribution", "q20_potential_promo", "t12_zipf_fit",

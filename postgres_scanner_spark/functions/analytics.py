@@ -1841,7 +1841,167 @@ FROM n GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---- X15: length-bucketed batch plan (padding-efficiency loader) ----
+_X15_WIDTH = 32     # tokens per length bucket
+_X15_BATCH = 16     # docs per training batch
+
+
+def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Length-bucketed batching plan — the loader layout that makes
+    padded (non-packed) training batches cheap: documents group into
+    token-length buckets, each bucket fills fixed-size batches in a
+    deterministic hash order, and a batch pads every member to its
+    own max length. The per-bucket report (batches, padded vs real
+    tokens, efficiency) is what a data-loading team reads to pick
+    bucket width; the waste of the equivalent UNBUCKETED plan (pad
+    everything to the corpus-wide max) rides along as the baseline
+    column.
+
+    Scale: one shuffle keys docs by bucket; the batch-assignment
+    windows are PARTITIONED on bucket (parallel, never global); the
+    unbucketed baseline needs only the corpus-wide max_tok and count
+    — a broadcast 1-row aggregate. Nothing orders the whole corpus
+    anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    base = base.withColumn(
+        "bucket", F.expr(f"n_tok DIV {_X15_WIDTH}"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    batched = base.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / _X15_BATCH)
+        .cast("long"))
+    per_batch = (batched.groupBy("bucket", "batch_id")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.max("n_tok").alias("max_tok"),
+                      F.sum("n_tok").alias("sum_tok")))
+    totals = base.agg(F.max("n_tok").alias("gmax"),
+                      F.count("*").alias("gn"))
+    return (per_batch.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_batches"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("sum_tok").cast("long").alias("real_tokens"),
+                 F.sum(F.col("n_docs") * F.col("max_tok"))
+                 .cast("long").alias("padded_tokens"))
+            .withColumn("efficiency",
+                        F.round(F.col("real_tokens")
+                                / F.col("padded_tokens"), 4))
+            .crossJoin(F.broadcast(totals))
+            .withColumn("unbucketed_padded",
+                        (F.col("n_docs") * F.col("gmax")).cast("long"))
+            .drop("gmax", "gn")
+            .orderBy("bucket"))
+
+
+_X15_SQL = f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+bk AS (SELECT doc_id, n_tok, n_tok // {_X15_WIDTH} AS bucket FROM base),
+batched AS (
+  SELECT bucket, n_tok,
+         (ROW_NUMBER() OVER (PARTITION BY bucket
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+           // {_X15_BATCH} AS batch_id
+  FROM bk),
+per_batch AS (
+  SELECT bucket, batch_id, COUNT(*) AS n_docs,
+         MAX(n_tok) AS max_tok, SUM(n_tok) AS sum_tok
+  FROM batched GROUP BY bucket, batch_id),
+totals AS (SELECT MAX(n_tok) AS gmax FROM base)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(sum_tok) AS BIGINT) AS real_tokens,
+       CAST(SUM(n_docs * max_tok) AS BIGINT) AS padded_tokens,
+       ROUND(SUM(sum_tok) * 1.0 / SUM(n_docs * max_tok), 4)
+         AS efficiency,
+       CAST(SUM(n_docs) * ANY_VALUE(gmax) AS BIGINT)
+         AS unbucketed_padded
+FROM per_batch CROSS JOIN totals GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---- X16: domain reweighting (multiplicative-weights update) --------
+_X16_ETA = 1.0      # exponentiated-gradient step size
+
+
+def x16_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multiplicative-weights update of per-source sampling
+    weights — the DoReMi-shaped domain-reweighting step a pretraining
+    mix runs between proxy epochs: sources whose loss proxy exceeds
+    the cross-domain mean get exponentially upweighted
+    (w_i ∝ exp(η·(loss_i − mean))), then normalized to a sampling
+    distribution. The loss proxy here is deterministic from the data
+    (mean per-doc lexical diversity — distinct/total tokens), so both
+    engines reproduce the update bit-for-bit.
+
+    Determinism discipline: every cross-row float sum (per-source
+    diversity, cross-source mean, softmax normalizer) is decimal-cast
+    before summing, so aggregation ORDER cannot perturb a bit; exp and
+    the two divisions happen once per source on identical inputs.
+
+    Scale: per-doc work is one map; the rest is a source-grain
+    aggregate (|sources| rows) — the whole update is one shuffle on
+    source however large the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dec = "decimal(28,15)"
+    per_doc = d.select(
+        "source",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("div"))
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("div").cast(dec)).alias("sdiv"))
+    loss = per_src.select(
+        "source", "n_docs",
+        (F.col("sdiv") / F.col("n_docs")).cast("double").alias("loss"))
+    mean = loss.agg(
+        (F.sum(F.col("loss").cast(dec)) / F.count("*"))
+        .cast("double").alias("mean_loss"))
+    raw = (loss.crossJoin(F.broadcast(mean))   # 1-row scalar
+           .withColumn("wr", F.exp(_X16_ETA
+                                   * (F.col("loss")
+                                      - F.col("mean_loss")))))
+    norm = raw.agg(F.sum(F.col("wr").cast(dec)).alias("swr"))
+    return (raw.crossJoin(F.broadcast(norm))
+            .select("source", "n_docs",
+                    F.round("loss", 6).alias("loss"),
+                    F.round(F.col("wr") / F.col("swr").cast("double"),
+                            6).alias("weight"))
+            .orderBy("source"))
+
+
+_X16_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS div
+  FROM documents),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CAST(div AS DECIMAL(28,15))) AS sdiv
+  FROM per_doc GROUP BY source),
+l AS (SELECT source, n_docs,
+             CAST(sdiv / n_docs AS DOUBLE) AS loss FROM per_src),
+m AS (SELECT CAST(SUM(CAST(loss AS DECIMAL(28,15))) / COUNT(*)
+              AS DOUBLE) AS mean_loss FROM l),
+r AS (SELECT source, n_docs, loss,
+             exp({_X16_ETA} * (loss - mean_loss)) AS wr
+      FROM l, m),
+s AS (SELECT SUM(CAST(wr AS DECIMAL(28,15))) AS swr FROM r)
+SELECT source, n_docs, ROUND(loss, 6) AS loss,
+       ROUND(wr / CAST(swr AS DOUBLE), 6) AS weight
+FROM r, s ORDER BY source
+"""
+
+
 QUERIES = {
+    "x15_length_bucketed_batches": x15_length_bucketed_batches,
+    "x16_domain_reweight": x16_domain_reweight,
     "w20_asof_directional": w20_asof_directional,
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -1879,6 +2039,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "x15_length_bucketed_batches": _X15_SQL,
+    "x16_domain_reweight": _X16_SQL,
     "w1_rollup": _W1_SQL,
     "w2_cube": _W2_SQL,
     "w3_window_rank": _W3_SQL,

@@ -59,6 +59,43 @@ def test_e23_quota_algebra_and_state_carry(spark):
     assert any(o > 1 for o in ords) or any(o == 0 for o in ords)
 
 
+def test_x15_batch_plan_algebra(spark):
+    """Per bucket: batches fill to exactly _X15_BATCH docs
+    (n_batches == ceil(n_docs / B)), padding can only help
+    (bucketed padded <= unbucketed padded), efficiency == real /
+    padded, and every doc lands in exactly one bucket."""
+    import math
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.functions.analytics import (
+        _X15_BATCH, x15_length_bucketed_batches,
+    )
+    rows = x15_length_bucketed_batches(spark, SF).collect()
+    n_corpus = pq.ParquetFile(f"{SF}/documents.parquet") \
+        .metadata.num_rows
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_batches == math.ceil(r.n_docs / _X15_BATCH)
+        assert r.real_tokens <= r.padded_tokens <= r.unbucketed_padded
+        assert abs(r.efficiency
+                   - round(r.real_tokens / r.padded_tokens, 4)) < 1e-9
+
+
+def test_x16_reweight_properties(spark):
+    """Weights are a distribution (sum 1), strictly monotone in the
+    loss proxy (harder domains upweighted), and uniform iff losses
+    are equal — the multiplicative-weights contract."""
+    from postgres_scanner_spark.functions.analytics import (
+        x16_domain_reweight,
+    )
+    rows = x16_domain_reweight(spark, SF).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    by_loss = sorted(rows, key=lambda r: r.loss)
+    for a, b in zip(by_loss, by_loss[1:]):
+        assert a.weight <= b.weight
+        if b.loss - a.loss > 1e-6:
+            assert b.weight > a.weight
+
+
 def test_e23_oracle_parity(spark):
     from postgres_scanner_spark.streaming.events import (
         _E23_SQL, e23_stateful_quota_admission,
