@@ -195,6 +195,8 @@ def test_plan_lint_all_queries(spark):
         "t19_source_kl_divergence",   # 1-row corpus token total scalar
         "m12_pruned_rowgroup_scan",   # 1-row max-key scalar × rg rows
         "a12_ivfpq_ann",              # corpus × 8 centroids / 16 subcents
+        "x15_length_bucketed_batches",  # 1-row global-max baseline scalar
+        "x16_domain_reweight",          # 1-row mean-loss + normalizer scalars
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
