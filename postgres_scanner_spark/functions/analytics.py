@@ -1879,8 +1879,7 @@ def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
                  .agg(F.count("*").alias("n_docs"),
                       F.max("n_tok").alias("max_tok"),
                       F.sum("n_tok").alias("sum_tok")))
-    totals = base.agg(F.max("n_tok").alias("gmax"),
-                      F.count("*").alias("gn"))
+    totals = base.agg(F.max("n_tok").alias("gmax"))
     return (per_batch.groupBy("bucket")
             .agg(F.count("*").cast("long").alias("n_batches"),
                  F.sum("n_docs").cast("long").alias("n_docs"),
@@ -1893,7 +1892,7 @@ def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
             .crossJoin(F.broadcast(totals))
             .withColumn("unbucketed_padded",
                         (F.col("n_docs") * F.col("gmax")).cast("long"))
-            .drop("gmax", "gn")
+            .drop("gmax")
             .orderBy("bucket"))
 
 

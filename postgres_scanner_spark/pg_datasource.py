@@ -512,18 +512,8 @@ def _stream_exec(dsn: str, sql: str):
     connection per call — the per-task connection model the
     reference's scan also uses (postgres_scanner.cpp: one connection
     per parallel scan task)."""
-    if dsn.startswith("duckdb://"):
-        import duckdb
-        con = duckdb.connect(dsn[len("duckdb://"):], read_only=True)
-        try:
-            return con.execute(sql).fetchall()
-        finally:
-            con.close()
-    from .pgclient import pg_driver
-    psycopg = pg_driver()
-    with psycopg.connect(dsn) as con, con.cursor() as cur:
-        cur.execute(sql)
-        return cur.fetchall()
+    with _ProbeConn(dsn) as pc:
+        return pc.exec(sql)
 
 
 class _ProbeConn:

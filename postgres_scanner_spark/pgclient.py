@@ -72,6 +72,21 @@ class Error(Exception):
         self.fields = fields
 
 
+class ConnectionClosed(Error):
+    """The socket died mid-protocol — unlike a server ErrorResponse,
+    there is no ReadyForQuery to drain to; recovery loops must
+    re-raise instead of waiting for a 'Z' that can never arrive."""
+
+
+class _SSLNegotiationFailed(Error):
+    """The TLS handshake itself broke (protocol mismatch, bad server
+    TLS config) — distinct from a server refusal, so sslmode=prefer
+    can fall back to a plaintext retry exactly like libpq."""
+
+    def __init__(self, cause: BaseException):
+        super().__init__({"M": f"SSL negotiation failed: {cause}"})
+
+
 DatabaseError = Error  # dbapi-ish alias
 
 
@@ -438,7 +453,8 @@ class _Proto:
         while len(self._rbuf) < n:
             chunk = self.sock.recv(65536)
             if not chunk:
-                raise Error({"M": "server closed the connection"})
+                raise ConnectionClosed(
+                    {"M": "server closed the connection"})
             self._rbuf += chunk
         out, self._rbuf = self._rbuf[:n], self._rbuf[n:]
         return out
@@ -469,6 +485,11 @@ class _Proto:
     def authenticate(self, user: str, password: str | None,
                      channel_binding: str = "prefer") -> None:
         scram: ScramClient | None = None
+        used_plus = False
+        require_cb = channel_binding == "require"
+        _no_cb = Error(
+            {"M": "channel_binding=require, but the server "
+                  "authenticated the client without channel binding"})
         while True:
             tag, body = self.read_msg()
             if tag == "R":
@@ -476,10 +497,14 @@ class _Proto:
                 if code == 0:
                     continue                     # AuthenticationOk
                 if code == 3:                    # cleartext
+                    if require_cb:
+                        raise _no_cb   # never send the password
                     if password is None:
                         raise Error({"M": "password required"})
                     self.send("p", password.encode() + b"\0")
                 elif code == 5:                  # md5
+                    if require_cb:
+                        raise _no_cb   # never send the password
                     if password is None:
                         raise Error({"M": "password required"})
                     salt = body[4:8]
@@ -512,6 +537,7 @@ class _Proto:
                                   "offer SCRAM-SHA-256-PLUS)"})
                     if use_plus:
                         mech = "SCRAM-SHA-256-PLUS"
+                        used_plus = True
                         scram = ScramClient(
                             password, gs2="p=tls-server-end-point",
                             cbind_data=cbind)
@@ -548,6 +574,10 @@ class _Proto:
             elif tag in ("S", "K"):              # ParameterStatus/KeyData
                 continue
             elif tag == "Z":
+                if require_cb and not used_plus:
+                    # covers trust auth too: the server let us in
+                    # without ever running the bound SCRAM exchange
+                    raise _no_cb
                 self.tx_status = chr(body[0])
                 return
             else:
@@ -555,10 +585,14 @@ class _Proto:
                                   f"during startup"})
 
     def drain_ready(self) -> None:
-        """Consume to ReadyForQuery after an error mid-protocol."""
+        """Consume to ReadyForQuery after an error mid-protocol. A
+        CLOSED connection re-raises immediately — there is no 'Z'
+        coming, and swallowing it would spin forever."""
         while True:
             try:
                 tag, body = self.read_msg()
+            except ConnectionClosed:
+                raise
             except Error:
                 continue
             if tag == "Z":
@@ -840,6 +874,13 @@ class Connection:
         self.ssl_in_use = False
         try:
             self._handshake(info, user, host, sslmode)
+        except _SSLNegotiationFailed:
+            # libpq 'prefer': an SSL-LAYER failure (handshake error,
+            # not an auth/server error) retries the same server over
+            # a fresh plaintext connection
+            if sslmode != "prefer":
+                raise
+            self._handshake(info, user, host, "disable")
         except Error:
             # libpq 'allow': try plaintext FIRST, fall back to SSL
             # only if the server turns the clear connection away
@@ -850,6 +891,10 @@ class Connection:
 
     def _handshake(self, info, user: str, host: str,
                    sslmode: str) -> None:
+        """One full connect+SSL+startup+auth attempt. On ANY failure
+        the socket of THIS attempt is closed before the exception
+        propagates — the prefer/allow retries above must never leak
+        the first attempt's fd."""
         if host.startswith("/"):
             # unix sockets are never SSL-wrapped (libpq semantics:
             # sslmode is ignored for local sockets)
@@ -858,13 +903,32 @@ class Connection:
         else:
             sock = socket.create_connection((host, info.port))
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            if sslmode not in ("disable", "allow"):
-                sock = negotiate_ssl(sock, host, sslmode, info.options)
+        try:
+            if not host.startswith("/") and \
+                    sslmode not in ("disable", "allow"):
+                try:
+                    sock = negotiate_ssl(sock, host, sslmode,
+                                         info.options)
+                except Error:
+                    # server answered 'N' under require/verify-* — a
+                    # definitive server refusal, not a broken
+                    # handshake; prefer's plaintext retry is only for
+                    # the OSError/SSLError case below
+                    raise
+                except OSError as exc:    # incl. ssl.SSLError
+                    raise _SSLNegotiationFailed(exc) from exc
                 self.ssl_in_use = isinstance(sock, _ssl.SSLSocket)
-        self._proto = _Proto(sock)
-        self._proto.send_startup(user, info.dbname or user)
-        self._proto.authenticate(user, info.password,
-                                 channel_binding=self._cb_mode)
+            self._proto = _Proto(sock)
+            self._proto.send_startup(user, info.dbname or user)
+            self._proto.authenticate(user, info.password,
+                                     channel_binding=self._cb_mode)
+        except BaseException:
+            self.ssl_in_use = False
+            try:
+                sock.close()
+            except OSError:
+                pass
+            raise
 
     # -- internals
     def _ensure_tx(self, force_begin: bool = False) -> None:

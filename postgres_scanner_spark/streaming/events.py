@@ -1090,16 +1090,22 @@ def e17_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [], "doc_id BIGINT, h STRING, lang STRING"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..runtime import scratch_persist
         # read twice (the min-id group and the join back) — persist
-        # so the md5 over text computes once per batch
-        b = scratch_persist(batch_df.select(
-            "doc_id", "lang", F.md5(F.lower(F.col("text"))).alias("h")))
-        firsts = (b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-                  .join(b, ["h", "doc_id"]))
-        existing = store.scan("docs_dedup").select("h")
-        surv = firsts.join(existing, "h", "left_anti")
-        store.insert("docs_dedup", surv.select("doc_id", "h", "lang"))
+        # so the md5 over text computes once per batch. Batch-local
+        # persist with an explicit unpersist: foreachBatch runs on a
+        # py4j callback thread, so thread-local scratch tracking
+        # (runtime.py) would orphan the cache entry for the session.
+        b = batch_df.select(
+            "doc_id", "lang",
+            F.md5(F.lower(F.col("text"))).alias("h")).persist()
+        try:
+            firsts = (b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+                      .join(b, ["h", "doc_id"]))
+            existing = store.scan("docs_dedup").select("h")
+            surv = firsts.join(existing, "h", "left_anti")
+            store.insert("docs_dedup", surv.select("doc_id", "h", "lang"))
+        finally:
+            b.unpersist()
 
     schema = spark.read.parquet(src).schema
     with _stream_shuffle(spark):
@@ -1277,32 +1283,34 @@ def e20_streaming_neardup_ingest(spark: SparkSession, sf_dir: str
         [], "band_id INT, band_hash STRING, doc_id BIGINT"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..runtime import scratch_persist
         # the band set feeds the within-batch self-join (2 reads),
         # the store-index probe, and the index append — without the
-        # persist Catalyst re-runs shingling+minhash per consumer
-        bands = scratch_persist(
-            minhash_bands(shingle_index(
-                batch_df.select("doc_id", "text"), 3))
+        # persist Catalyst re-runs shingling+minhash per consumer.
+        # Batch-local persist/unpersist (callback thread — see e17)
+        bands = (minhash_bands(shingle_index(
+            batch_df.select("doc_id", "text"), 3))
             .select("doc_id", F.col("band_id").cast("int").alias("band_id"),
-                    "band_hash"))
-        a, b = bands.alias("a"), bands.alias("b")
-        drop_in = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                          & (F.col("a.band_hash") == F.col("b.band_hash"))
-                          & (F.col("b.doc_id") < F.col("a.doc_id")))
-                   .select(F.col("a.doc_id").alias("doc_id")).distinct())
-        within = batch_df.select("doc_id", "lang") \
-            .join(drop_in, "doc_id", "left_anti")
-        idx = store.scan("band_index").select("band_id", "band_hash")
-        coll = (bands.join(within.select("doc_id"), "doc_id", "left_semi")
-                .join(idx, ["band_id", "band_hash"], "left_semi")
-                .select("doc_id").distinct())
-        kept = within.join(coll, "doc_id", "left_anti")
-        store.insert("docs_lsh", kept)
-        store.insert("band_index",
-                     bands.join(kept.select("doc_id"), "doc_id",
-                                "left_semi")
-                     .select("band_id", "band_hash", "doc_id"))
+                    "band_hash")).persist()
+        try:
+            a, b = bands.alias("a"), bands.alias("b")
+            drop_in = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                              & (F.col("a.band_hash") == F.col("b.band_hash"))
+                              & (F.col("b.doc_id") < F.col("a.doc_id")))
+                       .select(F.col("a.doc_id").alias("doc_id")).distinct())
+            within = batch_df.select("doc_id", "lang") \
+                .join(drop_in, "doc_id", "left_anti")
+            idx = store.scan("band_index").select("band_id", "band_hash")
+            coll = (bands.join(within.select("doc_id"), "doc_id", "left_semi")
+                    .join(idx, ["band_id", "band_hash"], "left_semi")
+                    .select("doc_id").distinct())
+            kept = within.join(coll, "doc_id", "left_anti")
+            store.insert("docs_lsh", kept)
+            store.insert("band_index",
+                         bands.join(kept.select("doc_id"), "doc_id",
+                                    "left_semi")
+                         .select("band_id", "band_hash", "doc_id"))
+        finally:
+            bands.unpersist()
 
     schema = spark.read.parquet(src).schema
     with _stream_shuffle(spark):
@@ -1592,19 +1600,22 @@ def e22_streaming_contamination_guard(spark: SparkSession, sf_dir: str
     bloom = scratch_persist(bloom_build(ev, "s", m_bits))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..runtime import scratch_persist as sp
-        b = sp(batch_df.select("doc_id", "lang", "text"))
-        bad = (shingle_index(b, 5)
-               .crossJoin(F.broadcast(bloom))      # 1-row bitmap
-               .filter(bloom_might_contain("s", m_bits))
-               .join(ev, "s", "left_semi")         # exact: fps scrubbed
-               .select("doc_id").distinct())
-        store.insert(
-            "routed",
-            b.join(bad.withColumn("bad", F.lit(1)), "doc_id", "left")
-            .select("doc_id", "lang",
-                    F.when(F.col("bad").isNull(), 1).otherwise(0)
-                    .alias("kept")))
+        # batch-local persist/unpersist (callback thread — see e17)
+        b = batch_df.select("doc_id", "lang", "text").persist()
+        try:
+            bad = (shingle_index(b, 5)
+                   .crossJoin(F.broadcast(bloom))   # 1-row bitmap
+                   .filter(bloom_might_contain("s", m_bits))
+                   .join(ev, "s", "left_semi")      # exact: fps scrubbed
+                   .select("doc_id").distinct())
+            store.insert(
+                "routed",
+                b.join(bad.withColumn("bad", F.lit(1)), "doc_id", "left")
+                .select("doc_id", "lang",
+                        F.when(F.col("bad").isNull(), 1).otherwise(0)
+                        .alias("kept")))
+        finally:
+            b.unpersist()
 
     schema = spark.read.parquet(src).schema
     with _stream_shuffle(spark):

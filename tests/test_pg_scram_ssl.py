@@ -203,6 +203,68 @@ def test_array_text_parser_property():
     roundtrip()
 
 
+class _FakeSock:
+    """Scripted server bytes in, captured client bytes out."""
+
+    def __init__(self, data: bytes):
+        self.data, self.sent = data, b""
+
+    def recv(self, n: int) -> bytes:
+        out, self.data = self.data[:n], self.data[n:]
+        return out
+
+    def sendall(self, b: bytes) -> None:
+        self.sent += b
+
+
+def _msg(tag: bytes, body: bytes) -> bytes:
+    import struct
+    return tag + struct.pack("!I", len(body) + 4) + body
+
+
+def test_channel_binding_require_refuses_cleartext_and_trust():
+    """channel_binding=require must fail — WITHOUT sending the
+    password — when the server requests cleartext/md5 auth, and must
+    fail a trust handshake too (the server authenticated us without
+    ever running the bound exchange). libpq parity."""
+    import struct
+    from postgres_scanner_spark import pgclient
+
+    # server asks for cleartext (auth code 3)
+    p = pgclient._Proto(_FakeSock(_msg(b"R", struct.pack("!I", 3))))
+    with pytest.raises(pgclient.Error, match="channel binding"):
+        p.authenticate("u", "sekret", channel_binding="require")
+    assert b"sekret" not in p.sock.sent        # never left the client
+
+    # md5 (code 5, 4-byte salt)
+    p = pgclient._Proto(_FakeSock(
+        _msg(b"R", struct.pack("!I", 5) + b"\x01\x02\x03\x04")))
+    with pytest.raises(pgclient.Error, match="channel binding"):
+        p.authenticate("u", "sekret", channel_binding="require")
+    assert p.sock.sent == b""
+
+    # trust: AuthenticationOk straight to ReadyForQuery
+    p = pgclient._Proto(_FakeSock(
+        _msg(b"R", struct.pack("!I", 0)) + _msg(b"Z", b"I")))
+    with pytest.raises(pgclient.Error, match="channel binding"):
+        p.authenticate("u", None, channel_binding="require")
+
+
+def test_drain_ready_reraises_on_closed_connection():
+    """A dropped socket mid-COPY must surface as ConnectionClosed,
+    not spin forever waiting for a ReadyForQuery that cannot come."""
+    from postgres_scanner_spark import pgclient
+    p = pgclient._Proto(_FakeSock(b""))        # immediate EOF
+    with pytest.raises(pgclient.ConnectionClosed):
+        p.drain_ready()
+    # and the Copy read path propagates it instead of looping
+    p2 = pgclient._Proto(_FakeSock(b""))
+    cp = pgclient.Copy.__new__(pgclient.Copy)
+    cp._p, cp._mode, cp._done = p2, "out", False
+    with pytest.raises(pgclient.ConnectionClosed):
+        cp.read()
+
+
 def test_fetchmany_zero_returns_empty():
     from postgres_scanner_spark import pgclient
 

@@ -49,7 +49,19 @@ def main() -> None:
     it = iter(names)
     t_total = time.perf_counter()
 
+    worker_crashes: list[str] = []
+
     def worker() -> None:
+        try:
+            _worker()
+        except BaseException as exc:  # noqa: BLE001
+            # a worker dying OUTSIDE the per-query try (session
+            # setup, scratch release) must fail the gate, not
+            # silently shrink coverage
+            with lock:
+                worker_crashes.append(f"{type(exc).__name__}: {exc}")
+
+    def _worker() -> None:
         # child session: own conf (tiny-SF tuning: small shuffle
         # fan-out, no AQE stage materialization — correctness is
         # config-independent; the driver's own gate picks its own
@@ -91,14 +103,21 @@ def main() -> None:
         t.join()
     total = time.perf_counter() - t_total
     bad = [n for n, (ok, _, _) in results.items() if not ok]
-    print(f"\ntotal {total:.1f}s  {len(results) - len(bad)}/{len(results)} ok"
+    # coverage check: every planned query must have a result row —
+    # a crashed worker or a starved queue must never exit 0
+    missing = [n for n in names if n not in results]
+    print(f"\ntotal {total:.1f}s  {len(results) - len(bad)}/{len(names)} ok"
           f"  (jobs={jobs})")
     if bad:
         print("FAILED:", ", ".join(bad))
+    if worker_crashes:
+        print("WORKER CRASHES:", " | ".join(worker_crashes))
+    if missing:
+        print("NEVER RAN:", ", ".join(missing))
     slow = sorted(results.items(), key=lambda kv: -kv[1][1])[:10]
     print("slowest:", json.dumps({n: v[1] for n, v in slow}))
     spark.stop()
-    sys.exit(1 if bad else 0)
+    sys.exit(1 if (bad or missing or worker_crashes) else 0)
 
 
 if __name__ == "__main__":
