@@ -496,6 +496,46 @@ def test_live_scan_over_scram_ssl(registered, pgs, pg_ssl_server):
     assert cur.fetchone() == (10, 45)
 
 
+def test_partitioned_stream_read_over_scram_ssl(registered, pgs,
+                                                pg_ssl_server,
+                                                tmp_path):
+    """S29 over SCRAM+TLS: the keyset boundary walk (one _ProbeConn
+    connection, r7-advice fix), the executor-side slice reads, and
+    the second-trigger incremental poll all re-handshake through the
+    encrypted SCRAM-only path. Slices are forced (max_rows_per_poll)
+    so the boundary walk actually runs multiple probes."""
+    from pyspark.sql import types as T
+    spark = registered
+    dsn, _ = pg_ssl_server
+    cur = pgs.cursor()
+    cur.execute("DROP TABLE IF EXISTS sslev")
+    cur.execute("CREATE TABLE sslev (id int8, v text)")
+    cur.execute("INSERT INTO sslev SELECT g, 'a' || g "
+                "FROM generate_series(1, 30) g")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (spark.readStream.format("postgres_scan").schema(schema)
+             .option("dsn", dsn).option("table", "sslev")
+             .option("stream_key", "id")
+             .option("max_rows_per_poll", "8").load()
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    run()
+    assert spark.read.parquet(sink).count() == 30
+    cur.execute("INSERT INTO sslev SELECT g + 30, 'b' || g "
+                "FROM generate_series(1, 7) g")
+    run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 37
+    assert out.filter("id > 30").count() == 7
+
+
 def test_copy_binary_over_ssl(pgs):
     """S5: pgwire's PGCOPY decoder fed from a TLS-wrapped COPY OUT."""
     from postgres_scanner_spark import types as pgt
