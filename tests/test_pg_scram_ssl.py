@@ -420,6 +420,32 @@ def test_channel_binding_plus_require_and_disable(pg_ssl_server):
         pgclient.connect(bad + " channel_binding=require")
 
 
+def test_scram_unicode_password_saslprep(pgs, pg_ssl_server):
+    """Non-ASCII password through the live SCRAM exchange: the
+    client's SASLprep must agree with PG's own normalization of the
+    stored verifier (NFKC; non-ASCII space mapped to space)."""
+    from postgres_scanner_spark import pgclient
+    dsn, _ = pg_ssl_server
+    cur = pgs.cursor()
+    cur.execute("DROP ROLE IF EXISTS utest")
+    # U+00E4/U+00F6 umlauts + U+00A0 no-break space (SASLprep maps
+    # it to a plain space on both sides)
+    cur.execute("CREATE ROLE utest LOGIN PASSWORD 'päss wörd'")
+    con = pgclient.connect(
+        f"host=127.0.0.1 port={PG_SSL_PORT} user=utest "
+        f"password='päss wörd' dbname=postgres "
+        f"sslmode=require")
+    assert con.execute("SELECT current_user").fetchone() == ("utest",)
+    con.close()
+    # the ALREADY-normalized spelling (plain space) authenticates too
+    con = pgclient.connect(
+        f"host=127.0.0.1 port={PG_SSL_PORT} user=utest "
+        f"password='päss wörd' dbname=postgres "
+        f"sslmode=require")
+    assert con.execute("SELECT 1").fetchone() == (1,)
+    con.close()
+
+
 def test_scram_wrong_password_rejected(pg_ssl_server):
     from postgres_scanner_spark import pgclient
     dsn, _ = pg_ssl_server
