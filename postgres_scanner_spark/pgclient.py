@@ -895,13 +895,24 @@ class Connection:
         the socket of THIS attempt is closed before the exception
         propagates — the prefer/allow retries above must never leak
         the first attempt's fd."""
+        # libpq connect_timeout: bound the TCP connect (and the unix
+        # connect) — a dead host must fail fast, not hang the task.
+        # The socket returns to blocking mode for the protocol phase.
+        ct = info.options.get("connect_timeout")
+        timeout = float(ct) if ct else None
+        if timeout is not None and timeout <= 0:
+            timeout = None          # libpq: 0 = wait indefinitely
         if host.startswith("/"):
             # unix sockets are never SSL-wrapped (libpq semantics:
             # sslmode is ignored for local sockets)
             sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            sock.settimeout(timeout)
             sock.connect(f"{host}/.s.PGSQL.{info.port}")
+            sock.settimeout(None)
         else:
-            sock = socket.create_connection((host, info.port))
+            sock = socket.create_connection((host, info.port),
+                                            timeout=timeout)
+            sock.settimeout(None)
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         try:
             if not host.startswith("/") and \

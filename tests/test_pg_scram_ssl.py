@@ -265,6 +265,20 @@ def test_drain_ready_reraises_on_closed_connection():
         cp.read()
 
 
+def test_connect_timeout_honored():
+    """connect_timeout must bound the TCP connect: a non-routable
+    address fails within ~the timeout instead of hanging the task
+    for the kernel's minutes-long default."""
+    import time
+    from postgres_scanner_spark import pgclient
+    t0 = time.perf_counter()
+    # TEST-NET-1 (RFC 5737) is guaranteed non-routable
+    with pytest.raises(OSError):
+        pgclient.connect("host=192.0.2.1 port=5432 user=x "
+                         "dbname=x connect_timeout=1")
+    assert time.perf_counter() - t0 < 10
+
+
 def test_fetchmany_zero_returns_empty():
     from postgres_scanner_spark import pgclient
 
