@@ -1863,6 +1863,7 @@ def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
     unbucketed baseline needs only the corpus-wide max_tok and count
     — a broadcast 1-row aggregate. Nothing orders the whole corpus
     anywhere."""
+    from ..runtime import scratch_persist
     d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -1879,20 +1880,28 @@ def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
                  .agg(F.count("*").alias("n_docs"),
                       F.max("n_tok").alias("max_tok"),
                       F.sum("n_tok").alias("sum_tok")))
-    totals = base.agg(F.max("n_tok").alias("gmax"))
-    return (per_batch.groupBy("bucket")
-            .agg(F.count("*").cast("long").alias("n_batches"),
-                 F.sum("n_docs").cast("long").alias("n_docs"),
-                 F.sum("sum_tok").cast("long").alias("real_tokens"),
-                 F.sum(F.col("n_docs") * F.col("max_tok"))
-                 .cast("long").alias("padded_tokens"))
+    # the bucket-grain rollup is TINY (buckets ∝ max doc length /
+    # width, corpus-size-independent) — persist it so the global-max
+    # baseline reads these rows instead of re-running the corpus
+    # scan + tokenization (every doc's n_tok <= its batch max, so
+    # MAX(bucket_max) == MAX(n_tok))
+    per_bucket = scratch_persist(
+        per_batch.groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_batches"),
+             F.sum("n_docs").cast("long").alias("n_docs"),
+             F.sum("sum_tok").cast("long").alias("real_tokens"),
+             F.sum(F.col("n_docs") * F.col("max_tok"))
+             .cast("long").alias("padded_tokens"),
+             F.max("max_tok").alias("bucket_max")))
+    gmax = per_bucket.agg(F.max("bucket_max").alias("gmax"))
+    return (per_bucket
             .withColumn("efficiency",
                         F.round(F.col("real_tokens")
                                 / F.col("padded_tokens"), 4))
-            .crossJoin(F.broadcast(totals))
+            .crossJoin(F.broadcast(gmax))
             .withColumn("unbucketed_padded",
                         (F.col("n_docs") * F.col("gmax")).cast("long"))
-            .drop("gmax")
+            .drop("gmax", "bucket_max")
             .orderBy("bucket"))
 
 
@@ -1907,11 +1916,11 @@ batched AS (
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
            // {_X15_BATCH} AS batch_id
   FROM bk),
-per_batch AS (
+per_batch AS MATERIALIZED (
   SELECT bucket, batch_id, COUNT(*) AS n_docs,
          MAX(n_tok) AS max_tok, SUM(n_tok) AS sum_tok
   FROM batched GROUP BY bucket, batch_id),
-totals AS (SELECT MAX(n_tok) AS gmax FROM base)
+totals AS (SELECT MAX(max_tok) AS gmax FROM per_batch)
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_batches,
        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
        CAST(SUM(sum_tok) AS BIGINT) AS real_tokens,

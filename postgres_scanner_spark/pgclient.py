@@ -654,8 +654,14 @@ class Copy:
         (e.g. the context-manager rollback) desyncs the protocol."""
         try:
             return self._p.read_msg()
+        except ConnectionClosed:
+            raise
         except Error:
-            self._p.drain_ready()
+            try:
+                self._p.drain_ready()
+            except ConnectionClosed:
+                pass   # died after its ErrorResponse — the server's
+                       # message below is the informative one
             raise
 
     # COPY TO STDOUT ------------------------------------------------
@@ -716,10 +722,17 @@ class Copy:
             while True:
                 try:
                     tag, body = self._p.read_msg()
+                except ConnectionClosed:
+                    if exc_type is None:
+                        raise
+                    return False   # original exception propagates
                 except Error:
                     if exc_type is None:
                         raise
-                    self._p.drain_ready()
+                    try:
+                        self._p.drain_ready()
+                    except ConnectionClosed:
+                        pass
                     return False
                 if tag == "Z":
                     self._p.tx_status = chr(body[0])
@@ -898,17 +911,25 @@ class Connection:
         # libpq connect_timeout: bound the TCP connect (and the unix
         # connect) — a dead host must fail fast, not hang the task.
         # The socket returns to blocking mode for the protocol phase.
-        ct = info.options.get("connect_timeout")
-        timeout = float(ct) if ct else None
-        if timeout is not None and timeout <= 0:
+        # Unparseable / non-positive values wait indefinitely, like
+        # libpq's atoi() handling.
+        try:
+            timeout = float(info.options.get("connect_timeout") or 0)
+        except ValueError:
+            timeout = 0.0
+        if timeout <= 0:
             timeout = None          # libpq: 0 = wait indefinitely
         if host.startswith("/"):
             # unix sockets are never SSL-wrapped (libpq semantics:
             # sslmode is ignored for local sockets)
             sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            sock.settimeout(timeout)
-            sock.connect(f"{host}/.s.PGSQL.{info.port}")
-            sock.settimeout(None)
+            try:
+                sock.settimeout(timeout)
+                sock.connect(f"{host}/.s.PGSQL.{info.port}")
+                sock.settimeout(None)
+            except BaseException:
+                sock.close()       # a failed attempt never leaks a fd
+                raise
         else:
             sock = socket.create_connection((host, info.port),
                                             timeout=timeout)
@@ -920,13 +941,10 @@ class Connection:
                 try:
                     sock = negotiate_ssl(sock, host, sslmode,
                                          info.options)
-                except Error:
-                    # server answered 'N' under require/verify-* — a
-                    # definitive server refusal, not a broken
-                    # handshake; prefer's plaintext retry is only for
-                    # the OSError/SSLError case below
-                    raise
                 except OSError as exc:    # incl. ssl.SSLError
+                    # a BROKEN handshake → prefer may retry in
+                    # plaintext; a server 'N' refusal raises Error
+                    # (not OSError) and propagates as definitive
                     raise _SSLNegotiationFailed(exc) from exc
                 self.ssl_in_use = isinstance(sock, _ssl.SSLSocket)
             self._proto = _Proto(sock)
@@ -956,8 +974,13 @@ class Connection:
         while True:
             try:
                 tag, body = p.read_msg()
+            except ConnectionClosed:
+                raise
             except Error:
-                p.drain_ready()
+                try:
+                    p.drain_ready()
+                except ConnectionClosed:
+                    pass   # keep the server's own error message
                 raise
             if tag == "T":               # RowDescription
                 (nf,) = struct.unpack("!H", body[:2])
