@@ -19,13 +19,7 @@ sys.path.insert(0, str(_REPO))
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-HEADLINE = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q9_product_profit", "q13_customer_distribution",
-    "q18_large_volume_customer", "q21_suppliers_waiting",
-    "d2_minhash_lsh_dedup", "a1_cosine_topk", "e1_hourly_event_rollup",
-    "t3_token_count",
-]
+from bench import HEADLINE  # noqa: E402 — single source for the set
 
 
 def main() -> None:
