@@ -354,9 +354,13 @@ password_encryption = scram-sha-256
 listen_addresses = '127.0.0.1'
 """)
     # hostssl-only TCP: plaintext TCP is rejected outright, so a
-    # passing scan below proves both the TLS wrap and the SCRAM proof
+    # passing scan below proves both the TLS wrap and the SCRAM proof.
+    # md5test gets the md5 method so the client's md5 path is
+    # exercised against a REAL backend too (its role is created with
+    # an md5-hashed verifier in the md5-auth test).
     with open(f"{data}/pg_hba.conf", "w") as f:
         f.write("local all all scram-sha-256\n"
+                "hostssl all md5test 127.0.0.1/32 md5\n"
                 "hostssl all all 127.0.0.1/32 scram-sha-256\n"
                 "hostnossl all all 0.0.0.0/0 reject\n")
     subprocess.run(["chown", "postgres:postgres", f"{data}/pg_hba.conf"],
@@ -458,6 +462,26 @@ def test_scram_unicode_password_saslprep(pgs, pg_ssl_server):
         f"sslmode=require")
     assert con.execute("SELECT 1").fetchone() == (1,)
     con.close()
+
+
+def test_md5_auth_over_ssl_and_cb_require_refuses(pgs, pg_ssl_server):
+    """The md5 auth path against a real backend (md5-hashed verifier
+    + an hba md5 line for this role), over TLS; and the live pin that
+    channel_binding=require refuses to answer an md5 challenge."""
+    from postgres_scanner_spark import pgclient
+    cur = pgs.cursor()
+    cur.execute("DROP ROLE IF EXISTS md5test")
+    cur.execute("SET password_encryption = 'md5'")
+    cur.execute("CREATE ROLE md5test LOGIN PASSWORD 'm5pw'")
+    cur.execute("RESET password_encryption")
+    dsn = (f"host=127.0.0.1 port={PG_SSL_PORT} user=md5test "
+           f"password=m5pw dbname=postgres sslmode=require")
+    con = pgclient.connect(dsn)
+    assert con.ssl_in_use is True
+    assert con.execute("SELECT current_user").fetchone() == ("md5test",)
+    con.close()
+    with pytest.raises(pgclient.Error, match="channel binding"):
+        pgclient.connect(dsn + " channel_binding=require")
 
 
 def test_scram_wrong_password_rejected(pg_ssl_server):
