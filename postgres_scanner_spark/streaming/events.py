@@ -1714,7 +1714,15 @@ def e23_stateful_quota_admission(spark: SparkSession, sf_dir: str
     Scale: state is three longs per user key; each micro-batch
     shuffles only on user_id (the state operator's keyed exchange);
     emissions are one row per (user, batch-with-arrivals). The final
-    per-user row is selected by the monotone n_seen, e6's idiom."""
+    per-user row is selected by the monotone n_seen, e6's idiom.
+    Cost note: applyInPandasWithState invokes the Python callback
+    PER KEY, so wall-time tracks key cardinality (measured: ~4× from
+    sf1→sf5 — BENCHSCALE) — the documented price of the
+    arbitrary-state API, paid for exactly-once cross-batch semantics
+    no window can give on an infinite stream. A pipeline that only
+    needs the DRAINED result at rest uses the one-window batch form
+    (this op's own oracle); the streaming form exists for the
+    unbounded case, where the batch form has no equivalent at all."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
