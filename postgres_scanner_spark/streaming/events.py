@@ -1716,8 +1716,9 @@ def e23_stateful_quota_admission(spark: SparkSession, sf_dir: str
     emissions are one row per (user, batch-with-arrivals). The final
     per-user row is selected by the monotone n_seen, e6's idiom.
     Cost note: applyInPandasWithState invokes the Python callback
-    PER KEY, so wall-time tracks key cardinality (measured: ~4× from
-    sf1→sf5 — BENCHSCALE) — the documented price of the
+    PER KEY, so wall-time tracks key cardinality (measured ~2× from
+    sf1→sf5 after projecting the stream to the key column —
+    BENCHSCALE) — the documented price of the
     arbitrary-state API, paid for exactly-once cross-batch semantics
     no window can give on an infinite stream. A pipeline that only
     needs the DRAINED result at rest uses the one-window batch form
@@ -1804,6 +1805,10 @@ def e23_stateful_quota_admission(spark: SparkSession, sf_dir: str
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
+        # admission counts rows only — project to the key BEFORE the
+        # stateful operator so the keyed exchange and the per-key
+        # Arrow transfer carry one int64 column, not the whole event
+        .select("user_id")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, outputStructType=out_schema,
