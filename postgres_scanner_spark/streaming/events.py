@@ -299,7 +299,10 @@ def e6_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(schema).parquet(stage)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        # the counter reads only (user_id, value): project before the
+        # stateful operator so the keyed exchange and per-key Arrow
+        # transfer don't carry ts/event_type/props (e23's finding)
+        .select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, outputStructType=out_schema, stateStructType=state_schema,
@@ -347,6 +350,9 @@ def e7_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).parquet(stage)
+        # only the dedup key matters downstream: project first so the
+        # dedup-state exchange carries two columns, not the event row
+        .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique_users"))
