@@ -1858,24 +1858,42 @@ def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
     everything to the corpus-wide max) rides along as the baseline
     column.
 
-    Scale: one shuffle keys docs by bucket; the batch-assignment
-    windows are PARTITIONED on bucket (parallel, never global); the
-    unbucketed baseline needs only the corpus-wide max_tok and count
-    — a broadcast 1-row aggregate. Nothing orders the whole corpus
-    anywhere."""
+    Scale: one shuffle keys docs by bucket, but the within-bucket
+    rank is HIERARCHICAL (x5/m9's idiom) — a length bucket is few in
+    number and can hold most of the corpus, so a plain
+    partitionBy(bucket) window would cap parallelism at ~|buckets|
+    tasks and serialize the hot bucket. Instead: docs sub-bucket on
+    the first two hex chars of their md5 sort key (256 contiguous
+    ranges of the within-bucket order), the rank window partitions on
+    (bucket, sub) — fully parallel — and per-(bucket, sub) counts
+    (tiny: |buckets|·256 rows) provide broadcast offsets; global
+    within-bucket rank = offset + local rank, identical by
+    associativity. The unbucketed baseline derives from the persisted
+    bucket-grain rollup. Nothing orders the whole corpus — or a whole
+    bucket — through one task anywhere."""
     from ..runtime import scratch_persist
     d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tok"))
-    base = base.withColumn(
-        "bucket", F.expr(f"n_tok DIV {_X15_WIDTH}"))
-    w = Window.partitionBy("bucket").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id")
-    batched = base.withColumn(
-        "batch_id",
-        F.floor((F.row_number().over(w) - 1) / _X15_BATCH)
-        .cast("long"))
+    base = (base
+            .withColumn("bucket", F.expr(f"n_tok DIV {_X15_WIDTH}"))
+            .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+            .withColumn("sub", F.substring("h", 1, 2)))
+    w_local = Window.partitionBy("bucket", "sub").orderBy("h", "doc_id")
+    local = base.withColumn("r_local", F.row_number().over(w_local))
+    w_off = (Window.partitionBy("bucket").orderBy("sub")
+             .rowsBetween(Window.unboundedPreceding, -1))  # ≤256 rows
+    offsets = (base.groupBy("bucket", "sub")
+               .agg(F.count("*").alias("n"))
+               .withColumn("off", F.coalesce(F.sum("n").over(w_off),
+                                             F.lit(0)))
+               .select("bucket", "sub", "off"))
+    batched = (local.join(F.broadcast(offsets), ["bucket", "sub"])
+               .withColumn(
+                   "batch_id",
+                   F.floor((F.col("off") + F.col("r_local") - 1)
+                           / _X15_BATCH).cast("long")))
     per_batch = (batched.groupBy("bucket", "batch_id")
                  .agg(F.count("*").alias("n_docs"),
                       F.max("n_tok").alias("max_tok"),
