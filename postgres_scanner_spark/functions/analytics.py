@@ -80,11 +80,24 @@ ORDER BY status, priority
 
 # ---- W3: window rank — top-3 orders per priority by totalprice
 def w3_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group as a TWO-PHASE top-k: phase 1 ranks within
+    (priority, salt-of-64) partitions — fully parallel however hot a
+    priority is — and keeps each salt's top 3; phase 2 ranks the
+    ≤ |priorities|·64·3 survivors per priority. A one-phase
+    partitionBy(priority) window would pull a whole priority
+    (~corpus/5) through one task at scale. Identical output: any
+    group-wide top-3 row is also top-3 within its salt."""
     o = _t(spark, sf_dir, "orders")
+    salt = F.pmod(F.hash("o_orderkey"), F.lit(64))
+    w1 = Window.partitionBy("o_orderpriority", "salt").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    cand = (o.withColumn("salt", salt)
+            .withColumn("rk1", F.row_number().over(w1))
+            .filter(F.col("rk1") <= 3))
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), "o_orderkey")
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("o_orderpriority", "o_orderkey",
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -366,9 +379,14 @@ def x4_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and cluster sizes.
 
     Scale shape: one aggregate for the corpus totals (broadcast as a
-    scalar), one window per source for the greedy fill — the window
-    key is the source, so 100 TB spreads across sources; an extremely
-    hot source would be salted by hash-range instead."""
+    scalar); the greedy fill's running sum is HIERARCHICAL per source
+    (x5's idiom) — a source is few in number and can hold most of the
+    corpus, so a plain per-source cumsum window would serialize the
+    hot source through one task. Docs sub-bucket on the md5 sort-key
+    prefix (256 contiguous ranges of the fill order within each
+    source); the cumsum window partitions on (source, sub) — fully
+    parallel — and broadcast per-(source, sub) offsets restore the
+    exact per-source running total by associativity."""
     d = _t(spark, sf_dir, "documents")
     tok = F.size(F.split(F.col("text"), " "))
     w = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0,
@@ -382,10 +400,21 @@ def x4_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              * F.col("w") / F.col("total_w"))
     quotas = per_src.crossJoin(F.broadcast(totals)) \
         .select("source", quota.alias("quota"))
-    ww = Window.partitionBy("source") \
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    filled = (base.withColumn("cum_tok", F.sum("n_tok").over(ww))
+    hashed = (base
+              .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+              .withColumn("sub", F.substring("h", 1, 2)))
+    w_local = (Window.partitionBy("source", "sub").orderBy("h", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = hashed.withColumn("cum_local", F.sum("n_tok").over(w_local))
+    w_off = (Window.partitionBy("source").orderBy("sub")
+             .rowsBetween(Window.unboundedPreceding, -1))  # ≤256 rows
+    offs = (hashed.groupBy("source", "sub")
+            .agg(F.sum("n_tok").alias("n"))
+            .withColumn("off", F.coalesce(F.sum("n").over(w_off),
+                                          F.lit(0)))
+            .select("source", "sub", "off"))
+    filled = (local.join(F.broadcast(offs), ["source", "sub"])
+              .withColumn("cum_tok", F.col("off") + F.col("cum_local"))
               .join(quotas, "source")
               .filter(F.col("cum_tok") <= F.col("quota")))
     return (
@@ -1141,10 +1170,16 @@ def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stratifying per source prevents one high-scoring domain from
     crowding out the rest.
 
-    Scale design (100 TB): the rank window partitions on source, and
-    per-source counts ride the same window — one shuffle keyed on
-    source; an extremely hot source would be pre-aggregated by
-    hash-range (x6's bucket trick). Selection is a pure function of
+    Scale design (100 TB): the selection keeps 20% of each source, so
+    no top-k prune can shrink the ranked set — the RANK itself must
+    parallelize. It is HIERARCHICAL (x5's idiom adapted to a score
+    order): docs band on floor(diversity·64) — score bands are
+    contiguous ranges of the (diversity DESC, doc_id) order — the
+    row_number window partitions on (source, band), fully parallel,
+    and broadcast per-(source, band) offsets (cumsum over bands in
+    DESCENDING band order, ≤65 rows per source) restore the exact
+    per-source rank by associativity. Per-source counts come from
+    the same tiny band table. Selection stays a pure function of
     (score, doc_id) — reproducible across engines and cluster
     sizes."""
     d = _t(spark, sf_dir, "documents")
@@ -1152,10 +1187,22 @@ def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     div = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
     base = d.select("doc_id", "source", div.alias("diversity"),
                     F.size(toks).alias("n_tok"))
-    w = Window.partitionBy("source").orderBy(F.desc("diversity"), "doc_id")
-    w_all = Window.partitionBy("source")
-    ranked = (base.withColumn("rk", F.row_number().over(w))
-              .withColumn("n_src", F.count("*").over(w_all)))
+    base = base.withColumn(
+        "band", F.floor(F.col("diversity") * 64).cast("int"))
+    w_local = Window.partitionBy("source", "band").orderBy(
+        F.desc("diversity"), "doc_id")
+    local = base.withColumn("r_local", F.row_number().over(w_local))
+    bands = base.groupBy("source", "band").agg(F.count("*").alias("n"))
+    w_off = (Window.partitionBy("source").orderBy(F.desc("band"))
+             .rowsBetween(Window.unboundedPreceding, -1))  # ≤65 rows
+    w_src = Window.partitionBy("source")
+    offs = (bands
+            .withColumn("off", F.coalesce(F.sum("n").over(w_off),
+                                          F.lit(0)))
+            .withColumn("n_src", F.sum("n").over(w_src))
+            .select("source", "band", "off", "n_src"))
+    ranked = (local.join(F.broadcast(offs), ["source", "band"])
+              .withColumn("rk", F.col("off") + F.col("r_local")))
     kept = ranked.filter(
         F.col("rk") <= F.ceil(F.col("n_src") * F.lit(0.2)))
     return (
@@ -1599,12 +1646,25 @@ def x12_corpus_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sqrt("src_tokens")
                 / F.sum(F.sqrt("src_tokens")).over(w_all))
         .cast("long").alias("quota_tokens"))
-    w_sel = (Window.partitionBy("source")
-             .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    # hierarchical per-source exclusive cumsum (x4/x5's idiom): the
+    # hot source never serializes through one window task
+    kept_h = (kept
+              .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+              .withColumn("sub", F.substring("h", 1, 2)))
+    w_sel = (Window.partitionBy("source", "sub").orderBy("h", "doc_id")
              .rowsBetween(Window.unboundedPreceding, -1))
-    selected = (kept.join(F.broadcast(quota), "source")
+    w_soff = (Window.partitionBy("source").orderBy("sub")
+              .rowsBetween(Window.unboundedPreceding, -1))  # ≤256 rows
+    soffs = (kept_h.groupBy("source", "sub")
+             .agg(F.sum("n_tok").alias("n"))
+             .withColumn("off", F.coalesce(F.sum("n").over(w_soff),
+                                           F.lit(0)))
+             .select("source", "sub", "off"))
+    selected = (kept_h.join(F.broadcast(soffs), ["source", "sub"])
+                .join(F.broadcast(quota), "source")
                 .withColumn("cum_excl",
-                            F.coalesce(F.sum("n_tok").over(w_sel), F.lit(0)))
+                            F.col("off") + F.coalesce(
+                                F.sum("n_tok").over(w_sel), F.lit(0)))
                 .withColumn("sel", F.col("cum_excl") < F.col("quota_tokens")))
     funnel_raw = base.groupBy("source").agg(
         F.count("*").cast("long").alias("n_raw"))

@@ -967,11 +967,15 @@ def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference vocabulary on the word key — the same Zipf-hot
     token shuffle T9 documents (AQE skew split handles 'the'); the
     vocab-size/token-count scalars ride a 1-row broadcast. The
-    tercile window partitions by lang; at 100 TB the per-lang sort
-    becomes a range-partitioned global sort on (lang, score) —
-    Spark's TakeOrderedAndProject machinery, not a single-partition
-    window (lang cardinality is bounded but CCNet buckets per lang
-    anyway, so the x6 bucket-parallel trick applies per lang)."""
+    tercile assignment is HIERARCHICAL (x5's idiom on a score
+    order): lang cardinality is tiny, so a plain partitionBy(lang)
+    ntile window would pull a whole language through one task; docs
+    band on floor(8·avg_nll) — score bands are contiguous ranges of
+    the (avg_nll, doc_id) order — the rank window partitions on
+    (lang, band), fully parallel, broadcast per-(lang, band) offsets
+    restore the exact per-lang rank, and ntile(3) is computed from
+    (rank, n_lang) in closed form (first n%3 buckets hold n//3+1
+    rows — the SQL-standard NTILE split both engines implement)."""
     from pyspark.sql.window import Window
     d = _t(spark, sf_dir, "documents")
     tok = (d.select("doc_id", "lang", "source",
@@ -1000,11 +1004,34 @@ def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array_sort(F.collect_list(F.struct("w", "wl"))),
                  F.lit(0.0), lambda a, x: a + x["wl"]).alias("s")))
     nll = F.round(-F.col("s") / F.col("n_tok"), 6)
-    wt = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    docs = (per_doc.select("doc_id", "lang", "n_tok",
+                           nll.alias("avg_nll"))
+            .withColumn("band",
+                        F.floor(F.col("avg_nll") * 8).cast("int")))
+    w_local = Window.partitionBy("lang", "band").orderBy(
+        "avg_nll", "doc_id")
+    local = docs.withColumn("r_local", F.row_number().over(w_local))
+    bands = docs.groupBy("lang", "band").agg(F.count("*").alias("n"))
+    w_off = (Window.partitionBy("lang").orderBy("band")
+             .rowsBetween(Window.unboundedPreceding, -1))  # band-grain
+    w_lang = Window.partitionBy("lang")
+    offs = (bands
+            .withColumn("off", F.coalesce(F.sum("n").over(w_off),
+                                          F.lit(0)))
+            .withColumn("n_lang", F.sum("n").over(w_lang))
+            .select("lang", "band", "off", "n_lang"))
+    ranked = (local.join(F.broadcast(offs), ["lang", "band"])
+              .withColumn("rk", F.col("off") + F.col("r_local")))
+    # SQL-standard NTILE(3) from (rk, n_lang): the first n%3 buckets
+    # hold n//3+1 rows, the rest n//3
+    tercile = F.expr(
+        "CASE WHEN rk <= (n_lang % 3) * (n_lang DIV 3 + 1) "
+        "THEN (rk - 1) DIV (n_lang DIV 3 + 1) + 1 "
+        "ELSE (n_lang % 3) + (rk - 1 - (n_lang % 3) * "
+        "(n_lang DIV 3 + 1)) DIV greatest(n_lang DIV 3, 1) + 1 END")
     bucket = (F.when(F.col("tercile") == 1, "head")
               .when(F.col("tercile") == 2, "middle").otherwise("tail"))
-    return (per_doc.select("doc_id", "lang", "n_tok", nll.alias("avg_nll"))
-            .withColumn("tercile", F.ntile(3).over(wt))
+    return (ranked.withColumn("tercile", tercile)
             .select("doc_id", "lang", "n_tok", "avg_nll",
                     bucket.alias("ppl_bucket"))
             .orderBy("doc_id"))
