@@ -55,10 +55,14 @@ def ds1_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_nationkey")
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_dec"))
     )
-    w = Window.partitionBy("c_nationkey")
-    flagged = per_cust.withColumn(
-        "nation_avg",
-        F.sum("total_dec").over(w) / F.count("*").over(w))
+    # nation-grain averages as a groupBy + broadcast join, NOT an
+    # aggregate window over customer-grain rows: a window partitioned
+    # on ~25 nations would sort-and-scan customers/25 rows per task
+    # at scale; the join side is |nations| rows
+    nation_avg = (per_cust.groupBy("c_nationkey")
+                  .agg((F.sum("total_dec") / F.count("*"))
+                       .alias("nation_avg")))
+    flagged = per_cust.join(F.broadcast(nation_avg), "c_nationkey")
     return (
         flagged.filter(F.col("total_dec") > F.lit(1.2) * F.col("nation_avg"))
         .join(broadcast(n), F.col("c_nationkey") == n.n_nationkey)
@@ -242,10 +246,21 @@ def ds6_top_customers_per_region(spark: SparkSession,
         .groupBy("r_name", "c_custkey", "c_name")
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_dec"))
     )
+    # two-phase top-k (w3's idiom): rank inside (region, salt-of-64)
+    # partitions first — a region is ~customers/5, one task's worth
+    # under a plain per-region window at scale — then re-rank the
+    # bounded survivors; any region-wide top-3 row is top-3 in its
+    # salt, so the output is identical
+    w1 = Window.partitionBy("r_name", "salt").orderBy(
+        F.desc("total_dec"), F.col("c_custkey"))
+    cand = (per.withColumn("salt", F.pmod(F.hash("c_custkey"),
+                                          F.lit(64)))
+            .withColumn("rk1", F.row_number().over(w1))
+            .filter(F.col("rk1") <= 3))
     w = Window.partitionBy("r_name").orderBy(
         F.desc("total_dec"), F.col("c_custkey"))
     return (
-        per.withColumn("rnk", F.row_number().over(w).cast("long"))
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select(F.col("r_name").alias("region"), "rnk", "c_custkey",
                 "c_name", F.col("total_dec").cast("double").alias("spent"))

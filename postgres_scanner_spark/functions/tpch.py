@@ -547,9 +547,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_suppkey")
         .agg(_dbl(F.sum(_disc_price())).alias("total_revenue"))
     )
-    w = Window.partitionBy()
+    # global max as a 1-row broadcast scalar, not a partition-less
+    # window (which would sort every supplier through one task)
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("total_revenue").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
