@@ -87,18 +87,12 @@ def w3_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(priority) window would pull a whole priority
     (~corpus/5) through one task at scale. Identical output: any
     group-wide top-3 row is also top-3 within its salt."""
+    from ..hier import salted_topk
     o = _t(spark, sf_dir, "orders")
-    salt = F.pmod(F.hash("o_orderkey"), F.lit(64))
-    w1 = Window.partitionBy("o_orderpriority", "salt").orderBy(
-        F.desc("o_totalprice"), "o_orderkey")
-    cand = (o.withColumn("salt", salt)
-            .withColumn("rk1", F.row_number().over(w1))
-            .filter(F.col("rk1") <= 3))
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), "o_orderkey")
     return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        salted_topk(o, ["o_orderpriority"],
+                    [F.desc("o_totalprice"), F.col("o_orderkey")],
+                    3, "o_orderkey")
         .select("o_orderpriority", "o_orderkey",
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
                 F.col("rk").cast("int").alias("rk"))
@@ -400,21 +394,12 @@ def x4_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              * F.col("w") / F.col("total_w"))
     quotas = per_src.crossJoin(F.broadcast(totals)) \
         .select("source", quota.alias("quota"))
+    from ..hier import hier_cumsum
     hashed = (base
               .withColumn("h", F.md5(F.col("doc_id").cast("string")))
               .withColumn("sub", F.substring("h", 1, 2)))
-    w_local = (Window.partitionBy("source", "sub").orderBy("h", "doc_id")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = hashed.withColumn("cum_local", F.sum("n_tok").over(w_local))
-    w_off = (Window.partitionBy("source").orderBy("sub")
-             .rowsBetween(Window.unboundedPreceding, -1))  # ≤256 rows
-    offs = (hashed.groupBy("source", "sub")
-            .agg(F.sum("n_tok").alias("n"))
-            .withColumn("off", F.coalesce(F.sum("n").over(w_off),
-                                          F.lit(0)))
-            .select("source", "sub", "off"))
-    filled = (local.join(F.broadcast(offs), ["source", "sub"])
-              .withColumn("cum_tok", F.col("off") + F.col("cum_local"))
+    filled = (hier_cumsum(hashed, ["source"], ["h", "doc_id"], "sub",
+                          "n_tok", inclusive=True, out_col="cum_tok")
               .join(quotas, "source")
               .filter(F.col("cum_tok") <= F.col("quota")))
     return (
@@ -478,23 +463,15 @@ def x5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_offset + local_cumsum — byte-identical to the global window
     by associativity of +, which is exactly what the single-window
     oracle checks."""
+    from ..hier import hier_cumsum
     d = _t(spark, sf_dir, "documents")
     tok = F.size(F.split(F.col("text"), " "))
     h = F.md5(F.col("doc_id").cast("string"))
     base = d.select("doc_id", tok.alias("n_tok"), h.alias("h"),
                     F.substring(h, 1, 2).alias("bkt"))
-    w_local = (Window.partitionBy("bkt").orderBy("h", "doc_id")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = base.withColumn("local_end", F.sum("n_tok").over(w_local))
-    w_bkt = (Window.orderBy("bkt")
-             .rowsBetween(Window.unboundedPreceding, -1))   # ≤256 rows
-    offsets = (base.groupBy("bkt").agg(F.sum("n_tok").alias("bkt_tok"))
-               .select("bkt", F.coalesce(F.sum("bkt_tok").over(w_bkt),
-                                         F.lit(0)).alias("bkt_off")))
-    laid = (local.join(F.broadcast(offsets), "bkt")
-            .select("doc_id", "n_tok",
-                    (F.col("bkt_off") + F.col("local_end"))
-                    .alias("end_off"))
+    laid = (hier_cumsum(base, [], ["h", "doc_id"], "bkt", "n_tok",
+                        inclusive=True, out_col="end_off")
+            .select("doc_id", "n_tok", "end_off")
             .withColumn("start_off", F.col("end_off") - F.col("n_tok")))
     # integer division (DIV), not float floor: exact at any tape
     # offset, matching DuckDB's // operator bit-for-bit
@@ -1185,24 +1162,20 @@ def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     div = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+    from ..hier import hier_rank
     base = d.select("doc_id", "source", div.alias("diversity"),
                     F.size(toks).alias("n_tok"))
+    # band sentinel -1: a NULL score must stay a member (the count
+    # and the cutoff include it) and sort LAST under the DESC order,
+    # matching both engines' NULLS LAST — a NULL band key would
+    # silently fall out of the helper's equi-join instead
     base = base.withColumn(
-        "band", F.floor(F.col("diversity") * 64).cast("int"))
-    w_local = Window.partitionBy("source", "band").orderBy(
-        F.desc("diversity"), "doc_id")
-    local = base.withColumn("r_local", F.row_number().over(w_local))
-    bands = base.groupBy("source", "band").agg(F.count("*").alias("n"))
-    w_off = (Window.partitionBy("source").orderBy(F.desc("band"))
-             .rowsBetween(Window.unboundedPreceding, -1))  # ≤65 rows
-    w_src = Window.partitionBy("source")
-    offs = (bands
-            .withColumn("off", F.coalesce(F.sum("n").over(w_off),
-                                          F.lit(0)))
-            .withColumn("n_src", F.sum("n").over(w_src))
-            .select("source", "band", "off", "n_src"))
-    ranked = (local.join(F.broadcast(offs), ["source", "band"])
-              .withColumn("rk", F.col("off") + F.col("r_local")))
+        "band", F.coalesce(F.floor(F.col("diversity") * 64).cast("int"),
+                           F.lit(-1)))
+    ranked = hier_rank(
+        base, ["source"],
+        [F.desc_nulls_last("diversity"), F.col("doc_id")],
+        "band", band_desc=True, total_col="n_src")
     kept = ranked.filter(
         F.col("rk") <= F.ceil(F.col("n_src") * F.lit(0.2)))
     return (
@@ -1648,23 +1621,14 @@ def x12_corpus_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("quota_tokens"))
     # hierarchical per-source exclusive cumsum (x4/x5's idiom): the
     # hot source never serializes through one window task
+    from ..hier import hier_cumsum
     kept_h = (kept
               .withColumn("h", F.md5(F.col("doc_id").cast("string")))
               .withColumn("sub", F.substring("h", 1, 2)))
-    w_sel = (Window.partitionBy("source", "sub").orderBy("h", "doc_id")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    w_soff = (Window.partitionBy("source").orderBy("sub")
-              .rowsBetween(Window.unboundedPreceding, -1))  # ≤256 rows
-    soffs = (kept_h.groupBy("source", "sub")
-             .agg(F.sum("n_tok").alias("n"))
-             .withColumn("off", F.coalesce(F.sum("n").over(w_soff),
-                                           F.lit(0)))
-             .select("source", "sub", "off"))
-    selected = (kept_h.join(F.broadcast(soffs), ["source", "sub"])
+    selected = (hier_cumsum(kept_h, ["source"], ["h", "doc_id"], "sub",
+                            "n_tok", inclusive=False,
+                            out_col="cum_excl")
                 .join(F.broadcast(quota), "source")
-                .withColumn("cum_excl",
-                            F.col("off") + F.coalesce(
-                                F.sum("n_tok").over(w_sel), F.lit(0)))
                 .withColumn("sel", F.col("cum_excl") < F.col("quota_tokens")))
     funnel_raw = base.groupBy("source").agg(
         F.count("*").cast("long").alias("n_raw"))
@@ -1931,29 +1895,20 @@ def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
     associativity. The unbucketed baseline derives from the persisted
     bucket-grain rollup. Nothing orders the whole corpus — or a whole
     bucket — through one task anywhere."""
+    from ..hier import hier_rank
     from ..runtime import scratch_persist
     d = _t(spark, sf_dir, "documents")
-    base = d.select(
+    base = (d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tok"))
-    base = (base
-            .withColumn("bucket", F.expr(f"n_tok DIV {_X15_WIDTH}"))
-            .withColumn("h", F.md5(F.col("doc_id").cast("string")))
-            .withColumn("sub", F.substring("h", 1, 2)))
-    w_local = Window.partitionBy("bucket", "sub").orderBy("h", "doc_id")
-    local = base.withColumn("r_local", F.row_number().over(w_local))
-    w_off = (Window.partitionBy("bucket").orderBy("sub")
-             .rowsBetween(Window.unboundedPreceding, -1))  # ≤256 rows
-    offsets = (base.groupBy("bucket", "sub")
-               .agg(F.count("*").alias("n"))
-               .withColumn("off", F.coalesce(F.sum("n").over(w_off),
-                                             F.lit(0)))
-               .select("bucket", "sub", "off"))
-    batched = (local.join(F.broadcast(offsets), ["bucket", "sub"])
+        .withColumn("bucket", F.expr(f"n_tok DIV {_X15_WIDTH}"))
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("sub", F.substring("h", 1, 2)))
+    batched = (hier_rank(base, ["bucket"], ["h", "doc_id"], "sub")
                .withColumn(
                    "batch_id",
-                   F.floor((F.col("off") + F.col("r_local") - 1)
-                           / _X15_BATCH).cast("long")))
+                   F.floor((F.col("rk") - 1) / _X15_BATCH)
+                   .cast("long")))
     per_batch = (batched.groupBy("bucket", "batch_id")
                  .agg(F.count("*").alias("n_docs"),
                       F.max("n_tok").alias("max_tok"),

@@ -1004,24 +1004,24 @@ def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array_sort(F.collect_list(F.struct("w", "wl"))),
                  F.lit(0.0), lambda a, x: a + x["wl"]).alias("s")))
     nll = F.round(-F.col("s") / F.col("n_tok"), 6)
+    # band sentinel MAX_INT: a NULL score stays a member and sorts
+    # LAST under the ASC order on both engines (explicit nulls_last —
+    # DuckDB's default; Spark's asc default is nulls FIRST); a NULL
+    # band key would silently fall out of the equi-join below.
+    # persisted: the per-doc NLL aggregate (the join+ordered-sum the
+    # docstring calls the expensive half) feeds BOTH the rank window
+    # and the band counts.
+    from ..hier import hier_rank
     docs = (per_doc.select("doc_id", "lang", "n_tok",
                            nll.alias("avg_nll"))
             .withColumn("band",
-                        F.floor(F.col("avg_nll") * 8).cast("int")))
-    w_local = Window.partitionBy("lang", "band").orderBy(
-        "avg_nll", "doc_id")
-    local = docs.withColumn("r_local", F.row_number().over(w_local))
-    bands = docs.groupBy("lang", "band").agg(F.count("*").alias("n"))
-    w_off = (Window.partitionBy("lang").orderBy("band")
-             .rowsBetween(Window.unboundedPreceding, -1))  # band-grain
-    w_lang = Window.partitionBy("lang")
-    offs = (bands
-            .withColumn("off", F.coalesce(F.sum("n").over(w_off),
-                                          F.lit(0)))
-            .withColumn("n_lang", F.sum("n").over(w_lang))
-            .select("lang", "band", "off", "n_lang"))
-    ranked = (local.join(F.broadcast(offs), ["lang", "band"])
-              .withColumn("rk", F.col("off") + F.col("r_local")))
+                        F.coalesce(F.floor(F.col("avg_nll") * 8)
+                                   .cast("int"),
+                                   F.lit(2147483647))))
+    ranked = hier_rank(
+        docs, ["lang"],
+        [F.asc_nulls_last("avg_nll"), F.col("doc_id")],
+        "band", total_col="n_lang")
     # SQL-standard NTILE(3) from (rk, n_lang): the first n%3 buckets
     # hold n//3+1 rows, the rest n//3
     tercile = F.expr(

@@ -246,22 +246,14 @@ def ds6_top_customers_per_region(spark: SparkSession,
         .groupBy("r_name", "c_custkey", "c_name")
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_dec"))
     )
-    # two-phase top-k (w3's idiom): rank inside (region, salt-of-64)
-    # partitions first — a region is ~customers/5, one task's worth
-    # under a plain per-region window at scale — then re-rank the
-    # bounded survivors; any region-wide top-3 row is top-3 in its
-    # salt, so the output is identical
-    w1 = Window.partitionBy("r_name", "salt").orderBy(
-        F.desc("total_dec"), F.col("c_custkey"))
-    cand = (per.withColumn("salt", F.pmod(F.hash("c_custkey"),
-                                          F.lit(64)))
-            .withColumn("rk1", F.row_number().over(w1))
-            .filter(F.col("rk1") <= 3))
-    w = Window.partitionBy("r_name").orderBy(
-        F.desc("total_dec"), F.col("c_custkey"))
+    # two-phase top-k (hier.salted_topk): a region is ~customers/5,
+    # one task's worth under a plain per-region window at scale
+    from ..hier import salted_topk
     return (
-        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
+        salted_topk(per, ["r_name"],
+                    [F.desc("total_dec"), F.col("c_custkey")],
+                    3, "c_custkey")
+        .withColumn("rnk", F.col("rk").cast("long"))
         .select(F.col("r_name").alias("region"), "rnk", "c_custkey",
                 "c_name", F.col("total_dec").cast("double").alias("spent"))
         .orderBy("region", "rnk")

@@ -765,28 +765,19 @@ def m9_shard_repack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back as offsets; (3) global_prefix = bucket_offset +
     local_prefix. Identical to the global window by associativity of
     +, which is exactly what the single-window oracle checks."""
-    from pyspark.sql.window import Window
     from .. import tables
+    from ..hier import hier_cumsum
     tables.ensure_session_defaults(spark)
     d = tables.load(spark, sf_dir, "documents")
     member = d.select(
         "doc_id", (F.col("doc_id") / _M9_BUCKET).cast("long").alias("bkt"),
         (F.lit(512) + 512 * F.ceil(F.octet_length("text") / 512.0)
          .cast("long")).alias("bytes"))
-    w_local = (Window.partitionBy("bkt").orderBy("doc_id")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    local = member.withColumn(
-        "local_prefix", F.coalesce(F.sum("bytes").over(w_local), F.lit(0)))
-    totals = member.groupBy("bkt").agg(F.sum("bytes").alias("bkt_bytes"))
-    w_bkt = (Window.orderBy("bkt")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.select(
-        "bkt", F.coalesce(F.sum("bkt_bytes").over(w_bkt), F.lit(0))
-        .alias("bkt_offset"))
-    planned = (local.join(F.broadcast(offsets), "bkt")
+    planned = (hier_cumsum(member, [], ["doc_id"], "bkt", "bytes",
+                           inclusive=False, out_col="prefix")
                .select("doc_id", "bytes",
-                       ((F.col("bkt_offset") + F.col("local_prefix"))
-                        / _M9_SHARD_BYTES).cast("long").alias("shard_id")))
+                       (F.col("prefix") / _M9_SHARD_BYTES)
+                       .cast("long").alias("shard_id")))
     return (planned.groupBy("shard_id")
             .agg(F.count("*").cast("long").alias("n_members"),
                  F.sum("bytes").cast("long").alias("shard_bytes"),

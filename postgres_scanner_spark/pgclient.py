@@ -908,17 +908,17 @@ class Connection:
         the socket of THIS attempt is closed before the exception
         propagates — the prefer/allow retries above must never leak
         the first attempt's fd."""
-        # libpq connect_timeout: bound the TCP connect (and the unix
-        # connect) — a dead host must fail fast, not hang the task.
-        # The socket returns to blocking mode for the protocol phase.
-        # Unparseable / non-positive values wait indefinitely, like
-        # libpq's atoi() handling.
-        try:
-            timeout = float(info.options.get("connect_timeout") or 0)
-        except ValueError:
-            timeout = 0.0
-        if timeout <= 0:
-            timeout = None          # libpq: 0 = wait indefinitely
+        # libpq connect_timeout: bound the WHOLE connection attempt —
+        # TCP/unix connect, SSL negotiation, startup, and auth — not
+        # just the SYN (a postmaster that accepts and then hangs must
+        # still fail fast). Parsed with atoi semantics ('5abc' → 5;
+        # unparseable/non-positive → wait indefinitely) and libpq's
+        # 2-second minimum. The socket returns to blocking mode for
+        # the protocol phase once authentication completes.
+        m = re.match(r"\s*([+-]?\d+)",
+                     info.options.get("connect_timeout") or "")
+        timeout = float(m.group(1)) if m else 0.0
+        timeout = max(timeout, 2.0) if timeout > 0 else None
         if host.startswith("/"):
             # unix sockets are never SSL-wrapped (libpq semantics:
             # sslmode is ignored for local sockets)
@@ -926,14 +926,12 @@ class Connection:
             try:
                 sock.settimeout(timeout)
                 sock.connect(f"{host}/.s.PGSQL.{info.port}")
-                sock.settimeout(None)
             except BaseException:
                 sock.close()       # a failed attempt never leaks a fd
                 raise
         else:
             sock = socket.create_connection((host, info.port),
                                             timeout=timeout)
-            sock.settimeout(None)
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         try:
             if not host.startswith("/") and \
@@ -951,6 +949,7 @@ class Connection:
             self._proto.send_startup(user, info.dbname or user)
             self._proto.authenticate(user, info.password,
                                      channel_binding=self._cb_mode)
+            sock.settimeout(None)   # handshake done: blocking mode
         except BaseException:
             self.ssl_in_use = False
             try:

@@ -16,10 +16,10 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+sys.path.insert(0, str(_REPO / "tests"))
 
-from bench import HEADLINE  # noqa: E402 — single source for the set
+from bench import HEADLINE        # noqa: E402 — single source
+from oracle_harness import TABLES  # noqa: E402 — single source
 
 
 def main() -> None:
