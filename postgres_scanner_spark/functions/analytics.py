@@ -1982,8 +1982,13 @@ def x16_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline: every cross-row float sum (per-source
     diversity, cross-source mean, softmax normalizer) is decimal-cast
-    before summing, so aggregation ORDER cannot perturb a bit; exp and
-    the two divisions happen once per source on identical inputs.
+    before summing, so aggregation ORDER cannot perturb a bit; loss is
+    ROUNDed to 6 decimals BEFORE exp (and before the mean) so both
+    engines exponentiate identical shortened inputs — decimal-division
+    scale rules differ between engines, and a last-ulp disagreement in
+    the raw quotient must not reach exp where ROUND(weight, 6) could
+    flip on a boundary; exp and the two divisions then happen once per
+    source on identical inputs.
 
     Scale: per-doc work is one map; the rest is a source-grain
     aggregate (|sources| rows) — the whole update is one shuffle on
@@ -1999,7 +2004,8 @@ def x16_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("div").cast(dec)).alias("sdiv"))
     loss = per_src.select(
         "source", "n_docs",
-        (F.col("sdiv") / F.col("n_docs")).cast("double").alias("loss"))
+        F.round((F.col("sdiv") / F.col("n_docs")).cast("double"), 6)
+         .alias("loss"))
     mean = loss.agg(
         (F.sum(F.col("loss").cast(dec)) / F.count("*"))
         .cast("double").alias("mean_loss"))
@@ -2009,8 +2015,7 @@ def x16_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       - F.col("mean_loss")))))
     norm = raw.agg(F.sum(F.col("wr").cast(dec)).alias("swr"))
     return (raw.crossJoin(F.broadcast(norm))
-            .select("source", "n_docs",
-                    F.round("loss", 6).alias("loss"),
+            .select("source", "n_docs", "loss",
                     F.round(F.col("wr") / F.col("swr").cast("double"),
                             6).alias("weight"))
             .orderBy("source"))
@@ -2027,14 +2032,15 @@ per_src AS (
          SUM(CAST(div AS DECIMAL(28,15))) AS sdiv
   FROM per_doc GROUP BY source),
 l AS (SELECT source, n_docs,
-             CAST(sdiv / n_docs AS DOUBLE) AS loss FROM per_src),
+             ROUND(CAST(sdiv / n_docs AS DOUBLE), 6) AS loss
+      FROM per_src),
 m AS (SELECT CAST(SUM(CAST(loss AS DECIMAL(28,15))) / COUNT(*)
               AS DOUBLE) AS mean_loss FROM l),
 r AS (SELECT source, n_docs, loss,
              exp({_X16_ETA} * (loss - mean_loss)) AS wr
       FROM l, m),
 s AS (SELECT SUM(CAST(wr AS DECIMAL(28,15))) AS swr FROM r)
-SELECT source, n_docs, ROUND(loss, 6) AS loss,
+SELECT source, n_docs, loss,
        ROUND(wr / CAST(swr AS DOUBLE), 6) AS weight
 FROM r, s ORDER BY source
 """

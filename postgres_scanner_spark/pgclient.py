@@ -208,8 +208,12 @@ def _parse_array_text(s: str, dec) -> list:
     """PG array output syntax → (possibly nested) Python list:
     '{1,2,3}', '{{1,2},{3,4}}', '{"a b","c\\"d",NULL}', '{}', and the
     explicit-bounds prefix '[0:2]={...}'. Double-quoted elements
-    un-escape \\" and \\\\; bare NULL is None."""
+    un-escape \\" and \\\\; bare NULL is None. Malformed input (no
+    '{', truncated text, unterminated quote) raises the module's
+    Error — never a raw IndexError from the scan loop."""
     i = s.find("{")            # skip any [lo:hi]= bounds decoration
+    if i == -1:
+        raise Error({"M": f"malformed array literal: {s!r}"})
     pos = i
 
     def parse() -> list:
@@ -246,7 +250,10 @@ def _parse_array_text(s: str, dec) -> list:
                 pos += 1
                 return out
 
-    return parse()
+    try:
+        return parse()
+    except IndexError:
+        raise Error({"M": f"malformed array literal: {s!r}"}) from None
 
 
 def _decode(oid: int, raw: bytes):
@@ -273,22 +280,62 @@ def _column(name: str, oid: int, typmod: int) -> Column:
 
 
 # ------------------------------------------------- SCRAM-SHA-256
+# RFC 3454 table B.1 (map-to-nothing) — the full published set, not
+# just category Cf: U+034F COMBINING GRAPHEME JOINER and the
+# variation selectors U+180B-D / U+FE00-0F are category Mn, so a
+# Cf-only filter keeps them and derives a salted key different from
+# the server's pg_saslprep.
+_SASLPREP_B1 = frozenset(
+    {0x00AD, 0x034F, 0x1806, 0x180B, 0x180C, 0x180D,
+     0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF}
+    | set(range(0xFE00, 0xFE10)))
+
+
+def _saslprep_prohibited(ch: str) -> bool:
+    """RFC 4013 §2.3 prohibited output (post-normalization): control
+    characters (C.2), surrogates (C.5), private use (C.3),
+    non-characters (C.4), plus the C.6-C.9 plane-0 oddballs that
+    fall in Cf/Cs/Co. Zs was already mapped to space."""
+    cp = ord(ch)
+    cat = unicodedata.category(ch)
+    return (cat in ("Cc", "Cs", "Co", "Cn")
+            or 0xFDD0 <= cp <= 0xFDEF
+            or (cp & 0xFFFE) == 0xFFFE
+            or (cat == "Cf" and cp not in _SASLPREP_B1))
+
+
 def _saslprep(s: str) -> str:
-    """Minimal SASLprep (RFC 4013): pure-ASCII strings pass through
-    (the common case, and what libpq fast-paths); otherwise map
-    non-ASCII spaces to space, drop map-to-nothing characters, and
-    NFKC-normalize. Enough for every password PG itself accepts."""
+    """SASLprep (RFC 4013) with PostgreSQL's pg_saslprep fallback
+    semantics: pure-ASCII strings pass through (libpq's fast path);
+    otherwise map non-ASCII spaces to space, drop the RFC 3454 B.1
+    map-to-nothing set, NFKC-normalize, then check prohibited output
+    and the §2.4 bidi rules. When a check fails, PG — on BOTH the
+    libpq and server side — uses the RAW password instead of
+    erroring (src/common/saslprep.c returns SASLPREP_PROHIBITED and
+    the caller keeps the original string), so we do the same: that
+    is what keeps the client proof and the server verifier derived
+    from identical bytes."""
     if s.isascii():
         return s
     out = []
     for ch in s:
+        if ord(ch) in _SASLPREP_B1:
+            continue                       # map-to-nothing (B.1)
         if unicodedata.category(ch) == "Zs":
             out.append(" ")
-        elif unicodedata.category(ch) == "Cf":
-            continue                       # map-to-nothing
         else:
             out.append(ch)
-    return unicodedata.normalize("NFKC", "".join(out))
+    norm = unicodedata.normalize("NFKC", "".join(out))
+    if not norm or any(_saslprep_prohibited(ch) for ch in norm):
+        return s                           # pg_saslprep fallback
+    bidi = [unicodedata.bidirectional(ch) for ch in norm]
+    if any(b in ("R", "AL") for b in bidi):
+        # RandALCat present: no LCat anywhere, and the string must
+        # start AND end with RandALCat (RFC 3454 §6)
+        if any(b == "L" for b in bidi) or \
+                bidi[0] not in ("R", "AL") or bidi[-1] not in ("R", "AL"):
+            return s                       # pg_saslprep fallback
+    return norm
 
 
 class ScramClient:
@@ -416,20 +463,22 @@ def negotiate_ssl(sock: socket.socket, host: str, sslmode: str,
                           f"{answer!r}"})
     ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
     rootcert = options.get("sslrootcert")
-    if sslmode == "verify-full":
-        ctx.check_hostname = True
+    if sslmode in ("verify-ca", "verify-full"):
+        ctx.check_hostname = sslmode == "verify-full"
         ctx.verify_mode = _ssl.CERT_REQUIRED
-        if rootcert:
-            ctx.load_verify_locations(rootcert)
-        else:
-            ctx.load_default_certs()
-    elif sslmode == "verify-ca":
-        ctx.check_hostname = False
-        ctx.verify_mode = _ssl.CERT_REQUIRED
-        if rootcert:
-            ctx.load_verify_locations(rootcert)
-        else:
-            ctx.load_default_certs()
+        if not rootcert:
+            # libpq semantics: verify-* without sslrootcert reads
+            # ~/.postgresql/root.crt and FAILS if it is absent — it
+            # never silently falls back to the system trust store
+            # (a DSN libpq rejects must not connect here with a
+            # different trust anchor)
+            rootcert = os.path.expanduser("~/.postgresql/root.crt")
+            if not os.path.exists(rootcert):
+                raise Error({
+                    "M": f'root certificate file "{rootcert}" does '
+                         f"not exist; provide sslrootcert or place "
+                         f"the CA there for sslmode={sslmode}"})
+        ctx.load_verify_locations(rootcert)
     else:                                  # prefer / require / allow
         ctx.check_hostname = False
         ctx.verify_mode = _ssl.CERT_NONE
@@ -885,22 +934,34 @@ class Connection:
             raise Error(
                 {"M": f"invalid channel_binding {self._cb_mode!r}"})
         self.ssl_in_use = False
+        self._attempt_was_ssl = False
         try:
             self._handshake(info, user, host, sslmode)
         except _SSLNegotiationFailed:
-            # libpq 'prefer': an SSL-LAYER failure (handshake error,
-            # not an auth/server error) retries the same server over
-            # a fresh plaintext connection
+            # libpq 'prefer': a broken TLS handshake retries the same
+            # server over a fresh plaintext connection
             if sslmode != "prefer":
                 raise
             self._handshake(info, user, host, "disable")
+        except ConnectionClosed:
+            raise                  # socket died — no server verdict
         except Error:
-            # libpq 'allow': try plaintext FIRST, fall back to SSL
-            # only if the server turns the clear connection away
-            # (e.g. an hostssl-only pg_hba)
-            if sslmode != "allow" or host.startswith("/"):
+            if sslmode == "prefer" and self._attempt_was_ssl:
+                # libpq 'prefer' also retries plaintext when the
+                # SERVER rejects the encrypted connection after the
+                # handshake — e.g. a hostnossl pg_hba reject arriving
+                # as an ErrorResponse during startup/auth. Only when
+                # the failed attempt actually ran over TLS: if the
+                # server answered 'N' to SSLRequest we were already
+                # in plaintext and a retry would change nothing.
+                self._handshake(info, user, host, "disable")
+            elif sslmode == "allow" and not host.startswith("/"):
+                # libpq 'allow': plaintext FIRST, fall back to SSL
+                # only if the server turns the clear connection away
+                # (e.g. an hostssl-only pg_hba)
+                self._handshake(info, user, host, "require")
+            else:
                 raise
-            self._handshake(info, user, host, "require")
 
     def _handshake(self, info, user: str, host: str,
                    sslmode: str) -> None:
@@ -951,6 +1012,9 @@ class Connection:
                                      channel_binding=self._cb_mode)
             sock.settimeout(None)   # handshake done: blocking mode
         except BaseException:
+            # remember whether THIS failed attempt was encrypted —
+            # prefer's plaintext retry keys off it (see __init__)
+            self._attempt_was_ssl = self.ssl_in_use
             self.ssl_in_use = False
             try:
                 sock.close()

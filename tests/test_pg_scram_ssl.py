@@ -133,6 +133,52 @@ def test_saslprep_ascii_and_unicode():
     assert _saslprep("Ⅸ") == "IX"      # roman numeral nine
 
 
+def test_saslprep_b1_non_cf_map_to_nothing():
+    """RFC 3454 B.1 includes non-Cf code points (U+034F combining
+    grapheme joiner, U+180B-D and U+FE00-0F variation selectors — all
+    category Mn); a Cf-only filter kept them and derived a salted key
+    different from the server's pg_saslprep."""
+    from postgres_scanner_spark.pgclient import _saslprep
+    assert _saslprep("pa͏ss") == "pass"
+    assert _saslprep("pa️ss") == "pass"
+    assert _saslprep("pa᠋ss") == "pass"
+    assert _saslprep("pa‍ss") == "pass"   # ZWJ (Cf, also B.1)
+
+
+def test_saslprep_prohibited_falls_back_to_raw():
+    """PG's pg_saslprep (src/common/saslprep.c) returns PROHIBITED
+    for control chars / bidi violations and the caller keeps the RAW
+    password on BOTH sides — so the client must do the same, not
+    raise and not send a proof derived from a silently-different
+    string."""
+    from postgres_scanner_spark.pgclient import _saslprep
+    # non-ASCII string containing a C0 control → raw fallback
+    s = "pé\x07ss"
+    assert _saslprep(s) == s
+    # RandALCat mixed with LCat (bidi §6 violation) → raw fallback
+    s = "aאbé"
+    assert _saslprep(s) == s
+    # RandALCat not at both ends → raw fallback
+    s = "אxé"
+    assert _saslprep(s) == s
+    # all-RandALCat is fine and normalizes
+    assert _saslprep("אב") == "אב"
+    # normalization still applies to clean non-ASCII input
+    assert _saslprep("étude") == "étude"
+
+
+def test_array_text_parser_malformed_raises_module_error():
+    """Malformed array text (no '{', truncated, unterminated quote)
+    must raise the module's Error, never a raw IndexError, and never
+    silently misparse."""
+    import pytest
+    from postgres_scanner_spark.pgclient import Error, _parse_array_text
+    for bad in ["", "abc", "[0:2]=", "{1,2", '{"unterminated',
+                "{1,2,", "{{1,2}", '{"a\\']:
+        with pytest.raises(Error):
+            _parse_array_text(bad, str)
+
+
 def test_escape_nonfinite_floats():
     """inf/nan must render as PG's quoted spellings, not bare words
     (a bare `inf` is a server-side syntax error)."""
