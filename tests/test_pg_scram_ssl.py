@@ -731,3 +731,196 @@ def test_copy_error_drains_ready(pgs):
     assert cur.fetchone() == (11,)
     cur.execute("SELECT 12")
     assert cur.fetchone() == (12,)
+
+
+# ------------------------------------- failure-mode matrix (round 9)
+def _self_signed_pem(tmpdir, days_ago_start, days_ago_end):
+    """Self-signed localhost cert valid over the given window
+    (negative days-ago = future); returns (certfile, keyfile)."""
+    import datetime
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=days_ago_start))
+            .not_valid_after(now - datetime.timedelta(days=days_ago_end))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.DNSName("localhost"),
+                 x509.IPAddress(__import__("ipaddress")
+                                .ip_address("127.0.0.1"))]),
+                critical=False)
+            .sign(key, hashes.SHA256()))
+    crt = f"{tmpdir}/mitm.crt"
+    kf = f"{tmpdir}/mitm.key"
+    with open(crt, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(kf, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption()))
+    return crt, kf
+
+
+def test_scram_wrong_password_failure_modes(pg_ssl_server):
+    """Wrong password surfaces the server's 28P01 on every auth
+    shape — plain SCRAM, SCRAM-PLUS (channel_binding=require), and
+    verify-full — never a masked protocol error or a silent retry
+    that changes the failure."""
+    from postgres_scanner_spark import pgclient
+    dsn, crt = pg_ssl_server
+    bad = dsn.replace(f"password='{PG_PASSWORD}'", "password=wrong")
+    for extra in ("", " channel_binding=require",
+                  f" sslrootcert={crt}"):
+        d = bad + extra
+        if "sslrootcert" in extra:
+            d = d.replace("sslmode=require", "sslmode=verify-full")
+        with pytest.raises(pgclient.Error) as ei:
+            pgclient.connect(d)
+        assert ei.value.sqlstate == "28P01", (extra, ei.value.fields)
+        assert "password authentication failed" in str(ei.value)
+
+
+def test_expired_server_cert_rejected_under_verify(tmp_path):
+    """A TLS endpoint presenting an EXPIRED certificate must fail
+    verify-ca/verify-full chain validation with a certificate-expired
+    error — even when the expired cert itself is the pinned root
+    (trust does not bypass validity dates)."""
+    import socket as _socket
+    import ssl as _ssl2
+    import threading
+
+    pytest.importorskip("cryptography")
+    from postgres_scanner_spark import pgclient
+    crt, key = _self_signed_pem(str(tmp_path), 30, 1)   # expired 1d ago
+
+    srv = _socket.socket()
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+    ctx = _ssl2.SSLContext(_ssl2.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+
+    def serve():
+        while True:
+            try:
+                c, _ = srv.accept()
+            except OSError:
+                return
+            try:
+                c.recv(8)                   # SSLRequest
+                c.sendall(b"S")
+                ctx.wrap_socket(c, server_side=True)
+            except (OSError, _ssl2.SSLError):
+                pass
+            finally:
+                c.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        for mode in ("verify-ca", "verify-full"):
+            with pytest.raises((pgclient.Error, OSError),
+                               match="expired|SSL"):
+                pgclient.connect(
+                    f"host=127.0.0.1 port={port} user=u password=p "
+                    f"dbname=d sslmode={mode} sslrootcert={crt} "
+                    f"connect_timeout=5")
+    finally:
+        srv.close()
+
+
+def test_channel_binding_detects_tls_rewrap_mitm(pg_ssl_server,
+                                                 tmp_path):
+    """RFC 5929 tls-server-end-point, live: a MITM that re-terminates
+    TLS with its own certificate and proxies the bytes to the real
+    server is DETECTED by SCRAM-SHA-256-PLUS — the client mixes the
+    attacker cert's hash into the channel-binding data, the server
+    computes its own cert's hash, and authentication fails. The same
+    proxy with channel_binding=disable connects fine (negative
+    control: the binding, not the proxy plumbing, is the detector)."""
+    import socket as _socket
+    import ssl as _ssl2
+    import threading
+
+    pytest.importorskip("cryptography")
+    from postgres_scanner_spark import pgclient
+    dsn, _ = pg_ssl_server
+    crt, key = _self_signed_pem(str(tmp_path), 1, -30)  # valid cert
+
+    srv = _socket.socket()
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    mitm_port = srv.getsockname()[1]
+    attacker_ctx = _ssl2.SSLContext(_ssl2.PROTOCOL_TLS_SERVER)
+    attacker_ctx.load_cert_chain(crt, key)
+
+    def pump(a, b):
+        try:
+            while True:
+                d = a.recv(65536)
+                if not d:
+                    break
+                b.sendall(d)
+        except OSError:
+            pass
+        finally:
+            for s in (a, b):
+                try:
+                    s.shutdown(_socket.SHUT_RDWR)
+                except OSError:
+                    pass
+
+    def handle(client):
+        try:
+            client.recv(8)                  # client's SSLRequest
+            client.sendall(b"S")
+            tls_client = attacker_ctx.wrap_socket(client,
+                                                  server_side=True)
+            up = _socket.create_connection(("127.0.0.1", PG_SSL_PORT),
+                                           timeout=10)
+            up.sendall(bytes.fromhex("0000000804d2162f"))  # SSLRequest
+            assert up.recv(1) == b"S"
+            upctx = _ssl2.SSLContext(_ssl2.PROTOCOL_TLS_CLIENT)
+            upctx.check_hostname = False
+            upctx.verify_mode = _ssl2.CERT_NONE
+            tls_up = upctx.wrap_socket(up)
+            threading.Thread(target=pump, args=(tls_client, tls_up),
+                             daemon=True).start()
+            pump(tls_up, tls_client)
+        except (OSError, _ssl2.SSLError):
+            client.close()
+
+    def serve():
+        while True:
+            try:
+                c, _ = srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=handle, args=(c,),
+                             daemon=True).start()
+
+    threading.Thread(target=serve, daemon=True).start()
+    mitm_dsn = dsn.replace(f"port={PG_SSL_PORT}", f"port={mitm_port}")
+    try:
+        # negative control: without binding the MITM is invisible
+        con = pgclient.connect(mitm_dsn + " channel_binding=disable")
+        assert con.ssl_in_use is True
+        assert con.execute("SELECT 42").fetchone() == (42,)
+        con.close()
+        # with -PLUS required: the rewrapped cert hash breaks the proof
+        with pytest.raises(pgclient.Error):
+            pgclient.connect(mitm_dsn + " channel_binding=require")
+    finally:
+        srv.close()
