@@ -41,17 +41,67 @@ _MODULES = (
 # Registration order = certification ROTATION. The driver grades
 # queries() in iteration order and hard-caps the record at 50 entries
 # (a count cap, so cost can't move it). Round 7 closed the registry:
-# every query has >=1 green driver row across r1-r7. From round 8 the
-# order is FRESHNESS-ROTATED: queries sorted by the round of their
-# most recent green CORRECTNESS row, oldest first (ties keep the
-# prior cost-ascending order), so each round's 50-query window
-# re-certifies the stalest cohort. For r8 that is the 6 r2-certified
-# dedup/ANN headliners, the 25 r4 cohort, and the 19 cheapest of the
-# r5 cohort. Regenerate with tools/rotate_order.py after each round.
+# every query has >=1 green driver row across r1-r7. From round 9 the
+# order ranks (1) never-graded queries, then (2) queries whose
+# defining function was COMMITTED AFTER their latest green
+# CORRECTNESS row was recorded — a green row for pre-rewrite code is
+# not a cert for the current code — then (3) plain oldest-cert-first;
+# ties keep the prior cost-ascending order. For r9 tier 2 holds the
+# 13 hier.py-sweep rewrites plus 7 other post-cert edits (incl. the
+# r9 x16 rounding fix); the rest of the window is the r5 cohort.
+# Regenerate with tools/rotate_order.py --write after each round
+# (--explain shows the per-query evidence).
 _COST_ORDER = [
-    "e23_stateful_quota_admission",     # new in r8 — never graded
-    "x15_length_bucketed_batches",      # new in r8 — never graded
-    "x16_domain_reweight",              # new in r8 — never graded
+    "t2_quality_score", "x5_sequence_pack", "x11_quality_topk_sample",
+    "w3_window_rank", "q15_top_supplier", "e17_streaming_dedup_ingest",
+    "t17_perplexity_buckets", "m9_shard_repack_plan",
+    "x12_corpus_compile", "e20_streaming_neardup_ingest",
+    "d17_lsh_param_sweep", "w19_ema_daily_revenue",
+    "ds1_above_avg_customers", "ds6_top_customers_per_region",
+    "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",
+    "x4_source_mix", "e7_streaming_dedup", "e6_stateful_anomaly",
+    "x16_domain_reweight", "w2_cube", "p3_decimals",
+    "p7_timestamp_parts", "p11_struct_fields", "p10_verify_checksum",
+    "x8_epoch_plan", "p8_json", "w4_moving_avg",
+    "q19_discounted_revenue", "p9_uuid", "t1_language_id",
+    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
+    "ds3_brand_year", "q14_promo_effect", "w5_lag_delta",
+    "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
+    "ds8_customer_cohort", "q21_suppliers_waiting", "m2_frame_sample",
+    "m7_npy_tensor_parse", "e1_hourly_event_rollup",
+    "ds12_order_size_band", "ds14_shipping_lag", "x7_dataset_card",
+    "ds10_avg_measures", "a9_mih_hamming_ann", "w15_gapfill_locf",
+    "w16_time_weighted_avg", "e18_streaming_quality_router",
+    "w17_ohlc_bars", "e19_idempotent_replay",
+    "ds15_channel_growth_ratio", "ds16_above_avg_balance_nations",
+    "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
+    "ds19_two_fact_growth", "ds20_category_share_window",
+    "ds21_disjunctive_bands", "a10_filtered_ann", "d15_source_overlap",
+    "d16_cdc_chunk_dedup", "w18_retention_cohorts",
+    "e21_watermark_dedup", "x13_neardup_safe_split",
+    "m10_webdataset_samples", "a11_mmr_diversified",
+    "p14_timezone_convert", "m11_parquet_footer_manifest",
+    "x14_snapshot_diff", "d18_doc_novelty", "w9_continuous_aggregate",
+    "w14_first_touch", "w12_range_frame", "w11_grouping_sets",
+    "w13_dist_windows", "w10_skew_join", "x6_global_shuffle",
+    "e2_sessionization", "d8_incremental_dedup", "m5_video_container",
+    "m4_wav_features", "t18_script_id", "d19_unicode_shingle_dedup",
+    "t19_source_kl_divergence", "a12_ivfpq_ann", "w20_asof_directional",
+    "m3_image_dims", "ds7_yoy_growth", "m8_jsonl_shard_codec",
+    "ds5_nation_share", "ds9_channel_rollup", "m6_tar_shard_manifest",
+    "a4_knn_label", "d10_boilerplate_removal", "ds13_low_revenue_parts",
+    "d7_contamination", "e12_stream_static_join", "a6_kmeans_lloyd",
+    "e13_checkpoint_resume", "a3_ivf_ann", "e11_streaming_sessions",
+    "a5_pq_ann", "a8_sq8_ann", "e9_stream_ingest_store",
+    "m1_decode_features", "w8_range_join", "d11_verbatim_spans",
+    "e10_late_data_policy", "d9_incremental_lsh", "e3_streaming_hourly",
+    "e15_stream_left_outer", "e8_stream_stream_join",
+    "e14_streaming_upsert", "a2_lsh_ann", "d13_dedup_apply",
+    "d6_dedup_clusters", "a7_ann_recall", "e16_connector_stream",
+    "d12_dedup_eval", "w6_asof_join", "x1_sketch_aggregates",
+    "p13_range_arrays", "t16_quality_classifier", "t14_bpe_train",
+    "t15_bpe_encode", "d14_semantic_dedup",
+    "e23_stateful_quota_admission", "x15_length_bucketed_batches",
     "d1_exact_dedup", "a1_cosine_topk", "d3_simhash_dedup",
     "d5_embedding_dedup", "d2_minhash_lsh_dedup", "d4_ngram_jaccard",
     "q13_customer_distribution", "q20_potential_promo", "t12_zipf_fit",
@@ -68,55 +118,6 @@ _COST_ORDER = [
     "e5_event_funnel", "p4_filter_pushdown", "p6_interval",
     "t3_token_count", "p2_nulls", "t4_fingerprint",
     "t13_context_chunks", "p5_arrays", "x3_vocab_topk",
-    "t2_quality_score", "w2_cube", "p3_decimals", "p7_timestamp_parts",
-    "x5_sequence_pack", "p11_struct_fields", "p10_verify_checksum",
-    "x8_epoch_plan", "p8_json", "w4_moving_avg",
-    "q19_discounted_revenue", "p9_uuid", "t1_language_id",
-    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
-    "ds3_brand_year", "q14_promo_effect", "x11_quality_topk_sample",
-    "w5_lag_delta", "w3_window_rank", "ds2_weekday_share",
-    "w7_percentiles", "q17_small_quantity", "ds8_customer_cohort",
-    "q21_suppliers_waiting", "m2_frame_sample", "m7_npy_tensor_parse",
-    "e1_hourly_event_rollup", "ds12_order_size_band",
-    "ds14_shipping_lag", "q15_top_supplier", "x7_dataset_card",
-    "ds10_avg_measures", "e17_streaming_dedup_ingest",
-    "a9_mih_hamming_ann", "w15_gapfill_locf", "t17_perplexity_buckets",
-    "m9_shard_repack_plan", "w16_time_weighted_avg",
-    "e18_streaming_quality_router", "x12_corpus_compile",
-    "w17_ohlc_bars", "e19_idempotent_replay",
-    "ds15_channel_growth_ratio", "ds16_above_avg_balance_nations",
-    "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
-    "ds19_two_fact_growth", "ds20_category_share_window",
-    "ds21_disjunctive_bands", "a10_filtered_ann", "d15_source_overlap",
-    "d16_cdc_chunk_dedup", "e20_streaming_neardup_ingest",
-    "w18_retention_cohorts", "e21_watermark_dedup",
-    "x13_neardup_safe_split", "m10_webdataset_samples",
-    "a11_mmr_diversified", "p14_timezone_convert",
-    "m11_parquet_footer_manifest", "d17_lsh_param_sweep",
-    "w19_ema_daily_revenue", "x14_snapshot_diff", "d18_doc_novelty",
-    "w9_continuous_aggregate", "w14_first_touch", "w12_range_frame",
-    "w11_grouping_sets", "w13_dist_windows", "w10_skew_join",
-    "ds1_above_avg_customers", "ds6_top_customers_per_region",
-    "x6_global_shuffle", "e2_sessionization", "d8_incremental_dedup",
-    "m5_video_container", "m4_wav_features", "t18_script_id",
-    "d19_unicode_shingle_dedup", "t19_source_kl_divergence",
-    "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",
-    "a12_ivfpq_ann", "w20_asof_directional", "x4_source_mix",
-    "m3_image_dims", "ds7_yoy_growth", "m8_jsonl_shard_codec",
-    "ds5_nation_share", "ds9_channel_rollup", "m6_tar_shard_manifest",
-    "a4_knn_label", "d10_boilerplate_removal", "ds13_low_revenue_parts",
-    "d7_contamination", "e7_streaming_dedup", "e12_stream_static_join",
-    "a6_kmeans_lloyd", "e13_checkpoint_resume", "a3_ivf_ann",
-    "e11_streaming_sessions", "a5_pq_ann", "a8_sq8_ann",
-    "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
-    "d11_verbatim_spans", "e6_stateful_anomaly", "e10_late_data_policy",
-    "d9_incremental_lsh", "e3_streaming_hourly",
-    "e15_stream_left_outer", "e8_stream_stream_join",
-    "e14_streaming_upsert", "a2_lsh_ann", "d13_dedup_apply",
-    "d6_dedup_clusters", "a7_ann_recall", "e16_connector_stream",
-    "d12_dedup_eval", "w6_asof_join", "x1_sketch_aggregates",
-    "p13_range_arrays", "t16_quality_classifier", "t14_bpe_train",
-    "t15_bpe_encode", "d14_semantic_dedup",
 ]
 _RANK = {n: i for i, n in enumerate(_COST_ORDER)}
 
