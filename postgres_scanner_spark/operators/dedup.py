@@ -1865,7 +1865,192 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------- D20 global repeated-substring dedup (ExactSubstr)
+_D20_K = 8            # seed k-gram width (tokens)
+_D20_MIN_SPAN = 15    # report repeated substrings of >= 15 tokens
+
+
+def d20_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global repeated-substring mining — the ExactSubstr
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499), which builds a
+    corpus-wide suffix array and removes every substring of >= 50
+    tokens that appears more than once ANYWHERE (any other doc or the
+    same doc). Re-expressed for Spark without the monolithic suffix
+    array: a maximal repeated substring of length >= K contains only
+    globally-duplicated K-grams, so (1) emit positional K-grams,
+    (2) keep the K-grams whose global occurrence count is >= 2 — a
+    groupBy, not a pair join, (3) per doc, merge consecutive
+    duplicated K-gram start positions into maximal spans
+    (gaps-and-islands), keep spans >= MIN_SPAN tokens, and (4) merge
+    surviving spans' token intervals per doc (second islands pass,
+    adjacent-or-overlapping intervals union) to count removable
+    tokens exactly once. Unlike D11 (pairwise alignment diagonals,
+    hot-phrase df-cap) this is the GLOBAL method: a licence block
+    pasted into 10 000 docs is one count row and every occurrence is
+    marked; unlike D16's fixed CDC chunk grain it finds spans at
+    token resolution.
+
+    Plants: docs 0-9's tokens 1-20 are embedded inside fresh docs
+    (doc_id+400000) between unique filler — both the copy AND the
+    original must report a 20-token span (global marking, no a<b
+    asymmetry); and one fixed 15-token boilerplate block is appended
+    to 20 fresh docs (doc_id 401000+i) — all 20 occurrences must
+    surface despite the high frequency (a df-cap would drop it).
+
+    Scale design (100 TB): every stage is linear — the K-gram
+    count is a map-side-combinable groupBy on the gram, the
+    duplicated-gram set joins back as a left-semi on the same key
+    (posting lists never multiply: one output row per position), and
+    both islands windows partition by doc_id (corpus-cardinality
+    keys, no hot partition). No pair join exists anywhere, so a
+    phrase repeated a million times costs one aggregate row, the
+    designed crossover vs the suffix-array build which must sort the
+    whole corpus as one string. At real scale swap the gram string
+    for xxhash64(gram) to cut shuffle bytes (kept as the exact
+    string here for cross-engine oracle equality)."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    t = F.split(F.lower(F.col("text")), " ")
+    uid = F.col("doc_id").cast("string")
+    emb = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("zpre"), uid, F.lit("a")),
+            F.concat(F.lit("zpre"), uid, F.lit("b")),
+            F.concat_ws(" ", F.slice(t, 1, 20)),
+            F.concat(F.lit("zsuf"), uid, F.lit("a")),
+            F.concat(F.lit("zsuf"), uid, F.lit("b"))).alias("text"))
+    plate = " ".join(f"plate{j}" for j in range(15))
+    boiler = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 401000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("zb"), uid, F.lit("a")),
+            F.concat(F.lit("zb"), uid, F.lit("b")),
+            F.lit(plate)).alias("text"))
+    corpus = (d.select("doc_id", "text").unionByName(emb)
+              .unionByName(boiler))
+
+    tok = corpus.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " "))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"_t{j}")
+             for j in range(1, _D20_K)]
+    grams = (tok.select("doc_id", "pos", "tok", *leads)
+             .filter(F.col(f"_t{_D20_K - 1}").isNotNull())
+             .select("doc_id", "pos",
+                     F.concat_ws(" ", "tok",
+                                 *[f"_t{j}" for j in range(1, _D20_K)])
+                     .alias("g")))
+    grams = scratch_persist(grams)
+    dup = (grams.groupBy("g").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= 2).select("g"))
+    hits = grams.join(dup, "g", "left_semi")
+    runs = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w))
+    spans = (runs.groupBy("doc_id", "grp")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + _D20_K - 1).alias("e"))
+             .filter(F.col("e") - F.col("s") + 1 >= _D20_MIN_SPAN))
+    wiv = Window.partitionBy("doc_id").orderBy("s")
+    prev = (Window.partitionBy("doc_id").orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    isl = (spans
+           .withColumn("pmax", F.max("e").over(prev))
+           .withColumn("new", F.when(F.col("pmax").isNull()
+                                     | (F.col("s") > F.col("pmax") + 1),
+                                     1).otherwise(0))
+           .withColumn("island", F.sum("new").over(wiv)))
+    merged = (isl.groupBy("doc_id", "island")
+              .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
+    sizes = corpus.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("total_tokens"))
+    return (merged.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_spans"),
+                 F.sum(F.col("me") - F.col("ms") + 1).cast("long")
+                 .alias("dup_tokens"))
+            .join(sizes, "doc_id")
+            .select("doc_id", "n_spans", "dup_tokens", "total_tokens",
+                    F.round(F.col("dup_tokens")
+                            / F.col("total_tokens"), 4)
+                    .alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+def _d20_sql() -> str:
+    gram = " || ' ' || ".join(
+        "LEAD(w, %d) OVER (PARTITION BY doc_id ORDER BY pos)" % j
+        if j else "w" for j in range(_D20_K))
+    plate = " ".join(f"plate{j}" for j in range(15))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000,
+         'zpre' || CAST(doc_id AS VARCHAR) || 'a ' ||
+         'zpre' || CAST(doc_id AS VARCHAR) || 'b ' ||
+         array_to_string(string_split(lower(text), ' ')[1:20], ' ') ||
+         ' zsuf' || CAST(doc_id AS VARCHAR) || 'a' ||
+         ' zsuf' || CAST(doc_id AS VARCHAR) || 'b'
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 401000,
+         'zb' || CAST(doc_id AS VARCHAR) || 'a ' ||
+         'zb' || CAST(doc_id AS VARCHAR) || 'b ' || '{plate}'
+  FROM documents WHERE doc_id < 20),
+tok AS (
+  SELECT doc_id, g.i AS pos, t[CAST(g.i AS INT) + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+       LATERAL (SELECT unnest(range(len(t))) AS i) g),
+grams AS (
+  SELECT doc_id, pos, {gram} AS g
+  FROM tok
+  QUALIFY LEAD(w, {_D20_K - 1})
+          OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT grams.doc_id, grams.pos
+         FROM grams JOIN dup USING (g)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM hits),
+spans AS (
+  SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {_D20_K - 1} AS e
+  FROM runs GROUP BY doc_id, grp
+  HAVING MAX(pos) + {_D20_K - 1} - MIN(pos) + 1 >= {_D20_MIN_SPAN}),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM (SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+        FROM spans)),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+  FROM isl GROUP BY doc_id, island),
+sizes AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS total_tokens
+  FROM corpus)
+SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens,
+       sizes.total_tokens,
+       ROUND(SUM(me - ms + 1) * 1.0 / sizes.total_tokens, 4)
+         AS dup_frac
+FROM merged m JOIN sizes ON sizes.doc_id = m.doc_id
+GROUP BY m.doc_id, sizes.total_tokens
+ORDER BY m.doc_id
+"""
+
+
 QUERIES = {
+    "d20_repeated_substrings": d20_repeated_substrings,
     "d19_unicode_shingle_dedup": d19_unicode_shingle_dedup,
     "d18_doc_novelty": d18_doc_novelty,
     "d17_lsh_param_sweep": d17_lsh_param_sweep,
@@ -1888,6 +2073,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d20_repeated_substrings": _d20_sql(),
     "d19_unicode_shingle_dedup": _d19_sql(),
     "d18_doc_novelty": _D18_SQL,
     "d17_lsh_param_sweep": _d17_sql(),
