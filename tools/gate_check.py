@@ -34,7 +34,7 @@ sys.path.insert(0, str(_REPO / "tests"))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    jobs = int(os.environ.get("GATE_JOBS", "4"))
+    jobs = int(os.environ.get("GATE_JOBS", "6"))
     import __spark_entry__ as entry
     from oracle_harness import compare
     from postgres_scanner_spark import get_spark
@@ -44,6 +44,18 @@ def main() -> None:
     oracles = entry.oracle_sql()
     names = [n for n in qs
              if not only or any(s in n for s in only)]
+    # LPT schedule: with a shared work list the makespan is set by
+    # whichever long job is drained LAST — registry order put the
+    # 20 s streaming op mid-queue and made it the tail. Order by the
+    # previous full run's recorded duration, longest first; queries
+    # with no record (new ops) go to the front as conservatively
+    # long. Correctness is order-independent; this changes wall only.
+    times_path = _REPO / "tools" / "gate_times.json"
+    try:
+        prev_times = json.loads(times_path.read_text())
+    except Exception:
+        prev_times = {}
+    names.sort(key=lambda n: -prev_times.get(n, float("inf")))
     results: dict[str, tuple] = {}
     lock = threading.Lock()
     it = iter(names)
@@ -116,6 +128,14 @@ def main() -> None:
         print("NEVER RAN:", ", ".join(missing))
     slow = sorted(results.items(), key=lambda kv: -kv[1][1])[:10]
     print("slowest:", json.dumps({n: v[1] for n, v in slow}))
+    if not only and not bad and not missing:
+        # persist full-run durations for the next run's LPT order
+        prev_times.update({n: v[1] for n, v in results.items()})
+        try:
+            times_path.write_text(json.dumps(prev_times, indent=0,
+                                             sort_keys=True))
+        except OSError:
+            pass
     spark.stop()
     sys.exit(1 if (bad or missing or worker_crashes) else 0)
 

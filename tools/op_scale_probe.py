@@ -62,7 +62,9 @@ def main() -> None:
         print(f"# {name}: spark={out[name]['spark']}s "
               f"duckdb={out[name]['duckdb']}s "
               f"ratio={out[name]['ratio']}", file=sys.stderr)
-    print(json.dumps({"sf_dir": sf_dir, "ops": out}))
+    from bench import _data_key
+    print(json.dumps({"sf_dir": sf_dir, "data_key": _data_key(sf_dir),
+                      "ops": out}))
 
 
 if __name__ == "__main__":
