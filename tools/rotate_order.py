@@ -73,7 +73,10 @@ def ranking() -> list[tuple[tuple, str]]:
     rank = {q: i for i, q in enumerate(reg)}
 
     rows: list[tuple[tuple, str]] = []
-    for q in reg:
+    # iterate the LIVE registry, not the stale _COST_ORDER — a query
+    # added since the last regeneration is exactly the never-graded
+    # case that must rank first
+    for q in list(raw):
         cert_rnd = last.get(q, 0)
         fn = raw.get(q)
         mtime = 0
@@ -90,7 +93,7 @@ def ranking() -> list[tuple[tuple, str]]:
         # key: never-graded first, then modified-since-cert, then by
         # cert age; ties keep registry (cost) order
         rows.append(((0 if cert_rnd == 0 else (1 if stale else 2),
-                      cert_rnd, rank[q]), q))
+                      cert_rnd, rank.get(q, len(reg))), q))
     rows.sort()
     return rows
 
