@@ -52,3 +52,68 @@ def test_d20_span_algebra_invariants(spark):
         assert r.dup_tokens <= r.total_tokens, r
         assert abs(r.dup_frac - round(r.dup_tokens / r.total_tokens, 4)) \
             < 1e-9, r
+
+
+# ---------------- D20 differential pins on a handcrafted corpus ----
+# Truth is hand-computable: every doc below uses doc_id >= 100 so the
+# operator's own plant filters (doc_id < 10 / < 20) select nothing
+# and the corpus is EXACTLY these rows.
+
+def _mini_corpus_dir(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    p20 = [f"p{i}" for i in range(20)]        # cross-doc 20-gram
+    q15 = [f"q{i}" for i in range(15)]        # within-doc repeat
+    s14 = [f"s{i}" for i in range(14)]        # sub-threshold (14<15)
+    u30 = [f"u{i}" for i in range(30)]        # overlap-merge target
+    v18 = [f"v{i}" for i in range(18)]        # exact-copy pair
+    docs = {
+        100: ["f100a", "f100b"] + p20 + ["f100c", "f100d"],
+        101: ["g101a", "g101b", "g101c"] + p20 + ["g101d"],
+        102: q15 + [f"r102{c}" for c in "abcde"] + q15,
+        103: ["h103a"] + s14 + ["h103b"],
+        104: ["h104a"] + s14 + ["h104b"],
+        105: u30,
+        106: ["x106a", "x106b"] + u30[:20] + ["x106c"],
+        107: ["y107a"] + u30[10:] + ["y107b", "y107c"],
+        108: v18,
+        109: v18,
+    }
+    rows = [{"doc_id": k, "text": " ".join(v), "lang": "en",
+             "source": "src0", "n_chars": len(" ".join(v))}
+            for k, v in docs.items()]
+    d = tmp_path / "sfmini"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_d20_handcrafted_truth(spark, tmp_path):
+    from postgres_scanner_spark.operators.dedup import (
+        d20_repeated_substrings)
+    sf = _mini_corpus_dir(tmp_path)
+    got = {r.doc_id: r for r in
+           d20_repeated_substrings(spark, sf).collect()}
+    # cross-doc 20-token phrase: both sides, one span each
+    assert (got[100].n_spans, got[100].dup_tokens) == (1, 20)
+    assert (got[101].n_spans, got[101].dup_tokens) == (1, 20)
+    assert got[101].dup_frac == round(20 / 24, 4)
+    # WITHIN-doc repetition — the ExactSubstr property no pairwise
+    # dedup (D1-D19) can see: both occurrences of the 15-token block
+    # in doc 102 are marked as separate spans
+    assert (got[102].n_spans, got[102].dup_tokens) == (2, 30)
+    assert got[102].dup_frac == round(30 / 35, 4)
+    # 14-token shared phrase is BELOW MIN_SPAN: excluded entirely
+    assert 103 not in got and 104 not in got
+    # overlapping coverage (0-19 via doc 106, 10-29 via doc 107)
+    # merges to ONE maximal span over the whole of doc 105
+    assert (got[105].n_spans, got[105].dup_tokens,
+            got[105].dup_frac) == (1, 30, 1.0)
+    assert (got[106].n_spans, got[106].dup_tokens) == (1, 20)
+    assert (got[107].n_spans, got[107].dup_tokens) == (1, 20)
+    # exact-copy pair saturates: dup_frac exactly 1.0 on both
+    assert got[108].dup_frac == 1.0 and got[109].dup_frac == 1.0
+    assert got[108].dup_tokens == 18 and got[108].n_spans == 1
+    # nothing else surfaced
+    assert set(got) == {100, 101, 102, 105, 106, 107, 108, 109}
