@@ -1968,7 +1968,8 @@ def d20_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
     sizes = corpus.select(
         "doc_id",
-        F.size(F.split(F.lower("text"), " ")).alias("total_tokens"))
+        F.size(F.split(F.lower("text"), " ")).cast("long")
+        .alias("total_tokens"))
     return (merged.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_spans"),
                  F.sum(F.col("me") - F.col("ms") + 1).cast("long")
