@@ -78,6 +78,8 @@ def _mini_corpus_dir(tmp_path):
         107: ["y107a"] + u30[10:] + ["y107b", "y107c"],
         108: v18,
         109: v18,
+        110: [],                              # empty text
+        111: ["lonetoken111"],                # shorter than one k-gram
     }
     rows = [{"doc_id": k, "text": " ".join(v), "lang": "en",
              "source": "src0", "n_chars": len(" ".join(v))}
@@ -115,5 +117,6 @@ def test_d20_handcrafted_truth(spark, tmp_path):
     # exact-copy pair saturates: dup_frac exactly 1.0 on both
     assert got[108].dup_frac == 1.0 and got[109].dup_frac == 1.0
     assert got[108].dup_tokens == 18 and got[108].n_spans == 1
-    # nothing else surfaced
+    # nothing else surfaced — in particular the empty doc (110) and
+    # the doc shorter than one k-gram (111) pass through untouched
     assert set(got) == {100, 101, 102, 105, 106, 107, 108, 109}
