@@ -4,7 +4,13 @@ timing. Runs every queries() entry vs its oracle_sql() at the given
 sf dir and prints a summary; exits nonzero on any mismatch.
 
 Usage: python tools/gate_check.py [sf_dir] [name_filter...]
-       GATE_JOBS=N python tools/gate_check.py   (default 4)
+       GATE_JOBS=N python tools/gate_check.py   (default 6)
+
+Queue order is LPT from tools/gate_times.json. A streaming-vs-batch
+spacing variant (max 2 streaming ops per 6 slots) was measured at
+49.6/51.4 s vs plain LPT's 47.8/50.1 s on the same warm cache —
+the makespan is work-bound at 6 workers, not contention-bound, so
+plain LPT stays.
 
 Queries run on GATE_JOBS worker threads, each with its OWN child
 SparkSession (spark.newSession(): private SQLConf + temp-view
