@@ -52,17 +52,18 @@ _MODULES = (
 # Regenerate with tools/rotate_order.py --write after each round
 # (--explain shows the per-query evidence).
 _COST_ORDER = [
-    "d20_repeated_substrings", "t2_quality_score", "x5_sequence_pack",
-    "x11_quality_topk_sample", "w3_window_rank", "q15_top_supplier",
-    "e17_streaming_dedup_ingest", "t17_perplexity_buckets",
-    "m9_shard_repack_plan", "x12_corpus_compile",
-    "e20_streaming_neardup_ingest", "d17_lsh_param_sweep",
-    "w19_ema_daily_revenue", "ds1_above_avg_customers",
-    "ds6_top_customers_per_region", "m12_pruned_rowgroup_scan",
-    "e22_streaming_contamination_guard", "x4_source_mix",
-    "e7_streaming_dedup", "e6_stateful_anomaly", "x16_domain_reweight",
-    "w2_cube", "p3_decimals", "p7_timestamp_parts", "p11_struct_fields",
-    "p10_verify_checksum", "x8_epoch_plan", "p8_json", "w4_moving_avg",
+    "d20_repeated_substrings", "d21_repeated_substring_excision",
+    "t2_quality_score", "x5_sequence_pack", "x11_quality_topk_sample",
+    "w3_window_rank", "q15_top_supplier", "e17_streaming_dedup_ingest",
+    "t17_perplexity_buckets", "m9_shard_repack_plan",
+    "x12_corpus_compile", "e20_streaming_neardup_ingest",
+    "d17_lsh_param_sweep", "w19_ema_daily_revenue",
+    "ds1_above_avg_customers", "ds6_top_customers_per_region",
+    "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",
+    "x4_source_mix", "e7_streaming_dedup", "e6_stateful_anomaly",
+    "x16_domain_reweight", "w2_cube", "p3_decimals",
+    "p7_timestamp_parts", "p11_struct_fields", "p10_verify_checksum",
+    "x8_epoch_plan", "p8_json", "w4_moving_avg",
     "q19_discounted_revenue", "p9_uuid", "t1_language_id",
     "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
     "ds3_brand_year", "q14_promo_effect", "w5_lag_delta",

@@ -1909,7 +1909,27 @@ def d20_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus as one string. At real scale swap the gram string
     for xxhash64(gram) to cut shuffle bytes (kept as the exact
     string here for cross-engine oracle equality)."""
-    from pyspark.sql.window import Window
+    corpus = _d20_corpus(spark, sf_dir)
+    tok, merged = _d20_spans(corpus)
+    sizes = corpus.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long")
+        .alias("total_tokens"))
+    return (merged.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_spans"),
+                 F.sum(F.col("me") - F.col("ms") + 1).cast("long")
+                 .alias("dup_tokens"))
+            .join(sizes, "doc_id")
+            .select("doc_id", "n_spans", "dup_tokens", "total_tokens",
+                    F.round(F.col("dup_tokens")
+                            / F.col("total_tokens"), 4)
+                    .alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+def _d20_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ D20's deterministic plants (tokens 1-20 of docs
+    0-9 embedded at doc_id+400000; 15-token boilerplate at 401000+)."""
     d = _docs(spark, sf_dir)
     t = F.split(F.lower(F.col("text")), " ")
     uid = F.col("doc_id").cast("string")
@@ -1930,9 +1950,15 @@ def d20_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("zb"), uid, F.lit("a")),
             F.concat(F.lit("zb"), uid, F.lit("b")),
             F.lit(plate)).alias("text"))
-    corpus = (d.select("doc_id", "text").unionByName(emb)
-              .unionByName(boiler))
+    return (d.select("doc_id", "text").unionByName(emb)
+            .unionByName(boiler))
 
+
+def _d20_spans(corpus: DataFrame) -> tuple:
+    """The D20 core: positional tokens and the merged (doc_id, ms,
+    me) maximal repeated-span intervals. Returns (tok, merged);
+    shared by D20 (report) and D21 (excision apply)."""
+    from pyspark.sql.window import Window
     tok = corpus.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " "))
         .alias("pos", "tok"))
@@ -1966,23 +1992,66 @@ def d20_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("island", F.sum("new").over(wiv)))
     merged = (isl.groupBy("doc_id", "island")
               .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
+    return tok, merged
+
+
+def d21_repeated_substring_excision(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """The APPLY step of D20 — Lee et al. 2022's ExactSubstr does not
+    just report repeated substrings, it REMOVES them from the corpus;
+    this op emits the cleaned corpus artifact (doc_id, kept/removed
+    token counts, cleaned_text with every merged span excised),
+    mirroring the D6→D13 report→manifest precedent. Reuses D20's
+    span pipeline verbatim (_d20_spans), so the two ops cannot
+    drift.
+
+    Excision is a doc_id-equi anti-join of the positional tokens
+    against the merged intervals (pos BETWEEN ms AND me as the
+    residual predicate — intervals are disjoint per doc by
+    construction, so no row can match twice), then per-doc
+    reassembly via sort_array(collect_list(struct(pos, tok))) —
+    bounded by DOCUMENT length, never corpus size. Docs whose entire
+    text is removed reassemble to '' through the corpus-side left
+    join (DuckDB's string_agg group would otherwise vanish — the
+    oracle takes the same left join).
+
+    Scale (100 TB): the anti-join shuffles on doc_id (corpus-
+    cardinality key); merged is a tiny fraction of tok; the
+    collect_list is per-doc bounded exactly like every shingle
+    array already in this module. No pair join, no global window."""
+    corpus = _d20_corpus(spark, sf_dir)
+    tok, merged = _d20_spans(corpus)
+    kept = tok.join(
+        merged,
+        (tok["doc_id"] == merged["doc_id"])
+        & (tok["pos"] >= merged["ms"]) & (tok["pos"] <= merged["me"]),
+        "left_anti")
+    reasm = (kept.groupBy("doc_id")
+             .agg(F.array_join(
+                      F.transform(
+                          F.sort_array(F.collect_list(
+                              F.struct("pos", "tok"))),
+                          lambda x: x["tok"]), " ").alias("cleaned_text"),
+                  F.count("*").cast("long").alias("n_kept")))
     sizes = corpus.select(
         "doc_id",
         F.size(F.split(F.lower("text"), " ")).cast("long")
         .alias("total_tokens"))
-    return (merged.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_spans"),
-                 F.sum(F.col("me") - F.col("ms") + 1).cast("long")
-                 .alias("dup_tokens"))
-            .join(sizes, "doc_id")
-            .select("doc_id", "n_spans", "dup_tokens", "total_tokens",
-                    F.round(F.col("dup_tokens")
-                            / F.col("total_tokens"), 4)
-                    .alias("dup_frac"))
+    return (sizes.join(reasm, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    (F.col("total_tokens")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce(F.col("cleaned_text"), F.lit(""))
+                    .alias("cleaned_text"))
             .orderBy("doc_id"))
 
 
-def _d20_sql() -> str:
+def _d20_ctes() -> str:
+    """Shared WITH-body through `merged`/`sizes` — one source of
+    truth for the D20 report and the D21 excision oracles."""
     gram = " || ' ' || ".join(
         "LEAD(w, %d) OVER (PARTITION BY doc_id ORDER BY pos)" % j
         if j else "w" for j in range(_D20_K))
@@ -2038,7 +2107,11 @@ merged AS (
   FROM isl GROUP BY doc_id, island),
 sizes AS (
   SELECT doc_id, len(string_split(lower(text), ' ')) AS total_tokens
-  FROM corpus)
+  FROM corpus)"""
+
+
+def _d20_sql() -> str:
+    return _d20_ctes() + """
 SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens,
        sizes.total_tokens,
@@ -2050,7 +2123,29 @@ ORDER BY m.doc_id
 """
 
 
+def _d21_sql() -> str:
+    return _d20_ctes() + """,
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM tok t LEFT JOIN merged m
+    ON m.doc_id = t.doc_id AND t.pos BETWEEN m.ms AND m.me
+  WHERE m.doc_id IS NULL),
+reasm AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS cleaned_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(s.total_tokens - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM sizes s LEFT JOIN reasm r USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
+    "d21_repeated_substring_excision": d21_repeated_substring_excision,
     "d20_repeated_substrings": d20_repeated_substrings,
     "d19_unicode_shingle_dedup": d19_unicode_shingle_dedup,
     "d18_doc_novelty": d18_doc_novelty,
@@ -2074,6 +2169,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d21_repeated_substring_excision": _d21_sql(),
     "d20_repeated_substrings": _d20_sql(),
     "d19_unicode_shingle_dedup": _d19_sql(),
     "d18_doc_novelty": _D18_SQL,

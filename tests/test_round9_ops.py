@@ -120,3 +120,40 @@ def test_d20_handcrafted_truth(spark, tmp_path):
     # nothing else surfaced — in particular the empty doc (110) and
     # the doc shorter than one k-gram (111) pass through untouched
     assert set(got) == {100, 101, 102, 105, 106, 107, 108, 109}
+
+
+def test_d21_excises_the_d20_spans(spark, tmp_path):
+    """D21 on the same handcrafted corpus: cleaned_text is the doc
+    minus exactly the D20 merged intervals, and the count algebra
+    ties out against the D20 report row-for-row."""
+    from postgres_scanner_spark.operators.dedup import (
+        d20_repeated_substrings, d21_repeated_substring_excision)
+    sf = _mini_corpus_dir(tmp_path)
+    rep = {r.doc_id: r for r in
+           d20_repeated_substrings(spark, sf).collect()}
+    exc = {r.doc_id: r for r in
+           d21_repeated_substring_excision(spark, sf).collect()}
+    # every corpus doc appears in the excision artifact
+    assert set(exc) == set(range(100, 112))
+    for doc_id, r in exc.items():
+        d20r = rep.get(doc_id)
+        removed = d20r.dup_tokens if d20r else 0
+        assert r.n_removed == removed, (doc_id, r)
+        if r.cleaned_text:
+            assert r.n_kept == len(r.cleaned_text.split(" ")), r
+    # empty-text doc: split('') is [''], one (empty) token — kept,
+    # nothing removed, reassembles to '' (both engines agree)
+    assert (exc[110].n_kept, exc[110].n_removed,
+            exc[110].cleaned_text) == (1, 0, "")
+    # hand-checked texts: doc 101 loses exactly the p-phrase
+    assert exc[101].cleaned_text == "g101a g101b g101c g101d"
+    # doc 102 loses BOTH occurrences of the within-doc block
+    assert exc[102].cleaned_text == "r102a r102b r102c r102d r102e"
+    # fully-duplicated docs reassemble to the empty string
+    assert exc[105].cleaned_text == "" and exc[105].n_kept == 0
+    assert exc[108].cleaned_text == "" and exc[109].cleaned_text == ""
+    # untouched docs pass through byte-identical (lowercased corpus)
+    assert exc[103].cleaned_text == "h103a " + " ".join(
+        f"s{i}" for i in range(14)) + " h103b"
+    # degenerate docs survive excision untouched
+    assert exc[111].cleaned_text == "lonetoken111"
