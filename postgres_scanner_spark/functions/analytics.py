@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..runtime import det_round
+
 _DEC = "decimal(12,2)"
 
 
@@ -408,7 +410,7 @@ def x4_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_tok").alias("tokens_kept"))
         .join(quotas, "source")
         .select("source", "n_docs", "tokens_kept",
-                F.round("quota", 3).alias("quota"))
+                det_round(F.col("quota"), 3).alias("quota"))
         .orderBy("source")
     )
 
@@ -435,7 +437,7 @@ filled AS (
   FROM base b JOIN quotas q USING (source))
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
-       ROUND(ANY_VALUE(quota), 3) AS quota
+       FLOOR((ANY_VALUE(quota)) * 1000.0 + 0.5) / 1000.0 AS quota
 FROM filled WHERE cum_tok <= quota
 GROUP BY source ORDER BY source
 """
@@ -758,8 +760,8 @@ def x8_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         planned.select(
             "source", "n_docs", "tokens", "epochs", "planned_tokens",
-            F.round(F.col("planned_tokens")
-                    / F.sum("planned_tokens").over(w_total), 6)
+            det_round(F.col("planned_tokens")
+                      / F.sum("planned_tokens").over(w_total), 6)
             .alias("mix_share"))
         .orderBy("source")
     )
@@ -782,7 +784,7 @@ planned AS (
   FROM src, overall)
 SELECT source, n_docs, tokens, epochs,
        CAST(planned_tokens AS BIGINT) AS planned_tokens,
-       ROUND(planned_tokens * 1.0 / SUM(planned_tokens) OVER (), 6)
+       FLOOR((planned_tokens * 1.0 / SUM(planned_tokens) OVER ()) * 1000000.0 + 0.5) / 1000000.0
          AS mix_share
 FROM planned ORDER BY source
 """
@@ -846,12 +848,14 @@ def x9_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         weighted
         .withColumn("weight",
-                    F.round(F.col("w_raw") / F.sum("w_raw").over(w_all), 6))
+                    det_round(F.col("w_raw")
+                              / F.sum("w_raw").over(w_all), 6))
         .withColumn("target_tokens",
-                    F.round(F.lit(budget) * F.col("w_raw")
-                            / F.sum("w_raw").over(w_all), 2))
+                    det_round(F.lit(budget) * F.col("w_raw")
+                              / F.sum("w_raw").over(w_all), 2))
         .withColumn("implied_epochs",
-                    F.round(F.col("target_tokens") / F.col("tokens"), 4))
+                    det_round(F.col("target_tokens")
+                              / F.col("tokens"), 4))
         .select("source", "tokens", "weight", "target_tokens",
                 "implied_epochs")
         .orderBy("source")
@@ -865,10 +869,10 @@ WITH src AS (
   FROM documents GROUP BY source),
 wtd AS (SELECT source, tokens, sqrt(tokens) AS w_raw FROM src)
 SELECT source, tokens,
-       ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight,
-       ROUND(100000 * w_raw / SUM(w_raw) OVER (), 2) AS target_tokens,
-       ROUND(ROUND(100000 * w_raw / SUM(w_raw) OVER (), 2)
-             / tokens, 4) AS implied_epochs
+       FLOOR((w_raw / SUM(w_raw) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS weight,
+       FLOOR((100000 * w_raw / SUM(w_raw) OVER ()) * 100.0 + 0.5) / 100.0 AS target_tokens,
+       FLOOR((FLOOR((100000 * w_raw / SUM(w_raw) OVER ()) * 100.0 + 0.5) / 100.0 / tokens) * 10000.0 + 0.5) / 10000.0
+         AS implied_epochs
 FROM wtd ORDER BY source
 """
 
@@ -887,8 +891,8 @@ def w13_dist_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_totalprice").cast("double").alias("price"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"))
+        det_round(F.percent_rank().over(w), 6).alias("pr"),
+        det_round(F.cume_dist().over(w), 6).alias("cd"))
     return (
         ranked.groupBy("o_orderpriority", "quartile")
         .agg(F.count("*").alias("n"),
@@ -907,8 +911,8 @@ _W13_SQL = """
 WITH ranked AS (
   SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
          NTILE(4) OVER w AS quartile,
-         ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-         ROUND(CUME_DIST() OVER w, 6) AS cd
+         FLOOR((PERCENT_RANK() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pr,
+         FLOOR((CUME_DIST() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cd
   FROM orders
   WINDOW w AS (PARTITION BY o_orderpriority
                ORDER BY o_totalprice, o_orderkey))
@@ -1021,9 +1025,10 @@ def w15_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "h", "avg_raw",
                 F.coalesce("n", F.lit(0)).cast("long").alias("n"),
                 F.col("n").isNull().alias("filled"),
-                F.round("avg_raw", 5).alias("avg_value"))
+                det_round(F.col("avg_raw"), 5).alias("avg_value"))
         .withColumn("locf_value",
-                    F.round(F.last("avg_raw", ignorenulls=True).over(w), 5))
+                    det_round(F.last("avg_raw", ignorenulls=True).over(w),
+                              5))
         .select("event_type",
                 F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
                 "n", "filled", "avg_value", "locf_value")
@@ -1053,10 +1058,11 @@ joined AS (
     ON g.event_type = a.event_type AND g.h = a.h)
 SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
        CAST(n AS BIGINT) AS n, filled,
-       ROUND(avg_raw, 5) AS avg_value,
-       ROUND(LAST_VALUE(avg_raw IGNORE NULLS)
+       FLOOR(avg_raw * 100000.0 + 0.5) / 100000.0 AS avg_value,
+       FLOOR(LAST_VALUE(avg_raw IGNORE NULLS)
              OVER (PARTITION BY event_type ORDER BY h
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 100000.0 + 0.5) / 100000.0
          AS locf_value
 FROM joined
 ORDER BY event_type, hour
@@ -1111,10 +1117,11 @@ def w16_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("vdec") * F.col("dt_us")).alias("integral"),
                  F.sum("vdec").alias("vsum"))
             .select("event_type", "n_obs", "span_us",
-                    F.round(F.col("integral").cast("double")
-                            / F.nullif("span_us", F.lit(0)), 6)
+                    det_round(F.col("integral").cast("double")
+                              / F.nullif("span_us", F.lit(0)), 6)
                     .alias("twa"),
-                    F.round(F.col("vsum").cast("double") / F.col("n_obs"), 6)
+                    det_round(F.col("vsum").cast("double")
+                              / F.col("n_obs"), 6)
                     .alias("mean_value"))
             .orderBy("event_type"))
 
@@ -1131,9 +1138,8 @@ seg AS (
   FROM base)
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
        MAX(ts_us) - MIN(ts_us) AS span_us,
-       ROUND(CAST(SUM(vdec * dt_us) AS DOUBLE)
-             / nullif(MAX(ts_us) - MIN(ts_us), 0), 6) AS twa,
-       ROUND(CAST(SUM(vdec) AS DOUBLE) / COUNT(*), 6) AS mean_value
+       FLOOR((CAST(SUM(vdec * dt_us) AS DOUBLE) / nullif(MAX(ts_us) - MIN(ts_us), 0)) * 1000000.0 + 0.5) / 1000000.0 AS twa,
+       FLOOR((CAST(SUM(vdec) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
 FROM seg GROUP BY event_type ORDER BY event_type
 """
 
@@ -1161,7 +1167,7 @@ def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    div = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+    div = det_round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
     from ..hier import hier_rank
     base = d.select("doc_id", "source", div.alias("diversity"),
                     F.size(toks).alias("n_tok"))
@@ -1190,8 +1196,8 @@ def x11_quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X11_SQL = """
 WITH base AS (
   SELECT doc_id, source,
-         ROUND(len(list_distinct(string_split(lower(text), ' '))) * 1.0
-               / len(string_split(lower(text), ' ')), 6) AS diversity,
+         FLOOR((len(list_distinct(string_split(lower(text), ' '))) * 1.0 / len(string_split(lower(text), ' '))) * 1000000.0 + 0.5) / 1000000.0
+           AS diversity,
          len(string_split(lower(text), ' ')) AS n_tok
   FROM documents),
 ranked AS (
@@ -1377,7 +1383,8 @@ def w18_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cohort_day"),
                     F.col("age_days").cast("int").alias("age_days"),
                     "n_active", "cohort_size",
-                    F.round(F.col("n_active") / F.col("cohort_size"), 4)
+                    det_round(F.col("n_active")
+                              / F.col("cohort_size"), 4)
                     .alias("retention"))
             .orderBy("cohort_day", "age_days"))
 
@@ -1397,7 +1404,7 @@ sizes AS (
   FROM firsts GROUP BY cohort)
 SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
        CAST(age_days AS INT) AS age_days, n_active, cohort_size,
-       ROUND(n_active * 1.0 / cohort_size, 4) AS retention
+       FLOOR((n_active * 1.0 / cohort_size) * 10000.0 + 0.5) / 10000.0 AS retention
 FROM cells JOIN sizes USING (cohort)
 ORDER BY cohort_day, age_days
 """
@@ -1482,6 +1489,10 @@ FROM j GROUP BY change ORDER BY change
 # ---- W19: truncated exponential moving average -----------------------
 _W19_ALPHA = 0.2
 _W19_LOOKBACK = 30    # days
+# (1-alpha)^gap for gap 0..29, one shared literal table for both
+# engines (see w19 docstring/body)
+_W19_WEIGHTS = tuple((1.0 - _W19_ALPHA) ** g
+                     for g in range(_W19_LOOKBACK))
 
 
 def w19_ema_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,20 +1537,38 @@ def w19_ema_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("bkt").orderBy("dn")
          .rangeBetween(-(_W19_LOOKBACK - 1), 0))
     lst = F.array_sort(F.collect_list(F.struct("dn", "revenue")).over(w))
-    decay = 1.0 - _W19_ALPHA
+    # the decay weights are PRECOMPUTED Python doubles embedded as
+    # literals in BOTH plans: runtime pow() is the one term here the
+    # two engines may disagree on by an ulp (JVM Math.pow vs libm),
+    # and an ulp under round() flips the 6th decimal at an exact
+    # boundary (2 sf1 rows, round 9). Indexing a 30-element literal
+    # is also cheaper than pow per element.
+    warr = F.array(*[F.lit(w) for w in _W19_WEIGHTS])
     num = F.aggregate(
         lst, F.lit(0.0),
         lambda a, x: a + x["revenue"]
-        * F.pow(F.lit(decay), F.col("dn") - x["dn"]))
+        * F.element_at(warr, (F.col("dn") - x["dn"] + 1).cast("int")))
     den = F.aggregate(
         lst, F.lit(0.0),
-        lambda a, x: a + F.pow(F.lit(decay), F.col("dn") - x["dn"]))
+        lambda a, x: a + F.element_at(
+            warr, (F.col("dn") - x["dn"] + 1).cast("int")))
     return (series
-            .withColumn("ema", F.round(num / den, 6))
+            .withColumn("ema", det_round(num / den, 6))
             .filter("own")       # context copies computed, not emitted
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "revenue", "ema")
             .orderBy("day"))
+
+
+def _w19_wlit() -> str:
+    """DuckDB list literal of the shared decay weights. SCIENTIFIC
+    notation is load-bearing: a plain decimal literal parses as
+    DECIMAL(20,19) first and the decimal→double cast double-rounds
+    to a different ulp than Python/JVM's 0.8**g (measured: term 0.8^29
+    × 116303001.0 differs in the last bit) — an exponent in the
+    literal makes DuckDB type it DOUBLE and parse correctly-rounded
+    straight to the identical bits."""
+    return "[" + ", ".join(f"{w:.17e}" for w in _W19_WEIGHTS) + "]"
 
 
 _W19_SQL = f"""
@@ -1559,11 +1588,16 @@ windowed AS (
                        AND CURRENT ROW)) AS lst
   FROM series)
 SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
-       ROUND(
-         list_sum(list_transform(lst,
-           x -> x.revenue * pow({1.0 - _W19_ALPHA}, dn - x.dn)))
-         / list_sum(list_transform(lst,
-           x -> pow({1.0 - _W19_ALPHA}, dn - x.dn))), 6) AS ema
+       FLOOR(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(lst,
+             x -> x.revenue * ({_w19_wlit()}[CAST(dn - x.dn AS INT) + 1]))),
+           (a, b) -> a + b)
+         / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(lst,
+             x -> ({_w19_wlit()}[CAST(dn - x.dn AS INT) + 1]))),
+           (a, b) -> a + b)
+         * 1000000.0 + 0.5) / 1000000.0 AS ema
 FROM windowed ORDER BY day
 """
 
@@ -1929,8 +1963,8 @@ def x15_length_bucketed_batches(spark: SparkSession, sf_dir: str
     gmax = per_bucket.agg(F.max("bucket_max").alias("gmax"))
     return (per_bucket
             .withColumn("efficiency",
-                        F.round(F.col("real_tokens")
-                                / F.col("padded_tokens"), 4))
+                        det_round(F.col("real_tokens")
+                                  / F.col("padded_tokens"), 4))
             .crossJoin(F.broadcast(gmax))
             .withColumn("unbucketed_padded",
                         (F.col("n_docs") * F.col("gmax")).cast("long"))
@@ -1958,7 +1992,7 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_batches,
        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
        CAST(SUM(sum_tok) AS BIGINT) AS real_tokens,
        CAST(SUM(n_docs * max_tok) AS BIGINT) AS padded_tokens,
-       ROUND(SUM(sum_tok) * 1.0 / SUM(n_docs * max_tok), 4)
+       FLOOR((SUM(sum_tok) * 1.0 / SUM(n_docs * max_tok)) * 10000.0 + 0.5) / 10000.0
          AS efficiency,
        CAST(SUM(n_docs) * ANY_VALUE(gmax) AS BIGINT)
          AS unbucketed_padded
@@ -2004,7 +2038,7 @@ def x16_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("div").cast(dec)).alias("sdiv"))
     loss = per_src.select(
         "source", "n_docs",
-        F.round((F.col("sdiv") / F.col("n_docs")).cast("double"), 6)
+        det_round((F.col("sdiv") / F.col("n_docs")).cast("double"), 6)
          .alias("loss"))
     mean = loss.agg(
         (F.sum(F.col("loss").cast(dec)) / F.count("*"))
@@ -2016,8 +2050,9 @@ def x16_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = raw.agg(F.sum(F.col("wr").cast(dec)).alias("swr"))
     return (raw.crossJoin(F.broadcast(norm))
             .select("source", "n_docs", "loss",
-                    F.round(F.col("wr") / F.col("swr").cast("double"),
-                            6).alias("weight"))
+                    det_round(F.col("wr")
+                              / F.col("swr").cast("double"), 6)
+                    .alias("weight"))
             .orderBy("source"))
 
 
@@ -2032,7 +2067,7 @@ per_src AS (
          SUM(CAST(div AS DECIMAL(28,15))) AS sdiv
   FROM per_doc GROUP BY source),
 l AS (SELECT source, n_docs,
-             ROUND(CAST(sdiv / n_docs AS DOUBLE), 6) AS loss
+             FLOOR((CAST(sdiv / n_docs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS loss
       FROM per_src),
 m AS (SELECT CAST(SUM(CAST(loss AS DECIMAL(28,15))) / COUNT(*)
               AS DOUBLE) AS mean_loss FROM l),
@@ -2041,7 +2076,7 @@ r AS (SELECT source, n_docs, loss,
       FROM l, m),
 s AS (SELECT SUM(CAST(wr AS DECIMAL(28,15))) AS swr FROM r)
 SELECT source, n_docs, loss,
-       ROUND(wr / CAST(swr AS DOUBLE), 6) AS weight
+       FLOOR((wr / CAST(swr AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS weight
 FROM r, s ORDER BY source
 """
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..runtime import scratch_persist
+from ..runtime import det_round, det_round_sql, scratch_persist
 
 _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -83,21 +83,24 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (stop_hits / n_toks) * 0.2
         + (F.lit(1.0) - n_upper / n_chars) * 0.1
     )
+    # det_round, not round(): the score is a double and an exact
+    # 7th-decimal tie (e.g. 0.5096875) rounds differently across
+    # engines' round() — 36 sf1 rows flipped before this (round 9)
     return (
-        d.select("doc_id", F.round(score, 6).alias("quality"))
+        d.select("doc_id", det_round(score, 6).alias("quality"))
         .orderBy("doc_id")
     )
 
 
 _T2_SQL = f"""
-SELECT doc_id, ROUND(
+SELECT doc_id, {det_round_sql('''
     LEAST(len(string_split(lower(text),' ')) / 100.0, 1.0) * 0.4
   + (len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / len(text)) * 0.3
   + (len(list_filter(string_split(lower(text),' '),
-         x -> x IN {repr(_EN_STOPWORDS)})) * 1.0
+         x -> x IN ''' + repr(_EN_STOPWORDS) + ''')) * 1.0
        / len(string_split(lower(text),' '))) * 0.2
   + (1.0 - len(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / len(text)) * 0.1
-  , 6) AS quality
+''', 6)} AS quality
 FROM documents ORDER BY doc_id
 """
 
@@ -302,9 +305,9 @@ def t7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         wstat.join(bstat, "doc_id", "left")
         .select("doc_id", "n_words",
-                F.round(F.col("max_w") / F.col("n_words"), 6)
+                det_round(F.col("max_w") / F.col("n_words"), 6)
                 .alias("rep_word_frac"),
-                F.round(F.col("max_b") / F.col("n_bg"), 6)
+                det_round(F.col("max_b") / F.col("n_bg"), 6)
                 .alias("rep_bigram_frac"))
         .orderBy("doc_id")
     )
@@ -324,8 +327,8 @@ bcnt AS (SELECT doc_id, bgr, COUNT(*) AS c FROM bg GROUP BY 1, 2),
 bstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
                  MAX(c) AS max_b FROM bcnt GROUP BY 1)
 SELECT w.doc_id, w.n_words,
-       ROUND(w.max_w * 1.0 / w.n_words, 6) AS rep_word_frac,
-       ROUND(b.max_b * 1.0 / b.n_bg, 6) AS rep_bigram_frac
+       FLOOR((w.max_w * 1.0 / w.n_words) * 1000000.0 + 0.5) / 1000000.0 AS rep_word_frac,
+       FLOOR((b.max_b * 1.0 / b.n_bg) * 1000000.0 + 0.5) / 1000000.0 AS rep_bigram_frac
 FROM wstat w LEFT JOIN bstat b USING (doc_id) ORDER BY doc_id
 """
 
@@ -357,7 +360,7 @@ def t8_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_doc.select(
             "doc_id", F.col("n").alias("n_chars_lc"), "n_distinct_chars",
-            F.round(log2(F.col("n")) - F.col("clogc") / F.col("n"), 4)
+            det_round(log2(F.col("n")) - F.col("clogc") / F.col("n"), 4)
             .alias("char_entropy"))
         .orderBy("doc_id")
     )
@@ -374,7 +377,7 @@ per_doc AS (
          COUNT(*) AS n_distinct_chars
   FROM counts GROUP BY doc_id)
 SELECT doc_id, CAST(n AS BIGINT) AS n_chars_lc, n_distinct_chars,
-       ROUND(log2(n) - clogc / n, 4) AS char_entropy
+       FLOOR((log2(n) - clogc / n) * 10000.0 + 0.5) / 10000.0 AS char_entropy
 FROM per_doc ORDER BY doc_id
 """
 
@@ -410,7 +413,7 @@ def t9_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0), lambda a, x: a + x["logp"]).alias("s"))
     return (per.select(
         "doc_id", "n_bigrams",
-        F.round(F.col("s") / F.col("n_bigrams"), 6).alias("avg_logp"))
+        det_round(F.col("s") / F.col("n_bigrams"), 6).alias("avg_logp"))
         .orderBy("doc_id"))
 
 
@@ -429,7 +432,7 @@ scored AS (
   SELECT doc_id, pos, ln(c2) - ln(c1) AS logp
   FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(list_sum(list(logp ORDER BY pos)) / COUNT(*), 6) AS avg_logp
+       FLOOR((list_sum(list(logp ORDER BY pos)) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_logp
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -455,7 +458,7 @@ def t10_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term").crossJoin(F.broadcast(total))
-        .withColumn("score", F.round(
+        .withColumn("score", det_round(
             F.col("tf") * F.log((F.col("n_docs") + 1)
                                 / (F.col("dfreq") + 1)), 6)))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
@@ -478,7 +481,7 @@ dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
 total AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term, tf, dfreq,
-         ROUND(tf * ln((n_docs + 1) * 1.0 / (dfreq + 1)), 6) AS score
+         FLOOR((tf * ln((n_docs + 1) * 1.0 / (dfreq + 1))) * 1000000.0 + 0.5) / 1000000.0 AS score
   FROM tf JOIN dfreq USING (term) CROSS JOIN total),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -575,10 +578,10 @@ def t12_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sums.crossJoin(totals)
         .select("vocab", F.col("tokens").cast("long").alias("tokens"),
-                F.round(slope, 6).alias("zipf_slope"),
-                F.round((F.col("sy").cast("double")
-                         - slope * F.col("sx").cast("double"))
-                        / F.col("n"), 6).alias("zipf_intercept"))
+                det_round(slope, 6).alias("zipf_slope"),
+                det_round((F.col("sy").cast("double")
+                           - slope * F.col("sx").cast("double"))
+                          / F.col("n"), 6).alias("zipf_intercept"))
     )
 
 
@@ -603,16 +606,16 @@ sums AS (
 totals AS (SELECT COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS tokens
            FROM freq)
 SELECT vocab, tokens,
-       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+       FLOOR(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
               * CAST(sy AS DOUBLE))
              / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
-       ROUND((CAST(sy AS DOUBLE)
+                * CAST(sx AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       FLOOR(((CAST(sy AS DOUBLE)
               - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
                  * CAST(sy AS DOUBLE))
                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
                    * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / n, 6) AS zipf_intercept
+                * CAST(sx AS DOUBLE)) / n) * 1000000.0 + 0.5) / 1000000.0 AS zipf_intercept
 FROM sums, totals
 """
 
@@ -829,8 +832,9 @@ def t15_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("n_base_syms"),
                  F.sum("n_toks").cast("long").alias("n_tokens"))
             .select("doc_id", "n_words", "n_base_syms", "n_tokens",
-                    F.round(F.col("n_base_syms").cast("double")
-                            / F.col("n_tokens"), 5).alias("compression"))
+                    det_round(F.col("n_base_syms").cast("double")
+                              / F.col("n_tokens"), 5)
+                    .alias("compression"))
             .orderBy("doc_id"))
 
 
@@ -860,7 +864,7 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(n_chars) AS BIGINT) AS n_base_syms,
        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks), 5) AS compression
+       FLOOR(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks) * 100000.0 + 0.5) / 100000.0 AS compression
 FROM toks JOIN enc USING (w)
 GROUP BY doc_id ORDER BY doc_id""")
 
@@ -1003,7 +1007,7 @@ def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.aggregate(
                  F.array_sort(F.collect_list(F.struct("w", "wl"))),
                  F.lit(0.0), lambda a, x: a + x["wl"]).alias("s")))
-    nll = F.round(-F.col("s") / F.col("n_tok"), 6)
+    nll = det_round(-F.col("s") / F.col("n_tok"), 6)
     # band sentinel MAX_INT: a NULL score stays a member and sorts
     # LAST under the ASC order on both engines (explicit nulls_last —
     # DuckDB's default; Spark's asc default is nulls FIRST); a NULL
@@ -1061,7 +1065,7 @@ per_doc AS (
          list_sum(list(wl ORDER BY w)) AS s
   FROM scored GROUP BY doc_id, lang),
 ranked AS (
-  SELECT doc_id, lang, n_tok, ROUND(-s / n_tok, 6) AS avg_nll
+  SELECT doc_id, lang, n_tok, FLOOR((-s / n_tok) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
   FROM per_doc),
 tiled AS (
   SELECT *, NTILE(3) OVER (PARTITION BY lang
@@ -1204,7 +1208,7 @@ def t19_source_kl_divergence(spark: SparkSession,
     return (terms.groupBy("source")
             .agg(F.max("n_s").cast("long").alias("n_tokens"),
                  F.count("*").cast("long").alias("vocab"),
-                 F.round(F.aggregate(
+                 det_round(F.aggregate(
                      F.array_sort(F.collect_list(F.struct("w", "term"))),
                      F.lit(0.0), lambda a, x: a + x["term"]), 6)
                  .alias("kl_nats"))
@@ -1228,7 +1232,7 @@ terms AS (
   FROM cs JOIN cw USING (w) JOIN ns USING (source), nt)
 SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS vocab,
-       ROUND(list_sum(list(term ORDER BY w)), 6) AS kl_nats
+       FLOOR((list_sum(list(term ORDER BY w))) * 1000000.0 + 0.5) / 1000000.0 AS kl_nats
 FROM terms GROUP BY source ORDER BY source
 """
 

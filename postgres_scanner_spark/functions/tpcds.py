@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..runtime import det_round
+
 _DEC = "decimal(12,2)"
 
 
@@ -550,7 +552,7 @@ def ds13_low_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rev_dec") < F.col("avg_rev") * 0.5)
         .select("l_suppkey", "l_partkey",
                 F.col("rev_dec").cast("double").alias("revenue"),
-                F.round(F.col("avg_rev"), 2).alias("supp_avg"))
+                det_round(F.col("avg_rev"), 2).alias("supp_avg"))
         .orderBy("l_suppkey", "l_partkey")
     )
 
@@ -566,7 +568,7 @@ per_supp AS (
   SELECT l_suppkey, CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS avg_rev
   FROM per_part GROUP BY l_suppkey)
 SELECT l_suppkey, l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
-       ROUND(avg_rev, 2) AS supp_avg
+       FLOOR((avg_rev) * 100.0 + 0.5) / 100.0 AS supp_avg
 FROM per_part JOIN per_supp USING (l_suppkey)
 WHERE rev_dec < avg_rev * 0.5
 ORDER BY l_suppkey, l_partkey
@@ -655,8 +657,8 @@ def ds15_channel_growth_ratio(spark: SparkSession, sf_dir: str
     pr = F.col("p95").cast("double") / F.col("p94").cast("double")
     sr = F.col("s95").cast("double") / F.col("s94").cast("double")
     return (per.filter((F.col("p94") > 0) & (F.col("s94") > 0))
-            .withColumn("priority_ratio", F.round(pr, 6))
-            .withColumn("standard_ratio", F.round(sr, 6))
+            .withColumn("priority_ratio", det_round(pr, 6))
+            .withColumn("standard_ratio", det_round(sr, 6))
             .filter(F.col("priority_ratio") > F.col("standard_ratio"))
             .select("custkey", "priority_ratio", "standard_ratio")
             .orderBy("custkey"))
@@ -685,14 +687,14 @@ WITH per AS (
   WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
   GROUP BY o_custkey)
 SELECT custkey,
-       ROUND(CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE), 6)
+       FLOOR((CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS priority_ratio,
-       ROUND(CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE), 6)
+       FLOOR((CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS standard_ratio
 FROM per
 WHERE p94 > 0 AND s94 > 0
-  AND ROUND(CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE), 6)
-      > ROUND(CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE), 6)
+  AND FLOOR((CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+      > FLOOR((CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
 ORDER BY custkey
 """
 
@@ -879,8 +881,8 @@ def ds19_two_fact_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = F.col("r95").cast("double") / F.col("r94").cast("double")
     return (head.join(rev, "custkey")
             .filter((F.col("h94") > 0) & (F.col("r94") > 0))
-            .withColumn("rev_ratio", F.round(rr, 6))
-            .withColumn("head_ratio", F.round(hr, 6))
+            .withColumn("rev_ratio", det_round(rr, 6))
+            .withColumn("head_ratio", det_round(hr, 6))
             .filter(F.col("rev_ratio") > F.col("head_ratio"))
             .select("custkey", "rev_ratio", "head_ratio")
             .orderBy("custkey"))
@@ -913,12 +915,12 @@ rev AS (
   WHERE year(CAST(l_shipdate AS DATE)) IN (1994, 1995)
   GROUP BY o_custkey)
 SELECT custkey,
-       ROUND(CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE), 6) AS rev_ratio,
-       ROUND(CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE), 6) AS head_ratio
+       FLOOR((CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rev_ratio,
+       FLOOR((CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS head_ratio
 FROM head JOIN rev USING (custkey)
 WHERE h94 > 0 AND r94 > 0
-  AND ROUND(CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE), 6)
-      > ROUND(CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE), 6)
+  AND FLOOR((CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+      > FLOOR((CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
 ORDER BY custkey
 """
 
@@ -942,8 +944,8 @@ def ds20_category_share_window(spark: SparkSession, sf_dir: str
     w = Window.partitionBy("p_brand")
     return (win.withColumn(
         "brand_share",
-        F.round(F.col("rev_dec").cast("double")
-                / F.sum("rev_dec").over(w).cast("double"), 6))
+        det_round(F.col("rev_dec").cast("double")
+                  / F.sum("rev_dec").over(w).cast("double"), 6))
         .select("p_brand", "p_type",
                 F.col("rev_dec").cast("double").alias("revenue"),
                 "brand_share")
@@ -960,8 +962,7 @@ WITH win AS (
   WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1994-01-31'
   GROUP BY p_brand, p_type)
 SELECT p_brand, p_type, CAST(rev_dec AS DOUBLE) AS revenue,
-       ROUND(CAST(rev_dec AS DOUBLE) /
-             CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS DOUBLE), 6)
+       FLOOR((CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS brand_share
 FROM win ORDER BY p_brand, p_type
 """
@@ -987,11 +988,11 @@ def ds21_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.join(o, l.l_orderkey == o.o_orderkey).filter(pred)
     return (j.groupBy("l_returnflag")
             .agg(F.count("*").cast("long").alias("n"),
-                 F.round(F.sum(F.col("l_quantity").cast(_DEC))
-                         .cast("double") / F.count("*"), 6)
+                 det_round(F.sum(F.col("l_quantity").cast(_DEC))
+                           .cast("double") / F.count("*"), 6)
                  .alias("avg_qty"),
-                 F.round(F.sum(F.col("l_extendedprice").cast(_DEC))
-                         .cast("double") / F.count("*"), 6)
+                 det_round(F.sum(F.col("l_extendedprice").cast(_DEC))
+                           .cast("double") / F.count("*"), 6)
                  .alias("avg_price"),
                  F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
                  .alias("sum_order_total"))
@@ -1000,10 +1001,10 @@ def ds21_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DS21_SQL = """
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_price,
+       FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
          AS sum_order_total
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey

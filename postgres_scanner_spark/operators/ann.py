@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..runtime import scratch_persist
+from ..runtime import det_round, scratch_persist
 
 N_QUERIES = 5     # vec_id < 5 are the query vectors
 TOP_K = 3
@@ -86,7 +86,7 @@ def a1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id",
-                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                det_round(F.col("cos_raw"), 5).alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
@@ -109,7 +109,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+SELECT query_id, neighbor_id, FLOOR((cos_raw) * 100000.0 + 0.5) / 100000.0 AS cos_sim,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
@@ -158,7 +158,7 @@ def a2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id",
-                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                det_round(F.col("cos_raw"), 5).alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
@@ -184,7 +184,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+SELECT query_id, neighbor_id, FLOOR((cos_raw) * 100000.0 + 0.5) / 100000.0 AS cos_sim,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
@@ -241,7 +241,7 @@ def a3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id",
-                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                det_round(F.col("cos_raw"), 5).alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
@@ -277,7 +277,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+SELECT query_id, neighbor_id, FLOOR((cos_raw) * 100000.0 + 0.5) / 100000.0 AS cos_sim,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
@@ -441,7 +441,7 @@ def _pq_exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id",
-                F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                det_round(F.col("cos_raw"), 5).alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank"))
 
@@ -544,7 +544,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, neighbor_id) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+SELECT query_id, neighbor_id, FLOOR((cos_raw) * 100000.0 + 0.5) / 100000.0 AS cos_sim,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank"""
@@ -598,7 +598,7 @@ def km_trained_assignment(vecs: DataFrame) -> DataFrame:
            .agg(F.sum(F.col("val").cast(_KM_DEC)).alias("s"),
                 F.count("*").alias("n")))
     cents2 = (upd.withColumn(
-                  "m", F.round(F.col("s").cast("double") / F.col("n"), 9))
+                  "m", det_round(F.col("s").cast("double") / F.col("n"), 9))
               .groupBy("cluster")
               .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
@@ -637,8 +637,8 @@ def a6_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a2.groupBy("cluster").agg(
                 F.count("*").cast("long").alias("n_vecs"),
                 F.sum("vec_id").cast("long").alias("id_sum"),
-                F.round(F.sum(F.col("dist2").cast("decimal(38,12)"))
-                        .cast("double"), 6).alias("inertia"))
+                det_round(F.sum(F.col("dist2").cast("decimal(38,12)"))
+                          .cast("double"), 6).alias("inertia"))
             .select(F.col("cluster").cast("int").alias("cluster"),
                     "n_vecs", "id_sum", "inertia")
             .orderBy("cluster"))
@@ -672,7 +672,7 @@ upd AS (
   GROUP BY cluster, g.i),
 cents2 AS (
   SELECT CAST(cluster AS INT) AS cent_id,
-         list(ROUND(CAST(s AS DOUBLE) / n, 9) ORDER BY pos) AS c
+         list(FLOOR((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) / 1000000000.0 ORDER BY pos) AS c
   FROM upd GROUP BY cluster),
 d2 AS (
   SELECT vec_id, cent_id, {sq} AS dist2
@@ -691,7 +691,7 @@ WITH {_km_sql_ctes()}
 SELECT CAST(cluster AS INT) AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(vec_id) AS BIGINT) AS id_sum,
-       ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE), 6)
+       FLOOR((CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS inertia
 FROM a2 GROUP BY cluster ORDER BY cluster
 """
@@ -720,7 +720,7 @@ def a7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("hits")))
     return (per_q.select(
         "query_id", "k", "hits",
-        F.round(F.col("hits") / F.col("k"), 4).alias("recall"))
+        det_round(F.col("hits") / F.col("k"), 4).alias("recall"))
         .orderBy("query_id"))
 
 
@@ -735,7 +735,7 @@ per_q AS (
   FROM truth t LEFT JOIN approx a
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
   GROUP BY t.query_id)
-SELECT query_id, k, hits, ROUND(hits * 1.0 / k, 4) AS recall
+SELECT query_id, k, hits, FLOOR((hits * 1.0 / k) * 10000.0 + 0.5) / 10000.0 AS recall
 FROM per_q ORDER BY query_id
 """
 
@@ -803,7 +803,7 @@ def a8_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id",
-                    F.round(F.col("cos_raw"), 5).alias("cos_sim"),
+                    det_round(F.col("cos_raw"), 5).alias("cos_sim"),
                     F.col("rank").cast("int").alias("rank"))
             .orderBy("query_id", "rank"))
 
@@ -852,7 +852,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, neighbor_id) AS rank
   FROM rer)
-SELECT query_id, neighbor_id, ROUND(cos_raw, 5) AS cos_sim,
+SELECT query_id, neighbor_id, FLOOR((cos_raw) * 100000.0 + 0.5) / 100000.0 AS cos_sim,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
@@ -1032,7 +1032,7 @@ def a10_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("k_post", F.lit(0)).cast("long")
                     .alias("k_post"))
             .withColumn("recall",
-                        F.round(F.col("k_post") / F.col("k_truth"), 4))
+                        det_round(F.col("k_post") / F.col("k_truth"), 4))
             .orderBy("query_id"))
 
 
@@ -1075,7 +1075,7 @@ hits AS (
   GROUP BY p.query_id)
 SELECT query_id, k_truth,
        CAST(COALESCE(k_post, 0) AS BIGINT) AS k_post,
-       ROUND(COALESCE(k_post, 0) * 1.0 / k_truth, 4) AS recall
+       FLOOR((COALESCE(k_post, 0) * 1.0 / k_truth) * 10000.0 + 0.5) / 10000.0 AS recall
 FROM truth LEFT JOIN hits USING (query_id)
 ORDER BY query_id
 """
@@ -1114,7 +1114,7 @@ def a11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("rel"), F.col("neighbor_id"))
     cand = (c.crossJoin(F.broadcast(q))
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "embedding", "norm", F.round(cos, 6).alias("rel"))
+                    "embedding", "norm", det_round(cos, 6).alias("rel"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= _MMR_CAND)
             .drop("rk"))
@@ -1130,7 +1130,7 @@ def a11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.query_id").alias("query_id"),
                 F.col("a.neighbor_id").alias("nid"),
                 F.col("b.neighbor_id").alias("other"),
-                F.round(pair_cos, 6).alias("sim")))
+                det_round(pair_cos, 6).alias("sim")))
     slim = cand.select("query_id", F.col("neighbor_id").alias("nid"),
                        "rel")
     picked = None      # (query_id, nid, rank, score)
@@ -1146,9 +1146,9 @@ def a11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.max("sim").alias("mxsim")))
             scored = (remaining.join(mx, ["query_id", "nid"], "left")
                       .withColumn("mmr",
-                                  F.round(F.col("rel") - _MMR_LAMBDA
-                                          * F.coalesce("mxsim",
-                                                       F.lit(0.0)), 6)))
+                                  det_round(F.col("rel") - _MMR_LAMBDA
+                                            * F.coalesce("mxsim",
+                                                         F.lit(0.0)), 6)))
         ws = Window.partitionBy("query_id").orderBy(
             F.desc("mmr"), F.col("nid"))
         best = (scored.withColumn("r", F.row_number().over(ws))
@@ -1161,7 +1161,7 @@ def a11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti")
     return (picked.select("query_id", F.col("nid").alias("neighbor_id"),
                           F.col("rank").cast("int").alias("rank"),
-                          F.round("score", 6).alias("mmr_score"))
+                          det_round(F.col("score"), 6).alias("mmr_score"))
             .orderBy("query_id", "rank"))
 
 
@@ -1179,15 +1179,15 @@ c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
 cand AS (
   SELECT * FROM (
     SELECT query_id, c.vec_id AS nid, c.embedding, c.norm,
-           ROUND({dot_qc} / (q_norm * c.norm), 6) AS rel,
+           FLOOR(({dot_qc} / (q_norm * c.norm)) * 1000000.0 + 0.5) / 1000000.0 AS rel,
            ROW_NUMBER() OVER (PARTITION BY query_id
-             ORDER BY ROUND({dot_qc} / (q_norm * c.norm), 6) DESC,
+             ORDER BY FLOOR(({dot_qc} / (q_norm * c.norm)) * 1000000.0 + 0.5) / 1000000.0 DESC,
                       c.vec_id) AS rk
     FROM c CROSS JOIN q)
   WHERE rk <= {_MMR_CAND}),
 pairs AS (
   SELECT a.query_id, a.nid, b.nid AS other,
-         ROUND({dot_ab} / (a.norm * b.norm), 6) AS sim
+         FLOOR(({dot_ab} / (a.norm * b.norm)) * 1000000.0 + 0.5) / 1000000.0 AS sim
   FROM cand a JOIN cand b
     ON a.query_id = b.query_id AND a.nid <> b.nid),
 p1 AS (
@@ -1197,12 +1197,13 @@ p1 AS (
                               ORDER BY rel DESC, nid) AS r
     FROM cand) WHERE r = 1),
 s2 AS (
-  SELECT c.query_id, c.nid, ROUND(c.rel - {_MMR_LAMBDA} *
+  SELECT c.query_id, c.nid, FLOOR((c.rel - {_MMR_LAMBDA} *
            COALESCE((SELECT MAX(p.sim) FROM pairs p
                      JOIN p1 ON p1.query_id = p.query_id
                             AND p1.nid = p.other
                      WHERE p.query_id = c.query_id
-                       AND p.nid = c.nid), 0.0), 6) AS mmr
+                       AND p.nid = c.nid), 0.0))
+           * 1000000.0 + 0.5) / 1000000.0 AS mmr
   FROM cand c
   WHERE NOT EXISTS (SELECT 1 FROM p1
                     WHERE p1.query_id = c.query_id
@@ -1214,7 +1215,7 @@ p2 AS (
                               ORDER BY mmr DESC, nid) AS r
     FROM s2) WHERE r = 1),
 s3 AS (
-  SELECT c.query_id, c.nid, ROUND(c.rel - {_MMR_LAMBDA} *
+  SELECT c.query_id, c.nid, FLOOR((c.rel - {_MMR_LAMBDA} *
            COALESCE((SELECT MAX(p.sim) FROM pairs p
                      WHERE p.query_id = c.query_id AND p.nid = c.nid
                        AND p.other IN (
@@ -1222,7 +1223,8 @@ s3 AS (
                          WHERE p1.query_id = c.query_id
                          UNION ALL
                          SELECT nid FROM p2
-                         WHERE p2.query_id = c.query_id)), 0.0), 6)
+                         WHERE p2.query_id = c.query_id)), 0.0))
+           * 1000000.0 + 0.5) / 1000000.0
            AS mmr
   FROM cand c
   WHERE NOT EXISTS (SELECT 1 FROM p1
@@ -1240,7 +1242,7 @@ picked AS (
   UNION ALL SELECT query_id, nid, 2, score FROM p2
   UNION ALL SELECT query_id, nid, 3, score FROM p3)
 SELECT query_id, nid AS neighbor_id, CAST(rank AS INT) AS rank,
-       ROUND(score, 6) AS mmr_score
+       FLOOR((score) * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
 FROM picked ORDER BY query_id, rank
 """
 

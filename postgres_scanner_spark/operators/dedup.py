@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from ..runtime import scratch_persist
+from ..runtime import det_round, scratch_persist
 from pyspark.sql import functions as F
 
 N_MINHASH = 8      # minhash permutations
@@ -500,7 +500,7 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(
             F.least("vec_id", "vec_id2").alias("vec_a"),
             F.greatest("vec_id", "vec_id2").alias("vec_b"),
-            F.round(cos, 5).alias("cos_sim"))
+            det_round(cos, 5).alias("cos_sim"))
         .filter(F.col("cos_sim") > 0.45)
         .orderBy("vec_a", "vec_b")
     )
@@ -515,11 +515,11 @@ WITH n AS (
          sqrt({_D5_DOT.format(u='embedding', v='embedding')}) AS norm
   FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({_D5_DOT.format(u='a.embedding', v='b.embedding')}
-             / (a.norm * b.norm), 5) AS cos_sim
+       FLOOR(({_D5_DOT.format(u='a.embedding', v='b.embedding')}
+             / (a.norm * b.norm)) * 100000.0 + 0.5) / 100000.0 AS cos_sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE ROUND({_D5_DOT.format(u='a.embedding', v='b.embedding')}
-            / (a.norm * b.norm), 5) > 0.45
+WHERE FLOOR(({_D5_DOT.format(u='a.embedding', v='b.embedding')}
+            / (a.norm * b.norm)) * 100000.0 + 0.5) / 100000.0 > 0.45
 ORDER BY vec_a, vec_b
 """
 
@@ -801,7 +801,7 @@ def d7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_shingles",
                 F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
                 .alias("n_hit"),
-                F.round(frac, 6).alias("contam_frac"),
+                det_round(frac, 6).alias("contam_frac"),
                 (frac >= 0.5).alias("contaminated"))
         .orderBy("doc_id")
     )
@@ -825,7 +825,7 @@ hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM ev_sh
 totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev_sh GROUP BY doc_id)
 SELECT t.doc_id, t.n_shingles,
        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-       ROUND(COALESCE(h.n_hit, 0) * 1.0 / t.n_shingles, 6) AS contam_frac,
+       FLOOR((COALESCE(h.n_hit, 0) * 1.0 / t.n_shingles) * 1000000.0 + 0.5) / 1000000.0 AS contam_frac,
        COALESCE(h.n_hit, 0) * 1.0 / t.n_shingles >= 0.5 AS contaminated
 FROM totals t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id
 """
@@ -1235,8 +1235,9 @@ def d12_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            .crossJoin(hit.agg(F.count("*").alias("n_hit"))))
     return agg.select(
         "n_truth", "n_pred", "n_hit",
-        F.round(F.col("n_hit") / F.col("n_pred"), 4).alias("precision"),
-        F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"))
+        det_round(F.col("n_hit") / F.col("n_pred"), 4)
+        .alias("precision"),
+        det_round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"))
 
 
 def _d12_sql() -> str:
@@ -1253,10 +1254,8 @@ hit AS (SELECT p.* FROM pred p JOIN truth t
 SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
        (SELECT COUNT(*) FROM pred) AS n_pred,
        (SELECT COUNT(*) FROM hit) AS n_hit,
-       ROUND((SELECT COUNT(*) FROM hit) * 1.0
-             / (SELECT COUNT(*) FROM pred), 4) AS precision,
-       ROUND((SELECT COUNT(*) FROM hit) * 1.0
-             / (SELECT COUNT(*) FROM truth), 4) AS recall
+       FLOOR(((SELECT COUNT(*) FROM hit) * 1.0 / (SELECT COUNT(*) FROM pred)) * 10000.0 + 0.5) / 10000.0 AS precision,
+       FLOOR(((SELECT COUNT(*) FROM hit) * 1.0 / (SELECT COUNT(*) FROM truth)) * 10000.0 + 0.5) / 10000.0 AS recall
 """
 
 
@@ -1328,7 +1327,7 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("vec_id", "vec_id2").alias("u"),
         F.greatest("vec_id", "vec_id2").alias("v"),
         "cluster",
-        F.round(cos, 5).alias("cos_sim"))
+        det_round(cos, 5).alias("cos_sim"))
         .filter(F.col("cos_sim") > _D14_TAU))
     return (pairs.groupBy("v", "cluster")
             .agg(F.min(F.struct("u", "cos_sim")).alias("w"))
@@ -1343,8 +1342,8 @@ def _d14_sql() -> str:
     from .ann import _km_sql_ctes
     dt = ("list_sum(list_transform(range(len({u})), "
           "i -> {u}[i+1] * {v}[i+1]))")
-    cos = (f"ROUND({dt.format(u='a.x', v='b.x')}"
-           " / (a.norm * b.norm), 5)")
+    cos = (f"FLOOR(({dt.format(u='a.x', v='b.x')}"
+           " / (a.norm * b.norm)) * 100000.0 + 0.5) / 100000.0")
     return f"""
 WITH {_km_sql_ctes()},
 m AS (
@@ -1662,9 +1661,9 @@ def d17_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per.crossJoin(F.broadcast(n_truth))   # 1-row scalar
             .select("bands", "rows", "n_candidates",
                     F.col("n_true").cast("bigint").alias("n_true"),
-                    F.round(F.col("n_true") / nz("n_candidates"), 4)
+                    det_round(F.col("n_true") / nz("n_candidates"), 4)
                     .alias("precision"),
-                    F.round(F.col("n_true") / nz("n_truth"), 4)
+                    det_round(F.col("n_true") / nz("n_truth"), 4)
                     .alias("recall"))
             .orderBy("bands"))
 
@@ -1692,13 +1691,15 @@ def _d17_sql() -> str:
        (SELECT CAST(COUNT(*) AS BIGINT) FROM c{b}x{r} c
         JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
          AS n_true,
-       ROUND((SELECT COUNT(*) FROM c{b}x{r} c JOIN truth t
+       FLOOR(((SELECT COUNT(*) FROM c{b}x{r} c JOIN truth t
               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
-             / nullif((SELECT COUNT(*) FROM c{b}x{r}), 0), 4)
+             / nullif((SELECT COUNT(*) FROM c{b}x{r}), 0))
+             * 10000.0 + 0.5) / 10000.0
          AS precision,
-       ROUND((SELECT COUNT(*) FROM c{b}x{r} c JOIN truth t
+       FLOOR(((SELECT COUNT(*) FROM c{b}x{r} c JOIN truth t
               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
-             / nullif((SELECT COUNT(*) FROM truth), 0), 4) AS recall"""
+             / nullif((SELECT COUNT(*) FROM truth), 0))
+             * 10000.0 + 0.5) / 10000.0 AS recall"""
         for b, r in _D17_CONFIGS)
     return f"""
 WITH corpus AS ({_SQL_CORPUS}),
@@ -1821,7 +1822,7 @@ def d19_unicode_shingle_dedup(spark: SparkSession,
             .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
             .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
             .filter(jac >= _D19_THRESH)
-            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .select("doc_a", "doc_b", det_round(jac, 4).alias("jaccard"))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -1856,7 +1857,7 @@ inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
           FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
           GROUP BY doc_a, doc_b)
 SELECT doc_a, doc_b,
-       ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
+       FLOOR((ni * 1.0 / (sa.n + sb.n - ni)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -1921,8 +1922,8 @@ def d20_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("dup_tokens"))
             .join(sizes, "doc_id")
             .select("doc_id", "n_spans", "dup_tokens", "total_tokens",
-                    F.round(F.col("dup_tokens")
-                            / F.col("total_tokens"), 4)
+                    det_round(F.col("dup_tokens")
+                              / F.col("total_tokens"), 4)
                     .alias("dup_frac"))
             .orderBy("doc_id"))
 
@@ -2115,7 +2116,7 @@ def _d20_sql() -> str:
 SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens,
        sizes.total_tokens,
-       ROUND(SUM(me - ms + 1) * 1.0 / sizes.total_tokens, 4)
+       FLOOR((SUM(me - ms + 1) * 1.0 / sizes.total_tokens) * 10000.0 + 0.5) / 10000.0
          AS dup_frac
 FROM merged m JOIN sizes ON sizes.doc_id = m.doc_id
 GROUP BY m.doc_id, sizes.total_tokens

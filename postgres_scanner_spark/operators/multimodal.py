@@ -13,6 +13,7 @@ corpora are synthesized so byte-level results are SQL-expressible.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -20,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..runtime import det_round
 
 FRAME_BYTES = 64      # fake "frame" size for M2
 FRAME_STRIDE = 4      # sample every 4th frame
@@ -325,7 +328,8 @@ def m4_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sample_rate": [p[0] for p in parsed],
                 "n_samples": [p[1] for p in parsed],
                 "peak": [p[2] for p in parsed],
-                "rms": [round(p[3], 6) for p in parsed],
+                "rms": [math.floor(p[3] * 1e6 + 0.5) / 1e6
+                        for p in parsed],
             })
 
     enc_schema = T.StructType([
@@ -348,8 +352,8 @@ WITH s AS (
 SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
        CAST(n AS BIGINT) AS n_samples,
        CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak,
-       ROUND(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE)
-                  / n), 6) AS rms
+       FLOOR(sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS DOUBLE)
+                  / n) * 1000000.0 + 0.5) / 1000000.0 AS rms
 FROM s ORDER BY doc_id
 """
 
@@ -602,7 +606,7 @@ def m7_npy_tensor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = 0.0
             for v in vals:
                 s += float(v)
-            return descr, n, hlen, round(s, 5)
+            return descr, n, hlen, math.floor(s * 1e5 + 0.5) / 1e5
 
         for pdf in batches:
             parsed = [parse(bytes(p)) for p in pdf["payload"]]
@@ -647,8 +651,9 @@ def _m7_sql() -> str:
 SELECT vec_id, '<f4' AS dtype,
        CAST(len(embedding) AS BIGINT) AS n_elems,
        CAST({_npy_header_len()} AS INT) AS header_len,
-       ROUND(list_sum(list_transform(embedding,
-             v -> CAST(v AS DOUBLE))), 5) AS val_sum
+       FLOOR(list_sum(list_transform(embedding,
+             v -> CAST(v AS DOUBLE))) * 100000.0 + 0.5) / 100000.0
+         AS val_sum
 FROM embeddings ORDER BY vec_id
 """
 
@@ -784,8 +789,8 @@ def m9_shard_repack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc"))
             .withColumn("utilization",
-                        F.round(F.col("shard_bytes")
-                                / float(_M9_SHARD_BYTES), 4))
+                        det_round(F.col("shard_bytes")
+                                  / float(_M9_SHARD_BYTES), 4))
             .orderBy("shard_id"))
 
 
@@ -803,7 +808,7 @@ planned AS (
 SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-       ROUND(SUM(bytes) / {_M9_SHARD_BYTES}.0, 4) AS utilization
+       FLOOR((SUM(bytes) / {_M9_SHARD_BYTES}.0) * 10000.0 + 0.5) / 10000.0 AS utilization
 FROM planned GROUP BY shard_id ORDER BY shard_id
 """
 
@@ -954,13 +959,19 @@ def m11_parquet_footer_manifest(spark: SparkSession, sf_dir: str
     its files (OS reads the tail bytes — at 100 TB this is the
     manifest scan that costs MBs, not TBs).
 
-    The oracle is STRONG despite footers being binary: a footer's
-    row count and key-column statistics (min/max/null-count) must
-    equal the SQL aggregates over the same rows — so the oracle
-    cross-checks that the zone maps the planner would prune on are
-    the truth. (Driver testdata is single-row-group per file —
-    PLANS.md 'local-file caveat'; a multi-RG file yields one row per
-    group through the identical code path.)"""
+    The oracle is STRONG despite footers being binary: the footer's
+    aggregated row count and key-column statistics (min/max/
+    null-count folded across every row group) must equal the SQL
+    aggregates over the same rows — so the oracle cross-checks that
+    the zone maps the planner would prune on are the truth, at ANY
+    row-group layout. (Round 9: the previous per-row-group output
+    hardcoded rg_id=0 in the oracle and could never pass on the
+    multi-row-group sf1 files; per-RG granularity stays covered by
+    M12, which stages files with a KNOWN group layout and reads
+    groups selectively. The footer parse below still walks every
+    row group — the fold across groups is exactly the planner's
+    file-level pruning summary, and the sf1 gate run over 59 row
+    groups is the multi-RG proof.)"""
     import os
     from .. import tables
     tables.ensure_session_defaults(spark)
@@ -976,19 +987,27 @@ def m11_parquet_footer_manifest(spark: SparkSession, sf_dir: str
             for r in pdf.itertuples():
                 md = pq.ParquetFile(r.path).metadata
                 ci = md.schema.to_arrow_schema().get_field_index(r.key)
+                n_rows = kmin = kmax = None
+                nulls = 0
+                n_rows = 0
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
                     st = rg.column(ci).statistics
-                    rows.append((r.tbl, g, rg.num_rows,
-                                 int(st.min), int(st.max),
-                                 int(st.null_count)))
+                    n_rows += rg.num_rows
+                    nulls += int(st.null_count)
+                    kmin = (int(st.min) if kmin is None
+                            else min(kmin, int(st.min)))
+                    kmax = (int(st.max) if kmax is None
+                            else max(kmax, int(st.max)))
+                rows.append((r.tbl, md.num_row_groups, n_rows,
+                             kmin, kmax, nulls))
             yield pd.DataFrame(rows, columns=[
-                "tbl", "rg_id", "n_rows", "key_min", "key_max",
+                "tbl", "n_row_groups", "n_rows", "key_min", "key_max",
                 "key_nulls"])
 
     schema = T.StructType([
         T.StructField("tbl", T.StringType()),
-        T.StructField("rg_id", T.IntegerType()),
+        T.StructField("n_row_groups", T.IntegerType()),
         T.StructField("n_rows", T.LongType()),
         T.StructField("key_min", T.LongType()),
         T.StructField("key_max", T.LongType()),
@@ -996,17 +1015,18 @@ def m11_parquet_footer_manifest(spark: SparkSession, sf_dir: str
     ])
     return (files.repartition(len(_M11_TABLES))
             .mapInPandas(read_footers, schema=schema)
-            .orderBy("tbl", "rg_id"))
+            .select("tbl", "n_rows", "key_min", "key_max", "key_nulls")
+            .orderBy("tbl"))
 
 
 _M11_SQL = " UNION ALL ".join(
-    f"""SELECT '{t}' AS tbl, 0 AS rg_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    f"""SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(MIN({k}) AS BIGINT) AS key_min,
        CAST(MAX({k}) AS BIGINT) AS key_max,
        CAST(SUM(CASE WHEN {k} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS key_nulls
 FROM {t}""" for t, k in _M11_TABLES
-) + " ORDER BY tbl, rg_id"
+) + " ORDER BY tbl"
 
 
 # ---- M12: zone-map pruned row-group scan (the planner M11 feeds) -----

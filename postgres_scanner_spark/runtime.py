@@ -62,3 +62,27 @@ def release_scratch() -> int:
         except Exception:
             pass  # session may already be stopped
     return n
+
+
+def det_round(col, n: int):
+    """Engine-deterministic rounding of a DOUBLE to n decimals:
+    floor(x·10ⁿ + 0.5)/10ⁿ — every step is an exactly-specified IEEE
+    operation, so two engines given bit-identical inputs produce
+    bit-identical outputs. Spark's round() converts the double to
+    its SHORTEST DECIMAL string and applies HALF_UP while DuckDB
+    rounds the BINARY value, so an exact-quotient tie like
+    0.5096875 (binary ...74999…) rounds to …88 in Spark and …87 in
+    DuckDB — a class of sf1-scale gate flips (five queries, round
+    9). Pair with det_round_sql so the oracle applies the identical
+    formula. Only for double-valued expressions (ratios, logs,
+    EMAs); exact DECIMAL values round identically in both engines
+    and should keep plain round()."""
+    from pyspark.sql import functions as F
+    p = float(10 ** n)
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
+def det_round_sql(expr: str, n: int) -> str:
+    """The DuckDB spelling of det_round — textual, for oracle SQL."""
+    p = float(10 ** n)
+    return f"FLOOR(({expr}) * {p!r} + 0.5) / {p!r}"
