@@ -56,11 +56,19 @@ def main() -> None:
     # previous full run's recorded duration, longest first; queries
     # with no record (new ops) go to the front as conservatively
     # long. Correctness is order-independent; this changes wall only.
+    # timings are keyed per SF (an sf1 run's absolute times would
+    # otherwise overwrite the sf0.01 order; relative order mostly
+    # correlates, but d5's exhaustive baseline dominates differently)
     times_path = _REPO / "tools" / "gate_times.json"
+    sf_key = Path(sf_dir).name
     try:
-        prev_times = json.loads(times_path.read_text())
+        all_times = json.loads(times_path.read_text())
     except Exception:
-        prev_times = {}
+        all_times = {}
+    if all_times and not isinstance(next(iter(all_times.values())), dict):
+        all_times = {"sf0.01": all_times}      # migrate v1 layout
+    prev_times = all_times.get(sf_key) or next(
+        iter(all_times.values()), {})          # any SF beats nothing
     names.sort(key=lambda n: -prev_times.get(n, float("inf")))
     results: dict[str, tuple] = {}
     lock = threading.Lock()
@@ -136,9 +144,11 @@ def main() -> None:
     print("slowest:", json.dumps({n: v[1] for n, v in slow}))
     if not only and not bad and not missing:
         # persist full-run durations for the next run's LPT order
-        prev_times.update({n: v[1] for n, v in results.items()})
+        cur = dict(all_times.get(sf_key) or {})
+        cur.update({n: v[1] for n, v in results.items()})
+        all_times[sf_key] = cur
         try:
-            times_path.write_text(json.dumps(prev_times, indent=0,
+            times_path.write_text(json.dumps(all_times, indent=0,
                                              sort_keys=True))
         except OSError:
             pass
