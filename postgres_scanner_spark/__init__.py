@@ -58,7 +58,12 @@ def get_spark(app: str = "postgres_scanner_spark", *, cpus: str | int = "*",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        # 8g matches the driver's gate profile; big-SF local runs (the
+        # sf10 blanket cert) override via env — on a real cluster this
+        # is executor memory sized to the workload, and local[32] with
+        # several concurrent heavy queries needs the same sizing call
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

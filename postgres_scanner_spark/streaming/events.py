@@ -44,11 +44,16 @@ class _stream_shuffle:
         return False
 
 
-def _drain(q, timeout_s: int = 300) -> None:
+def _drain(q, timeout_s: int | None = None) -> None:
     """Await an availableNow drain; fail LOUDLY on timeout instead of
     letting callers read a partially-filled memory sink from a query
     that is still running (a truncated result would surface as a
-    baffling oracle mismatch far from the cause)."""
+    baffling oracle mismatch far from the cause). 300 s covers every
+    op at gate SF with 10× headroom; big-SF certification runs under
+    concurrent load override via SPARK_GRAFT_DRAIN_TIMEOUT."""
+    if timeout_s is None:
+        import os
+        timeout_s = int(os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT", "300"))
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(

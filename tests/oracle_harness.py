@@ -18,6 +18,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def duckdb_run(sql: str, sf_dir: str):
     con = duckdb.connect()
+    # big-SF certification runs several oracles concurrently next to
+    # a large Spark JVM; DuckDB's defaults (80% of box RAM, all
+    # cores, no spill dir for an in-memory db) then OOM the box.
+    # Env-gated so the driver's own gate sees stock behavior.
+    import os
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    thr = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads TO {int(thr)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

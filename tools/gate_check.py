@@ -87,14 +87,23 @@ def main() -> None:
             with lock:
                 worker_crashes.append(f"{type(exc).__name__}: {exc}")
 
+    # tiny-SF tuning (small shuffle fan-out, no AQE stage
+    # materialization) saves per-query driver latency at gate SF but
+    # is pathological at sf1+ (60M-row shuffles into 8 partitions,
+    # no runtime re-plan) — derive the profile from the data, not
+    # the dir name. Correctness is config-independent either way.
+    data_bytes = sum(p.stat().st_size
+                     for p in Path(sf_dir).glob("*.parquet"))
+    tiny = data_bytes < 100 * 1024 * 1024   # sf0.1 ≈ 24 MB, sf1 ≈ 240 MB
+
     def _worker() -> None:
-        # child session: own conf (tiny-SF tuning: small shuffle
-        # fan-out, no AQE stage materialization — correctness is
-        # config-independent; the driver's own gate picks its own
-        # session) + own temp-view namespace for memory sinks
+        # child session: own conf + own temp-view namespace for
+        # memory sinks (the driver's own gate picks its own session)
         sess = spark.newSession()
-        sess.conf.set("spark.sql.shuffle.partitions", "8")
-        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set("spark.sql.shuffle.partitions",
+                      "8" if tiny else "32")
+        sess.conf.set("spark.sql.adaptive.enabled",
+                      "false" if tiny else "true")
         from postgres_scanner_spark.runtime import release_scratch
         while True:
             with lock:
