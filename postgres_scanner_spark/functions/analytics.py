@@ -48,7 +48,7 @@ _W1_SQL = """
 SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        COALESCE(l_linestatus, 'ALL') AS ls,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY rf, ls
@@ -73,7 +73,7 @@ _W2_SQL = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
@@ -171,7 +171,7 @@ WITH d AS (
            AS delta
   FROM events)
 SELECT user_id, COUNT(*) AS n_deltas,
-       CAST(SUM(CAST(delta AS DECIMAL(16,2))) AS DOUBLE) AS sum_delta,
+       CAST(CAST(SUM(CAST(delta AS DECIMAL(16,2))) AS VARCHAR) AS DOUBLE) AS sum_delta,
        CAST(MAX(CAST(delta AS DECIMAL(16,2))) AS DOUBLE) AS max_delta
 FROM d WHERE delta IS NOT NULL
 GROUP BY user_id ORDER BY user_id
@@ -560,7 +560,7 @@ def _w8_sql() -> str:
     return f"""
 WITH bands(band, lo, hi) AS (VALUES {rows})
 SELECT band, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band ORDER BY band
 """
@@ -602,7 +602,7 @@ def w9_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W9_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY hour ORDER BY hour
 """
 
@@ -682,7 +682,7 @@ _W10_SQL = """
 WITH seg AS (SELECT DISTINCT user_id,
                     CAST(user_id % 5 AS INT) AS segment FROM events)
 SELECT segment, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events JOIN seg USING (user_id)
 GROUP BY segment ORDER BY segment
 """
@@ -821,7 +821,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY rf, ls, g_rf, g_ls
@@ -1045,7 +1045,7 @@ hours AS (
   SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
 agg AS (
   SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*)
            AS avg_raw
   FROM events GROUP BY 1, 2),
 grid AS (
@@ -1138,8 +1138,8 @@ seg AS (
   FROM base)
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
        MAX(ts_us) - MIN(ts_us) AS span_us,
-       FLOOR((CAST(SUM(vdec * dt_us) AS DOUBLE) / nullif(MAX(ts_us) - MIN(ts_us), 0)) * 1000000.0 + 0.5) / 1000000.0 AS twa,
-       FLOOR((CAST(SUM(vdec) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+       FLOOR((CAST(CAST(SUM(vdec * dt_us) AS VARCHAR) AS DOUBLE) / nullif(MAX(ts_us) - MIN(ts_us), 0)) * 1000000.0 + 0.5) / 1000000.0 AS twa,
+       FLOOR((CAST(CAST(SUM(vdec) AS VARCHAR) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
 FROM seg GROUP BY event_type ORDER BY event_type
 """
 

@@ -66,8 +66,8 @@ def p3_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _P3_SQL = """
 SELECT l_linestatus,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_tax_amt,
-  CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_tax,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_tax_amt,
+  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_tax,
   CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
@@ -94,7 +94,7 @@ def p4_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _P4_SQL = """
 SELECT COUNT(*) AS n,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
        MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
 FROM part
 WHERE p_size >= 5 AND p_size <= 45 AND p_size <> 13
@@ -191,7 +191,7 @@ def p8_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P8_SQL = """
 SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY k_bucket ORDER BY k_bucket
 """
 
@@ -238,7 +238,7 @@ _P10_SQL = """
 SELECT COUNT(*) AS n,
        CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS sum_ok_ln,
        CAST(SUM(l_partkey + l_suppkey) AS BIGINT) AS sum_pk_sk,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(DISTINCT l_orderkey) AS n_orders
 FROM lineitem
 """
@@ -277,7 +277,7 @@ WITH s AS (
                       'price': CAST(l_extendedprice AS DOUBLE)}} AS rec
   FROM lineitem)
 SELECT rec.flag AS flag, COUNT(*) AS n,
-       CAST(SUM(CAST(rec.metrics.qty AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(rec.metrics.qty AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
          AS sum_qty,
        MAX(rec.metrics.price) AS max_price
 FROM s GROUP BY flag ORDER BY flag

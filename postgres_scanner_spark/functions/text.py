@@ -864,7 +864,7 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(n_chars) AS BIGINT) AS n_base_syms,
        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-       FLOOR(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks) * 100000.0 + 0.5) / 100000.0 AS compression
+       FLOOR(CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) / SUM(n_toks) * 100000.0 + 0.5) / 100000.0 AS compression
 FROM toks JOIN enc USING (w)
 GROUP BY doc_id ORDER BY doc_id""")
 

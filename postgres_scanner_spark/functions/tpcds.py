@@ -124,7 +124,7 @@ WITH per AS (
   FROM lineitem GROUP BY yr, dow)
 SELECT yr, dow, CAST(rev_dec AS DOUBLE) AS revenue,
        CAST(rev_dec AS DOUBLE)
-         / CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS DOUBLE) AS share
+         / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS VARCHAR) AS DOUBLE) AS share
 FROM per ORDER BY yr, dow
 """
 
@@ -145,9 +145,9 @@ def ds3_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DS3_SQL = """
 SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (CAST(1 AS DECIMAL(12,2))
-                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_type = 'PROMO'
 GROUP BY yr, p_brand
@@ -228,7 +228,7 @@ WITH per AS (
 SELECT r_name AS region, n_name AS nation,
        CAST(rev_dec AS DOUBLE) AS revenue,
        CAST(rev_dec AS DOUBLE)
-         / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+         / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE)
          AS region_share
 FROM per ORDER BY region, revenue DESC, nation
 """
@@ -401,7 +401,7 @@ WITH u AS (
   JOIN nation ON c_nationkey = n_nationkey)
 SELECT COALESCE(channel, 'ALL') AS channel,
        COALESCE(nation, 'ALL') AS nation,
-       CAST(SUM(rev_dec) AS DOUBLE) AS amount,
+       CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE) AS amount,
        COUNT(*) AS n_rows
 FROM u GROUP BY ROLLUP(channel, nation)
 ORDER BY channel, nation
@@ -431,11 +431,11 @@ def ds10_avg_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DS10_SQL = """
 SELECT p_brand,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
          AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
          AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
          AS avg_disc,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -565,7 +565,7 @@ WITH per_part AS (
                 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
   FROM lineitem GROUP BY l_suppkey, l_partkey),
 per_supp AS (
-  SELECT l_suppkey, CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS avg_rev
+  SELECT l_suppkey, CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_rev
   FROM per_part GROUP BY l_suppkey)
 SELECT l_suppkey, l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
        FLOOR((avg_rev) * 100.0 + 0.5) / 100.0 AS supp_avg
@@ -729,7 +729,7 @@ def ds16_above_avg_balance_nations(spark: SparkSession, sf_dir: str
 
 _DS16_SQL = """
 WITH gavg AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
          / COUNT(*) AS global_avg
   FROM customer),
 active AS (
@@ -781,7 +781,7 @@ def ds17_substr_cohort_revenue(spark: SparkSession, sf_dir: str
 
 _DS17_SQL = """
 WITH gavg AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
          / COUNT(*) AS ga FROM customer),
 in_list AS (
   SELECT c_custkey FROM customer
@@ -792,7 +792,7 @@ preferred AS (
   WHERE CAST(c_acctbal AS DOUBLE) > ga),
 cohort AS (SELECT * FROM in_list INTERSECT SELECT * FROM preferred)
 SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
          AS revenue
 FROM orders
 JOIN cohort ON o_custkey = c_custkey
@@ -962,7 +962,7 @@ WITH win AS (
   WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1994-01-31'
   GROUP BY p_brand, p_type)
 SELECT p_brand, p_type, CAST(rev_dec AS DOUBLE) AS revenue,
-       FLOOR((CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+       FLOOR((CAST(rev_dec AS DOUBLE) / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS brand_share
 FROM win ORDER BY p_brand, p_type
 """
@@ -1001,11 +1001,11 @@ def ds21_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DS21_SQL = """
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-       FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       FLOOR((CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
              / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+       FLOOR((CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
              / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
          AS sum_order_total
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE (o_orderpriority = '1-URGENT'

@@ -98,13 +98,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM({_SQL_QTY}) AS DOUBLE) AS sum_qty,
-  CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sum_base_price,
-  CAST(SUM({_SQL_DISC}) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
-  CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(CAST(SUM({_SQL_QTY}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM({_SQL_PRICE}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM({_SQL_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM({_SQL_QTY}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(CAST(SUM({_SQL_PRICE}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -132,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q3_SQL = f"""
-SELECT l_orderkey, CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue,
+SELECT l_orderkey, CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -200,7 +200,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q5_SQL = f"""
-SELECT n_name, CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue
+SELECT n_name, CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -231,8 +231,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -275,7 +275,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue
+       CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders ON o_orderkey = l_orderkey
@@ -325,12 +325,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC}
-           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
-  CAST(SUM({_SQL_DISC}) AS DOUBLE) AS total_volume,
-  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC}
-           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-    / CAST(SUM({_SQL_DISC}) AS DOUBLE) AS mkt_share
+  CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC}
+           ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS nation_volume,
+  CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS total_volume,
+  CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC}
+           ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -367,9 +367,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_SQL = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-  CAST(SUM({_SQL_DISC} - CAST(0.6 AS DECIMAL(2,1))
+  CAST(CAST(SUM({_SQL_DISC} - CAST(0.6 AS DECIMAL(2,1))
         * CAST(p_retailprice AS DECIMAL(12,2))
-        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN orders ON o_orderkey = l_orderkey
@@ -403,7 +403,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q10_SQL = f"""
-SELECT c_custkey, c_name, CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue,
+SELECT c_custkey, c_name, CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS revenue,
        CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -445,7 +445,7 @@ WITH v AS (
   GROUP BY p_partkey)
 SELECT p_partkey, CAST(val_dec AS DOUBLE) AS part_value
 FROM v
-WHERE CAST(val_dec AS DOUBLE) > (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM v) * 0.0006
+WHERE CAST(val_dec AS DOUBLE) > (SELECT CAST(CAST(SUM(val_dec) AS VARCHAR) AS DOUBLE) FROM v) * 0.0006
 ORDER BY part_value DESC, p_partkey
 """
 
@@ -527,9 +527,9 @@ _Q14_SQL = f"""
 SELECT 100.0 * promo_sum / total_sum AS promo_revenue, promo_sum, total_sum
 FROM (
   SELECT
-    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC}
-             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_sum,
-    CAST(SUM({_SQL_DISC}) AS DOUBLE) AS total_sum
+    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC}
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS promo_sum,
+    CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS total_sum
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1996-03-01'
     AND l_shipdate < TIMESTAMP '1996-04-01')
@@ -561,7 +561,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q15_SQL = f"""
 WITH rev AS (
-  SELECT l_suppkey, CAST(SUM({_SQL_DISC}) AS DOUBLE) AS total_revenue
+  SELECT l_suppkey, CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -613,7 +613,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < 0.2 * (SELECT SUM(l_quantity) / COUNT(*)
@@ -651,7 +651,7 @@ _Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -683,7 +683,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_SQL = f"""
-SELECT CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM({_SQL_DISC}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
@@ -775,9 +775,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_SQL = """
 SELECT n_name AS cntry, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
                           / COUNT(*)
                    FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -824,7 +824,7 @@ ORDER BY p.p_type
 
 # ---- Q23: the session-SQL front end as a graded query ---------------
 _Q23_TEXT = """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
          AS sum_price
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority"""

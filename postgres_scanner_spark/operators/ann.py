@@ -691,7 +691,7 @@ WITH {_km_sql_ctes()}
 SELECT CAST(cluster AS INT) AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(vec_id) AS BIGINT) AS id_sum,
-       FLOOR((CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+       FLOOR((CAST(CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS inertia
 FROM a2 GROUP BY cluster ORDER BY cluster
 """

@@ -108,7 +108,7 @@ def e1_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E1_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 """
 
@@ -205,7 +205,7 @@ def e4_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E4_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id LIMIT 10
 """
@@ -478,7 +478,7 @@ def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E9_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -665,7 +665,7 @@ _E12_SQL = """
 WITH dim AS (SELECT DISTINCT user_id,
                     CAST(user_id % 4 AS INT) AS segment FROM events)
 SELECT segment, event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events JOIN dim USING (user_id)
 GROUP BY segment, event_type ORDER BY segment, event_type
 """
@@ -773,7 +773,7 @@ def e13_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E13_SQL = f"""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM events
         WHERE ts >= TIMESTAMP '{_E13_SPLIT}') AS run2_rows
 FROM events GROUP BY event_type ORDER BY event_type
@@ -992,7 +992,7 @@ def e16_connector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E16_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1473,7 +1473,7 @@ def e21_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E21_SQL = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1553,7 +1553,7 @@ def e19_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E19_SQL = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
