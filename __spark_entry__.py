@@ -53,17 +53,19 @@ _MODULES = (
 # (--explain shows the per-query evidence).
 _COST_ORDER = [
     "d20_repeated_substrings", "d21_repeated_substring_excision",
-    "t2_quality_score", "x5_sequence_pack", "x11_quality_topk_sample",
-    "w3_window_rank", "q15_top_supplier", "x8_epoch_plan",
-    "m7_npy_tensor_parse", "e17_streaming_dedup_ingest",
-    "t17_perplexity_buckets", "m9_shard_repack_plan",
-    "x12_corpus_compile", "e20_streaming_neardup_ingest",
-    "d17_lsh_param_sweep", "w19_ema_daily_revenue",
-    "ds1_above_avg_customers", "ds6_top_customers_per_region",
-    "w15_gapfill_locf", "w16_time_weighted_avg",
-    "ds15_channel_growth_ratio", "ds19_two_fact_growth",
-    "ds20_category_share_window", "ds21_disjunctive_bands",
-    "a10_filtered_ann", "w18_retention_cohorts", "a11_mmr_diversified",
+    "q1_pricing_summary", "q23_session_sql", "ds5_nation_share",
+    "ds3_brand_year", "t2_quality_score", "x5_sequence_pack",
+    "x11_quality_topk_sample", "w3_window_rank", "q15_top_supplier",
+    "x8_epoch_plan", "m7_npy_tensor_parse",
+    "e17_streaming_dedup_ingest", "t17_perplexity_buckets",
+    "m9_shard_repack_plan", "x12_corpus_compile",
+    "e20_streaming_neardup_ingest", "d17_lsh_param_sweep",
+    "w19_ema_daily_revenue", "ds1_above_avg_customers",
+    "ds6_top_customers_per_region", "w15_gapfill_locf",
+    "w16_time_weighted_avg", "ds15_channel_growth_ratio",
+    "ds19_two_fact_growth", "ds20_category_share_window",
+    "ds21_disjunctive_bands", "a10_filtered_ann",
+    "w18_retention_cohorts", "a11_mmr_diversified",
     "m11_parquet_footer_manifest", "w13_dist_windows",
     "m4_wav_features", "m12_pruned_rowgroup_scan",
     "e22_streaming_contamination_guard", "x4_source_mix",
@@ -79,10 +81,9 @@ _COST_ORDER = [
     "p7_timestamp_parts", "p11_struct_fields", "p10_verify_checksum",
     "p8_json", "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
     "t1_language_id", "t6_pii_redact", "t11_bpe_pairs",
-    "x10_leakage_safe_split", "ds3_brand_year", "q14_promo_effect",
-    "w5_lag_delta", "ds2_weekday_share", "w7_percentiles",
-    "q17_small_quantity", "ds8_customer_cohort",
-    "q21_suppliers_waiting", "m2_frame_sample",
+    "x10_leakage_safe_split", "q14_promo_effect", "w5_lag_delta",
+    "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
+    "ds8_customer_cohort", "q21_suppliers_waiting", "m2_frame_sample",
     "e1_hourly_event_rollup", "ds12_order_size_band",
     "ds14_shipping_lag", "x7_dataset_card", "ds10_avg_measures",
     "a9_mih_hamming_ann", "e18_streaming_quality_router",
@@ -97,8 +98,8 @@ _COST_ORDER = [
     "e2_sessionization", "d8_incremental_dedup", "m5_video_container",
     "t18_script_id", "a12_ivfpq_ann", "w20_asof_directional",
     "m3_image_dims", "ds7_yoy_growth", "m8_jsonl_shard_codec",
-    "ds5_nation_share", "ds9_channel_rollup", "m6_tar_shard_manifest",
-    "a4_knn_label", "d10_boilerplate_removal", "e12_stream_static_join",
+    "ds9_channel_rollup", "m6_tar_shard_manifest", "a4_knn_label",
+    "d10_boilerplate_removal", "e12_stream_static_join",
     "e13_checkpoint_resume", "e11_streaming_sessions", "a5_pq_ann",
     "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
     "d11_verbatim_spans", "e10_late_data_policy", "d9_incremental_lsh",
@@ -113,9 +114,8 @@ _COST_ORDER = [
     "q10_returned_items", "q12_shipmode", "q18_large_volume_customer",
     "q22_global_sales_opportunity", "q16_parts_supplier",
     "t5_filter_pipeline", "q11_important_stock", "q9_product_profit",
-    "q23_session_sql", "q7_volume_shipping", "q8_market_share",
-    "q3_shipping_priority", "q1_pricing_summary", "q4_order_priority",
-    "p12_binary_ops", "q5_local_supplier_volume",
+    "q7_volume_shipping", "q8_market_share", "q3_shipping_priority",
+    "q4_order_priority", "p12_binary_ops", "q5_local_supplier_volume",
     "q2_min_cost_supplier", "p1_count_star", "ds4_price_buckets",
     "e4_top_users", "ds11_timeband_counts", "q6_forecast_revenue",
     "x2_hash_sample", "e5_event_funnel", "p4_filter_pushdown",
