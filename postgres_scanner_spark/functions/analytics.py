@@ -137,7 +137,7 @@ WITH monthly AS (
   SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
          SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
   FROM lineitem GROUP BY month)
-SELECT month, CAST(rev_dec AS DOUBLE) AS revenue,
+SELECT month, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
        CAST(SUM(rev_dec) OVER (ORDER BY month
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_3m
 FROM monthly ORDER BY month
@@ -1249,7 +1249,7 @@ WITH daily AS (
          COUNT(*) AS n_items
   FROM lineitem GROUP BY day)
 SELECT strftime(day, '%Y-%m-%d') AS day,
-       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
        CAST(SUM(rev_dec) OVER (ORDER BY day
             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS trailing_7d_rev,
@@ -1578,7 +1578,7 @@ WITH daily AS (
   FROM lineitem GROUP BY day),
 series AS (
   SELECT day, datediff('day', DATE '1970-01-01', day) AS dn,
-         CAST(rev_dec AS DOUBLE) AS revenue
+         CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
   FROM daily),
 windowed AS (
   SELECT day, dn, revenue,
@@ -2076,14 +2076,154 @@ r AS (SELECT source, n_docs, loss,
       FROM l, m),
 s AS (SELECT SUM(CAST(wr AS DECIMAL(28,15))) AS swr FROM r)
 SELECT source, n_docs, loss,
-       FLOOR((wr / CAST(swr AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS weight
+       FLOOR((wr / CAST(CAST(swr AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS weight
 FROM r, s ORDER BY source
+"""
+
+
+# ---- X17: DSIR importance-weighted data selection -------------------
+_X17_B = 4096              # hashed n-gram feature buckets
+_X17_K = 200               # docs selected from the raw pool
+_X17_TARGET = ("src0", "src1", "src2", "src3")   # target sample
+
+
+def x17_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169), the hashed-n-gram data-selection method
+    production pretraining pipelines run between a small TARGET
+    sample (here: four sources standing in for the curated set) and
+    the big RAW pool: fit bag-of-hashed-n-gram unigram+bigram
+    distributions over B=4096 buckets on each side with add-one
+    smoothing, score every raw document by its importance log-weight
+    sum_g [ln p_target(b(g)) - ln p_raw(b(g))], and keep the top-K.
+    (The paper's Gumbel-noise resampling step is replaced by the
+    deterministic top-K so two engines can agree bit-for-bit; the
+    weights ARE the method.) Complements X16: DoReMi reweights whole
+    domains, DSIR selects individual documents.
+
+    Determinism discipline: per-gram terms are ln() of integer
+    counts (identical doubles into both engines' ln — the accepted
+    t9/t19 class), decimal-cast before the per-doc SUM so
+    aggregation order cannot perturb a bit, and the exact decimal
+    sum reaches DOUBLE through the VARCHAR route (DuckDB's direct
+    decimal-to-double cast double-rounds past 2^53 unscaled). The
+    normalizer term n_grams*(ln(S_r+B) - ln(S_t+B)) is the same
+    three-op double expression in both plans; scores round to 6
+    decimals BEFORE the top-K order, doc_id breaks ties.
+
+    Scale (100 TB): the bucket distribution is B=4096 rows however
+    large the corpus — broadcast to the gram stream, never shuffled;
+    gram extraction is a per-doc map (the bigram LEAD window
+    partitions by doc_id, bounded by document length); the only
+    corpus-sized shuffle is the per-doc term SUM keyed by doc_id;
+    the top-K is orderBy+limit = TakeOrderedAndProject per-partition
+    heaps (t12 idiom), so K rows — not the pool — leave the parallel
+    stage. Reference scope: the reference engine ships no data-
+    selection surface; this extends the curation family (X1-X16)
+    with the published method a reference user would otherwise run
+    as a separate job."""
+    from ..runtime import scratch_persist
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select("doc_id", "source",
+                    F.posexplode(toks).alias("pos", "w"))
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    uni = base.select("doc_id", "source",
+                      F.concat(F.lit("u:"), F.col("w")).alias("g"))
+    bi = (base.select("doc_id", "source", "pos", "w",
+                      F.lead("w").over(wn).alias("w2"))
+          .filter(F.col("w2").isNotNull())
+          .select("doc_id", "source",
+                  F.concat(F.lit("b:"), F.col("w"), F.lit(" "),
+                           F.col("w2")).alias("g")))
+    is_t = F.col("source").isin(*_X17_TARGET)
+    gb = scratch_persist(
+        uni.unionByName(bi).select(
+            "doc_id", "source", is_t.alias("is_t"),
+            (F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+             .cast("bigint") % _X17_B).alias("b")))
+    dist = (gb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("c_r")))
+    tot = dist.agg(F.sum("c_t").alias("s_t"), F.sum("c_r").alias("s_r"))
+    dec = "decimal(28,15)"
+    terms = (gb.filter(~F.col("is_t"))
+             .join(F.broadcast(dist), "b")
+             .select("doc_id", "source",
+                     (F.log(F.col("c_t") + 1.0)
+                      - F.log(F.col("c_r") + 1.0)).cast(dec)
+                     .alias("term")))
+    per = terms.groupBy("doc_id").agg(
+        F.max("source").alias("source"),
+        F.sum("term").alias("s"),
+        F.count("*").alias("n_grams"))
+    scored = (per.crossJoin(F.broadcast(tot))   # 1-row scalar
+              .select("doc_id", "source", "n_grams",
+                      det_round(
+                          F.col("s").cast("double")
+                          + F.col("n_grams")
+                          * (F.log(F.col("s_r") + float(_X17_B))
+                             - F.log(F.col("s_t") + float(_X17_B))),
+                          6).alias("score")))
+    topk = scored.orderBy(F.desc("score"), "doc_id").limit(_X17_K)
+    return (topk.agg(F.sort_array(F.collect_list(F.struct(
+                (-F.col("score")).alias("negs"), "doc_id", "source",
+                "n_grams", "score"))).alias("arr"))
+            .select(F.posexplode("arr").alias("pos", "t"))
+            .select((F.col("pos") + 1).cast("long").alias("rank"),
+                    F.col("t.doc_id").alias("doc_id"),
+                    F.col("t.source").alias("source"),
+                    F.col("t.n_grams").cast("long").alias("n_grams"),
+                    F.col("t.score").alias("score"))
+            .orderBy("rank"))
+
+
+_X17_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, i AS pos, t[CAST(i AS INT) + 1] AS w
+  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents), UNNEST(range(len(t))) AS u(i)),
+bi AS (
+  SELECT doc_id, source, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok QUALIFY w2 IS NOT NULL),
+grams AS (
+  SELECT doc_id, source, 'u:' || w AS g FROM tok
+  UNION ALL
+  SELECT doc_id, source, 'b:' || w1 || ' ' || w2 AS g FROM bi),
+gb AS MATERIALIZED (
+  SELECT doc_id, source,
+         source IN {_X17_TARGET!r} AS is_t,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {_X17_B} AS b
+  FROM grams),
+dist AS MATERIALIZED (
+  SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS c_r
+  FROM gb GROUP BY b),
+tot AS (SELECT SUM(c_t) AS s_t, SUM(c_r) AS s_r FROM dist),
+per AS (
+  SELECT doc_id, MAX(source) AS source,
+         SUM(CAST(ln(c_t + 1.0) - ln(c_r + 1.0) AS DECIMAL(28,15))) AS s,
+         COUNT(*) AS n_grams
+  FROM gb JOIN dist USING (b) WHERE NOT is_t
+  GROUP BY doc_id),
+scored AS (
+  SELECT doc_id, source, n_grams,
+         FLOOR((CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                + n_grams * (ln(s_r + {float(_X17_B)!r})
+                             - ln(s_t + {float(_X17_B)!r})))
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM per, tot)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+       doc_id, source, CAST(n_grams AS BIGINT) AS n_grams, score
+FROM scored ORDER BY score DESC, doc_id LIMIT {_X17_K}
 """
 
 
 QUERIES = {
     "x15_length_bucketed_batches": x15_length_bucketed_batches,
     "x16_domain_reweight": x16_domain_reweight,
+    "x17_dsir_select": x17_dsir_select,
     "w20_asof_directional": w20_asof_directional,
     "w1_rollup": w1_rollup,
     "w2_cube": w2_cube,
@@ -2123,6 +2263,7 @@ QUERIES = {
 ORACLE = {
     "x15_length_bucketed_batches": _X15_SQL,
     "x16_domain_reweight": _X16_SQL,
+    "x17_dsir_select": _X17_SQL,
     "w1_rollup": _W1_SQL,
     "w2_cube": _W2_SQL,
     "w3_window_rank": _W3_SQL,

@@ -606,16 +606,16 @@ sums AS (
 totals AS (SELECT COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS tokens
            FROM freq)
 SELECT vocab, tokens,
-       FLOOR(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-              * CAST(sy AS DOUBLE))
-             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                * CAST(sx AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
-       FLOOR(((CAST(sy AS DOUBLE)
-              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-                 * CAST(sy AS DOUBLE))
-                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                   * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / n) * 1000000.0 + 0.5) / 1000000.0 AS zipf_intercept
+       FLOOR(((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(sx AS VARCHAR) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       FLOOR(((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+              - (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n) * 1000000.0 + 0.5) / 1000000.0 AS zipf_intercept
 FROM sums, totals
 """
 

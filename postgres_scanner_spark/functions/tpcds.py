@@ -86,7 +86,7 @@ flagged AS (
             / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
   FROM per_cust)
 SELECT c_custkey, c_name, n_name AS nation,
-       CAST(total_dec AS DOUBLE) AS total_spent
+       CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_spent
 FROM flagged JOIN nation ON c_nationkey = n_nationkey
 WHERE total_dec > 1.2 * nation_avg
 ORDER BY c_custkey
@@ -122,8 +122,8 @@ WITH per AS (
              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
            AS rev_dec
   FROM lineitem GROUP BY yr, dow)
-SELECT yr, dow, CAST(rev_dec AS DOUBLE) AS revenue,
-       CAST(rev_dec AS DOUBLE)
+SELECT yr, dow, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
          / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS VARCHAR) AS DOUBLE) AS share
 FROM per ORDER BY yr, dow
 """
@@ -226,8 +226,8 @@ WITH per AS (
   JOIN region ON n_regionkey = r_regionkey
   GROUP BY r_name, n_name)
 SELECT r_name AS region, n_name AS nation,
-       CAST(rev_dec AS DOUBLE) AS revenue,
-       CAST(rev_dec AS DOUBLE)
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
          / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE)
          AS region_share
 FROM per ORDER BY region, revenue DESC, nation
@@ -276,7 +276,7 @@ ranked AS (
       PARTITION BY r_name ORDER BY total_dec DESC, c_custkey) AS rnk
   FROM per)
 SELECT r_name AS region, rnk, c_custkey, c_name,
-       CAST(total_dec AS DOUBLE) AS spent
+       CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS spent
 FROM ranked WHERE rnk <= 3 ORDER BY region, rnk
 """
 
@@ -316,8 +316,8 @@ WITH per AS (
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   GROUP BY n_name, yr)
-SELECT n_name AS nation, yr, CAST(rev_dec AS DOUBLE) AS revenue,
-       (CAST(rev_dec AS DOUBLE)
+SELECT n_name AS nation, yr, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       (CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
         - CAST(LAG(rev_dec) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE))
        / CAST(LAG(rev_dec) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
          AS yoy_growth
@@ -567,7 +567,7 @@ WITH per_part AS (
 per_supp AS (
   SELECT l_suppkey, CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_rev
   FROM per_part GROUP BY l_suppkey)
-SELECT l_suppkey, l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+SELECT l_suppkey, l_partkey, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
        FLOOR((avg_rev) * 100.0 + 0.5) / 100.0 AS supp_avg
 FROM per_part JOIN per_supp USING (l_suppkey)
 WHERE rev_dec < avg_rev * 0.5
@@ -687,14 +687,14 @@ WITH per AS (
   WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
   GROUP BY o_custkey)
 SELECT custkey,
-       FLOOR((CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+       FLOOR((CAST(CAST(p95 AS VARCHAR) AS DOUBLE) / CAST(CAST(p94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS priority_ratio,
-       FLOOR((CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+       FLOOR((CAST(CAST(s95 AS VARCHAR) AS DOUBLE) / CAST(CAST(s94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS standard_ratio
 FROM per
 WHERE p94 > 0 AND s94 > 0
-  AND FLOOR((CAST(p95 AS DOUBLE) / CAST(p94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
-      > FLOOR((CAST(s95 AS DOUBLE) / CAST(s94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+  AND FLOOR((CAST(CAST(p95 AS VARCHAR) AS DOUBLE) / CAST(CAST(p94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+      > FLOOR((CAST(CAST(s95 AS VARCHAR) AS DOUBLE) / CAST(CAST(s94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
 ORDER BY custkey
 """
 
@@ -915,12 +915,12 @@ rev AS (
   WHERE year(CAST(l_shipdate AS DATE)) IN (1994, 1995)
   GROUP BY o_custkey)
 SELECT custkey,
-       FLOOR((CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rev_ratio,
-       FLOOR((CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS head_ratio
+       FLOOR((CAST(CAST(r95 AS VARCHAR) AS DOUBLE) / CAST(CAST(r94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rev_ratio,
+       FLOOR((CAST(CAST(h95 AS VARCHAR) AS DOUBLE) / CAST(CAST(h94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS head_ratio
 FROM head JOIN rev USING (custkey)
 WHERE h94 > 0 AND r94 > 0
-  AND FLOOR((CAST(r95 AS DOUBLE) / CAST(r94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
-      > FLOOR((CAST(h95 AS DOUBLE) / CAST(h94 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+  AND FLOOR((CAST(CAST(r95 AS VARCHAR) AS DOUBLE) / CAST(CAST(r94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+      > FLOOR((CAST(CAST(h95 AS VARCHAR) AS DOUBLE) / CAST(CAST(h94 AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
 ORDER BY custkey
 """
 
@@ -961,8 +961,8 @@ WITH win AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1994-01-31'
   GROUP BY p_brand, p_type)
-SELECT p_brand, p_type, CAST(rev_dec AS DOUBLE) AS revenue,
-       FLOOR((CAST(rev_dec AS DOUBLE) / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+SELECT p_brand, p_type, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       FLOOR((CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS VARCHAR) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS brand_share
 FROM win ORDER BY p_brand, p_type
 """

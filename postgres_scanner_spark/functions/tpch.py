@@ -443,9 +443,9 @@ WITH v AS (
              * CAST(p_retailprice AS DECIMAL(12,2))) AS val_dec
   FROM lineitem JOIN part ON p_partkey = l_partkey
   GROUP BY p_partkey)
-SELECT p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+SELECT p_partkey, CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) AS part_value
 FROM v
-WHERE CAST(val_dec AS DOUBLE) > (SELECT CAST(CAST(SUM(val_dec) AS VARCHAR) AS DOUBLE) FROM v) * 0.0006
+WHERE CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) > (SELECT CAST(CAST(SUM(val_dec) AS VARCHAR) AS DOUBLE) FROM v) * 0.0006
 ORDER BY part_value DESC, p_partkey
 """
 

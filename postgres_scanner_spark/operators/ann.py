@@ -672,7 +672,7 @@ upd AS (
   GROUP BY cluster, g.i),
 cents2 AS (
   SELECT CAST(cluster AS INT) AS cent_id,
-         list(FLOOR((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) / 1000000000.0 ORDER BY pos) AS c
+         list(FLOOR((CAST(CAST(s AS VARCHAR) AS DOUBLE) / n) * 1000000000.0 + 0.5) / 1000000000.0 ORDER BY pos) AS c
   FROM upd GROUP BY cluster),
 d2 AS (
   SELECT vec_id, cent_id, {sq} AS dist2

@@ -157,3 +157,62 @@ def test_d21_excises_the_d20_spans(spark, tmp_path):
         f"s{i}" for i in range(14)) + " h103b"
     # degenerate docs survive excision untouched
     assert exc[111].cleaned_text == "lonetoken111"
+
+
+# ---------------- X17 DSIR truth pins on a handcrafted corpus ------
+def _dsir_corpus_dir(tmp_path):
+    """Target sources (src0-src3) speak vocabulary A; the raw pool
+    (src9) holds docs that are pure-A (target-like), pure-B (junk),
+    and mixed — so the importance ordering is hand-predictable:
+    likeA > mixed > likeB."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    va = "alpha beta gamma delta epsilon zeta eta theta"
+    vb = "zork quux blarg wibble frotz gnusto rezrov plugh"
+    rows = []
+    for i in range(8):           # target sample, vocab A
+        rows.append({"doc_id": 100 + i, "text": va, "lang": "en",
+                     "source": f"src{i % 4}", "n_chars": len(va)})
+    picks = {200: va, 201: va,                          # likeA
+             210: va.split(" ", 4)[4] + " " + vb,       # mixed
+             220: vb, 221: vb}                          # likeB
+    for did, txt in picks.items():
+        rows.append({"doc_id": did, "text": txt, "lang": "en",
+                     "source": "src9", "n_chars": len(txt)})
+    d = tmp_path / "sfdsir"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_x17_importance_ordering(spark, tmp_path):
+    """Raw docs made of the target vocabulary must outscore raw docs
+    made of never-seen-in-target vocabulary, with the mixed doc in
+    between — the defining property of the importance weight."""
+    from postgres_scanner_spark.functions.analytics import (
+        x17_dsir_select)
+    sf = _dsir_corpus_dir(tmp_path)
+    rows = x17_dsir_select(spark, sf).collect()
+    got = {r.doc_id: r for r in rows}
+    # only the raw pool is scored — no target doc may appear
+    assert set(got) == {200, 201, 210, 220, 221}
+    score = {k: v.score for k, v in got.items()}
+    assert score[200] == score[201]          # identical docs tie
+    assert score[200] > score[210] > score[220]
+    assert score[220] == score[221]
+    # ranks are 1..n in score order with doc_id tiebreak
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert [r.doc_id for r in by_rank] == [200, 201, 210, 220, 221]
+    assert [r.rank for r in by_rank] == [1, 2, 3, 4, 5]
+
+
+def test_x17_target_prior_shifts_scores(spark, tmp_path):
+    """The normalizer term must react to the target/raw totals: a
+    pure-A raw doc's importance is POSITIVE (its grams are denser in
+    the target model) and a pure-B doc's is NEGATIVE."""
+    from postgres_scanner_spark.functions.analytics import (
+        x17_dsir_select)
+    sf = _dsir_corpus_dir(tmp_path)
+    got = {r.doc_id: r for r in x17_dsir_select(spark, sf).collect()}
+    assert got[200].score > 0 > got[220].score

@@ -197,6 +197,7 @@ def test_plan_lint_all_queries(spark):
         "a12_ivfpq_ann",              # corpus × 8 centroids / 16 subcents
         "x15_length_bucketed_batches",  # 1-row global-max baseline scalar
         "x16_domain_reweight",          # 1-row mean-loss + normalizer scalars
+        "x17_dsir_select",              # 1-row gram-total scalar (S_t, S_r)
         "q15_top_supplier",             # 1-row global-max revenue scalar
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
