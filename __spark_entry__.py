@@ -52,6 +52,7 @@ _MODULES = (
 # Regenerate with tools/rotate_order.py --write after each round
 # (--explain shows the per-query evidence).
 _COST_ORDER = [
+    "t20_kneser_ney_logprob", "m13_bloom_pruned_probe",
     "x17_dsir_select",
     "d20_repeated_substrings", "d21_repeated_substring_excision",
     "q1_pricing_summary", "q23_session_sql", "ds5_nation_share",

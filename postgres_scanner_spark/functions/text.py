@@ -1237,7 +1237,104 @@ FROM terms GROUP BY source ORDER BY source
 """
 
 
+# ---- T20: interpolated Kneser-Ney bigram LM scoring ------------------
+_KN_D = 0.75
+
+
+def t20_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under an interpolated
+    Kneser-Ney bigram LM trained on the corpus itself — the canonical
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999) behind the
+    KenLM-style perplexity filters every CCNet-descended curation
+    pipeline runs. Extends T9's MLE scorer with the absolute-discount
+    + continuation-probability backoff that makes unseen-context mass
+    principled:
+
+        P_KN(w2|w1) = (c(w1,w2) - D)/c(w1)
+                      + D * N1+(w1,*)/c(w1) * N1+(*,w2)/N1+(*,*)
+
+    with D = 0.75 (the Chen-Goodman default). N1+ are TYPE counts —
+    the "how many distinct contexts" statistics that distinguish KN
+    from Katz/MLE backoff.
+
+    Determinism: every probability is composed from integer counts
+    with an identical IEEE expression tree in both engines; ln() of
+    identical doubles (t9 discipline); the per-doc sum is the ordered
+    fold (array_sort + left fold / list_reduce(list_prepend(...))),
+    then det_round(...,6).
+
+    Scale (100 TB): the type tables c2/c1/ncw2 are vocabulary²-
+    bounded, not corpus-bounded; they join among themselves first so
+    the corpus-sized bigram stream shuffles ONCE — on (w1,w2) into
+    the pre-scored type table — instead of once per statistic. The
+    final groupBy(doc_id) rides the corpus's natural key. The fold
+    array is per-document (bounded by doc length). No broadcast of
+    the type table: at web scale bigram types are billions of rows,
+    so the join stays a shuffle join and AQE handles the skewed
+    stopword-pair keys."""
+    from pyspark.sql.window import Window
+    d = _t(spark, sf_dir, "documents")
+    D = F.lit(_KN_D)
+    tok = d.select("doc_id",
+                   F.posexplode(_tokens()).alias("pos", "w"))
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tok.select("doc_id", "pos", F.col("w").alias("w1"),
+                     F.lead("w").over(wn).alias("w2"))
+          .filter(F.col("w2").isNotNull()))
+    bg = scratch_persist(bg)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"),
+                              F.countDistinct("w2").alias("n1w1"))
+    ncw2 = c2.groupBy("w2").agg(F.count("*").alias("ncw2"))
+    nbt = c2.agg(F.count("*").alias("nbt"))   # 1-row scalar
+    p = (((F.col("c2") - D) / F.col("c1"))
+         + ((D * F.col("n1w1")) / F.col("c1"))
+         * (F.col("ncw2") / F.col("nbt")))
+    ptype = (c2.join(c1, "w1").join(ncw2, "w2")
+             .crossJoin(F.broadcast(nbt))
+             .select("w1", "w2", F.log(p).alias("logp")))
+    scored = bg.join(ptype, ["w1", "w2"]).select("doc_id", "pos", "logp")
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                    F.lit(0.0), lambda a, x: a + x["logp"]).alias("s"))
+    return (per.select(
+        "doc_id", "n_bigrams",
+        det_round(F.col("s") / F.col("n_bigrams"), 6).alias("kn_avg_logp"))
+        .orderBy("doc_id"))
+
+
+_T20_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, t[CAST(i AS INT) + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents), UNNEST(range(len(t))) AS u(i)),
+bg AS (
+  SELECT doc_id, pos, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok QUALIFY w2 IS NOT NULL),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1w1
+       FROM bg GROUP BY w1),
+ncw2 AS (SELECT w2, COUNT(*) AS ncw2 FROM c2 GROUP BY w2),
+nbt AS (SELECT COUNT(*) AS nbt FROM c2),
+ptype AS (
+  SELECT w1, w2,
+    ln( ((c2 - {_KN_D}) / c1)
+        + (({_KN_D} * n1w1) / c1) * (ncw2 * 1.0 / nbt) ) AS logp
+  FROM c2 JOIN c1 USING (w1) JOIN ncw2 USING (w2) CROSS JOIN nbt),
+scored AS (
+  SELECT doc_id, pos, logp FROM bg JOIN ptype USING (w1, w2))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  {det_round_sql('''list_reduce(
+       list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
+       (a, x) -> a + x) / COUNT(*)''', 6)} AS kn_avg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "t20_kneser_ney_logprob": t20_kneser_ney_logprob,
     "t19_source_kl_divergence": t19_source_kl_divergence,
     "t18_script_id": t18_script_id,
     "t17_perplexity_buckets": t17_perplexity_buckets,
@@ -1260,6 +1357,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t20_kneser_ney_logprob": _T20_SQL,
     "t19_source_kl_divergence": _T19_SQL,
     "t18_script_id": _T18_SQL,
     "t16_quality_classifier": _T16_SQL,

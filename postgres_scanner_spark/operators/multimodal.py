@@ -1196,7 +1196,151 @@ FROM g ORDER BY rg_id
 """
 
 
+# ---- M13: Bloom-filter pruned point probe (unsorted-key lookup) ------
+# Probe-set sizing: one probe per `step` doc_ids, with the step
+# derived from the corpus so the probe count is BOUNDED (~32) at any
+# SF — the same derived-from-data rule as _M12_RG_ROWS. The floor
+# keeps driver-SF probe sets stable; the oracle uses the identical
+# GREATEST() formula.
+_M13_MIN_STEP = 97
+_M13_MAX_PROBES = 32
+
+
+def m13_bloom_pruned_probe(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Point lookups on an UNSORTED high-cardinality key via parquet
+    split-block Bloom filters — the storage-side pruning M11/M12's
+    zone maps cannot do. The staged table is documents keyed by
+    fp = md5(text), laid out in doc_id order, so every row group's
+    fp min/max spans the whole hex space and zone maps prune
+    NOTHING; the footer SBBFs (written by parquet-mr, read by
+    parquet_bloom.py's spec-built thrift/XXH64/SBBF reader) identify
+    candidate row groups per probe, and only those groups are read.
+    Bloom false positives cost a wasted group read, never a wrong
+    row: candidates are exact-verified against the probe set.
+
+    Scale (100 TB): at ingest the lakehouse writes blooms once
+    (ndv-sized, ~1 byte/row); a K-probe lookup then reads footer
+    tails (MBs) plus O(K) row groups instead of the full corpus —
+    the difference between a fleet-wide scan and a point query. The
+    probe set is corpus-derived and bounded (~32 keys, _M13_MAX_
+    PROBES), so the driver-side probe collect is O(32) rows; files
+    fan out
+    over executors via mapInPandas. Reference: postgres_scanner.cpp
+    :238's ctid-split scan sends point lookups to a remote btree —
+    this is the connector-free equivalent for immutable parquet.
+    """
+    import hashlib
+    import os
+    import shutil
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    import pyarrow.parquet as pq
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    step = max(_M13_MIN_STEP, n_src // _M13_MAX_PROBES)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
+    stage = os.path.join(
+        "/tmp", "pg_spark_bloomstage_"
+        + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.exists(stage):
+        d = tables.load(spark, sf_dir, "documents")
+        tmp = f"{stage}.tmp.{os.getpid()}"
+        (d.select("doc_id", F.md5(F.col("text").cast("binary"))
+                  .alias("fp"), "n_chars")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite")
+         .option("parquet.bloom.filter.enabled#fp", "true")
+         .option("parquet.bloom.filter.expected.ndv#fp",
+                 str(max(n_src, 1024)))
+         .option("parquet.block.size", str(256 * 1024))
+         .parquet(tmp))
+        try:
+            os.rename(tmp, stage)        # atomic; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    d = tables.load(spark, sf_dir, "documents")
+    probes = [(int(r.doc_id), r.fp) for r in
+              (d.filter((F.col("doc_id") % F.lit(step)) == 0)
+               .select("doc_id", F.md5(F.col("text").cast("binary"))
+                       .alias("fp"))
+               .collect())]             # bounded: <= ~_M13_MAX_PROBES+1
+    probe_ids = {i for i, _ in probes}
+
+    data_files = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage)
+        if f.endswith(".parquet"))
+    files = spark.createDataFrame([(p,) for p in data_files],
+                                  "path STRING")
+
+    def probe_read(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from .. import parquet_bloom as pb
+        hashed = [(i, fp, pb.xxh64(fp.encode())) for i, fp in probes]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                cand: dict[int, list[str]] = {}
+                with open(r.path, "rb") as fh:
+                    for e in pb.footer_bloom_index(r.path):
+                        if e["column"] != "fp" or \
+                                e["bloom_offset"] is None:
+                            continue
+                        bs = pb.read_bloom_bitset(
+                            fh, e["bloom_offset"], e["bloom_length"])
+                        hits = [fp for _i, fp, h in hashed
+                                if pb.sbbf_might_contain(bs, h)]
+                        if hits:
+                            cand[e["row_group"]] = hits
+                if not cand:
+                    continue
+                pf = pq.ParquetFile(r.path)
+                for g, fps in cand.items():
+                    tb = pf.read_row_group(
+                        g, columns=["doc_id", "fp", "n_chars"])
+                    mask = pc.and_(
+                        pc.is_in(tb.column("fp"),
+                                 value_set=pa.array(fps)),
+                        pc.is_in(tb.column("doc_id"),
+                                 value_set=pa.array(
+                                     sorted(probe_ids),
+                                     type=pa.int64())))
+                    hit = tb.filter(mask)
+                    for i in range(hit.num_rows):
+                        rows.append((hit.column("doc_id")[i].as_py(),
+                                     hit.column("fp")[i].as_py(),
+                                     hit.column("n_chars")[i].as_py()))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "fp", "n_chars"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return (files.repartition(max(len(data_files), 1))
+            .mapInPandas(probe_read, schema=schema)
+            .orderBy("doc_id"))
+
+
+_M13_SQL = f"""
+WITH b AS (SELECT GREATEST({_M13_MIN_STEP},
+                           COUNT(*) // {_M13_MAX_PROBES}) AS step
+           FROM documents)
+SELECT doc_id, md5(text) AS fp, n_chars
+FROM documents, b
+WHERE doc_id % step = 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "m13_bloom_pruned_probe": m13_bloom_pruned_probe,
     "m12_pruned_rowgroup_scan": m12_pruned_rowgroup_scan,
     "m1_decode_features": m1_decode_features,
     "m2_frame_sample": m2_frame_sample,
@@ -1212,6 +1356,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "m13_bloom_pruned_probe": _M13_SQL,
     "m12_pruned_rowgroup_scan": _M12_SQL,
     "m1_decode_features": _M1_SQL,
     "m2_frame_sample": _M2_SQL,

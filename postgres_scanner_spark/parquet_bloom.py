@@ -1,0 +1,320 @@
+"""Parquet split-block Bloom filter (SBBF) reader.
+
+Everything here is built from PUBLIC specifications only:
+
+- The parquet footer and BloomFilterHeader are Thrift structs encoded
+  with the Thrift COMPACT protocol (parquet-format/src/main/thrift/
+  parquet.thrift); `bloom_filter_offset` / `bloom_filter_length` are
+  ColumnMetaData fields 14 / 15.
+- The filter itself is the split-block Bloom filter of
+  parquet-format/BloomFilter.md: 32-byte blocks of eight 32-bit
+  words, one bit per word selected by multiplying the low half of the
+  key hash with eight published odd constants ("salts").
+- The key hash is XXH64 (seed 0) of the column value's plain-encoded
+  bytes (raw bytes for BYTE_ARRAY); XXH64 is Yann Collet's public
+  algorithm (github.com/Cyan4717/xxHash spec).
+
+pyarrow exposes neither the bloom offsets nor the bitsets (as of the
+pinned build), and Spark's reader applies them only inside parquet-mr
+— so a lakehouse planner that wants to SEE the pruning decision (the
+way M11/M12 read zone maps) needs this 200-line reader. It is the
+storage-side sibling of the engine-side Bloom idiom in
+operators/dedup.py (D7) and streaming/events.py (E22).
+
+Reference parity: duckdb/postgres_scanner has no bloom surface; the
+reference point is parquet-format itself plus the ctid-split scan of
+postgres_scanner.cpp:238 — point lookups there hit a remote btree,
+here they hit footer blooms. Used by operators/multimodal.py (M13).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO
+
+# ---------------------------------------------------------------------
+# Thrift compact protocol (read-only, skip-capable subset).
+# Wire type ids: 1/2 bool(true/false), 3 i8, 4 i16, 5 i32, 6 i64,
+# 7 double, 8 binary/string, 9 list, 10 set, 11 map, 12 struct.
+# ---------------------------------------------------------------------
+
+
+def _varint(b: bytes, i: int) -> tuple[int, int]:
+    x = s = 0
+    while True:
+        c = b[i]
+        i += 1
+        x |= (c & 0x7F) << s
+        if not c & 0x80:
+            return x, i
+        s += 7
+
+
+def _zigzag(b: bytes, i: int) -> tuple[int, int]:
+    u, i = _varint(b, i)
+    return (u >> 1) ^ -(u & 1), i
+
+
+def _list_head(b: bytes, i: int) -> tuple[int, int, int]:
+    h = b[i]
+    i += 1
+    n, t = h >> 4, h & 0xF
+    if n == 15:
+        n, i = _varint(b, i)
+    return n, t, i
+
+
+def _skip(b: bytes, i: int, t: int) -> int:
+    if t in (1, 2):          # bool value lives in the field header
+        return i
+    if t == 3:
+        return i + 1
+    if t in (4, 5, 6):
+        return _zigzag(b, i)[1]
+    if t == 7:
+        return i + 8
+    if t == 8:
+        n, i = _varint(b, i)
+        return i + n
+    if t in (9, 10):
+        n, et, i = _list_head(b, i)
+        for _ in range(n):
+            i = _skip(b, i, et)
+        return i
+    if t == 11:
+        n, i = _varint(b, i)
+        if n == 0:
+            return i
+        kt, vt = b[i] >> 4, b[i] & 0xF
+        i += 1
+        for _ in range(n):
+            i = _skip(b, i, kt)
+            i = _skip(b, i, vt)
+        return i
+    if t == 12:
+        return _skip_struct(b, i)
+    raise ValueError(f"unknown thrift compact type {t}")
+
+
+def _skip_struct(b: bytes, i: int) -> int:
+    fid = 0
+    while True:
+        h = b[i]
+        i += 1
+        if h == 0:
+            return i
+        d, t = h >> 4, h & 0xF
+        if d == 0:
+            fid, i = _zigzag(b, i)
+        else:
+            fid += d
+        i = _skip(b, i, t)
+
+
+class _StructReader:
+    """Iterate a compact-thrift struct's (field_id, wire_type) pairs;
+    the caller either consumes the value via a typed reader or calls
+    skip(). Position is exposed as .i so nested readers can resume."""
+
+    def __init__(self, b: bytes, i: int) -> None:
+        self.b, self.i, self.fid = b, i, 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> tuple[int, int]:
+        h = self.b[self.i]
+        self.i += 1
+        if h == 0:
+            raise StopIteration
+        d, t = h >> 4, h & 0xF
+        if d == 0:
+            self.fid, self.i = _zigzag(self.b, self.i)
+        else:
+            self.fid += d
+        return self.fid, t
+
+    def int_val(self) -> int:
+        v, self.i = _zigzag(self.b, self.i)
+        return v
+
+    def skip(self, t: int) -> None:
+        self.i = _skip(self.b, self.i, t)
+
+
+# ---------------------------------------------------------------------
+# Footer walk: FileMetaData(4: row_groups) -> RowGroup(1: columns)
+# -> ColumnChunk(3: meta_data) -> ColumnMetaData(3: path_in_schema,
+# 14: bloom_filter_offset, 15: bloom_filter_length).
+# ---------------------------------------------------------------------
+
+
+def footer_bloom_index(path: str) -> list[dict]:
+    """One entry per (row_group, column chunk): the column's dotted
+    path and its bloom filter offset/length (None when the writer
+    emitted no bloom). Reads ONLY the footer tail bytes."""
+    with open(path, "rb") as f:
+        f.seek(-8, 2)
+        n, magic = struct.unpack("<I4s", f.read(8))
+        if magic != b"PAR1":
+            raise ValueError(f"{path}: not a parquet file")
+        f.seek(-8 - n, 2)
+        b = f.read(n)
+    out: list[dict] = []
+    top = _StructReader(b, 0)
+    rg_no = 0
+    for fid, t in top:
+        if not (fid == 4 and t == 9):
+            top.skip(t)
+            continue
+        n_rg, _et, top.i = _list_head(b, top.i)
+        for _ in range(n_rg):
+            rg = _StructReader(b, top.i)
+            for fid2, t2 in rg:
+                if not (fid2 == 1 and t2 == 9):
+                    rg.skip(t2)
+                    continue
+                n_col, _ct, rg.i = _list_head(b, rg.i)
+                for _c in range(n_col):
+                    cc = _StructReader(b, rg.i)
+                    for fid3, t3 in cc:
+                        if not (fid3 == 3 and t3 == 12):
+                            cc.skip(t3)
+                            continue
+                        cm = _StructReader(b, cc.i)
+                        col = None
+                        boff = blen = None
+                        for fid4, t4 in cm:
+                            if fid4 == 3 and t4 == 9:
+                                np_, _pt, cm.i = _list_head(b, cm.i)
+                                parts = []
+                                for _p in range(np_):
+                                    ln, cm.i = _varint(b, cm.i)
+                                    parts.append(
+                                        b[cm.i:cm.i + ln].decode())
+                                    cm.i += ln
+                                col = ".".join(parts)
+                            elif fid4 == 14 and t4 == 6:
+                                boff = cm.int_val()
+                            elif fid4 == 15 and t4 == 5:
+                                blen = cm.int_val()
+                            else:
+                                cm.skip(t4)
+                        out.append({"row_group": rg_no, "column": col,
+                                    "bloom_offset": boff,
+                                    "bloom_length": blen})
+                        cc.i = cm.i
+                    rg.i = cc.i
+            top.i = rg.i
+            rg_no += 1
+    return out
+
+
+def read_bloom_bitset(f: BinaryIO, offset: int,
+                      length: int | None) -> bytes:
+    """Parse the BloomFilterHeader (1: numBytes i32; 2/3/4: algorithm/
+    hash/compression unions — validated present, then skipped) at
+    `offset` and return the raw SBBF bitset that follows it."""
+    f.seek(offset)
+    raw = f.read(length if length else 1 << 20)
+    r = _StructReader(raw, 0)
+    num_bytes = None
+    seen = set()
+    for fid, t in r:
+        if fid == 1 and t == 5:
+            num_bytes = r.int_val()
+        else:
+            seen.add(fid)
+            r.skip(t)
+    if num_bytes is None or num_bytes <= 0 or num_bytes % 32:
+        raise ValueError(f"bad bloom header numBytes={num_bytes}")
+    if not {2, 3}.issubset(seen):
+        raise ValueError("bloom header missing algorithm/hash unions")
+    bitset = raw[r.i:r.i + num_bytes]
+    if len(bitset) != num_bytes:
+        raise ValueError("bloom bitset truncated")
+    return bitset
+
+
+# ---------------------------------------------------------------------
+# XXH64 (seed 0) — the hash BloomFilter.md specifies.
+# ---------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    11400714785074694791, 14029467366897019727, 1609587929392839161,
+    9650029242287828579, 2870177450012600261)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7)
+             + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):   # mergeRound
+            h ^= _round(0, v)
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k = _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------
+# Split-block membership (BloomFilter.md block_check).
+# ---------------------------------------------------------------------
+
+_SALT = (0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+         0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31)
+
+
+def sbbf_might_contain(bitset: bytes, h: int) -> bool:
+    """True iff every one of the 8 salted bits is set in the block
+    `((h >> 32) * n_blocks) >> 32` — no false negatives by
+    construction; false positives at the writer's FPP."""
+    n_blocks = len(bitset) // 32
+    base = (((h >> 32) * n_blocks) >> 32) * 32
+    x = h & 0xFFFFFFFF
+    for j, salt in enumerate(_SALT):
+        bit = ((x * salt) & 0xFFFFFFFF) >> 27
+        w = int.from_bytes(bitset[base + 4 * j:base + 4 * j + 4],
+                           "little")
+        if not (w >> bit) & 1:
+            return False
+    return True

@@ -216,3 +216,205 @@ def test_x17_target_prior_shifts_scores(spark, tmp_path):
     sf = _dsir_corpus_dir(tmp_path)
     got = {r.doc_id: r for r in x17_dsir_select(spark, sf).collect()}
     assert got[200].score > 0 > got[220].score
+
+
+# ---------------- T20 Kneser-Ney truth pins -------------------------
+def _kn_corpus_dir(tmp_path, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = [{"doc_id": k, "text": t, "lang": "en",
+             "source": "src0", "n_chars": len(t)}
+            for k, t in docs.items()]
+    d = tmp_path / "sfkn"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    return str(d)
+
+
+def _kn_expected(docs, d=0.75):
+    """Independent pure-Python KN reimplementation (the formula from
+    Chen & Goodman 1999, composed in the same IEEE order)."""
+    import math
+    from collections import Counter, defaultdict
+    bg_by_doc = {}
+    c2, c1 = Counter(), Counter()
+    succ, pred = defaultdict(set), defaultdict(set)
+    for k, t in docs.items():
+        ws = t.lower().split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        if bgs:
+            bg_by_doc[k] = bgs
+        for a, b in bgs:
+            c2[(a, b)] += 1
+            c1[a] += 1
+            succ[a].add(b)
+            pred[b].add(a)
+    nbt = len(c2)
+    out = {}
+    for k, bgs in bg_by_doc.items():
+        s = 0.0
+        for a, b in bgs:
+            p = (((c2[(a, b)] - d) / c1[a])
+                 + ((d * len(succ[a])) / c1[a]) * (len(pred[b]) / nbt))
+            s += math.log(p)
+        out[k] = (len(bgs),
+                  math.floor(s / len(bgs) * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def test_t20_handcrafted_truth(spark, tmp_path):
+    """Hand-computed KN on a 4-bigram corpus. c2/c1/N1+ statistics
+    are small enough to verify on paper: P(b|a)=13/24, P(a|b)=5/8,
+    P(c|a)=5/24, P(a|c)=5/8."""
+    import math
+    from postgres_scanner_spark.functions.text import (
+        t20_kneser_ney_logprob)
+    docs = {200: "a b a c", 201: "a b", 202: "c a"}
+    sf = _kn_corpus_dir(tmp_path, docs)
+    got = {r.doc_id: r for r in
+           t20_kneser_ney_logprob(spark, sf).collect()}
+    assert set(got) == {200, 201, 202}
+    exp = _kn_expected(docs)
+    for k in got:
+        assert (got[k].n_bigrams, got[k].kn_avg_logp) == exp[k], k
+    # paper anchors (independent of the reimplementation)
+    assert got[201].kn_avg_logp == \
+        math.floor(math.log(13 / 24) * 1e6 + 0.5) / 1e6
+    assert got[202].kn_avg_logp == \
+        math.floor(math.log(5 / 8) * 1e6 + 0.5) / 1e6
+
+
+def test_t20_continuation_mass_beats_mle(spark, tmp_path):
+    """The property that distinguishes KN from T9's MLE: two bigrams
+    with IDENTICAL c2/c1 (both 1/1 — MLE scores them equally at
+    logp 0) diverge under KN because 'y' continues many distinct
+    contexts while 'z' continues one."""
+    from postgres_scanner_spark.functions.text import (
+        t20_kneser_ney_logprob)
+    docs = {300: "x y", 301: "x2 z",
+            302: "p1 y", 303: "p2 y", 304: "p3 y"}
+    sf = _kn_corpus_dir(tmp_path, docs)
+    got = {r.doc_id: r.kn_avg_logp for r in
+           t20_kneser_ney_logprob(spark, sf).collect()}
+    assert got[300] > got[301]
+    exp = _kn_expected(docs)
+    assert {k: (1, v) for k, (n, v) in exp.items()} == \
+        {k: (1, got[k]) for k in got}
+
+
+def test_t20_degenerate_docs_absent(spark, tmp_path):
+    """Zero-bigram docs (empty text, single token) start no bigram
+    and are absent from the scored output — T9's contract."""
+    from postgres_scanner_spark.functions.text import (
+        t20_kneser_ney_logprob)
+    docs = {400: "solo", 401: "", 402: "a b"}
+    sf = _kn_corpus_dir(tmp_path, docs)
+    got = {r.doc_id for r in
+           t20_kneser_ney_logprob(spark, sf).collect()}
+    # "" splits to [''] (one empty token) and 'solo' is one token:
+    # neither forms a bigram
+    assert got == {402}
+
+
+# ---------------- M13 / parquet_bloom pins --------------------------
+def test_xxh64_public_vectors():
+    """Pins the hash to the published XXH64 vectors (seed 0) — the
+    empty, short (<32B, tail-mix path) and long (>=32B, 4-lane +
+    merge path) cases."""
+    from postgres_scanner_spark.parquet_bloom import xxh64
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"The quick brown fox jumps over the lazy dog") \
+        == 0x0B242D361FDA71BC
+
+
+def test_footer_index_matches_pyarrow_metadata():
+    """The spec-built thrift walk must agree with pyarrow's footer
+    view on row-group/column structure; driver testdata has no
+    blooms, so every offset is None."""
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.parquet_bloom import footer_bloom_index
+    path = "/root/testdata/sf0.001/documents.parquet"
+    idx = footer_bloom_index(path)
+    md = pq.ParquetFile(path).metadata
+    assert len(idx) == md.num_row_groups * md.num_columns
+    cols = [md.schema.column(i).path for i in range(md.num_columns)]
+    assert [e["column"] for e in idx[:md.num_columns]] == cols
+    assert all(e["bloom_offset"] is None for e in idx)
+
+
+def _bloom_staged_file(spark, tmp_path, n=20000):
+    out = str(tmp_path / "bloomed")
+    (spark.range(n)
+     .selectExpr("id AS doc_id", "md5(cast(id AS string)) AS fp")
+     .coalesce(1).sortWithinPartitions("doc_id")
+     .write.mode("overwrite")
+     .option("parquet.bloom.filter.enabled#fp", "true")
+     .option("parquet.bloom.filter.expected.ndv#fp", str(n))
+     .option("parquet.block.size", str(128 * 1024))
+     .parquet(out))
+    import glob
+    return glob.glob(out + "/*.parquet")[0]
+
+
+def test_sbbf_no_false_negatives_and_prunes(spark, tmp_path):
+    """Every present key's true row group must be a bloom candidate
+    (no false negatives — the spec guarantee the pruning relies on),
+    and absent keys must hit almost no groups (pruning is real, not
+    vacuous: an all-ones bitset would pass the first property)."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark import parquet_bloom as pb
+    path = _bloom_staged_file(spark, tmp_path)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups >= 3, "staging must split row groups"
+    with open(path, "rb") as fh:
+        bitsets = {}
+        for e in pb.footer_bloom_index(path):
+            if e["column"] == "fp":
+                assert e["bloom_offset"] is not None, "bloom missing"
+                bitsets[e["row_group"]] = pb.read_bloom_bitset(
+                    fh, e["bloom_offset"], e["bloom_length"])
+    starts, acc = [], 0
+    for g in range(md.num_row_groups):
+        starts.append(acc)
+        acc += md.row_group(g).num_rows
+    for i in range(0, 20000, 997):
+        fp = hashlib.md5(str(i).encode()).hexdigest().encode()
+        h = pb.xxh64(fp)
+        true_g = max(g for g, s in enumerate(starts) if s <= i)
+        assert pb.sbbf_might_contain(bitsets[true_g], h), i
+    hits = total = 0
+    for i in range(20000, 21000, 7):
+        fp = hashlib.md5(str(i).encode()).hexdigest().encode()
+        h = pb.xxh64(fp)
+        hits += sum(1 for bs in bitsets.values()
+                    if pb.sbbf_might_contain(bs, h))
+        total += len(bitsets)
+    assert hits < total * 0.05, (hits, total)
+
+
+def test_m13_duplicate_text_fp_collision_guard(spark, tmp_path):
+    """Two docs with IDENTICAL text share an fp; when one is probed
+    the bloom candidates contain both rows and the exact doc_id
+    verify must keep only the probed one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.operators.multimodal import (
+        m13_bloom_pruned_probe)
+    same = "identical text payload"
+    rows = [{"doc_id": i, "text": (same if i in (0, 5) else f"doc {i}"),
+             "lang": "en", "source": "s", "n_chars": 22}
+            for i in range(120)]
+    d = tmp_path / "sfm13"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    got = m13_bloom_pruned_probe(spark, str(d)).collect()
+    # step = max(97, 120//32) = 97 -> probes are doc_id 0 and 97;
+    # doc 5 shares doc 0's fp but must NOT appear
+    import hashlib
+    assert [r.doc_id for r in got] == [0, 97]
+    assert got[0].fp == hashlib.md5(same.encode()).hexdigest()
+    assert got[1].fp == hashlib.md5(b"doc 97").hexdigest()
