@@ -1085,11 +1085,13 @@ def m12_pruned_rowgroup_scan(spark: SparkSession, sf_dir: str
         + hashlib.md5(key.encode()).hexdigest()[:8] + ".parquet")
     if not os.path.exists(stage):
         t = pq.read_table(src, columns=["doc_id"]).sort_by("doc_id")
-        # pid-unique spool + atomic rename (the _stage_doc_batches
-        # pattern): two concurrent stagers must never interleave
-        # writes into one file; whichever replace lands last wins
-        # with an identical, complete file
-        tmp = f"{stage}.tmp.{os.getpid()}"
+        # uuid-unique spool + atomic rename: two concurrent stagers
+        # must never interleave writes into one file — and gate
+        # workers are THREADS of one pid, so a pid-keyed name
+        # collides (the m13 race pin caught this class); whichever
+        # replace lands last wins with an identical, complete file
+        import uuid
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         pq.write_table(t, tmp, row_group_size=rg_rows)
         os.replace(tmp, stage)
 
@@ -1246,7 +1248,11 @@ def m13_bloom_pruned_probe(spark: SparkSession, sf_dir: str
         + hashlib.md5(key.encode()).hexdigest()[:8])
     if not os.path.exists(stage):
         d = tables.load(spark, sf_dir, "documents")
-        tmp = f"{stage}.tmp.{os.getpid()}"
+        # uuid-unique spool: gate workers are THREADS of one pid, so
+        # a pid-keyed name collides and two concurrent Spark writes
+        # interleave part-files into one dir (caught by the race pin)
+        import uuid
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         (d.select("doc_id", F.md5(F.col("text").cast("binary"))
                   .alias("fp"), "n_chars")
          .sortWithinPartitions("doc_id")

@@ -14,6 +14,8 @@ per-active-session, not per-event.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -529,7 +531,7 @@ def e10_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # build in a private tmp dir, then rename into place — the
         # file-stream source must never list half-written parquet,
         # and concurrent stagers race harmlessly (loser discards)
-        tmp = f"{stage}.tmp.{os.getpid()}"
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src)
         import datetime as _dt
@@ -808,7 +810,7 @@ def e14_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/events.parquet"
     stage = _content_keyed_dir(src, "upsert")
     if not os.path.isdir(stage):
-        tmp = f"{stage}.tmp.{os.getpid()}"
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
         first, rest = _split_events_by_ts(src)
         pq.write_table(first, os.path.join(tmp, "b1.parquet"))
@@ -952,7 +954,7 @@ def e16_connector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _content_keyed_dir(src, "connstream")
     db = os.path.join(base, "ev.db")
     if not os.path.isdir(base):
-        tmp = f"{base}.tmp.{os.getpid()}"
+        tmp = f"{base}.tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
         con = duckdb.connect(os.path.join(tmp, "ev.db"))
         con.execute(
@@ -1017,7 +1019,7 @@ def _stage_doc_batches(src: str, prefix: str) -> tuple[str, str]:
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        tmp = f"{stage}.tmp.{os.getpid()}"
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src)
         n = t.num_rows
@@ -1434,7 +1436,7 @@ def e21_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(stage):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        tmp = f"{stage}.tmp.{os.getpid()}"
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src)
         mx = pc.max(t["ts"]).as_py()
@@ -1753,7 +1755,7 @@ def e23_stateful_quota_admission(spark: SparkSession, sf_dir: str
     if not os.path.isdir(stage):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        tmp = f"{stage}.tmp.{os.getpid()}"
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(src)
         m = pc.max(t["event_id"]).as_py() + 1

@@ -418,3 +418,38 @@ def test_m13_duplicate_text_fp_collision_guard(spark, tmp_path):
     assert [r.doc_id for r in got] == [0, 97]
     assert got[0].fp == hashlib.md5(same.encode()).hexdigest()
     assert got[1].fp == hashlib.md5(b"doc 97").hexdigest()
+
+
+def test_m13_concurrent_staging_race(spark, tmp_path):
+    """The gate runs queries on concurrent child sessions: two m13
+    calls racing to stage the same corpus must both succeed (atomic
+    rename, loser cleans up) and agree on the result."""
+    import threading
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.operators.multimodal import (
+        m13_bloom_pruned_probe)
+    rows = [{"doc_id": i, "text": f"racer {i}", "lang": "en",
+             "source": "s", "n_chars": 9} for i in range(200)]
+    d = tmp_path / "sfrace"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    results, errors = {}, []
+
+    def run(tag):
+        try:
+            sess = spark.newSession()
+            got = m13_bloom_pruned_probe(sess, str(d)).collect()
+            results[tag] = [(r.doc_id, r.fp) for r in got]
+        except Exception as e:   # noqa: BLE001 - surfaced below
+            errors.append((tag, e))
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert results[0] == results[1]
+    assert [i for i, _ in results[0]] == [0, 97, 194]

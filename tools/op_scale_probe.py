@@ -27,22 +27,38 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def main() -> None:
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
+    import os
+
     import duckdb
     import __spark_entry__ as entry
     from postgres_scanner_spark import get_spark
     queries = entry.queries()
     oracles = entry.oracle_sql()
     spark = get_spark(cpus=32)
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def fresh_con():
+        # one connection PER OP: a heavy oracle's hash tables and
+        # allocator fragmentation otherwise spill into the next op's
+        # budget (an sf10 t20 run OOM'd the light m13 oracle that
+        # followed it); sizing mirrors oracle_harness's env gates
+        c = duckdb.connect()
+        c.execute(f"SET threads TO "
+                  f"{os.environ.get('SPARK_GRAFT_DUCKDB_THREADS', 32)}")
+        mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+        if mem:
+            c.execute(f"SET memory_limit='{mem}'")
+            c.execute("SET temp_directory='/tmp/duckspill'")
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS "
+                      f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
     # warm both engines / the page cache
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    con.execute("SELECT COUNT(*) FROM lineitem").fetchall()
+    fresh_con().execute("SELECT COUNT(*) FROM lineitem").fetchall()
     out = {}
     for name in names:
+        con = fresh_con()
         s_best = d_best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -62,6 +78,7 @@ def main() -> None:
         print(f"# {name}: spark={out[name]['spark']}s "
               f"duckdb={out[name]['duckdb']}s "
               f"ratio={out[name]['ratio']}", file=sys.stderr)
+        con.close()
     from bench import _data_key
     print(json.dumps({"sf_dir": sf_dir, "data_key": _data_key(sf_dir),
                       "ops": out}))
