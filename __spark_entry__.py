@@ -46,19 +46,19 @@ _MODULES = (
 # defining function was COMMITTED AFTER their latest green
 # CORRECTNESS row was recorded — a green row for pre-rewrite code is
 # not a cert for the current code — then (3) plain oldest-cert-first;
-# ties keep the prior cost-ascending order. For r9 tier 2 holds the
-# 13 hier.py-sweep rewrites plus 7 other post-cert edits (incl. the
-# r9 x16 rounding fix); the rest of the window is the r5 cohort.
+# ties keep the prior cost-ascending order. Current window: tier 1
+# is the 5 never-driver-graded r9 additions (t20/m13/x17/d20/d21);
+# tier 2 is the det_round/cast-sweep cohort (most of the registry
+# was re-spelled in r9 parts 2-3 after its last cert, so the window
+# drains oldest-cert-first within it across the coming rounds).
 # Regenerate with tools/rotate_order.py --write after each round
 # (--explain shows the per-query evidence).
 _COST_ORDER = [
     "t20_kneser_ney_logprob", "m13_bloom_pruned_probe",
-    "x17_dsir_select",
-    "d20_repeated_substrings", "d21_repeated_substring_excision",
-    "q1_pricing_summary", "q23_session_sql", "ds5_nation_share",
-    "ds3_brand_year", "t2_quality_score", "x5_sequence_pack",
-    "x11_quality_topk_sample", "w3_window_rank", "q15_top_supplier",
-    "x8_epoch_plan", "m7_npy_tensor_parse",
+    "x17_dsir_select", "d20_repeated_substrings",
+    "d21_repeated_substring_excision", "t2_quality_score",
+    "x5_sequence_pack", "x11_quality_topk_sample", "w3_window_rank",
+    "q15_top_supplier", "x8_epoch_plan", "m7_npy_tensor_parse",
     "e17_streaming_dedup_ingest", "t17_perplexity_buckets",
     "m9_shard_repack_plan", "x12_corpus_compile",
     "e20_streaming_neardup_ingest", "d17_lsh_param_sweep",
@@ -69,19 +69,22 @@ _COST_ORDER = [
     "ds21_disjunctive_bands", "a10_filtered_ann",
     "w18_retention_cohorts", "a11_mmr_diversified",
     "m11_parquet_footer_manifest", "w13_dist_windows",
-    "m4_wav_features", "m12_pruned_rowgroup_scan",
-    "e22_streaming_contamination_guard", "x4_source_mix",
-    "e7_streaming_dedup", "e6_stateful_anomaly",
+    "m4_wav_features", "e21_watermark_dedup",
+    "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",
+    "x4_source_mix", "e7_streaming_dedup", "e6_stateful_anomaly",
     "d19_unicode_shingle_dedup", "t19_source_kl_divergence",
     "ds13_low_revenue_parts", "d7_contamination", "a6_kmeans_lloyd",
     "a3_ivf_ann", "a8_sq8_ann", "a2_lsh_ann", "a7_ann_recall",
     "d12_dedup_eval", "t15_bpe_encode", "d14_semantic_dedup",
-    "x16_domain_reweight", "x15_length_bucketed_batches",
-    "a1_cosine_topk", "d5_embedding_dedup", "t12_zipf_fit",
-    "t8_entropy_quality", "t7_repetition_stats", "t10_tfidf_keywords",
-    "t9_bigram_logprob", "x9_temperature_mix", "w2_cube", "p3_decimals",
-    "p7_timestamp_parts", "p11_struct_fields", "p10_verify_checksum",
-    "p8_json", "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
+    "e10_late_data_policy", "e14_streaming_upsert",
+    "e16_connector_stream", "x16_domain_reweight",
+    "x15_length_bucketed_batches", "a1_cosine_topk",
+    "d5_embedding_dedup", "t12_zipf_fit", "t8_entropy_quality",
+    "t7_repetition_stats", "t10_tfidf_keywords", "t9_bigram_logprob",
+    "x9_temperature_mix", "e23_stateful_quota_admission",
+    "ds3_brand_year", "w2_cube", "p3_decimals", "p7_timestamp_parts",
+    "p11_struct_fields", "p10_verify_checksum", "p8_json",
+    "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
     "t1_language_id", "t6_pii_redact", "t11_bpe_pairs",
     "x10_leakage_safe_split", "q14_promo_effect", "w5_lag_delta",
     "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
@@ -92,25 +95,23 @@ _COST_ORDER = [
     "w17_ohlc_bars", "e19_idempotent_replay",
     "ds16_above_avg_balance_nations", "ds17_substr_cohort_revenue",
     "ds18_multi_exists_cohort", "d15_source_overlap",
-    "d16_cdc_chunk_dedup", "e21_watermark_dedup",
-    "x13_neardup_safe_split", "m10_webdataset_samples",
-    "p14_timezone_convert", "x14_snapshot_diff", "d18_doc_novelty",
-    "w9_continuous_aggregate", "w14_first_touch", "w12_range_frame",
-    "w11_grouping_sets", "w10_skew_join", "x6_global_shuffle",
-    "e2_sessionization", "d8_incremental_dedup", "m5_video_container",
+    "d16_cdc_chunk_dedup", "x13_neardup_safe_split",
+    "m10_webdataset_samples", "p14_timezone_convert",
+    "x14_snapshot_diff", "d18_doc_novelty", "w9_continuous_aggregate",
+    "w14_first_touch", "w12_range_frame", "w11_grouping_sets",
+    "w10_skew_join", "x6_global_shuffle", "e2_sessionization",
+    "d8_incremental_dedup", "m5_video_container", "ds5_nation_share",
     "t18_script_id", "a12_ivfpq_ann", "w20_asof_directional",
     "m3_image_dims", "ds7_yoy_growth", "m8_jsonl_shard_codec",
     "ds9_channel_rollup", "m6_tar_shard_manifest", "a4_knn_label",
     "d10_boilerplate_removal", "e12_stream_static_join",
     "e13_checkpoint_resume", "e11_streaming_sessions", "a5_pq_ann",
     "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
-    "d11_verbatim_spans", "e10_late_data_policy", "d9_incremental_lsh",
-    "e3_streaming_hourly", "e15_stream_left_outer",
-    "e8_stream_stream_join", "e14_streaming_upsert", "d13_dedup_apply",
-    "d6_dedup_clusters", "e16_connector_stream", "w6_asof_join",
-    "x1_sketch_aggregates", "p13_range_arrays",
-    "t16_quality_classifier", "t14_bpe_train",
-    "e23_stateful_quota_admission", "d1_exact_dedup",
+    "d11_verbatim_spans", "d9_incremental_lsh", "e3_streaming_hourly",
+    "e15_stream_left_outer", "e8_stream_stream_join", "d13_dedup_apply",
+    "d6_dedup_clusters", "w6_asof_join", "x1_sketch_aggregates",
+    "p13_range_arrays", "t16_quality_classifier", "t14_bpe_train",
+    "q1_pricing_summary", "q23_session_sql", "d1_exact_dedup",
     "d3_simhash_dedup", "d2_minhash_lsh_dedup", "d4_ngram_jaccard",
     "q13_customer_distribution", "q20_potential_promo", "w1_rollup",
     "q10_returned_items", "q12_shipmode", "q18_large_volume_customer",
