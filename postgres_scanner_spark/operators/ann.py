@@ -1334,7 +1334,129 @@ adc AS (
 """
 
 
+# ------------------------- A13 norm-bound pruned exact MIPS ----------
+_A13_SEEDS = 32
+
+
+def a13_norm_bound_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximum-inner-product search (MIPS) with Cauchy-Schwarz
+    candidate pruning — the LEMP/FEXIPRO-family technique (public:
+    Teflioudi & Gemulla 2015; Li et al. 2017) for retrieval over
+    UNNORMALIZED learned embeddings, where the inner product (not
+    cosine) is the score and vector norms carry signal.
+
+    dot(q,x) <= |q|·|x|, so once a lower bound L_q on the k-th best
+    dot is known, any x with |q|·|x| < L_q is provably outside the
+    top-k. L_q comes from a deterministic seed set: the _A13_SEEDS
+    corpus vectors of LARGEST norm (norm desc, vec_id tiebreak)
+    scored exactly, L_q = their k-th best dot. A K-sized seed is too
+    small — the min of 3 high-dim random dots is usually negative
+    and the bound goes vacuous (measured; hence the wider constant).
+    The pruned scan then pays the 64-dim dot only on survivors; the
+    bound check is one scalar multiply-compare. Exactness holds for
+    ANY seed (the bound is sound; seed quality only changes how much
+    is pruned), and ties at the k-th dot are safe: a pruned x has
+    dot <= |q||x| < L_q <= the k-th best, so it cannot displace any
+    winner under the (dot desc, id asc) order. Pruning power tracks
+    the corpus's anisotropy — real embedding corpora concentrate
+    direction, which is exactly when MIPS norm-pruning earns its
+    keep (and what the pin corpus models).
+
+    Both engines compute identical IEEE doubles (shared _dot fold /
+    _SQL_DOT spelling, sqrt is correctly rounded), so the survivor
+    SET is bit-deterministic and the oracle measures it: n_scanned
+    per query is part of the contract — the pruning is graded, not
+    asserted (m12's 'selected' discipline).
+
+    Scale (100 TB): norms are one persisted scan; the seed top-K is
+    TakeOrderedAndProject (no global window); thresholds broadcast
+    (K·|Q| rows). The survivor filter is a scalar predicate AHEAD of
+    the expensive dot in the same scan — and because it thresholds a
+    stored column (norm >= L_q/|q|), a norm-clustered layout gets
+    row-group zone-map pruning on top (M12), skipping whole groups
+    whose max norm is below every query's bar."""
+    from .. import tables
+    e = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"))
+    c = scratch_persist(e.filter(F.col("vec_id") >= N_QUERIES))
+    seeds = (c.orderBy(F.desc("norm"), "vec_id").limit(_A13_SEEDS)
+             .select(F.col("embedding").alias("s_emb")))
+    # L_q = k-th best seed dot (the last seed when seeds < k); the
+    # VALUE at rank k is tie-order-independent, so no tiebreak needed
+    thr = (seeds.crossJoin(F.broadcast(q))
+           .select("query_id",
+                   _dot(F.col("q_emb"), F.col("s_emb")).alias("d"))
+           .groupBy("query_id")
+           .agg(F.sort_array(F.collect_list("d"), asc=False)
+                .alias("ds"))
+           .select("query_id",
+                   F.element_at("ds", F.least(F.lit(TOP_K),
+                                              F.size("ds")))
+                   .alias("lq")))
+    qthr = q.join(thr, "query_id")          # |Q| rows
+    surv = (c.crossJoin(F.broadcast(qthr))
+            .filter(F.col("norm") * F.col("q_norm") >= F.col("lq")))
+    scored = surv.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _dot(F.col("q_emb"), F.col("embedding")).alias("dot_raw"))
+    scored = scratch_persist(scored)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_raw"), F.col("neighbor_id"))
+    topk = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K))
+    nsc = scored.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_scanned"))
+    return (topk.join(nsc, "query_id")
+            .select("query_id", "neighbor_id",
+                    det_round(F.col("dot_raw"), 5).alias("dot"),
+                    F.col("rank").cast("int").alias("rank"),
+                    "n_scanned")
+            .orderBy("query_id", "rank"))
+
+
+_A13_SQL = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_SQL_DOT.format(u='embedding', v='embedding')}) AS norm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM n WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM n WHERE vec_id >= {N_QUERIES}),
+seeds AS (
+  SELECT embedding AS s_emb FROM c
+  ORDER BY norm DESC, vec_id LIMIT {_A13_SEEDS}),
+sd AS (
+  SELECT query_id,
+         {_SQL_DOT.format(u='q_emb', v='s_emb')} AS d
+  FROM seeds CROSS JOIN q),
+thr AS (
+  SELECT query_id,
+         (list(d ORDER BY d DESC))[LEAST({TOP_K}, COUNT(*))] AS lq
+  FROM sd GROUP BY query_id),
+surv AS (
+  SELECT query_id, c.vec_id AS neighbor_id, q_norm, lq,
+         {_SQL_DOT.format(u='q_emb', v='c.embedding')} AS dot_raw
+  FROM c CROSS JOIN (SELECT * FROM q JOIN thr USING (query_id))
+  WHERE c.norm * q_norm >= lq),
+ranked AS (
+  SELECT query_id, neighbor_id, dot_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_raw DESC, neighbor_id) AS rank,
+         COUNT(*) OVER (PARTITION BY query_id) AS n_scanned
+  FROM surv)
+SELECT query_id, neighbor_id,
+       FLOOR((dot_raw) * 100000.0 + 0.5) / 100000.0 AS dot,
+       CAST(rank AS INT) AS rank, CAST(n_scanned AS BIGINT) AS n_scanned
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "a13_norm_bound_mips": a13_norm_bound_mips,
     "a12_ivfpq_ann": a12_ivfpq_ann,
     "a1_cosine_topk": a1_cosine_topk,
     "a2_lsh_ann": a2_lsh_ann,
@@ -1350,6 +1472,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a13_norm_bound_mips": _A13_SQL,
     "a12_ivfpq_ann": _a12_sql(),
     "a1_cosine_topk": _A1_SQL,
     "a2_lsh_ann": _a2_sql(),

@@ -453,3 +453,67 @@ def test_m13_concurrent_staging_race(spark, tmp_path):
     assert not errors, errors
     assert results[0] == results[1]
     assert [i for i, _ in results[0]] == [0, 97, 194]
+
+
+# ---------------- A13 norm-bound MIPS pins --------------------------
+def _emb_corpus_dir(tmp_path, n=300, dim=64, seed=7):
+    """Deterministic synthetic embeddings modeling a REAL corpus's
+    anisotropy: a shared dominant direction (learned embedding
+    spaces concentrate) plus noise, with a wide norm spread — the
+    regime where Cauchy-Schwarz norm-pruning earns its keep."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.RandomState(seed)
+    mu = rng.randn(dim)
+    mu /= np.linalg.norm(mu)
+    dirs = 0.8 * mu[None, :] + 0.6 * rng.randn(n, dim) / np.sqrt(dim)
+    scale = (0.1 + 3.0 * rng.rand(n))
+    vecs = (dirs * scale[:, None]).astype(np.float32)
+    t = pa.Table.from_pylist([
+        {"vec_id": i, "embedding": vecs[i].tolist(), "label": i % 3}
+        for i in range(n)])
+    d = tmp_path / "sfa13"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d), vecs
+
+
+def test_a13_exact_vs_brute_force(spark, tmp_path):
+    """The pruned search must return EXACTLY the brute-force MIPS
+    top-k (the bound is sound for any seed), on a corpus where
+    pruning actually fires."""
+    import numpy as np
+    from postgres_scanner_spark.operators.ann import (
+        N_QUERIES, TOP_K, a13_norm_bound_mips)
+    sf, vecs = _emb_corpus_dir(tmp_path)
+    got = a13_norm_bound_mips(spark, sf).collect()
+    v = vecs.astype(np.float64)
+    for qid in range(N_QUERIES):
+        dots = v[N_QUERIES:] @ v[qid]
+        ids = np.arange(N_QUERIES, len(v))
+        order = sorted(zip(dots, ids), key=lambda p: (-p[0], p[1]))
+        exp = [int(i) for _, i in order[:TOP_K]]
+        rows = [r for r in got if r.query_id == qid]
+        assert [r.neighbor_id for r in rows] == exp, qid
+        # numpy's fused dot differs from the engines' strict fold in
+        # the last ulp; 1e-4 slack on a 1e-5-rounded value only guards
+        # gross mismatches — exact cross-engine equality is the gate's job
+        for r, (dv, _i) in zip(rows, order[:TOP_K]):
+            assert abs(r.dot - dv) < 1e-4
+
+
+def test_a13_pruning_is_real(spark, tmp_path):
+    """n_scanned must be well under the corpus size (an all-ones
+    threshold would still be exact but prune nothing — the m12
+    'selected' discipline: the mechanism is graded too)."""
+    from postgres_scanner_spark.operators.ann import (
+        N_QUERIES, a13_norm_bound_mips)
+    sf, vecs = _emb_corpus_dir(tmp_path)
+    got = a13_norm_bound_mips(spark, sf).collect()
+    corpus = len(vecs) - N_QUERIES
+    assert got, "top-k must be non-empty"
+    for r in got:
+        assert r.n_scanned <= corpus
+    assert min(r.n_scanned for r in got) < corpus * 0.8, \
+        [(r.query_id, r.n_scanned) for r in got]
