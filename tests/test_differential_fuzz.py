@@ -167,3 +167,91 @@ def test_differential_determinism(views, duck, sql):
     got = _norm([tuple(r) for r in views.sql(sql).collect()])
     exp = _norm(duck.execute(sql).fetchall())
     assert got == exp, sql
+
+
+# ---------------------------------------------------------------------
+# String-surface fuzz: the oracles also lean on a portable string
+# subset (lower/upper/substr/replace/left/right/md5/length/||, LIKE,
+# instr) — same-text on both engines over the ASCII documents corpus.
+# A failure here is a collation/locale/semantics divergence of the
+# kind that would silently skew any text operator's oracle.
+# ---------------------------------------------------------------------
+
+_SCOLS = ("text", "source", "lang")
+
+
+@st.composite
+def _string_queries(draw):
+    def expr(depth):
+        kind = draw(st.sampled_from(
+            ["col", "lower", "upper", "substr", "replace", "left",
+             "right", "concat", "md5"] if depth > 0 else ["col"]))
+        if kind == "col":
+            return draw(st.sampled_from(_SCOLS))
+        if kind in ("lower", "upper", "md5"):
+            return f"{kind}({expr(depth - 1)})"
+        if kind == "substr":
+            i = draw(st.integers(1, 20))
+            n = draw(st.integers(0, 30))
+            return f"substr({expr(depth - 1)}, {i}, {n})"
+        if kind == "replace":
+            a = draw(st.sampled_from(["a", "e", "ta", "row", " "]))
+            b = draw(st.sampled_from(["", "_", "xy"]))
+            return f"replace({expr(depth - 1)}, '{a}', '{b}')"
+        if kind in ("left", "right"):
+            n = draw(st.integers(0, 25))
+            return f"{kind}({expr(depth - 1)}, {n})"
+        return f"({expr(depth - 1)} || {expr(depth - 1)})"
+
+    key = draw(st.sampled_from(["source", "lang"]))
+    n_aggs = draw(st.integers(1, 3))
+    aggs = []
+    for i in range(n_aggs):
+        kind = draw(st.sampled_from(
+            ["count", "count_distinct", "min", "max", "sum_len"]))
+        e = expr(draw(st.integers(1, 2)))
+        if kind == "count":
+            aggs.append(f"COUNT(*) AS a{i}")
+        elif kind == "count_distinct":
+            aggs.append(f"COUNT(DISTINCT {e}) AS a{i}")
+        elif kind in ("min", "max"):
+            aggs.append(f"{kind.upper()}({e}) AS a{i}")
+        else:
+            aggs.append(f"CAST(SUM(length({e})) AS DOUBLE) AS a{i}")
+    preds = []
+    if draw(st.booleans()):
+        k = draw(st.integers(2, 9))
+        j = draw(st.integers(0, 1))
+        preds.append(f"length(text) % {k} = {j}")
+    if draw(st.booleans()):
+        w = draw(st.sampled_from(["agg", "scan", "window", "zzz"]))
+        form = draw(st.sampled_from(["like", "instr"]))
+        preds.append(f"text LIKE '%{w}%'" if form == "like"
+                     else f"instr(text, '{w}') > 0")
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    return (f"SELECT {key}, {', '.join(aggs)} FROM documents{where} "
+            f"GROUP BY {key}")
+
+
+@pytest.fixture(scope="module")
+def duck_docs(duck):
+    duck.execute(f"CREATE VIEW IF NOT EXISTS documents AS "
+                 f"SELECT * FROM '{SF}/documents.parquet'")
+    return duck
+
+
+@pytest.fixture(scope="module")
+def views_docs(views):
+    views.read.parquet(f"{SF}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return views
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_string_queries())
+def test_differential_string_determinism(views_docs, duck_docs, sql):
+    got = _norm([tuple(r) for r in views_docs.sql(sql).collect()])
+    exp = _norm(duck_docs.execute(sql).fetchall())
+    assert got == exp, sql
