@@ -2220,7 +2220,94 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {_X17_K}
 """
 
 
+# ---- W21: time-decay multi-touch attribution -------------------------
+def w21_time_decay_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Time-decay MULTI-touch attribution — the marketing-analytics
+    model between W14's first-touch and last-touch: every view in
+    the hour before a purchase shares the purchase's value, weighted
+    by recency with a 15-minute half-life, and each view accumulates
+    its credited revenue across all purchases it influenced.
+
+    Determinism disciplines (all established this round or earlier):
+    the decay weight is a DYADIC literal per half-life step
+    (1, 1/2, 1/4, 1/8 — floor(Δt/900s) buckets, never runtime pow():
+    JVM Math.pow and libm disagree by an ulp, the w19 finding), so
+    the per-purchase weight sum is EXACT in IEEE regardless of
+    engine or order; shares are one division; the per-view credit
+    sum folds (purchase_id, credit) pairs in sorted order (t9
+    idiom); det_round(...,6) last.
+
+    Scale (100 TB): one shuffle on user_id joins purchases to their
+    preceding-hour views (per-user-per-hour cardinality is bounded,
+    so the range predicate's fan-out is too); the weight-sum
+    aggregates on purchase_id and the credit rollup on view_id both
+    ride keys the pair stream already carries. The fold array is
+    per-view, bounded by purchases-per-view-window."""
+    from ..runtime import scratch_persist
+    e = _t(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin("view", "purchase"))
+    v = base.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("vts"))
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("pts"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"))
+    pairs = (p.join(v, "user_id")
+             .filter((F.col("vts") < F.col("pts"))
+                     & (F.col("vts") >= F.col("pts")
+                        - F.lit(3_600_000_000))))
+    k = F.floor((F.col("pts") - F.col("vts")) / F.lit(900_000_000))
+    wgt = (F.when(k == 0, F.lit(1.0)).when(k == 1, F.lit(0.5))
+           .when(k == 2, F.lit(0.25)).otherwise(F.lit(0.125)))
+    pairs = scratch_persist(pairs.withColumn("w", wgt))
+    sums = pairs.groupBy("purchase_id").agg(F.sum("w").alias("sw"))
+    credited = (pairs.join(sums, "purchase_id")
+                .select("view_id", "purchase_id",
+                        (F.col("value") * (F.col("w") / F.col("sw")))
+                        .alias("credit")))
+    per = credited.groupBy("view_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct("purchase_id", "credit"))),
+            F.lit(0.0), lambda a, x: a + x["credit"]).alias("s"))
+    return (per.select("view_id", "n_purchases",
+                       det_round(F.col("s"), 6).alias("total_credit"))
+            .orderBy("view_id"))
+
+
+_W21_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts,
+         COALESCE(value, 0.0e0) AS value
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT view_id, purchase_id, value,
+         CASE FLOOR((pts - vts) / 900000000)
+           WHEN 0 THEN 1.0e0 WHEN 1 THEN 5.0e-1
+           WHEN 2 THEN 2.5e-1 ELSE 1.25e-1 END AS w
+  FROM p JOIN v USING (user_id)
+  WHERE vts < pts AND vts >= pts - 3600000000),
+sums AS (SELECT purchase_id, SUM(w) AS sw FROM pairs
+         GROUP BY purchase_id),
+credited AS (
+  SELECT view_id, purchase_id, value * (w / sw) AS credit
+  FROM pairs JOIN sums USING (purchase_id))
+SELECT view_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  FLOOR((list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE), list(credit ORDER BY purchase_id)),
+      (a, x) -> a + x)) * 1000000.0 + 0.5) / 1000000.0 AS total_credit
+FROM credited GROUP BY view_id ORDER BY view_id
+"""
+
+
 QUERIES = {
+    "w21_time_decay_attribution": w21_time_decay_attribution,
     "x15_length_bucketed_batches": x15_length_bucketed_batches,
     "x16_domain_reweight": x16_domain_reweight,
     "x17_dsir_select": x17_dsir_select,
@@ -2261,6 +2348,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w21_time_decay_attribution": _W21_SQL,
     "x15_length_bucketed_batches": _X15_SQL,
     "x16_domain_reweight": _X16_SQL,
     "x17_dsir_select": _X17_SQL,

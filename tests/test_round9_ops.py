@@ -517,3 +517,97 @@ def test_a13_pruning_is_real(spark, tmp_path):
         assert r.n_scanned <= corpus
     assert min(r.n_scanned for r in got) < corpus * 0.8, \
         [(r.query_id, r.n_scanned) for r in got]
+
+
+# ---------------- W21 time-decay attribution pins -------------------
+def _events_dir(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sfw21"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "events.parquet"))
+    return str(d)
+
+
+def test_w21_handcrafted_credits(spark, tmp_path):
+    """One purchase (value 100) with views 5/20/50 minutes before:
+    half-life steps give weights 1, 1/2, 1/8 (sum 13/8), so credits
+    are 800/13, 400/13, 100/13 — hand-computable dyadic shares."""
+    from datetime import datetime, timezone
+    from postgres_scanner_spark.functions.analytics import (
+        w21_time_decay_attribution)
+
+    def ts(minute, second=0):
+        return datetime(2024, 1, 1, 12, minute, second,
+                        tzinfo=timezone.utc)
+
+    rows = [
+        {"event_id": 1, "ts": ts(55), "user_id": 7,
+         "event_type": "view", "value": None, "props": ""},
+        {"event_id": 2, "ts": ts(40), "user_id": 7,
+         "event_type": "view", "value": None, "props": ""},
+        {"event_id": 3, "ts": ts(10), "user_id": 7,
+         "event_type": "view", "value": None, "props": ""},
+        {"event_id": 4, "ts": datetime(2024, 1, 1, 13, 0,
+                                       tzinfo=timezone.utc),
+         "user_id": 7, "event_type": "purchase", "value": 100.0,
+         "props": ""},
+        # different user: same timestamps, must not cross-credit
+        {"event_id": 5, "ts": ts(55), "user_id": 8,
+         "event_type": "view", "value": None, "props": ""},
+    ]
+    sf = _events_dir(tmp_path, rows)
+    got = {r.view_id: r for r in
+           w21_time_decay_attribution(spark, sf).collect()}
+    assert set(got) == {1, 2, 3}
+    import math
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    sw = 1.0 + 0.5 + 0.125
+    assert got[1].total_credit == dr(100.0 * (1.0 / sw))
+    assert got[2].total_credit == dr(100.0 * (0.5 / sw))
+    assert got[3].total_credit == dr(100.0 * (0.125 / sw))
+    assert all(r.n_purchases == 1 for r in got.values())
+
+
+def test_w21_shared_view_accumulates(spark, tmp_path):
+    """A view inside two purchases' windows earns credit from BOTH,
+    summed in purchase_id order; views outside the hour (or after
+    the purchase) earn nothing."""
+    from datetime import datetime, timezone
+    from postgres_scanner_spark.functions.analytics import (
+        w21_time_decay_attribution)
+    base = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+
+    def at(minutes):
+        return datetime(2024, 1, 1, 12 + minutes // 60,
+                        minutes % 60, tzinfo=timezone.utc)
+
+    rows = [
+        {"event_id": 10, "ts": base, "user_id": 1,
+         "event_type": "view", "value": None, "props": ""},
+        # purchase A 10 min later (k=0 -> w=1, sole touch)
+        {"event_id": 11, "ts": at(10), "user_id": 1,
+         "event_type": "purchase", "value": 40.0, "props": ""},
+        # purchase B 40 min later (k=2 -> w=.25, sole touch)
+        {"event_id": 12, "ts": at(40), "user_id": 1,
+         "event_type": "purchase", "value": 8.0, "props": ""},
+        # view AFTER both purchases: no credit
+        {"event_id": 13, "ts": at(50), "user_id": 1,
+         "event_type": "view", "value": None, "props": ""},
+        # view 2h before: outside every window
+        {"event_id": 14, "ts": datetime(2024, 1, 1, 10, 0,
+                                        tzinfo=timezone.utc),
+         "user_id": 1, "event_type": "view", "value": None,
+         "props": ""},
+    ]
+    sf = _events_dir(tmp_path, rows)
+    got = {r.view_id: r for r in
+           w21_time_decay_attribution(spark, sf).collect()}
+    # sole-touch shares are 1.0 regardless of weight: full value
+    assert set(got) == {10}
+    assert got[10].n_purchases == 2
+    assert got[10].total_credit == 48.0
