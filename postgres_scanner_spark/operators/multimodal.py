@@ -1345,7 +1345,216 @@ ORDER BY doc_id
 """
 
 
+# ---- M14: page-index pruned range scan (PageIndex zone maps) ---------
+# Rows per page: max(_M14_PAGE_ROWS, n // _M14_MAX_PAGES) — the m12
+# derived-from-data rule one granularity down. The floor keeps
+# driver-SF layouts byte-identical; the page-count cap keeps the
+# ColumnIndex parse linear at any corpus size. The oracle uses the
+# identical GREATEST() formula.
+_M14_PAGE_ROWS = 64
+_M14_MAX_PAGES = 2048
+
+
+def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """The finest rung of the pruning ladder — file (M11) → row
+    group (M12) → PAGE (this) → bloom membership (M13): a key-range
+    probe planned from the parquet PAGE INDEX (parquet-format
+    PageIndex.md ColumnIndex/OffsetIndex, written by parquet-mr by
+    default, exposed by pyarrow not at all — read by
+    parquet_bloom.py's thrift walk). Emits one row per page: its
+    zone map (from the ColumnIndex), its first row (from the
+    OffsetIndex), whether the planner selected it, and — for
+    selected pages only — the matched-row count and key sum from a
+    read sliced to exactly that page's row span.
+
+    The staged layout is documents' keys globally sorted with
+    parquet.page.row.count.limit pinning EXACT page row counts
+    (page.size set far above what the rows need, so the byte limit
+    never splits first) — which is what lets the oracle reconstruct
+    every page arithmetically: rank // page_rows is the row's page.
+
+    Honest I/O adjudication: locally the selected-page read decodes
+    the containing row group and SLICES to the page span (pyarrow
+    has no page-level read), so the demonstrated I/O unit stays the
+    row group — M12's op. What this op adds is the page-granularity
+    PLAN: at scale the OffsetIndex rows this parse returns carry
+    each selected page's byte offset + compressed size, exactly the
+    extents a range-GET reader fetches — ~page_rows/rg_rows of the
+    group bytes. The plan is what the oracle certifies."""
+    import hashlib
+    import os
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    import pyarrow.parquet as pq
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    page_rows = max(_M14_PAGE_ROWS, n_src // _M14_MAX_PAGES)
+    # v2: the key versions the WRITER OPTIONS too — a layout change
+    # (row-check interval) must invalidate the cached stage
+    key = f"v2:{src}:{st.st_mtime_ns}:{st.st_size}:{page_rows}"
+    stage = os.path.join(
+        "/tmp", "pg_spark_pagestage_"
+        + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.exists(stage):
+        import shutil
+        import uuid
+        d = tables.load(spark, sf_dir, "documents")
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
+        (d.select("doc_id").coalesce(1)
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite")
+         .option("parquet.page.row.count.limit", str(page_rows))
+         # the writer checks its limits only every
+         # page.size.row.check.min rows (default 100) — the FIRST
+         # page of a 64-row layout overshoots to 100 without this
+         .option("parquet.page.size.row.check.min", "1")
+         .option("parquet.page.size.row.check.max", "1")
+         .option("parquet.page.size", str(64 * 1024 * 1024))
+         .option("parquet.block.size", str(1 << 30))
+         .parquet(tmp))
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    data_files = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage)
+        if f.endswith(".parquet"))
+    files = spark.createDataFrame([(p,) for p in data_files],
+                                  "path STRING")
+
+    def pages(batches: Iterator[pd.DataFrame]
+              ) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+        from .. import parquet_bloom as pb
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                md = pq.ParquetFile(r.path).metadata
+                with open(r.path, "rb") as fh:
+                    for e in pb.footer_bloom_index(r.path):
+                        if e["column"] != "doc_id":
+                            continue
+                        g = e["row_group"]
+                        n_rows = md.row_group(g).num_rows
+                        oi = pb.read_offset_index(
+                            fh, e["offset_index_offset"],
+                            e["offset_index_length"])
+                        ci = pb.read_column_index_int64(
+                            fh, e["column_index_offset"],
+                            e["column_index_length"])
+                        for p, (o, c) in enumerate(zip(oi, ci)):
+                            first = o["first_row_index"]
+                            last = (oi[p + 1]["first_row_index"]
+                                    if p + 1 < len(oi) else n_rows)
+                            rows.append((
+                                r.path, g, p, first, last - first,
+                                c["key_min"], c["key_max"]))
+            yield pd.DataFrame(rows, columns=[
+                "path", "rg_id", "page_in_rg", "first_row", "n_rows",
+                "key_min", "key_max"])
+
+    pschema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("rg_id", T.IntegerType()),
+        T.StructField("page_in_rg", T.IntegerType()),
+        T.StructField("first_row", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("key_min", T.LongType()),
+        T.StructField("key_max", T.LongType()),
+    ])
+    from ..runtime import scratch_persist
+    pg = scratch_persist(files.mapInPandas(pages, schema=pschema))
+    mx = pg.agg(F.max("key_max").alias("mx"))
+    sel = (pg.crossJoin(F.broadcast(mx))   # 1-row scalar
+           .withColumn("lo", F.expr("mx div 8"))
+           .withColumn("hi", F.expr("mx div 4"))
+           .withColumn("selected", (F.col("key_min") <= F.col("hi"))
+                       & (F.col("key_max") >= F.col("lo"))))
+
+    def page_read(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        handles: dict = {}
+        groups: dict = {}       # decode each row group once per task
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                pf = handles.get(r.path)
+                if pf is None:
+                    pf = handles[r.path] = pq.ParquetFile(r.path)
+                gk = (r.path, int(r.rg_id))
+                tb = groups.get(gk)
+                if tb is None:
+                    tb = groups[gk] = pf.read_row_group(
+                        int(r.rg_id), columns=["doc_id"])
+                page = tb.slice(int(r.first_row), int(r.n_rows))
+                col = page.column("doc_id")
+                mask = pc.and_(pc.greater_equal(col, int(r.lo)),
+                               pc.less_equal(col, int(r.hi)))
+                hit = page.filter(mask).column("doc_id")
+                total = pc.sum(hit).as_py()
+                rows.append((int(r.first_row), len(hit),
+                             int(total) if total is not None else 0))
+            yield pd.DataFrame(rows, columns=[
+                "first_row", "n_matched", "key_sum"])
+
+    rschema = T.StructType([
+        T.StructField("first_row", T.LongType()),
+        T.StructField("n_matched", T.LongType()),
+        T.StructField("key_sum", T.LongType()),
+    ])
+    reads = (sel.filter("selected")
+             .select("path", "rg_id", "first_row", "n_rows",
+                     "lo", "hi")
+             .mapInPandas(page_read, schema=rschema))
+    return (sel.join(reads, "first_row", "left")
+            .select(
+                (F.col("first_row") / F.lit(page_rows)).cast("int")
+                .alias("page_id"),
+                "first_row", "n_rows", "key_min", "key_max",
+                "selected",
+                F.coalesce("n_matched", F.lit(0)).cast("long")
+                .alias("n_matched"),
+                F.coalesce("key_sum", F.lit(0)).cast("long")
+                .alias("key_sum"))
+            .orderBy("page_id"))
+
+
+_M14_SQL = f"""
+WITH r AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY doc_id) - 1 AS rk
+           FROM documents),
+b AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx,
+             GREATEST({_M14_PAGE_ROWS},
+                      COUNT(*) // {_M14_MAX_PAGES}) AS pr
+      FROM documents),
+g AS (SELECT CAST(rk // pr AS INT) AS page_id,
+             MIN(rk) AS first_row, COUNT(*) AS n_rows,
+             MIN(doc_id) AS key_min, MAX(doc_id) AS key_max,
+             SUM(CASE WHEN doc_id BETWEEN mx // 8 AND mx // 4
+                      THEN 1 ELSE 0 END) AS n_m,
+             SUM(CASE WHEN doc_id BETWEEN mx // 8 AND mx // 4
+                      THEN doc_id ELSE 0 END) AS s_m,
+             MAX(mx) AS mx
+      FROM r, b GROUP BY 1)
+SELECT page_id, CAST(first_row AS BIGINT) AS first_row,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(key_min AS BIGINT) AS key_min,
+       CAST(key_max AS BIGINT) AS key_max,
+       (key_min <= mx // 4 AND key_max >= mx // 8) AS selected,
+       CAST(CASE WHEN key_min <= mx // 4 AND key_max >= mx // 8
+                 THEN n_m ELSE 0 END AS BIGINT) AS n_matched,
+       CAST(CASE WHEN key_min <= mx // 4 AND key_max >= mx // 8
+                 THEN s_m ELSE 0 END AS BIGINT) AS key_sum
+FROM g ORDER BY page_id
+"""
+
+
 QUERIES = {
+    "m14_page_pruned_scan": m14_page_pruned_scan,
     "m13_bloom_pruned_probe": m13_bloom_pruned_probe,
     "m12_pruned_rowgroup_scan": m12_pruned_rowgroup_scan,
     "m1_decode_features": m1_decode_features,
@@ -1362,6 +1571,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "m14_page_pruned_scan": _M14_SQL,
     "m13_bloom_pruned_probe": _M13_SQL,
     "m12_pruned_rowgroup_scan": _M12_SQL,
     "m1_decode_features": _M1_SQL,

@@ -78,6 +78,10 @@ def _skip(b: bytes, i: int, t: int) -> int:
         return i + n
     if t in (9, 10):
         n, et, i = _list_head(b, i)
+        if et in (1, 2):
+            # bool LIST elements occupy one byte each (unlike struct
+            # fields, where the value lives in the field header)
+            return i + n
         for _ in range(n):
             i = _skip(b, i, et)
         return i
@@ -144,15 +148,17 @@ class _StructReader:
 
 # ---------------------------------------------------------------------
 # Footer walk: FileMetaData(4: row_groups) -> RowGroup(1: columns)
-# -> ColumnChunk(3: meta_data) -> ColumnMetaData(3: path_in_schema,
+# -> ColumnChunk(3: meta_data | 4/5: offset_index off/len |
+# 6/7: column_index off/len) -> ColumnMetaData(3: path_in_schema,
 # 14: bloom_filter_offset, 15: bloom_filter_length).
 # ---------------------------------------------------------------------
 
 
 def footer_bloom_index(path: str) -> list[dict]:
     """One entry per (row_group, column chunk): the column's dotted
-    path and its bloom filter offset/length (None when the writer
-    emitted no bloom). Reads ONLY the footer tail bytes."""
+    path plus every footer-index pointer the chunk carries — bloom
+    filter, OffsetIndex, ColumnIndex offsets/lengths (None when the
+    writer emitted none). Reads ONLY the footer tail bytes."""
     with open(path, "rb") as f:
         f.seek(-8, 2)
         n, magic = struct.unpack("<I4s", f.read(8))
@@ -177,33 +183,43 @@ def footer_bloom_index(path: str) -> list[dict]:
                 n_col, _ct, rg.i = _list_head(b, rg.i)
                 for _c in range(n_col):
                     cc = _StructReader(b, rg.i)
+                    rec = {"row_group": rg_no, "column": None,
+                           "bloom_offset": None, "bloom_length": None,
+                           "offset_index_offset": None,
+                           "offset_index_length": None,
+                           "column_index_offset": None,
+                           "column_index_length": None}
                     for fid3, t3 in cc:
-                        if not (fid3 == 3 and t3 == 12):
+                        if fid3 == 3 and t3 == 12:
+                            cm = _StructReader(b, cc.i)
+                            for fid4, t4 in cm:
+                                if fid4 == 3 and t4 == 9:
+                                    np_, _pt, cm.i = _list_head(b, cm.i)
+                                    parts = []
+                                    for _p in range(np_):
+                                        ln, cm.i = _varint(b, cm.i)
+                                        parts.append(
+                                            b[cm.i:cm.i + ln].decode())
+                                        cm.i += ln
+                                    rec["column"] = ".".join(parts)
+                                elif fid4 == 14 and t4 == 6:
+                                    rec["bloom_offset"] = cm.int_val()
+                                elif fid4 == 15 and t4 == 5:
+                                    rec["bloom_length"] = cm.int_val()
+                                else:
+                                    cm.skip(t4)
+                            cc.i = cm.i
+                        elif fid3 == 4 and t3 == 6:
+                            rec["offset_index_offset"] = cc.int_val()
+                        elif fid3 == 5 and t3 == 5:
+                            rec["offset_index_length"] = cc.int_val()
+                        elif fid3 == 6 and t3 == 6:
+                            rec["column_index_offset"] = cc.int_val()
+                        elif fid3 == 7 and t3 == 5:
+                            rec["column_index_length"] = cc.int_val()
+                        else:
                             cc.skip(t3)
-                            continue
-                        cm = _StructReader(b, cc.i)
-                        col = None
-                        boff = blen = None
-                        for fid4, t4 in cm:
-                            if fid4 == 3 and t4 == 9:
-                                np_, _pt, cm.i = _list_head(b, cm.i)
-                                parts = []
-                                for _p in range(np_):
-                                    ln, cm.i = _varint(b, cm.i)
-                                    parts.append(
-                                        b[cm.i:cm.i + ln].decode())
-                                    cm.i += ln
-                                col = ".".join(parts)
-                            elif fid4 == 14 and t4 == 6:
-                                boff = cm.int_val()
-                            elif fid4 == 15 and t4 == 5:
-                                blen = cm.int_val()
-                            else:
-                                cm.skip(t4)
-                        out.append({"row_group": rg_no, "column": col,
-                                    "bloom_offset": boff,
-                                    "bloom_length": blen})
-                        cc.i = cm.i
+                    out.append(rec)
                     rg.i = cc.i
             top.i = rg.i
             rg_no += 1
@@ -318,3 +334,82 @@ def sbbf_might_contain(bitset: bytes, h: int) -> bool:
         if not (w >> bit) & 1:
             return False
     return True
+
+
+# ---------------------------------------------------------------------
+# Page index (parquet-format PageIndex.md): per-column-chunk
+# OffsetIndex (1: page_locations list<PageLocation{1: offset,
+# 2: compressed_page_size, 3: first_row_index}>) and ColumnIndex
+# (1: null_pages list<bool>, 2: min_values, 3: max_values
+# list<binary> — PLAIN-encoded, 5: null_counts). These are the
+# page-granularity zone maps Spark's writer emits by default; as
+# with the blooms, pyarrow exposes neither structure.
+# ---------------------------------------------------------------------
+
+
+def read_offset_index(f: BinaryIO, offset: int,
+                      length: int) -> list[dict]:
+    """Page locations for one column chunk: the byte extent a
+    range-reader would fetch per page, and each page's first row."""
+    f.seek(offset)
+    b = f.read(length)
+    pages: list[dict] = []
+    r = _StructReader(b, 0)
+    for fid, t in r:
+        if fid == 1 and t == 9:
+            n, _et, r.i = _list_head(b, r.i)
+            for _ in range(n):
+                pl = _StructReader(b, r.i)
+                rec = {"offset": None, "compressed_page_size": None,
+                       "first_row_index": None}
+                for fid2, t2 in pl:
+                    if fid2 == 1 and t2 == 6:
+                        rec["offset"] = pl.int_val()
+                    elif fid2 == 2 and t2 == 5:
+                        rec["compressed_page_size"] = pl.int_val()
+                    elif fid2 == 3 and t2 == 6:
+                        rec["first_row_index"] = pl.int_val()
+                    else:
+                        pl.skip(t2)
+                pages.append(rec)
+                r.i = pl.i
+        else:
+            r.skip(t)
+    return pages
+
+
+def read_column_index_int64(f: BinaryIO, offset: int, length: int
+                            ) -> list[dict]:
+    """Per-page zone maps for an INT64 column chunk: null_pages flag
+    and min/max decoded from the 8-byte little-endian PLAIN values
+    (INT64 stats are never truncated — truncation applies to
+    BYTE_ARRAY only)."""
+    f.seek(offset)
+    b = f.read(length)
+    nulls: list[bool] = []
+    mins: list[int] = []
+    maxs: list[int] = []
+    r = _StructReader(b, 0)
+    for fid, t in r:
+        if fid == 1 and t == 9:           # null_pages: list<bool>
+            n, _et, r.i = _list_head(b, r.i)
+            for _ in range(n):
+                nulls.append(b[r.i] == 1)
+                r.i += 1
+        elif fid in (2, 3) and t == 9:    # min_values / max_values
+            n, _et, r.i = _list_head(b, r.i)
+            vals = []
+            for _ in range(n):
+                ln, r.i = _varint(b, r.i)
+                vals.append(int.from_bytes(b[r.i:r.i + 8], "little",
+                                           signed=True))
+                r.i += ln
+            if fid == 2:
+                mins = vals
+            else:
+                maxs = vals
+        else:
+            r.skip(t)
+    return [{"page": i, "null_page": nulls[i] if nulls else False,
+             "key_min": mins[i], "key_max": maxs[i]}
+            for i in range(len(mins))]

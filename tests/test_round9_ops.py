@@ -611,3 +611,44 @@ def test_w21_shared_view_accumulates(spark, tmp_path):
     assert set(got) == {10}
     assert got[10].n_purchases == 2
     assert got[10].total_credit == 48.0
+
+
+# ---------------- M14 page-index pins --------------------------------
+def test_m14_page_layout_and_zone_maps(spark, tmp_path):
+    """The staged layout's OffsetIndex must show EXACT page_rows rows
+    per page (including the first — parquet-mr's default row-check
+    interval overshoots it) and the ColumnIndex zone maps must equal
+    the data: a contiguous sorted corpus gives page p the key span
+    [p*rows, p*rows + n_p - 1]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark import parquet_bloom as pb
+    from postgres_scanner_spark.operators.multimodal import (
+        _M14_PAGE_ROWS, m14_page_pruned_scan)
+    n = 330     # deliberately not a multiple of 64
+    rows = [{"doc_id": i, "text": f"d{i}", "lang": "en",
+             "source": "s", "n_chars": 3} for i in range(n)]
+    d = tmp_path / "sfm14"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    got = m14_page_pruned_scan(spark, str(d)).collect()
+    pr = _M14_PAGE_ROWS
+    exp_pages = (n + pr - 1) // pr
+    assert len(got) == exp_pages
+    for p, r in enumerate(sorted(got, key=lambda r: r.page_id)):
+        n_p = min(pr, n - p * pr)
+        assert (r.page_id, r.first_row, r.n_rows) == (p, p * pr, n_p)
+        assert (r.key_min, r.key_max) == (p * pr, p * pr + n_p - 1)
+    # pruning is real: the [mx//8, mx//4] probe selects a strict
+    # subset, and unselected pages report zero matched rows
+    assert 0 < sum(r.selected for r in got) < exp_pages
+    assert all(r.n_matched == 0 for r in got if not r.selected)
+    # selected pages' aggregates equal the range arithmetic
+    mx = n - 1
+    lo, hi = mx // 8, mx // 4
+    for r in got:
+        if r.selected:
+            ids = [i for i in range(r.key_min, r.key_max + 1)
+                   if lo <= i <= hi]
+            assert r.n_matched == len(ids) and r.key_sum == sum(ids)

@@ -201,6 +201,7 @@ def test_plan_lint_all_queries(spark):
         "q15_top_supplier",             # 1-row global-max revenue scalar
         "t20_kneser_ney_logprob",       # 1-row bigram-type total (N1+(*,*))
         "a13_norm_bound_mips",          # query set (5) + 32-seed broadcast
+        "m14_page_pruned_scan",         # 1-row max-key scalar, as m12
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
