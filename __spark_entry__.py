@@ -54,7 +54,7 @@ _MODULES = (
 # Regenerate with tools/rotate_order.py --write after each round
 # (--explain shows the per-query evidence).
 _COST_ORDER = [
-    "m14_page_pruned_scan",
+    "m14_page_pruned_scan", "d22_prefix_filter_join",
     "a13_norm_bound_mips", "w21_time_decay_attribution",
     "t20_kneser_ney_logprob", "m13_bloom_pruned_probe",
     "x17_dsir_select", "d20_repeated_substrings",

@@ -2145,7 +2145,154 @@ ORDER BY s.doc_id
 """
 
 
+# ---- D22: prefix-filtered EXACT similarity self-join (AllPairs) -----
+_D22_T = 0.5
+_D22_K = 3
+
+
+def d22_prefix_filter_join(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """EXACT Jaccard similarity self-join at threshold t via PREFIX
+    FILTERING — the AllPairs/PPJoin family (Bayardo et al. 2007;
+    Xiao et al. 2008, both public): order every document's shingles
+    by ascending global document frequency (rarest first, shingle
+    text tiebreak) and index ONLY the first |x| - ceil(t*|x|) + 1 of
+    them; if J(x,y) >= t the two prefixes provably intersect, so the
+    candidate join touches prefix postings only. Candidates are then
+    verified exactly against the full shingle sets.
+
+    This is the dedup family's EXACT-at-scale alternative to D4's
+    df-capped inverted index: the cap keeps D4's join linear but
+    redefines the statistic over a truncated shingle universe
+    (documents whose similarity rides frequent shingles score lower
+    — the differential pin constructs one); prefix filtering keeps
+    the join near-linear with NO distortion — completeness is a
+    theorem, not a heuristic, and the oracle is the plain exhaustive
+    inverted-index join over the UNCAPPED universe.
+
+    Scale (100 TB): df is one shingle-keyed partial agg; the rank
+    window is per-DOCUMENT (the corpus's natural key, bounded by doc
+    length); prefix postings are ~(1-t) of the index, and the
+    frequency ordering puts the rarest shingles (shortest posting
+    lists) in every prefix, which is what bounds candidate volume.
+    Verification joins candidates (pair-keyed) against per-doc
+    sorted shingle arrays — work proportional to candidates, never
+    to all sharing pairs."""
+    from pyspark.sql.window import Window
+    shx = scratch_persist(
+        shingle_index(corpus_with_plants(spark, sf_dir), _D22_K))
+    sz = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # df via a window over s — ONE corpus-sized shuffle, constant
+    # memory per key (a groupBy+re-join spells the same thing as TWO
+    # 1.9B-row exchanges at sf10; a collect_list variant holds a hot
+    # shingle's whole posting list in one agg buffer)
+    # df via map-side-combined groupBy, NOT a window over s: the
+    # window sorts the whole corpus-sized index with no partial agg;
+    # the groupBy shrinks map-side and only the REPEATED shingles
+    # (df >= 2 — the only ones that can generate a candidate) come
+    # back, broadcast against the cached index so the corpus never
+    # re-shuffles. On a web corpus whose repeated-shingle relation
+    # outgrows a broadcast, drop the hint and AQE picks the join.
+    dfq2 = (shx.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= 2))
+    # persisted: small, but both consumers below re-run its lineage
+    rep = scratch_persist(shx.join(F.broadcast(dfq2), "s"))
+    # singletons (df=1) can never generate a candidate pair AND sort
+    # before every repeated shingle under the (df, s) order, so a
+    # repeated shingle's doc-rank = (doc's singleton count) + its
+    # rank among the doc's repeated shingles — df=1 rows never
+    # shuffle again
+    n_rep = rep.groupBy("doc_id").agg(F.count("*").alias("nr"))
+    wd = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (rep.withColumn("rr", F.row_number().over(wd))
+              .join(sz, "doc_id").join(n_rep, "doc_id")
+              .withColumn("rn", F.col("n") - F.col("nr") + F.col("rr")))
+    plen = F.col("n") - F.ceil(F.lit(_D22_T) * F.col("n")) + 1
+    # persisted: corpus-sized lineage, feeds BOTH join sides; rn/n
+    # ride along for PPJoin's positional filter below
+    prefix = scratch_persist(ranked.filter(F.col("rn") <= plen)
+                             .select("doc_id", "s", "rn", "n"))
+    # PPJoin's positional + length filters (Xiao et al. 2008): on a
+    # high-overlap corpus the bare AllPairs prefix join emits ~1600
+    # candidate rows per TRUE pair (measured at sf10) because hot
+    # shared shingles sit inside half the prefixes at t=0.5. Both
+    # bounds are theorems, so exactness is preserved:
+    #   - length: J >= t  ⟹  min(|x|,|y|) >= t·max(|x|,|y|)
+    #   - positional: overlap >= α = ceil(t/(1+t)·(|x|+|y|)), and a
+    #     match at sorted positions (i, j) bounds the achievable
+    #     overlap by 1 + min(|x|-i, |y|-j)
+    alpha = F.ceil(F.lit(_D22_T / (1.0 + _D22_T))
+                   * (F.col("x.n") + F.col("y.n")))
+    ubound = 1 + F.least(F.col("x.n") - F.col("x.rn"),
+                         F.col("y.n") - F.col("y.rn"))
+    cand = scratch_persist(
+        prefix.alias("x").join(prefix.alias("y"),
+                               (F.col("x.s") == F.col("y.s"))
+                               & (F.col("x.doc_id")
+                                  < F.col("y.doc_id")))
+        .filter((F.least("x.n", "y.n")
+                 >= F.lit(_D22_T) * F.greatest("x.n", "y.n"))
+                & (ubound >= alpha))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct())
+    # verification work must be ∝ candidates: building shingle
+    # arrays for the WHOLE corpus shuffles 50M fat rows at sf10 to
+    # verify ~25k pairs — semi-join the index down to candidate docs
+    # first (candidates are prefix-volume, so the doc list
+    # broadcasts)
+    cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
+             .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+             .distinct())
+    sets = (shx.join(F.broadcast(cdocs), "doc_id", "left_semi")
+            .groupBy("doc_id").agg(
+                F.sort_array(F.collect_set("s")).alias("gs"),
+                F.count("*").alias("n")))
+    verified = (cand
+                .join(sets.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("gs").alias("ga"),
+                                  F.col("n").alias("na")), "doc_a")
+                .join(sets.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("gs").alias("gb"),
+                                  F.col("n").alias("nb")), "doc_b")
+                .withColumn("ni", F.size(F.array_intersect("ga", "gb"))
+                            .cast("long"))
+                .withColumn("jaccard",
+                            F.col("ni") / (F.col("na") + F.col("nb")
+                                           - F.col("ni")))
+                .filter(F.col("jaccard") >= _D22_T))
+    return (verified.select("doc_a", "doc_b", "ni",
+                            F.col("na").cast("long").alias("na"),
+                            F.col("nb").cast("long").alias("nb"),
+                            "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+_D22_SQL = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+sh AS (SELECT doc_id, {_sql_shingles(_D22_K)} AS gs FROM tok
+       WHERE len(t) >= {_D22_K}),
+shx AS (SELECT doc_id, unnest(gs) AS s FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 COUNT(*) AS ni
+          FROM shx x JOIN shx y
+            ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS ni,
+       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+       ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {_D22_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
+    "d22_prefix_filter_join": d22_prefix_filter_join,
     "d21_repeated_substring_excision": d21_repeated_substring_excision,
     "d20_repeated_substrings": d20_repeated_substrings,
     "d19_unicode_shingle_dedup": d19_unicode_shingle_dedup,
@@ -2170,6 +2317,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d22_prefix_filter_join": _D22_SQL,
     "d21_repeated_substring_excision": _d21_sql(),
     "d20_repeated_substrings": _d20_sql(),
     "d19_unicode_shingle_dedup": _d19_sql(),

@@ -652,3 +652,118 @@ def test_m14_page_layout_and_zone_maps(spark, tmp_path):
             ids = [i for i in range(r.key_min, r.key_max + 1)
                    if lo <= i <= hi]
             assert r.n_matched == len(ids) and r.key_sum == sum(ids)
+
+
+# ---------------- D22 prefix-filter join pins ------------------------
+def _d22_brute(docs, k=3, t=0.5):
+    """Independent exact Jaccard over distinct word-k-gram sets."""
+    grams = {}
+    for i, text in docs.items():
+        ws = text.lower().split(" ")
+        grams[i] = {" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)} \
+            if len(ws) >= k else set()
+    out = {}
+    ids = sorted(docs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            ni = len(grams[a] & grams[b])
+            if not ni:
+                continue
+            na, nb = len(grams[a]), len(grams[b])
+            j = ni / (na + nb - ni)
+            if j >= t:
+                out[(a, b)] = (ni, na, nb, j)
+    return out
+
+
+def _d22_corpus(tmp_path, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = [{"doc_id": i, "text": s, "lang": "en", "source": "s",
+             "n_chars": len(s)} for i, s in docs.items()]
+    d = tmp_path / "sfd22"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_d22_matches_brute_force(spark, tmp_path):
+    """Prefix filtering is COMPLETE (a theorem, but pin it anyway):
+    the operator's pairs equal an independent exhaustive Jaccard on
+    a corpus with near-dups, partial overlaps, and disjoint docs."""
+    from postgres_scanner_spark.operators.dedup import (
+        d22_prefix_filter_join)
+    block = " ".join(f"b{i}" for i in range(10))
+    docs = {100 + i: f"{block} f{i}a f{i}b" for i in range(8)}
+    docs[200] = block + " ua"
+    docs[201] = block + " ub"
+    docs[300] = "x0 x1 x2 x3 x4 x5"                 # disjoint
+    docs[301] = "x0 x1 x2 x3 y4 y5"                 # partial overlap
+    sf = _d22_corpus(tmp_path, docs)
+    got = {(r.doc_a, r.doc_b): (r.ni, r.na, r.nb, r.jaccard)
+           for r in d22_prefix_filter_join(spark, sf).collect()}
+    assert got == _d22_brute(docs)
+    assert (200, 201) in got          # the high-overlap pair
+    assert (300, 301) not in got      # below threshold
+
+
+def test_d22_exact_where_d4_cap_distorts(spark, tmp_path):
+    """The differential vs D4: a pair whose similarity rides
+    CORPUS-FREQUENT shingles (df above D4's cap) is reported by D22
+    with its exact Jaccard, while D4's capped universe drops those
+    shingles and misses the pair entirely."""
+    from postgres_scanner_spark.operators.dedup import (
+        d4_ngram_jaccard, d22_prefix_filter_join)
+    block = " ".join(f"b{i}" for i in range(10))
+    docs = {100 + i: f"{block} f{i}a f{i}b" for i in range(8)}
+    docs[200] = block + " ua"
+    docs[201] = block + " ub"
+    sf = _d22_corpus(tmp_path, docs)
+    d22 = {(r.doc_a, r.doc_b): r.jaccard
+           for r in d22_prefix_filter_join(spark, sf).collect()}
+    exp = _d22_brute(docs)[(200, 201)][3]
+    assert d22[(200, 201)] == exp and exp >= 0.5
+    # the block's 2-grams appear in 10 of 10 docs — above
+    # _D4_MAX_DF_FRAC — so D4's capped index cannot see this pair
+    d4 = {(r.doc_a, r.doc_b) for r in
+          d4_ngram_jaccard(spark, sf).collect()}
+    assert (200, 201) not in d4
+
+
+def test_d22_prefix_prunes_candidates(tmp_path):
+    """The prefix index is strictly smaller than the full inverted
+    index and still covers every true pair — replicated in pure
+    Python with the operator's (df, shingle) global order."""
+    import math
+    block = " ".join(f"b{i}" for i in range(10))
+    docs = {100 + i: f"{block} f{i}a f{i}b" for i in range(8)}
+    docs[200] = block + " ua"
+    docs[201] = block + " ub"
+    # dissimilar docs sharing ONLY a frequent trigram: J far below t,
+    # and the shared gram's high df keeps it OUT of every prefix —
+    # these pairs are what the filter prunes without verification
+    for i in range(6):
+        docs[400 + i] = "c0 c1 c2 " + " ".join(
+            f"u{i}x{j}" for j in range(10))
+    grams = {}
+    for i, text in docs.items():
+        ws = text.lower().split(" ")
+        grams[i] = {" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)}
+    df = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    t = 0.5
+    prefix = {}
+    for i, gs in grams.items():
+        plen = len(gs) - math.ceil(t * len(gs)) + 1
+        prefix[i] = set(sorted(gs, key=lambda g: (df[g], g))[:plen])
+    ids = sorted(docs)
+    full = {(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1:]
+            if grams[a] & grams[b]}
+    cand = {(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1:]
+            if prefix[a] & prefix[b]}
+    true_pairs = set(_d22_brute(docs))
+    assert true_pairs <= cand <= full
+    assert len(cand) < len(full)
