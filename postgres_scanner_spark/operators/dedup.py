@@ -2182,10 +2182,6 @@ def d22_prefix_filter_join(spark: SparkSession, sf_dir: str
     shx = scratch_persist(
         shingle_index(corpus_with_plants(spark, sf_dir), _D22_K))
     sz = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # df via a window over s — ONE corpus-sized shuffle, constant
-    # memory per key (a groupBy+re-join spells the same thing as TWO
-    # 1.9B-row exchanges at sf10; a collect_list variant holds a hot
-    # shingle's whole posting list in one agg buffer)
     # df via map-side-combined groupBy, NOT a window over s: the
     # window sorts the whole corpus-sized index with no partial agg;
     # the groupBy shrinks map-side and only the REPEATED shingles

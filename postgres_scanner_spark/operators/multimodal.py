@@ -1198,6 +1198,31 @@ FROM g ORDER BY rg_id
 """
 
 
+def _staged_dir(spark: SparkSession, key: str, prefix: str,
+                build) -> str:
+    """Content-keyed /tmp staging DIRECTORY shared by M13/M14 (M12
+    stages a single file via os.replace — different atomicity unit).
+    `build(tmp_dir)` writes the stage; the spool name is uuid-unique
+    because gate workers are THREADS of one pid (a pid-keyed name
+    collides and two concurrent Spark writes interleave part-files
+    into one dir — caught by the m13 race pin); os.rename is atomic
+    and the loser of a concurrent race discards its spool."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+    stage = os.path.join(
+        "/tmp", prefix + hashlib.md5(key.encode()).hexdigest()[:8])
+    if not os.path.exists(stage):
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
+        build(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
 # ---- M13: Bloom-filter pruned point probe (unsorted-key lookup) ------
 # Probe-set sizing: one probe per `step` doc_ids, with the step
 # derived from the corpus so the probe count is BOUNDED (~32) at any
@@ -1232,9 +1257,7 @@ def m13_bloom_pruned_probe(spark: SparkSession, sf_dir: str
     :238's ctid-split scan sends point lookups to a remote btree —
     this is the connector-free equivalent for immutable parquet.
     """
-    import hashlib
     import os
-    import shutil
     from .. import tables
     tables.ensure_session_defaults(spark)
     import pyarrow.parquet as pq
@@ -1242,31 +1265,27 @@ def m13_bloom_pruned_probe(spark: SparkSession, sf_dir: str
     st = os.stat(src)
     n_src = pq.ParquetFile(src).metadata.num_rows
     step = max(_M13_MIN_STEP, n_src // _M13_MAX_PROBES)
-    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}"
-    stage = os.path.join(
-        "/tmp", "pg_spark_bloomstage_"
-        + hashlib.md5(key.encode()).hexdigest()[:8])
-    if not os.path.exists(stage):
+    # ndv sized to the ~256KB ROW GROUP, not the table: a table-wide
+    # ndv makes parquet-mr allocate its 1MB max-bytes bloom per
+    # group — orders of magnitude more bloom bytes than data at sf10,
+    # all of which every probe pass reads. Blooms have no false
+    # negatives at ANY sizing; ndv only tunes FPP. (v2 key: writer
+    # options version the stage.)
+    ndv = max(1024, min(n_src, (256 * 1024) // 40))
+    key = f"v2:{src}:{st.st_mtime_ns}:{st.st_size}:{ndv}"
+
+    def build(tmp: str) -> None:
         d = tables.load(spark, sf_dir, "documents")
-        # uuid-unique spool: gate workers are THREADS of one pid, so
-        # a pid-keyed name collides and two concurrent Spark writes
-        # interleave part-files into one dir (caught by the race pin)
-        import uuid
-        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         (d.select("doc_id", F.md5(F.col("text").cast("binary"))
                   .alias("fp"), "n_chars")
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite")
          .option("parquet.bloom.filter.enabled#fp", "true")
-         .option("parquet.bloom.filter.expected.ndv#fp",
-                 str(max(n_src, 1024)))
+         .option("parquet.bloom.filter.expected.ndv#fp", str(ndv))
          .option("parquet.block.size", str(256 * 1024))
          .parquet(tmp))
-        try:
-            os.rename(tmp, stage)        # atomic; loser cleans up
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
 
+    stage = _staged_dir(spark, key, "pg_spark_bloomstage_", build)
     d = tables.load(spark, sf_dir, "documents")
     probes = [(int(r.doc_id), r.fp) for r in
               (d.filter((F.col("doc_id") % F.lit(step)) == 0)
@@ -1382,7 +1401,6 @@ def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
     each selected page's byte offset + compressed size, exactly the
     extents a range-GET reader fetches — ~page_rows/rg_rows of the
     group bytes. The plan is what the oracle certifies."""
-    import hashlib
     import os
     from .. import tables
     tables.ensure_session_defaults(spark)
@@ -1394,14 +1412,9 @@ def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
     # v2: the key versions the WRITER OPTIONS too — a layout change
     # (row-check interval) must invalidate the cached stage
     key = f"v2:{src}:{st.st_mtime_ns}:{st.st_size}:{page_rows}"
-    stage = os.path.join(
-        "/tmp", "pg_spark_pagestage_"
-        + hashlib.md5(key.encode()).hexdigest()[:8])
-    if not os.path.exists(stage):
-        import shutil
-        import uuid
+
+    def build(tmp: str) -> None:
         d = tables.load(spark, sf_dir, "documents")
-        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
         (d.select("doc_id").coalesce(1)
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite")
@@ -1414,13 +1427,18 @@ def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
          .option("parquet.page.size", str(64 * 1024 * 1024))
          .option("parquet.block.size", str(1 << 30))
          .parquet(tmp))
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    stage = _staged_dir(spark, key, "pg_spark_pagestage_", build)
     data_files = sorted(
         os.path.join(stage, f) for f in os.listdir(stage)
         if f.endswith(".parquet"))
+    if len(data_files) != 1:
+        # the oracle's global rank arithmetic needs ONE globally
+        # sorted file (coalesce(1) above); a second file would
+        # restart first_row at 0 — at lakehouse scale the analog is
+        # PER-FILE page pruning with per-file ranks
+        raise ValueError(f"m14 stage must be one file, "
+                         f"got {len(data_files)}")
     files = spark.createDataFrame([(p,) for p in data_files],
                                   "path STRING")
 
@@ -1432,10 +1450,20 @@ def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
             rows = []
             for r in pdf.itertuples():
                 md = pq.ParquetFile(r.path).metadata
+                rg_start = [0]      # cumulative file-global row starts
+                for g in range(md.num_row_groups):
+                    rg_start.append(rg_start[-1]
+                                    + md.row_group(g).num_rows)
                 with open(r.path, "rb") as fh:
                     for e in pb.footer_bloom_index(r.path):
                         if e["column"] != "doc_id":
                             continue
+                        if e["offset_index_offset"] is None or \
+                                e["column_index_offset"] is None:
+                            raise ValueError(
+                                f"{r.path} rg{e['row_group']}: no "
+                                "page index — stage was written "
+                                "without parquet-mr page indexes")
                         g = e["row_group"]
                         n_rows = md.row_group(g).num_rows
                         oi = pb.read_offset_index(
@@ -1445,21 +1473,28 @@ def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
                             fh, e["column_index_offset"],
                             e["column_index_length"])
                         for p, (o, c) in enumerate(zip(oi, ci)):
-                            first = o["first_row_index"]
+                            # first_row_index is ROW-GROUP-RELATIVE
+                            # (parquet spec; verified on a multi-RG
+                            # file) — offset it to file-global for
+                            # page ids, keep the local offset for
+                            # the row-group slice
+                            loc = o["first_row_index"]
                             last = (oi[p + 1]["first_row_index"]
                                     if p + 1 < len(oi) else n_rows)
                             rows.append((
-                                r.path, g, p, first, last - first,
+                                r.path, g, p, rg_start[g] + loc, loc,
+                                last - loc,
                                 c["key_min"], c["key_max"]))
             yield pd.DataFrame(rows, columns=[
-                "path", "rg_id", "page_in_rg", "first_row", "n_rows",
-                "key_min", "key_max"])
+                "path", "rg_id", "page_in_rg", "first_row",
+                "local_row", "n_rows", "key_min", "key_max"])
 
     pschema = T.StructType([
         T.StructField("path", T.StringType()),
         T.StructField("rg_id", T.IntegerType()),
         T.StructField("page_in_rg", T.IntegerType()),
         T.StructField("first_row", T.LongType()),
+        T.StructField("local_row", T.LongType()),
         T.StructField("n_rows", T.LongType()),
         T.StructField("key_min", T.LongType()),
         T.StructField("key_max", T.LongType()),
@@ -1490,7 +1525,7 @@ def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
                 if tb is None:
                     tb = groups[gk] = pf.read_row_group(
                         int(r.rg_id), columns=["doc_id"])
-                page = tb.slice(int(r.first_row), int(r.n_rows))
+                page = tb.slice(int(r.local_row), int(r.n_rows))
                 col = page.column("doc_id")
                 mask = pc.and_(pc.greater_equal(col, int(r.lo)),
                                pc.less_equal(col, int(r.hi)))
@@ -1507,8 +1542,8 @@ def m14_page_pruned_scan(spark: SparkSession, sf_dir: str
         T.StructField("key_sum", T.LongType()),
     ])
     reads = (sel.filter("selected")
-             .select("path", "rg_id", "first_row", "n_rows",
-                     "lo", "hi")
+             .select("path", "rg_id", "first_row", "local_row",
+                     "n_rows", "lo", "hi")
              .mapInPandas(page_read, schema=rschema))
     return (sel.join(reads, "first_row", "left")
             .select(

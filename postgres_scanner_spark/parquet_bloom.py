@@ -232,7 +232,14 @@ def read_bloom_bitset(f: BinaryIO, offset: int,
     hash/compression unions — validated present, then skipped) at
     `offset` and return the raw SBBF bitset that follows it."""
     f.seek(offset)
-    raw = f.read(length if length else 1 << 20)
+    if length is not None and length > 0:
+        raw = f.read(length)
+    else:
+        # writers predating bloom_filter_length carry only the
+        # offset: read a header-sized chunk first, then exactly the
+        # bitset — a fixed 1MB cap would spuriously truncate bitsets
+        # at parquet-mr's own 1MB default maximum
+        raw = f.read(256)
     r = _StructReader(raw, 0)
     num_bytes = None
     seen = set()
@@ -247,6 +254,11 @@ def read_bloom_bitset(f: BinaryIO, offset: int,
     if not {2, 3}.issubset(seen):
         raise ValueError("bloom header missing algorithm/hash unions")
     bitset = raw[r.i:r.i + num_bytes]
+    if len(bitset) != num_bytes:
+        # offset-only path: the header chunk covered the header but
+        # not the whole bitset — fetch the remainder exactly
+        f.seek(offset + r.i + len(bitset))
+        bitset += f.read(num_bytes - len(bitset))
     if len(bitset) != num_bytes:
         raise ValueError("bloom bitset truncated")
     return bitset
@@ -401,8 +413,12 @@ def read_column_index_int64(f: BinaryIO, offset: int, length: int
             vals = []
             for _ in range(n):
                 ln, r.i = _varint(b, r.i)
-                vals.append(int.from_bytes(b[r.i:r.i + 8], "little",
-                                           signed=True))
+                # a NULL PAGE's entry is an EMPTY byte array — decode
+                # exactly ln bytes (a fixed 8-byte read would consume
+                # the next entry's length prefix as data)
+                vals.append(
+                    int.from_bytes(b[r.i:r.i + ln], "little",
+                                   signed=True) if ln == 8 else None)
                 r.i += ln
             if fid == 2:
                 mins = vals

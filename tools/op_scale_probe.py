@@ -13,8 +13,10 @@ drain loop on both sides (the oracle models the drained result).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+from contextlib import closing
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
@@ -27,8 +29,6 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def main() -> None:
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
-    import os
-
     import duckdb
     import __spark_entry__ as entry
     from postgres_scanner_spark import get_spark
@@ -37,10 +37,11 @@ def main() -> None:
     spark = get_spark(cpus=32)
 
     def fresh_con():
-        # one connection PER OP: a heavy oracle's hash tables and
-        # allocator fragmentation otherwise spill into the next op's
-        # budget (an sf10 t20 run OOM'd the light m13 oracle that
-        # followed it); sizing mirrors oracle_harness's env gates
+        # one connection PER OP, closed even on failure: a heavy
+        # oracle's hash tables and allocator fragmentation otherwise
+        # spill into the next op's budget (an sf10 t20 run OOM'd the
+        # light m13 oracle that followed it); sizing mirrors
+        # oracle_harness's env gates
         c = duckdb.connect()
         c.execute(f"SET threads TO "
                   f"{os.environ.get('SPARK_GRAFT_DUCKDB_THREADS', 32)}")
@@ -55,21 +56,22 @@ def main() -> None:
 
     # warm both engines / the page cache
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    fresh_con().execute("SELECT COUNT(*) FROM lineitem").fetchall()
+    with closing(fresh_con()) as warm:
+        warm.execute("SELECT COUNT(*) FROM lineitem").fetchall()
     out = {}
     for name in names:
-        con = fresh_con()
         s_best = d_best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            s_best = dt if s_best is None else min(s_best, dt)
-            if name in oracles:
+        with closing(fresh_con()) as con:
+            for _ in range(2):
                 t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
+                queries[name](spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
-                d_best = dt if d_best is None else min(d_best, dt)
+                s_best = dt if s_best is None else min(s_best, dt)
+                if name in oracles:
+                    t0 = time.perf_counter()
+                    con.execute(oracles[name]).fetchall()
+                    dt = time.perf_counter() - t0
+                    d_best = dt if d_best is None else min(d_best, dt)
         out[name] = {
             "spark": round(s_best, 2),
             "duckdb": round(d_best, 2) if d_best is not None else None,
@@ -78,7 +80,6 @@ def main() -> None:
         print(f"# {name}: spark={out[name]['spark']}s "
               f"duckdb={out[name]['duckdb']}s "
               f"ratio={out[name]['ratio']}", file=sys.stderr)
-        con.close()
     from bench import _data_key
     print(json.dumps({"sf_dir": sf_dir, "data_key": _data_key(sf_dir),
                       "ops": out}))
