@@ -54,22 +54,22 @@ _MODULES = (
 # Regenerate with tools/rotate_order.py --write after each round
 # (--explain shows the per-query evidence).
 _COST_ORDER = [
-    "m14_page_pruned_scan", "d22_prefix_filter_join",
-    "a13_norm_bound_mips", "w21_time_decay_attribution",
-    "t20_kneser_ney_logprob", "m13_bloom_pruned_probe",
-    "x17_dsir_select", "d20_repeated_substrings",
-    "d21_repeated_substring_excision", "t2_quality_score",
-    "x5_sequence_pack", "x11_quality_topk_sample", "w3_window_rank",
-    "q15_top_supplier", "x8_epoch_plan", "m7_npy_tensor_parse",
-    "e17_streaming_dedup_ingest", "t17_perplexity_buckets",
-    "m9_shard_repack_plan", "x12_corpus_compile",
-    "e20_streaming_neardup_ingest", "d17_lsh_param_sweep",
-    "w19_ema_daily_revenue", "ds1_above_avg_customers",
-    "ds6_top_customers_per_region", "w15_gapfill_locf",
-    "w16_time_weighted_avg", "ds15_channel_growth_ratio",
-    "ds19_two_fact_growth", "ds20_category_share_window",
-    "ds21_disjunctive_bands", "a10_filtered_ann",
-    "w18_retention_cohorts", "a11_mmr_diversified",
+    "x18_weighted_reservoir_sample", "m14_page_pruned_scan",
+    "d22_prefix_filter_join", "a13_norm_bound_mips",
+    "w21_time_decay_attribution", "t20_kneser_ney_logprob",
+    "m13_bloom_pruned_probe", "x17_dsir_select",
+    "d20_repeated_substrings", "d21_repeated_substring_excision",
+    "t2_quality_score", "x5_sequence_pack", "x11_quality_topk_sample",
+    "w3_window_rank", "q15_top_supplier", "x8_epoch_plan",
+    "m7_npy_tensor_parse", "e17_streaming_dedup_ingest",
+    "t17_perplexity_buckets", "m9_shard_repack_plan",
+    "x12_corpus_compile", "e20_streaming_neardup_ingest",
+    "d17_lsh_param_sweep", "w19_ema_daily_revenue",
+    "ds1_above_avg_customers", "ds6_top_customers_per_region",
+    "w15_gapfill_locf", "w16_time_weighted_avg",
+    "ds15_channel_growth_ratio", "ds19_two_fact_growth",
+    "ds20_category_share_window", "ds21_disjunctive_bands",
+    "a10_filtered_ann", "w18_retention_cohorts", "a11_mmr_diversified",
     "m11_parquet_footer_manifest", "w13_dist_windows",
     "m4_wav_features", "e21_watermark_dedup",
     "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",

@@ -2220,6 +2220,73 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {_X17_K}
 """
 
 
+# ---- X18: weighted reservoir sample (Efraimidis-Spirakis A-Res) ------
+_X18_K = 64
+
+
+def x18_weighted_reservoir_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-Res — public): each doc draws key u^(1/w) and
+    the K largest keys are the sample, giving every doc inclusion
+    probability proportional to its weight w — the subsampling step
+    quality-weighted corpus pipelines run when they need DIVERSITY,
+    not X11's deterministic top-slice (which always keeps the same
+    best docs) and not X2's unweighted hash buckets.
+
+    Reproducibility disciplines: u derives from md5(doc_id) (X2's
+    pure-function-of-the-key idiom — stable across runs, engines,
+    partitionings), exactly (h + 0.5)/2^32, a dyadic rational both
+    engines compute bit-identically. u^(1/w) never evaluates a
+    runtime pow (the w19 ulp trap): ln is monotone, so ranking by
+    ln(u)/w descending selects the identical sample; ln() of
+    bit-identical doubles is the t9 discipline, and selection is
+    rounded-score + doc_id tiebreak via TakeOrderedAndProject (x17's
+    deterministic top-K — no global window).
+
+    Scale (100 TB): one embarrassingly-parallel scan computes keys;
+    TakeOrderedAndProject keeps K per partition then merges K·P rows
+    on the driver — no corpus shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    # weight: lexical diversity + a dyadic floor (strictly positive,
+    # exact in both engines: integer ratio + 1/16)
+    w = (F.size(F.array_distinct(toks)) / F.size(toks)
+         + F.lit(0.0625))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                           1, 8), 16, 10).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    lnkey = det_round(F.log(u) / w, 6)
+    scored = d.select("doc_id", "source", lnkey.alias("lnkey"),
+                      det_round(w, 6).alias("weight"))
+    top = (scored.orderBy(F.desc("lnkey"), "doc_id").limit(_X18_K)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.desc("lnkey"), F.col("doc_id")))))
+    return (top.select(F.col("rank").cast("int").alias("rank"),
+                       "doc_id", "source", "weight", "lnkey")
+            .orderBy("rank"))
+
+
+_X18_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    FLOOR(( ln( (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) + 0.5) / 4294967296.0 )
+            / (len(list_distinct(string_split(lower(text), ' ')))
+               * 1.0 / len(string_split(lower(text), ' '))
+               + 0.0625)
+          ) * 1000000.0 + 0.5) / 1000000.0 AS lnkey,
+    FLOOR((len(list_distinct(string_split(lower(text), ' ')))
+           * 1.0 / len(string_split(lower(text), ' '))
+           + 0.0625) * 1000000.0 + 0.5) / 1000000.0 AS weight
+  FROM documents)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY lnkey DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, source, weight, lnkey
+FROM scored ORDER BY lnkey DESC, doc_id LIMIT {_X18_K}
+"""
+
+
 # ---- W21: time-decay multi-touch attribution -------------------------
 def w21_time_decay_attribution(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -2307,6 +2374,7 @@ FROM credited GROUP BY view_id ORDER BY view_id
 
 
 QUERIES = {
+    "x18_weighted_reservoir_sample": x18_weighted_reservoir_sample,
     "w21_time_decay_attribution": w21_time_decay_attribution,
     "x15_length_bucketed_batches": x15_length_bucketed_batches,
     "x16_domain_reweight": x16_domain_reweight,
@@ -2348,6 +2416,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "x18_weighted_reservoir_sample": _X18_SQL,
     "w21_time_decay_attribution": _W21_SQL,
     "x15_length_bucketed_batches": _X15_SQL,
     "x16_domain_reweight": _X16_SQL,

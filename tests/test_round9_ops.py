@@ -767,3 +767,57 @@ def test_d22_prefix_prunes_candidates(tmp_path):
     true_pairs = set(_d22_brute(docs))
     assert true_pairs <= cand <= full
     assert len(cand) < len(full)
+
+
+# ---------------- X18 A-Res weighted sampling pins -------------------
+def test_x18_matches_independent_ares(spark, tmp_path):
+    """Pure-Python A-Res replica (same md5-derived u, same ln(u)/w
+    key, same rounding/tiebreak) must reproduce the sample exactly,
+    ranks included."""
+    import hashlib
+    import math
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.functions.analytics import (
+        _X18_K, x18_weighted_reservoir_sample)
+    docs = {}
+    # weight spread: diversity from 1/20 (one word repeated) to 1.0
+    for i in range(200):
+        n_uniq = 1 + (i % 20)
+        words = [f"w{i}_{j}" for j in range(n_uniq)] \
+            + ["filler"] * (20 - n_uniq)
+        docs[1000 + i] = " ".join(words)
+    rows = [{"doc_id": k, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)} for k, t in docs.items()]
+    d = tmp_path / "sfx18"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    exp = []
+    for k, t in docs.items():
+        ws = t.lower().split(" ")
+        w = len(set(ws)) / len(ws) + 0.0625
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        exp.append((dr(math.log(u) / w), k, dr(w)))
+    exp.sort(key=lambda e: (-e[0], e[1]))
+    exp = exp[:_X18_K]
+    got = x18_weighted_reservoir_sample(spark, str(d)).collect()
+    assert len(got) == _X18_K
+    assert [(r.lnkey, r.doc_id, r.weight) for r in got] \
+        == [(lk, k, w) for lk, k, w in exp]
+    assert [r.rank for r in got] == list(range(1, _X18_K + 1))
+
+
+def test_x18_weight_monotonicity():
+    """The A-Res key is monotone in w for fixed u: heavier docs get
+    larger ln(u)/w (closer to 0), so at equal hash luck the heavier
+    doc always wins — the property that makes the sample weighted."""
+    import math
+    u = 0.3
+    keys = [math.log(u) / (w + 0.0625) for w in (0.1, 0.5, 1.0)]
+    assert keys[0] < keys[1] < keys[2]
