@@ -1215,10 +1215,18 @@ def _staged_dir(spark: SparkSession, key: str, prefix: str,
         "/tmp", prefix + hashlib.md5(key.encode()).hexdigest()[:8])
     if not os.path.exists(stage):
         tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
-        build(tmp)
         try:
-            os.rename(tmp, stage)
-        except OSError:
+            build(tmp)
+            try:
+                os.rename(tmp, stage)
+            except OSError:
+                # benign only when a concurrent worker won the rename
+                # race — anything else (ENOSPC, perms, build wrote no
+                # dir) must surface here, not as a later
+                # FileNotFoundError in the caller
+                if not os.path.isdir(stage):
+                    raise
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
     return stage
 

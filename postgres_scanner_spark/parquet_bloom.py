@@ -243,16 +243,29 @@ def read_bloom_bitset(f: BinaryIO, offset: int,
     r = _StructReader(raw, 0)
     num_bytes = None
     seen = set()
-    for fid, t in r:
-        if fid == 1 and t == 5:
-            num_bytes = r.int_val()
-        else:
-            seen.add(fid)
-            r.skip(t)
+    try:
+        for fid, t in r:
+            if fid == 1 and t == 5:
+                num_bytes = r.int_val()
+            else:
+                seen.add(fid)
+                r.skip(t)
+    except IndexError:
+        # header ran past the bytes we have: either the 256-byte
+        # offset-only probe was too small for an oversized header, or
+        # the file is EOF-truncated at `offset`
+        raise ValueError(
+            f"bloom header truncated at offset={offset}: parsed past "
+            f"{len(raw)} available bytes (declared length={length})")
     if num_bytes is None or num_bytes <= 0 or num_bytes % 32:
         raise ValueError(f"bad bloom header numBytes={num_bytes}")
     if not {2, 3}.issubset(seen):
         raise ValueError("bloom header missing algorithm/hash unions")
+    if length is not None and length > 0 and r.i + num_bytes > length:
+        # never read past a writer-declared bloom_filter_length
+        raise ValueError(
+            f"bloom_filter_length={length} too small for header "
+            f"({r.i} B) + bitset ({num_bytes} B) at offset={offset}")
     bitset = raw[r.i:r.i + num_bytes]
     if len(bitset) != num_bytes:
         # offset-only path: the header chunk covered the header but

@@ -1,0 +1,136 @@
+"""Round-10 pins: advisor-low hardening (bloom reader bounds,
+multimodal staging error surface) plus truth pins for the round's new
+work (added below as it lands)."""
+import io
+
+import pytest
+
+
+# ---------------------------------------------------------------------
+# parquet_bloom.read_bloom_bitset bounds hardening (ADVICE r9 low #1)
+# ---------------------------------------------------------------------
+
+def _compact_header(num_bytes: int) -> bytes:
+    """Minimal valid compact-thrift BloomFilterHeader: field 1 (i32
+    numBytes, zigzag), fields 2/3/4 as empty-union structs (wire type
+    12 = struct, immediately terminated), then stop byte."""
+    def zz(v):
+        u = (v << 1) ^ (v >> 63)
+        out = b""
+        while True:
+            c = u & 0x7F
+            u >>= 7
+            if u:
+                out += bytes([c | 0x80])
+            else:
+                return out + bytes([c])
+    h = bytes([0x15]) + zz(num_bytes)          # fid 1, type 5 (i32)
+    # fids 2/3/4 (algorithm/hash/compression unions), each an empty
+    # struct: field header (delta 1, type 12=struct) + stop byte
+    h += bytes([0x1C, 0x00]) * 3
+    h += bytes([0x00])                          # header stop
+    return h
+
+
+def test_bloom_header_truncated_raises_valueerror():
+    """An EOF-truncated header must raise ValueError with context,
+    never a bare IndexError out of the varint reader."""
+    from postgres_scanner_spark.parquet_bloom import read_bloom_bitset
+    # field header says "fid 1 i32" but the varint never terminates
+    buf = io.BytesIO(bytes([0x15, 0x80, 0x80]))
+    with pytest.raises(ValueError, match="truncated|numBytes"):
+        read_bloom_bitset(buf, 0, None)
+
+
+def test_bloom_declared_length_smaller_than_bitset_raises():
+    """bloom_filter_length smaller than header+numBytes must fail
+    loudly instead of silently reading past the declared region."""
+    from postgres_scanner_spark.parquet_bloom import read_bloom_bitset
+    hdr = _compact_header(64)
+    payload = hdr + b"\x00" * 64
+    buf = io.BytesIO(payload)
+    # declared length covers the header + 10 bytes only
+    with pytest.raises(ValueError, match="too small"):
+        read_bloom_bitset(buf, 0, len(hdr) + 10)
+    # sanity: the same header with a covering length parses fine
+    buf.seek(0)
+    assert read_bloom_bitset(io.BytesIO(payload), 0,
+                             len(payload)) == b"\x00" * 64
+    # and the offset-only path (length=None) fetches the remainder
+    assert read_bloom_bitset(io.BytesIO(payload), 0, None) \
+        == b"\x00" * 64
+
+
+# ---------------------------------------------------------------------
+# multimodal._staged_dir failure surface (ADVICE r9 low #2)
+# ---------------------------------------------------------------------
+
+def test_staged_dir_build_failure_propagates_and_cleans(tmp_path,
+                                                        monkeypatch):
+    import glob
+    import os
+    from postgres_scanner_spark.operators import multimodal as mm
+
+    key = "r10-build-fail-pin"
+    stage_glob = "/tmp/r10pin-*"
+    for p in glob.glob(stage_glob):
+        import shutil
+        shutil.rmtree(p, ignore_errors=True)
+
+    def bad_build(tmp):
+        os.makedirs(tmp)
+        raise RuntimeError("disk full simulation")
+
+    with pytest.raises(RuntimeError, match="disk full"):
+        mm._staged_dir(None, key, "r10pin-", bad_build)
+    # the uuid spool must not leak
+    assert glob.glob("/tmp/r10pin-*") == []
+
+
+def test_staged_dir_rename_failure_without_winner_raises(tmp_path):
+    """A rename failure when no concurrent winner produced the stage
+    dir must surface, not return a path that does not exist."""
+    import glob
+    import os
+    import shutil
+    from postgres_scanner_spark.operators import multimodal as mm
+
+    for p in glob.glob("/tmp/r10pin2-*"):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def no_dir_build(tmp):
+        pass  # writes nothing -> os.rename(tmp, stage) -> ENOENT
+
+    with pytest.raises(OSError):
+        mm._staged_dir(None, "r10-rename-fail", "r10pin2-", no_dir_build)
+    assert glob.glob("/tmp/r10pin2-*") == []
+
+
+def test_staged_dir_race_loser_returns_winner(tmp_path):
+    """If the stage dir appears between the exists() check and the
+    rename (a real race), the loser must quietly adopt the winner."""
+    import glob
+    import os
+    import shutil
+    from postgres_scanner_spark.operators import multimodal as mm
+
+    for p in glob.glob("/tmp/r10pin3-*"):
+        shutil.rmtree(p, ignore_errors=True)
+    import hashlib
+    key = "r10-race"
+    stage = "/tmp/r10pin3-" + hashlib.md5(key.encode()).hexdigest()[:8]
+
+    def winner_then_build(tmp):
+        os.makedirs(stage)          # simulate the concurrent winner
+        with open(os.path.join(stage, "w"), "w") as f:
+            f.write("winner")
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "l"), "w") as f:
+            f.write("loser")
+
+    got = mm._staged_dir(None, key, "r10pin3-", winner_then_build)
+    assert got == stage and os.path.isdir(stage)
+    assert os.path.exists(os.path.join(stage, "w"))
+    # loser spool cleaned
+    assert [p for p in glob.glob("/tmp/r10pin3-*") if p != stage] == []
+    shutil.rmtree(stage, ignore_errors=True)
