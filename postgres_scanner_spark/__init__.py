@@ -49,7 +49,7 @@ def get_spark(app: str = "postgres_scanner_spark", *, cpus: str | int = "*",
     pp = os.environ.get("PYTHONPATH", "")
     if parent not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (pp + os.pathsep if pp else "") + parent
-    return (
+    sess = (
         SparkSession.builder.master(f"local[{cpus}]").appName(app)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -68,3 +68,22 @@ def get_spark(app: str = "postgres_scanner_spark", *, cpus: str | int = "*",
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    _quiet_bounded_window_warns(sess)
+    return sess
+
+
+def _quiet_bounded_window_warns(spark: SparkSession) -> None:
+    """Raise WindowExec's log level to ERROR: its "No Partition
+    Defined" WARN fires even for the engine's adjudicated-bounded
+    global windows (≤256-row bucket totals, post-limit ranks — see
+    tests/test_scale_patterns.py window_ok), and the noise lets a
+    REAL unbounded window hide. The machine-checked guard is the
+    plan lint there, which fails any query whose physical plan
+    carries an unpartitioned Window node outside that allowlist."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass  # log4j2 API absent (custom logging backend) — cosmetic

@@ -1333,7 +1333,241 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---- T21: unigram-LM tokenizer training (SentencePiece-style) -------
+_T21_MAX_WLEN = 8     # words longer than this are excluded (bounds the
+                      # DP depth so the oracle's unrolled CTE chain and
+                      # the Spark fold stay 8 steps; real trainers cap
+                      # candidate piece length the same way)
+_T21_MAX_PLEN = 4     # max candidate piece length
+_T21_SEED = 200       # seed multi-char candidates (top by count)
+_T21_ROUNDS = 3       # Viterbi-EM rounds
+_T21_VOCAB = 80       # multi-char pieces kept after the final prune
+_T21_SEP = "\x01"
+
+
+def _t21_dr6(x: float) -> float:
+    """Python spelling of det_round(...,6) — the driver-side M-step
+    must round exactly like the oracle's FLOOR formula."""
+    import math
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _t21_best_seg(wcol, score_map):
+    """Viterbi segmentation of one word as a single codegen
+    expression: an 8-step left fold (F.aggregate over positions)
+    whose state is the array of per-prefix best (score, seg) pairs.
+    Candidates at position j are the ≤4 pieces ending there; absent
+    pieces null out via the map lookup and are filtered. Comparison
+    key is FLOOR(sc*1e5+0.5) (a BIGINT — exact), ties broken by
+    lexicographically smallest segmentation, the same (rounded score
+    DESC, seg ASC) rule the oracle's ROW_NUMBER applies."""
+    init = F.array(F.struct(F.lit(0.0).alias("sc"),
+                            F.lit("").alias("seg")))
+
+    def step(acc, j):
+        def cand(l):
+            prev = F.element_at(acc, j - l + 1)
+            piece = wcol.substr(j - l + 1, l)
+            return F.struct(
+                (prev["sc"] + F.element_at(score_map, piece)).alias("sc"),
+                F.concat(prev["seg"], F.lit(_T21_SEP), piece).alias("seg"))
+        cands = F.filter(
+            F.transform(F.sequence(F.lit(1),
+                                   F.least(j, F.lit(_T21_MAX_PLEN))),
+                        cand),
+            lambda c: c["sc"].isNotNull())
+        key = lambda c: F.floor(c["sc"] * F.lit(100000.0) + F.lit(0.5))
+        m = F.array_max(F.transform(cands, key))
+        best_seg = F.array_min(F.transform(
+            F.filter(cands, lambda c: key(c) == m), lambda c: c["seg"]))
+        best = F.element_at(
+            F.filter(cands, lambda c: c["seg"] == best_seg), 1)
+        return F.concat(acc, F.array(best))
+
+    state = F.aggregate(F.sequence(F.lit(1), F.length(wcol)), init, step)
+    return F.element_at(state, -1)["seg"]
+
+
+def t21_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training — the OTHER canonical subword
+    trainer next to T14's BPE: SentencePiece's unigram model (Kudo
+    2018, "Subword Regularization"), here in its Viterbi-EM (hard-EM)
+    variant: seed a candidate vocabulary from frequent substrings,
+    then iterate (E) Viterbi-segment every word under the current
+    piece log-probs and (M) re-estimate piece probabilities from the
+    hard counts, pruning to a target vocabulary at the end. Hard-EM
+    is the published Viterbi-training approximation of Kudo's full
+    forward-backward E-step; the prune is frequency-based (Kudo
+    prunes by likelihood loss — same shape, simpler criterion).
+
+    Scale shape (100 TB): training runs on the DISTINCT-word
+    frequency table (one shuffle from the corpus, T14's
+    decomposition), never the corpus. The candidate vocabulary is
+    BOUNDED (≤ _T21_SEED + alphabet), so each EM round is one narrow
+    codegen pass over the vocab table (the DP fold — no shuffle, no
+    Python), one piece-keyed vocab-bounded aggregate, and one
+    bounded driver collect (≤ ~250 rows — the same bounded-driver
+    state as T14's merge table / A6's centroids). Piece scores ship
+    to executors as a map LITERAL, not a join: at any corpus size
+    the model is KB-sized while the data is not.
+
+    Determinism: piece scores are det_round(ln(c)-ln(T), 6) of
+    integer counts — identical doubles in both engines; DP
+    comparisons use the exact integer key FLOOR(sc*1e5+0.5) with a
+    seg-string tie-break, so equal-product segmentations (counts
+    {2,6} vs {3,4}) resolve identically everywhere. Reference:
+    duckdb/postgres_scanner has no trainer; parity anchor is the
+    published algorithm itself."""
+    import math
+    d = _t(spark, sf_dir, "documents")
+    words = (d.select(F.explode(_tokens()).alias("w"))
+             .filter((F.col("w") != "")
+                     & (F.length("w") <= _T21_MAX_WLEN))
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    words = scratch_persist(words)
+    # seed: every substring of length 1.._T21_MAX_PLEN, weighted by
+    # word frequency (multiplicity counted — "aaaa" has three "aa"s)
+    subs = (words.select(F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(1),
+                   F.least(F.lit(_T21_MAX_PLEN), F.length("w"))),
+        lambda l: F.transform(
+            F.sequence(F.lit(1), F.length("w") - l + 1),
+            lambda i: F.col("w").substr(i, l))))).alias("piece"),
+        "freq")
+        .groupBy("piece").agg(F.sum("freq").alias("cnt")))
+    subs = scratch_persist(subs)
+    chars = sorted(r["piece"] for r in
+                   subs.filter(F.length("piece") == 1).collect())
+    multi = (subs.filter(F.length("piece") > 1)
+             .orderBy(F.desc("cnt"), "piece").limit(_T21_SEED).collect())
+    vocab = {r["piece"]: int(r["cnt"]) for r in multi}
+    for r in subs.filter(F.length("piece") == 1).collect():
+        vocab[r["piece"]] = int(r["cnt"])
+    for _ in range(_T21_ROUNDS):
+        tot = float(sum(vocab.values()))
+        smap = {p: _t21_dr6(math.log(c) - math.log(tot))
+                for p, c in vocab.items()}
+        # the model ships as DATA (a 1-row broadcast map), not as a
+        # map LITERAL: a literal would be inlined at each of the 32
+        # DP candidate sites (240 entries × 32 = codegen blow-up)
+        # and would change per round, defeating the codegen cache —
+        # as data, every round reuses one compiled plan (measured
+        # 20.6 s -> ~4 s at sf0.01)
+        mdf = spark.createDataFrame([(smap,)], "m map<string,double>")
+        seg = _t21_best_seg(F.col("w"), F.col("m"))
+        counts = (words.crossJoin(F.broadcast(mdf))
+                  .select(F.explode(F.filter(
+                      F.split(seg, _T21_SEP),
+                      lambda x: x != "")).alias("piece"), "freq")
+                  .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+                  .collect())
+        vocab = {r["piece"]: int(r["cnt"]) for r in counts}
+        for ch in chars:
+            # Laplace floor: an unused char must stay segmentable
+            vocab.setdefault(ch, 1)
+    kept = ([(p, c) for p, c in vocab.items() if len(p) == 1]
+            + sorted(((p, c) for p, c in vocab.items() if len(p) > 1),
+                     key=lambda pc: (-pc[1], pc[0]))[:_T21_VOCAB])
+    tf = float(sum(c for _, c in kept))
+    rows = [(p, len(p), c, _t21_dr6(math.log(c) - math.log(tf)))
+            for p, c in sorted(kept, key=lambda pc: (-pc[1], pc[0]))]
+    rows = [(i + 1, p, n, c, lp)
+            for i, (p, n, c, lp) in enumerate(rows)]
+    return spark.createDataFrame(
+        rows, "rank INT, piece STRING, n_chars INT, cnt BIGINT, "
+              "logprob DOUBLE")
+
+
+def _t21_sql() -> str:
+    """Chained-CTE replay of the exact trainer: unrolled DP (8
+    position steps × 3 EM rounds), identical FLOOR comparison keys,
+    identical seed/floor/prune tie-breaks."""
+    S = "chr(1)"
+    K, P, W = _T21_ROUNDS, _T21_MAX_PLEN, _T21_MAX_WLEN
+    dr6 = "FLOOR(({}) * 1000000.0 + 0.5) / 1000000.0"
+    parts = [f"""words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> '' AND length(w) <= {W} GROUP BY w)""", f"""subs AS MATERIALIZED (
+  SELECT piece, SUM(freq) AS cnt
+  FROM (SELECT unnest(flatten(list_transform(range(1, {P + 1}),
+               l -> list_transform(range(1, length(w) - l + 2),
+                    i -> substr(w, i, l))))) AS piece, freq
+        FROM words)
+  GROUP BY piece)""", """chars AS MATERIALIZED (
+  SELECT piece FROM subs WHERE length(piece) = 1)""", f"""u0 AS MATERIALIZED (
+  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM subs WHERE length(piece) > 1)
+  WHERE rk <= {_T21_SEED})"""]
+    for r in range(K + 1):
+        if r > 0:
+            parts.append(f"""u{r} AS MATERIALIZED (
+  SELECT piece, cnt FROM c{r}
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT) AS cnt FROM chars c
+  WHERE c.piece NOT IN (SELECT piece FROM c{r}))""")
+        parts.append(f"""v{r} AS MATERIALIZED (
+  SELECT piece,
+         {dr6.format(f"ln(CAST(cnt AS DOUBLE)) - ln(t.T)")} AS score
+  FROM u{r} CROSS JOIN
+       (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM u{r}) t)""")
+        if r == K:
+            break
+        rr = r + 1
+        parts.append(f"""b{rr}_0 AS (
+  SELECT w, freq, CAST(0.0 AS DOUBLE) AS sc, '' AS seg FROM words)""")
+        for j in range(1, W + 1):
+            unions = "\n      UNION ALL\n".join(f"""      SELECT b.w, b.freq, b.sc + v.score AS sc,
+             b.seg || {S} || substr(b.w, {j - l + 1}, {l}) AS seg
+      FROM b{rr}_{j - l} b JOIN v{r} v
+        ON v.piece = substr(b.w, {j - l + 1}, {l})
+      WHERE length(b.w) >= {j}""" for l in range(1, min(P, j) + 1))
+            parts.append(f"""b{rr}_{j} AS MATERIALIZED (
+  SELECT w, freq, sc, seg FROM (
+    SELECT w, freq, sc, seg, ROW_NUMBER() OVER (PARTITION BY w
+           ORDER BY FLOOR(sc * 100000.0 + 0.5) DESC, seg) AS rk
+    FROM (
+{unions}
+    ))
+  WHERE rk = 1)""")
+        segs = "\n  UNION ALL\n".join(
+            f"  SELECT freq, seg FROM b{rr}_{j} WHERE length(w) = {j}"
+            for j in range(1, W + 1))
+        parts.append(f"""e{rr} AS MATERIALIZED (
+{segs})""")
+        parts.append(f"""c{rr} AS MATERIALIZED (
+  SELECT piece, SUM(freq) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(seg, {S}),
+               x -> x <> '')) AS piece, freq
+        FROM e{rr})
+  GROUP BY piece)""")
+    parts.append(f"""kept AS (
+  SELECT piece, cnt FROM u{K} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM u{K} WHERE length(piece) > 1)
+  WHERE rk <= {_T21_VOCAB})""")
+    final = f"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+       piece, CAST(length(piece) AS INT) AS n_chars,
+       CAST(cnt AS BIGINT) AS cnt,
+       {dr6.format("ln(CAST(cnt AS DOUBLE)) - ln(t.T)")} AS logprob
+FROM kept CROSS JOIN (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM kept) t
+ORDER BY rank"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+_T21_SQL = _t21_sql()
+
+
 QUERIES = {
+    "t21_unigram_lm_train": t21_unigram_lm_train,
     "t20_kneser_ney_logprob": t20_kneser_ney_logprob,
     "t19_source_kl_divergence": t19_source_kl_divergence,
     "t18_script_id": t18_script_id,
@@ -1357,6 +1591,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t21_unigram_lm_train": _T21_SQL,
     "t20_kneser_ney_logprob": _T20_SQL,
     "t19_source_kl_divergence": _T19_SQL,
     "t18_script_id": _T18_SQL,

@@ -98,21 +98,40 @@ def with_shingles(df: DataFrame, k: int) -> DataFrame:
     return df.withColumn("shingles", F.transform(idx, gram))
 
 
-def shingle_index(df: DataFrame, k: int) -> DataFrame:
+def hash_grams_enabled() -> bool:
+    """SPARK_GRAFT_HASH_GRAMS=1 swaps the shuffle key for gram/
+    shingle pipelines from the token STRING (~8·avg-token bytes) to
+    xxhash64 of it (8 bytes) — the 100 TB shuffle-bytes lever the
+    D20/D22 docstrings promise. Default OFF: the string key is kept
+    for cross-engine oracle equality; the hashed path is pinned
+    result-equal at sf0.01 (tests/test_round10_ops.py) and measured
+    at sf10 (BENCHSCALE.md). Read at call time so tests can flip it
+    per-case."""
+    import os
+    return os.environ.get("SPARK_GRAFT_HASH_GRAMS", "") == "1"
+
+
+def shingle_index(df: DataFrame, k: int,
+                  hashed: bool = False) -> DataFrame:
     """Distinct (doc_id, s) word-k-gram rows via posexplode + window
     lead. Equivalent to exploding `with_shingles` but every operator
     is whole-stage-codegen'd — array-lambda (higher-order-function)
     shingling is interpreted per element and measures ~3× slower.
     The corpus is already partitioned on doc_id, so the window sort
-    needs no exchange."""
+    needs no exchange. `hashed=True` emits s = xxhash64(gram)
+    (BIGINT) instead of the gram string — set-semantics consumers
+    only (joins/counts/Jaccard are hash-invariant modulo 2^-64
+    collisions); NOT for consumers that md5 the string (d2's
+    signatures are engine-parity-pinned on the text)."""
     from pyspark.sql.window import Window
     tok = df.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, k)]
     sh = tok.select("doc_id", F.col("tok"), *leads)
+    gram = F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, k)])
     return (sh.filter(F.col(f"_t{k-1}").isNotNull())
             .select("doc_id",
-                    F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, k)])
+                    (F.xxhash64(gram) if hashed else gram)
                     .alias("s"))
             .distinct())
 
@@ -1966,12 +1985,16 @@ def _d20_spans(corpus: DataFrame) -> tuple:
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(w).alias(f"_t{j}")
              for j in range(1, _D20_K)]
+    gram = F.concat_ws(" ", "tok",
+                       *[f"_t{j}" for j in range(1, _D20_K)])
+    # SPARK_GRAFT_HASH_GRAMS=1: shuffle xxhash64(gram) (8 B) instead
+    # of the ~50 B gram string — same spans (count/semi-join are
+    # hash-invariant), pinned equal at sf0.01, measured at sf10
     grams = (tok.select("doc_id", "pos", "tok", *leads)
              .filter(F.col(f"_t{_D20_K - 1}").isNotNull())
              .select("doc_id", "pos",
-                     F.concat_ws(" ", "tok",
-                                 *[f"_t{j}" for j in range(1, _D20_K)])
-                     .alias("g")))
+                     (F.xxhash64(gram) if hash_grams_enabled()
+                      else gram).alias("g")))
     grams = scratch_persist(grams)
     dup = (grams.groupBy("g").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= 2).select("g"))
@@ -2180,7 +2203,8 @@ def d22_prefix_filter_join(spark: SparkSession, sf_dir: str
     to all sharing pairs."""
     from pyspark.sql.window import Window
     shx = scratch_persist(
-        shingle_index(corpus_with_plants(spark, sf_dir), _D22_K))
+        shingle_index(corpus_with_plants(spark, sf_dir), _D22_K,
+                      hashed=hash_grams_enabled()))
     sz = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
     # df via map-side-combined groupBy, NOT a window over s: the
     # window sorts the whole corpus-sized index with no partial agg;

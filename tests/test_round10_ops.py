@@ -134,3 +134,95 @@ def test_staged_dir_race_loser_returns_winner(tmp_path):
     # loser spool cleaned
     assert [p for p in glob.glob("/tmp/r10pin3-*") if p != stage] == []
     shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# T21 unigram-LM trainer truth pin (hand-computed)
+# ---------------------------------------------------------------------
+
+def test_t21_unigram_lm_hand_truth(spark, tmp_path):
+    """3 docs of "abab cd". Seed counts: a=6 b=6 ab=6, ba/aba/bab/
+    abab/cd/c/d=3, T0=39. Round-1 Viterbi: [abab] (ln(3/39)) beats
+    [ab,ab] (2*ln(6/39)) and every char split, [cd] beats [c,d] ->
+    counts {abab:3, cd:3} + char floor 1 each, T=10. Rounds 2-3 are
+    stationary ('ab' dropped from the vocab, chars can't compete).
+    Final: ln(3/10)=-1.203973, ln(1/10)=-2.302585 after det_round6."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.functions.text import t21_unigram_lm_train
+    rows = [{"doc_id": i, "text": "abab cd", "lang": "en",
+             "source": "s", "n_chars": 7} for i in range(3)]
+    d = tmp_path / "sft21"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    got = [(r.rank, r.piece, r.n_chars, r.cnt, r.logprob)
+           for r in t21_unigram_lm_train(spark, str(d)).collect()]
+    assert got == [
+        (1, "abab", 4, 3, -1.203973),
+        (2, "cd",   2, 3, -1.203973),
+        (3, "a",    1, 1, -2.302585),
+        (4, "b",    1, 1, -2.302585),
+        (5, "c",    1, 1, -2.302585),
+        (6, "d",    1, 1, -2.302585),
+    ]
+
+
+def test_t21_tiebreak_prefers_lexicographic_seg(spark, tmp_path):
+    """Two segmentations with the same piece-count product are an
+    EXACT score tie; the DP must resolve by smallest seg string in
+    both engines. Also pins the oracle end-to-end on a tiny corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.functions.text import (
+        t21_unigram_lm_train, _T21_SQL)
+    rows = [{"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)}
+            for i, t in enumerate(
+                ["xy yz xyz", "xy yz xyz", "xy xy yz yz x z"])]
+    d = tmp_path / "sft21b"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    got = [(r.rank, r.piece, r.cnt, r.logprob)
+           for r in t21_unigram_lm_train(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = [(r[0], r[1], r[3], r[4])
+            for r in con.execute(_T21_SQL).fetchall()]
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# SPARK_GRAFT_HASH_GRAMS: hashed-shuffle-key path result-equality pins
+# ---------------------------------------------------------------------
+
+def test_d20_hash_grams_path_equal(spark, monkeypatch):
+    """xxhash64(gram) shuffle keys must yield byte-identical spans:
+    the dup-count + semi-join are hash-invariant (2^-64 collisions
+    aside), so only the shuffle width changes."""
+    from postgres_scanner_spark.operators.dedup import (
+        d20_repeated_substrings)
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.delenv("SPARK_GRAFT_HASH_GRAMS", raising=False)
+    base = [tuple(r) for r in d20_repeated_substrings(spark, sf).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_HASH_GRAMS", "1")
+    hashed = [tuple(r) for r in d20_repeated_substrings(spark, sf).collect()]
+    assert base == hashed and len(base) > 0
+
+
+def test_d22_hash_grams_path_equal(spark, monkeypatch):
+    """Prefix filtering is exact under ANY consistent global shingle
+    order; hashing permutes the (df, s) order and therefore the
+    prefix CONTENT, but the verified pair set and Jaccard values
+    must not move."""
+    from postgres_scanner_spark.operators.dedup import (
+        d22_prefix_filter_join)
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.delenv("SPARK_GRAFT_HASH_GRAMS", raising=False)
+    base = [tuple(r) for r in d22_prefix_filter_join(spark, sf).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_HASH_GRAMS", "1")
+    hashed = [tuple(r) for r in d22_prefix_filter_join(spark, sf).collect()]
+    assert base == hashed and len(base) > 0

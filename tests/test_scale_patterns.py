@@ -201,11 +201,45 @@ def test_plan_lint_all_queries(spark):
         "q15_top_supplier",             # 1-row global-max revenue scalar
         "t20_kneser_ney_logprob",       # 1-row bigram-type total (N1+(*,*))
         "a13_norm_bound_mips",          # query set (5) + 32-seed broadcast
+        "t21_unigram_lm_train",         # 1-row piece-score map broadcast
         "m14_page_pruned_scan",         # 1-row max-key scalar, as m12
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
                  "e9_stream_ingest_store"}
+    # Unpartitioned windows move ALL rows to one partition — a
+    # scale-killer on corpus-sized input. These queries' global
+    # windows are over inputs bounded BY CONSTRUCTION (an aggregate
+    # or limit upstream caps the row count independent of SF); the
+    # WindowExec "No Partition Defined" WARN is silenced in
+    # get_spark() precisely because THIS assertion is the guard.
+    window_ok = {
+        "ds2_weekday_share",       # 7 weekday rows
+        "ds5_nation_share",        # 25 nation rows
+        "ds20_category_share_window",  # |brand×type| agg rows
+        "m9_shard_repack_plan",    # ≤|buckets| bucket-total rows
+        "t17_perplexity_buckets",  # quantile cutoffs over doc aggs
+        "w4_moving_avg",           # ~84 month rows
+        "w12_range_frame",         # ~2500 day rows
+        "x5_sequence_pack",        # 256 bucket-total rows
+        "x6_global_shuffle",       # 256 bucket-total rows
+        "x11_quality_topk_sample", # post-limit top-k rank
+        "x18_weighted_reservoir_sample",  # 64 rows post-limit
+    }
+
+    def unpartitioned_windows(plan: str) -> list[str]:
+        # physical Window nodes print as
+        #   Window [funcs], [partitionSpec], [orderSpec]   (3 groups)
+        #   Window [funcs], [orderSpec]                    (2 groups)
+        # funcs/specs contain parens but never nested "], [", so the
+        # separator count distinguishes the two shapes
+        out = []
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-*: ").strip()
+            if s.startswith("Window ") and s.count("], [") == 1:
+                out.append(s[:120])
+        return out
+
     for name, fn in sorted(entry.queries().items()):
         if name in streaming:      # plans materialize at drain time
             continue
@@ -213,6 +247,8 @@ def test_plan_lint_all_queries(spark):
         assert "CartesianProduct" not in plan, name
         if name not in nlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in window_ok:
+            assert unpartitioned_windows(plan) == [], name
 
 
 def test_d14_subset_of_exhaustive(spark):
