@@ -521,8 +521,25 @@ class _Proto:
         return tag, body
 
     def send(self, tag: str, body: bytes = b"") -> None:
-        self.sock.sendall(
-            tag.encode() + struct.pack("!I", len(body) + 4) + body)
+        try:
+            self.sock.sendall(
+                tag.encode() + struct.pack("!I", len(body) + 4) + body)
+        except OSError as e:
+            # EPIPE/ECONNRESET on send means the backend died between
+            # round-trips (pg_terminate_backend, server crash). The
+            # REASON usually sits unread in the receive buffer as the
+            # server's final ErrorResponse (57P01 "terminating
+            # connection due to administrator command") — surface
+            # THAT, not the bare OS error, matching what libpq shows
+            try:
+                while True:
+                    self.read_msg()   # raises Error on the pending 'E'
+            except Error:
+                raise
+            except OSError:
+                pass
+            raise ConnectionClosed(
+                {"M": f"server closed the connection ({e})"}) from e
 
     def send_startup(self, user: str, dbname: str) -> None:
         params = (f"user\0{user}\0database\0{dbname}\0"

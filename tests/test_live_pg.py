@@ -514,3 +514,125 @@ def test_pgclient_literal_fuzz(pg):
         assert cur.fetchone() == (s, i, f, b)
 
     roundtrip()
+
+
+# ------------------------------- failure-mode matrix under load (r10)
+def test_live_concurrent_partitioned_scans(registered, pg, pg_server):
+    """4 threads each run a multi-partition ctid scan of the same
+    table concurrently (the gate's threaded-worker shape): every
+    scan must see every row exactly once — connection-per-task
+    isolation may not bleed state across threads."""
+    import threading
+    cur = pg.cursor()
+    cur.execute("DROP TABLE IF EXISTS conc_t")
+    cur.execute("CREATE TABLE conc_t AS SELECT g AS id, "
+                "repeat('y', 150) AS pad "
+                "FROM generate_series(1, 30000) g")
+    want = (30000, 30000 * 30001 // 2)
+    results, errors = [], []
+
+    def run():
+        try:
+            df = _scan(registered, pg_server, "conc_t",
+                       pages_per_task="80")
+            row = df.agg(F.count("*").alias("n"),
+                         F.sum("id").alias("s")).collect()[0]
+            results.append((row.n, row.s))
+        except Exception as e:       # noqa: BLE001 - recorded, asserted
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    assert results == [want] * 4
+
+
+def test_live_mid_copy_backend_kill_error_surface(pg_server):
+    """pg_terminate_backend mid-COPY: the wire client must surface
+    the server's 57P01 ErrorResponse (or the ensuing close) as the
+    module's Error/ConnectionClosed with an informative message —
+    never a hang, a protocol desync, or a raw struct error. The
+    reference inherits this surface from libpq
+    (postgres_scanner.cpp's connection handling); pgclient owns it
+    here."""
+    import re
+    from postgres_scanner_spark import pgclient
+    victim = pgclient.connect(pg_server, autocommit=True)
+    killer = pgclient.connect(pg_server, autocommit=True)
+    try:
+        vcur = victim.cursor()
+        vcur.execute("SELECT pg_backend_pid()")
+        vpid = vcur.fetchone()[0]
+        got = 0
+        with pytest.raises((pgclient.Error,
+                            pgclient.ConnectionClosed)) as ei:
+            with vcur.copy(
+                "COPY (SELECT g, repeat('z', 300) FROM "
+                "generate_series(1, 2000000) g) TO STDOUT") as cp:
+                for chunk in cp:
+                    got += len(chunk)
+                    if got > 1 << 16:
+                        killer.cursor().execute(
+                            f"SELECT pg_terminate_backend({vpid})")
+        msg = str(ei.value)
+        assert re.search(r"57P01|terminat|closed|connection",
+                         msg, re.I), msg
+    finally:
+        killer.close()
+        try:
+            victim.close()
+        except Exception:
+            pass
+
+
+def test_live_mid_scan_backend_kill(registered, pg, pg_server):
+    """Kill backends serving a partitioned DataSource scan while it
+    runs. Acceptable outcomes: the scan fails fast with the
+    connection-termination message propagated through the task
+    error, OR (kills landing between tasks) completes with the
+    EXACT result. Never a hang, never silently-wrong rows."""
+    import re
+    import threading
+    import time
+    cur = pg.cursor()
+    cur.execute("DROP TABLE IF EXISTS kill_t")
+    cur.execute("CREATE TABLE kill_t AS SELECT g AS id, "
+                "repeat('k', 400) AS pad "
+                "FROM generate_series(1, 120000) g")
+    outcome = {}
+
+    def run():
+        try:
+            df = _scan(registered, pg_server, "kill_t",
+                       pages_per_task="40")
+            row = df.agg(F.count("*").alias("n"),
+                         F.sum("id").alias("s")).collect()[0]
+            outcome["result"] = (row.n, row.s)
+        except Exception as e:       # noqa: BLE001 - asserted below
+            outcome["error"] = str(e)
+
+    t = threading.Thread(target=run)
+    t.start()
+    kcur = pg.cursor()
+    killed = 0
+    deadline = time.time() + 120
+    while t.is_alive() and time.time() < deadline:
+        kcur.execute(
+            "SELECT pg_terminate_backend(pid) FROM pg_stat_activity "
+            "WHERE state = 'active' AND pid <> pg_backend_pid() "
+            "AND query LIKE '%ctid BETWEEN%' "
+            "AND query NOT LIKE '%pg_stat_activity%'")
+        killed += len(kcur.fetchall())
+        time.sleep(0.05)
+    t.join(timeout=60)
+    assert not t.is_alive(), "scan hung after backend kill"
+    if "result" in outcome:
+        assert outcome["result"] == (120000, 120000 * 120001 // 2)
+    else:
+        assert re.search(r"57P01|terminat|closed|connection|copy",
+                         outcome["error"], re.I), outcome["error"][:500]
+    # the matrix is only exercised if the killer actually fired
+    assert killed >= 1 or "error" in outcome
