@@ -1926,9 +1926,11 @@ def d20_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, no hot partition). No pair join exists anywhere, so a
     phrase repeated a million times costs one aggregate row, the
     designed crossover vs the suffix-array build which must sort the
-    whole corpus as one string. At real scale swap the gram string
-    for xxhash64(gram) to cut shuffle bytes (kept as the exact
-    string here for cross-engine oracle equality)."""
+    whole corpus as one string. At real scale set
+    SPARK_GRAFT_HASH_GRAMS=1 to shuffle xxhash64(gram) instead of
+    the gram string — measured 0.52× shuffle bytes at sf10
+    (BENCHSCALE.md r10), result-equality pinned at sf0.01; default
+    keeps the exact string for cross-engine oracle equality."""
     corpus = _d20_corpus(spark, sf_dir)
     tok, merged = _d20_spans(corpus)
     sizes = corpus.select(
@@ -2200,7 +2202,11 @@ def d22_prefix_filter_join(spark: SparkSession, sf_dir: str
     lists) in every prefix, which is what bounds candidate volume.
     Verification joins candidates (pair-keyed) against per-doc
     sorted shingle arrays — work proportional to candidates, never
-    to all sharing pairs."""
+    to all sharing pairs. SPARK_GRAFT_HASH_GRAMS=1 swaps every
+    shingle for xxhash64: prefix completeness holds under ANY
+    consistent total order, and the outputs carry counts, not
+    grams — measured 0.55× shuffle bytes and 175→93 s wall at sf10
+    (BENCHSCALE.md r10), result-equality pinned at sf0.01."""
     from pyspark.sql.window import Window
     shx = scratch_persist(
         shingle_index(corpus_with_plants(spark, sf_dir), _D22_K,
