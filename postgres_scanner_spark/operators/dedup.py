@@ -2317,7 +2317,201 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---- D23: benchmark token-span decontamination (GPT-3 App. C) -------
+_D23_K = 13           # the published collision gram size
+_D23_PAD = 10         # tokens excised around each collision (the
+                      # token-domain analog of the paper's 200-char
+                      # window)
+_D23_MAX_PIECES = 4   # docs shattered into more pieces are dropped
+                      # whole (paper: 10; scaled to this corpus's
+                      # ~100-token docs)
+
+
+def d23_benchmark_span_excision(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Benchmark decontamination APPLY step — the GPT-3 recipe
+    (Brown et al. 2020, Appendix C, public): find every TRAINING
+    position whose 13-gram also occurs in the EVAL set, excise a
+    padded window around each collision, split the document into
+    the surviving pieces, and drop documents that shatter into too
+    many pieces. D7 is the detector (per-eval-doc contamination
+    fraction); this is the training-side surgery, at token-span
+    resolution (D21's grain) but driven by eval-set membership
+    instead of global repetition.
+
+    eval = source 'src0'; train = every other source, plus plants
+    (tokens 1-20 of eval docs 0-39 embedded in fresh train docs at
+    doc_id+500000 between unique fillers) so true collisions exist
+    at every SF and BOTH engines construct them identically.
+
+    Scale (100 TB): train grams flow through ONE semi-join keyed on
+    the gram — unhinted, because unlike a real fixed-size benchmark
+    this eval split grows with SF (AQE picks broadcast when the
+    benchmark side is small, the honest default); span merge is
+    D20's per-doc gaps-and-islands (windows partitioned on doc_id);
+    the piece arithmetic is pure integers — n_pieces = m + 1 −
+    [first span at 0] − [last span at end], valid because merged
+    spans are ≥1 token apart. No floats anywhere, so no det_round
+    sites. SPARK_GRAFT_HASH_GRAMS=1 applies here too (both join
+    sides hash consistently; outputs carry no grams).
+
+    Reference: duckdb/postgres_scanner has no curation surface;
+    parity anchor is the published method."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    t = F.split(F.lower("text"), " ")
+    uid = F.col("doc_id").cast("string")
+    ev = d.filter(F.col("source") == "src0")
+    plants = ev.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("zq"), uid, F.lit("a")),
+            F.concat(F.lit("zq"), uid, F.lit("b")),
+            F.concat_ws(" ", F.slice(t, 1, 20)),
+            F.concat(F.lit("zr"), uid, F.lit("a")),
+            F.concat(F.lit("zr"), uid, F.lit("b"))).alias("text"))
+    train = (d.filter(F.col("source") != "src0")
+             .select("doc_id", "text").unionByName(plants))
+
+    def grams(df):
+        tok = df.select("doc_id",
+                        F.posexplode(F.split(F.lower("text"), " "))
+                        .alias("pos", "tok"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        leads = [F.lead("tok", j).over(w).alias(f"_t{j}")
+                 for j in range(1, _D23_K)]
+        gram = F.concat_ws(" ", "tok",
+                           *[f"_t{j}" for j in range(1, _D23_K)])
+        return (tok.select("doc_id", "pos", "tok", *leads)
+                .filter(F.col(f"_t{_D23_K - 1}").isNotNull())
+                .select("doc_id", "pos",
+                        (F.xxhash64(gram) if hash_grams_enabled()
+                         else gram).alias("g")))
+
+    evg = grams(ev).select("g").distinct()
+    hits = (grams(train).join(evg, "g", "left_semi")
+            .select("doc_id", "pos"))
+    sizes = train.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n"))
+    spans = (hits.join(sizes, "doc_id")
+             .select("doc_id", "n",
+                     F.greatest(F.col("pos") - _D23_PAD, F.lit(0))
+                     .alias("s"),
+                     F.least(F.col("pos") + _D23_K - 1 + _D23_PAD,
+                             F.col("n") - 1).alias("e")))
+    wiv = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev = wiv.rowsBetween(Window.unboundedPreceding, -1)
+    isl = (spans
+           .withColumn("pmax", F.max("e").over(prev))
+           .withColumn("new", F.when(F.col("pmax").isNull()
+                                     | (F.col("s") > F.col("pmax") + 1),
+                                     1).otherwise(0))
+           .withColumn("island", F.sum("new").over(wiv)))
+    merged = (isl.groupBy("doc_id", "n", "island")
+              .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
+    per_doc = (merged.groupBy("doc_id", "n")
+               .agg(F.count("*").alias("m"),
+                    F.sum(F.col("me") - F.col("ms") + 1)
+                    .alias("removed"),
+                    F.min("ms").alias("first_s"),
+                    F.max("me").alias("last_e")))
+    n_pieces = (F.col("m") + 1
+                - F.when(F.col("first_s") == 0, 1).otherwise(0)
+                - F.when(F.col("last_e") == F.col("n") - 1, 1)
+                .otherwise(0))
+    return (per_doc.select(
+        "doc_id",
+        F.col("m").cast("long").alias("n_spans"),
+        F.col("removed").cast("long").alias("removed_tokens"),
+        F.col("n").cast("long").alias("total_tokens"),
+        n_pieces.cast("long").alias("n_pieces"),
+        ((n_pieces == 0) | (n_pieces > _D23_MAX_PIECES))
+        .alias("dropped"))
+        .orderBy("doc_id"))
+
+
+def _d23_sql() -> str:
+    gram = " || ' ' || ".join(
+        "LEAD(w, %d) OVER (PARTITION BY doc_id ORDER BY pos)" % j
+        if j else "w" for j in range(_D23_K))
+    return f"""
+WITH ev AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+train AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+  UNION ALL
+  SELECT doc_id + 500000,
+         'zq' || CAST(doc_id AS VARCHAR) || 'a ' ||
+         'zq' || CAST(doc_id AS VARCHAR) || 'b ' ||
+         array_to_string(string_split(lower(text), ' ')[1:20], ' ') ||
+         ' zr' || CAST(doc_id AS VARCHAR) || 'a' ||
+         ' zr' || CAST(doc_id AS VARCHAR) || 'b'
+  FROM ev WHERE doc_id < 40),
+evtok AS (
+  SELECT doc_id, g.i AS pos, t[CAST(g.i AS INT) + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM ev),
+       LATERAL (SELECT unnest(range(len(t))) AS i) g),
+evg AS (
+  SELECT DISTINCT g FROM (
+    SELECT {gram} AS g FROM evtok
+    QUALIFY LEAD(w, {_D23_K - 1})
+            OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL)),
+tok AS (
+  SELECT doc_id, g.i AS pos, t[CAST(g.i AS INT) + 1] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM train),
+       LATERAL (SELECT unnest(range(len(t))) AS i) g),
+grams AS (
+  SELECT doc_id, pos, {gram} AS g
+  FROM tok
+  QUALIFY LEAD(w, {_D23_K - 1})
+          OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+hits AS (SELECT grams.doc_id, grams.pos
+         FROM grams JOIN evg USING (g)),
+sizes AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM train),
+spans AS (
+  SELECT h.doc_id, z.n,
+         GREATEST(h.pos - {_D23_PAD}, 0) AS s,
+         LEAST(h.pos + {_D23_K - 1 + _D23_PAD}, z.n - 1) AS e
+  FROM hits h JOIN sizes z ON z.doc_id = h.doc_id),
+isl AS (
+  SELECT doc_id, n, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+  FROM (SELECT doc_id, n, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+        FROM spans)),
+merged AS (
+  SELECT doc_id, n, island, MIN(s) AS ms, MAX(e) AS me
+  FROM isl GROUP BY doc_id, n, island),
+per_doc AS (
+  SELECT doc_id, n, COUNT(*) AS m,
+         SUM(me - ms + 1) AS removed,
+         MIN(ms) AS first_s, MAX(me) AS last_e
+  FROM merged GROUP BY doc_id, n)
+SELECT doc_id,
+       CAST(m AS BIGINT) AS n_spans,
+       CAST(removed AS BIGINT) AS removed_tokens,
+       CAST(n AS BIGINT) AS total_tokens,
+       CAST(m + 1 - (CASE WHEN first_s = 0 THEN 1 ELSE 0 END)
+                  - (CASE WHEN last_e = n - 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pieces,
+       (m + 1 - (CASE WHEN first_s = 0 THEN 1 ELSE 0 END)
+              - (CASE WHEN last_e = n - 1 THEN 1 ELSE 0 END)) = 0
+       OR (m + 1 - (CASE WHEN first_s = 0 THEN 1 ELSE 0 END)
+                 - (CASE WHEN last_e = n - 1 THEN 1 ELSE 0 END))
+          > {_D23_MAX_PIECES} AS dropped
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "d23_benchmark_span_excision": d23_benchmark_span_excision,
     "d22_prefix_filter_join": d22_prefix_filter_join,
     "d21_repeated_substring_excision": d21_repeated_substring_excision,
     "d20_repeated_substrings": d20_repeated_substrings,
@@ -2343,6 +2537,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d23_benchmark_span_excision": _d23_sql(),
     "d22_prefix_filter_join": _D22_SQL,
     "d21_repeated_substring_excision": _d21_sql(),
     "d20_repeated_substrings": _d20_sql(),

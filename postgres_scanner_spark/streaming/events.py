@@ -73,6 +73,12 @@ def _stage_symlink(src: str) -> str:
     content keying is needed (unlike e10's materialized batches)."""
     import hashlib
     import os
+    # a RELATIVE src would become a symlink target resolved against
+    # /tmp (dangling -> the stream source reads an empty dir and
+    # every drain returns 0 rows — caught by the r10 sf1 blanket run
+    # invoked with a relative sf_dir); absolutize before keying too,
+    # so ".benchdata/sf1" and its absolute spelling share a spool
+    src = os.path.abspath(src)
     stage = os.path.join(
         "/tmp", "pg_spark_stream_" + hashlib.md5(src.encode()).hexdigest()[:8])
     os.makedirs(stage, exist_ok=True)

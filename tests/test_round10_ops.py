@@ -226,3 +226,91 @@ def test_d22_hash_grams_path_equal(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_HASH_GRAMS", "1")
     hashed = [tuple(r) for r in d22_prefix_filter_join(spark, sf).collect()]
     assert base == hashed and len(base) > 0
+
+
+# ---------------------------------------------------------------------
+# D23 benchmark span excision truth pin (hand-computed)
+# ---------------------------------------------------------------------
+
+def test_d23_benchmark_span_excision_hand_truth(spark, tmp_path):
+    """Eval doc = e1..e20 (src0). Train docs exercise every branch
+    of the piece arithmetic (PAD=10, K=13, MAX_PIECES=4):
+    - doc 1: 5 fillers + e3..e17 + 5 fillers (n=25): hits at 5,6,7,
+      padded spans clip to the whole doc -> n_pieces 0 -> dropped.
+    - doc 2: 30 fillers + e3..e17 + 30 fillers (n=75): merged span
+      [20,54], removed 35, two surviving pieces -> kept.
+    - doc 3: all-filler -> no output row.
+    - doc 4: five separated 13-token eval slices (gaps 22 > span
+      reach) -> 5 spans, 6 pieces > 4 -> dropped whole.
+    - plant 500000 (eval doc 0 < 40): zq/zr fillers + e1..e20
+      (n=24), 8 hits merge to the whole doc -> dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from postgres_scanner_spark.operators.dedup import (
+        d23_benchmark_span_excision)
+    ev = ["e%d" % i for i in range(1, 21)]
+    fc = iter(range(1000))
+    f = lambda k: ["f%d" % next(fc) for _ in range(k)]
+    doc4 = (f(12) + ev[0:13] + f(22) + ev[1:14] + f(22) + ev[2:15]
+            + f(22) + ev[3:16] + f(22) + ev[4:17] + f(12))
+    rows = [
+        {"doc_id": 0, "text": " ".join(ev), "lang": "en",
+         "source": "src0", "n_chars": 1},
+        {"doc_id": 1, "text": " ".join(f(5) + ev[2:17] + f(5)),
+         "lang": "en", "source": "src1", "n_chars": 1},
+        {"doc_id": 2, "text": " ".join(f(30) + ev[2:17] + f(30)),
+         "lang": "en", "source": "src1", "n_chars": 1},
+        {"doc_id": 3, "text": " ".join(f(40)), "lang": "en",
+         "source": "src1", "n_chars": 1},
+        {"doc_id": 4, "text": " ".join(doc4), "lang": "en",
+         "source": "src1", "n_chars": 1},
+    ]
+    d = tmp_path / "sfd23"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    got = [(r.doc_id, r.n_spans, r.removed_tokens, r.total_tokens,
+            r.n_pieces, r.dropped)
+           for r in d23_benchmark_span_excision(spark, str(d)).collect()]
+    assert got == [
+        (1,      1,  25,  25, 0, True),
+        (2,      1,  35,  75, 2, False),
+        (4,      5, 165, 177, 6, True),
+        (500000, 1,  24,  24, 0, True),
+    ]
+
+
+def test_d23_hash_grams_path_equal(spark, monkeypatch):
+    from postgres_scanner_spark.operators.dedup import (
+        d23_benchmark_span_excision)
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.delenv("SPARK_GRAFT_HASH_GRAMS", raising=False)
+    base = [tuple(r) for r in
+            d23_benchmark_span_excision(spark, sf).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_HASH_GRAMS", "1")
+    hashed = [tuple(r) for r in
+              d23_benchmark_span_excision(spark, sf).collect()]
+    assert base == hashed and len(base) > 0
+
+
+# ---------------------------------------------------------------------
+# streaming stage symlink must absolutize a relative source (r10 bug)
+# ---------------------------------------------------------------------
+
+def test_stage_symlink_absolutizes_relative_src(tmp_path, monkeypatch):
+    """A relative sf_dir (how the sf1 blanket gate was invoked) used
+    to produce a /tmp symlink with a RELATIVE target -> dangling ->
+    every streaming drain returned 0 rows. The stager must key and
+    link on the absolute path."""
+    import os
+    from postgres_scanner_spark.streaming.events import _stage_symlink
+    src_abs = str(tmp_path / "events.parquet")
+    with open(src_abs, "w") as f:
+        f.write("x")
+    monkeypatch.chdir(tmp_path)
+    stage = _stage_symlink("events.parquet")      # relative spelling
+    link = os.path.join(stage, "events.parquet")
+    assert os.path.isabs(os.readlink(link))
+    assert os.path.exists(link)                   # not dangling
+    # and the relative/absolute spellings share one spool
+    assert _stage_symlink(src_abs) == stage
