@@ -46,44 +46,25 @@ _MODULES = (
 # defining function was COMMITTED AFTER their latest green
 # CORRECTNESS row was recorded — a green row for pre-rewrite code is
 # not a cert for the current code — then (3) plain oldest-cert-first;
-# ties keep the prior cost-ascending order. Current window: tier 1
-# is the 5 never-driver-graded r9 additions (t20/m13/x17/d20/d21);
-# tier 2 is the det_round/cast-sweep cohort (most of the registry
-# was re-spelled in r9 parts 2-3 after its last cert, so the window
-# drains oldest-cert-first within it across the coming rounds).
-# Regenerate with tools/rotate_order.py --write after each round
-# (--explain shows the per-query evidence).
+# ties keep the prior cost-ascending order. Current window (r10):
+# tier 1 is the 2 never-driver-graded r10 additions (d23, t21);
+# tier 2 is the 23-entry modified-since-cert cohort (the r7/r8
+# leftovers plus this round's q9/d20/d22 rewrites) — all 25 fit
+# inside the 50-entry window, so the formal record catches up to
+# the code this round; the tail backfills oldest-cert-first from
+# the r5 cohort. Regenerate with tools/rotate_order.py --write
+# after each round (--explain shows the per-query evidence).
 _COST_ORDER = [
-    "x18_weighted_reservoir_sample", "m14_page_pruned_scan",
-    "d22_prefix_filter_join", "a13_norm_bound_mips",
-    "w21_time_decay_attribution", "t20_kneser_ney_logprob",
-    "m13_bloom_pruned_probe", "x17_dsir_select",
-    "d20_repeated_substrings", "d21_repeated_substring_excision",
-    "t2_quality_score", "x5_sequence_pack", "x11_quality_topk_sample",
-    "w3_window_rank", "q15_top_supplier", "x8_epoch_plan",
-    "m7_npy_tensor_parse", "e17_streaming_dedup_ingest",
-    "t17_perplexity_buckets", "m9_shard_repack_plan",
-    "x12_corpus_compile", "e20_streaming_neardup_ingest",
-    "d17_lsh_param_sweep", "w19_ema_daily_revenue",
-    "ds1_above_avg_customers", "ds6_top_customers_per_region",
-    "w15_gapfill_locf", "w16_time_weighted_avg",
-    "ds15_channel_growth_ratio", "ds19_two_fact_growth",
-    "ds20_category_share_window", "ds21_disjunctive_bands",
-    "a10_filtered_ann", "w18_retention_cohorts", "a11_mmr_diversified",
-    "m11_parquet_footer_manifest", "w13_dist_windows",
-    "m4_wav_features", "e21_watermark_dedup",
-    "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",
-    "x4_source_mix", "e7_streaming_dedup", "e6_stateful_anomaly",
-    "d19_unicode_shingle_dedup", "t19_source_kl_divergence",
-    "ds13_low_revenue_parts", "d7_contamination", "a6_kmeans_lloyd",
-    "a3_ivf_ann", "a8_sq8_ann", "a2_lsh_ann", "a7_ann_recall",
-    "d12_dedup_eval", "t15_bpe_encode", "d14_semantic_dedup",
-    "e10_late_data_policy", "e14_streaming_upsert",
-    "e16_connector_stream", "x16_domain_reweight",
-    "x15_length_bucketed_batches", "a1_cosine_topk",
-    "d5_embedding_dedup", "t12_zipf_fit", "t8_entropy_quality",
-    "t7_repetition_stats", "t10_tfidf_keywords", "t9_bigram_logprob",
-    "x9_temperature_mix", "e23_stateful_quota_admission",
+    "d23_benchmark_span_excision", "t21_unigram_lm_train", "a8_sq8_ann",
+    "a2_lsh_ann", "a7_ann_recall", "d12_dedup_eval", "t15_bpe_encode",
+    "d14_semantic_dedup", "e10_late_data_policy",
+    "e14_streaming_upsert", "e16_connector_stream",
+    "x16_domain_reweight", "x15_length_bucketed_batches",
+    "a1_cosine_topk", "d5_embedding_dedup", "t12_zipf_fit",
+    "t8_entropy_quality", "t7_repetition_stats", "t10_tfidf_keywords",
+    "t9_bigram_logprob", "x9_temperature_mix",
+    "e23_stateful_quota_admission", "q9_product_profit",
+    "d22_prefix_filter_join", "d20_repeated_substrings",
     "ds3_brand_year", "w2_cube", "p3_decimals", "p7_timestamp_parts",
     "p11_struct_fields", "p10_verify_checksum", "p8_json",
     "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
@@ -118,14 +99,36 @@ _COST_ORDER = [
     "q13_customer_distribution", "q20_potential_promo", "w1_rollup",
     "q10_returned_items", "q12_shipmode", "q18_large_volume_customer",
     "q22_global_sales_opportunity", "q16_parts_supplier",
-    "t5_filter_pipeline", "q11_important_stock", "q9_product_profit",
-    "q7_volume_shipping", "q8_market_share", "q3_shipping_priority",
-    "q4_order_priority", "p12_binary_ops", "q5_local_supplier_volume",
+    "t5_filter_pipeline", "q11_important_stock", "q7_volume_shipping",
+    "q8_market_share", "q3_shipping_priority", "q4_order_priority",
+    "p12_binary_ops", "q5_local_supplier_volume",
     "q2_min_cost_supplier", "p1_count_star", "ds4_price_buckets",
     "e4_top_users", "ds11_timeband_counts", "q6_forecast_revenue",
     "x2_hash_sample", "e5_event_funnel", "p4_filter_pushdown",
     "p6_interval", "t3_token_count", "p2_nulls", "t4_fingerprint",
     "t13_context_chunks", "p5_arrays", "x3_vocab_topk",
+    "x18_weighted_reservoir_sample", "m14_page_pruned_scan",
+    "a13_norm_bound_mips", "w21_time_decay_attribution",
+    "t20_kneser_ney_logprob", "m13_bloom_pruned_probe",
+    "x17_dsir_select", "d21_repeated_substring_excision",
+    "t2_quality_score", "x5_sequence_pack", "x11_quality_topk_sample",
+    "w3_window_rank", "q15_top_supplier", "x8_epoch_plan",
+    "m7_npy_tensor_parse", "e17_streaming_dedup_ingest",
+    "t17_perplexity_buckets", "m9_shard_repack_plan",
+    "x12_corpus_compile", "e20_streaming_neardup_ingest",
+    "d17_lsh_param_sweep", "w19_ema_daily_revenue",
+    "ds1_above_avg_customers", "ds6_top_customers_per_region",
+    "w15_gapfill_locf", "w16_time_weighted_avg",
+    "ds15_channel_growth_ratio", "ds19_two_fact_growth",
+    "ds20_category_share_window", "ds21_disjunctive_bands",
+    "a10_filtered_ann", "w18_retention_cohorts", "a11_mmr_diversified",
+    "m11_parquet_footer_manifest", "w13_dist_windows",
+    "m4_wav_features", "e21_watermark_dedup",
+    "m12_pruned_rowgroup_scan", "e22_streaming_contamination_guard",
+    "x4_source_mix", "e7_streaming_dedup", "e6_stateful_anomaly",
+    "d19_unicode_shingle_dedup", "t19_source_kl_divergence",
+    "ds13_low_revenue_parts", "d7_contamination", "a6_kmeans_lloyd",
+    "a3_ivf_ann",
 ]
 _RANK = {n: i for i, n in enumerate(_COST_ORDER)}
 

@@ -39,6 +39,9 @@ sys.path.insert(0, str(_REPO / "tests"))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # absolutize: a relative sf_dir reaches staging helpers that key
+    # /tmp spools and symlink targets on the string (r10 bug class)
+    sf_dir = os.path.abspath(sf_dir)
     only = set(sys.argv[2:])
     jobs = int(os.environ.get("GATE_JOBS", "6"))
     import __spark_entry__ as entry

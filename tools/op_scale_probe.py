@@ -27,8 +27,8 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:]
+    sf_dir = os.path.abspath(sys.argv[1])   # relative spellings reach
+    names = sys.argv[2:]                    # /tmp-spool keying (r10)
     import duckdb
     import __spark_entry__ as entry
     from postgres_scanner_spark import get_spark
