@@ -1,0 +1,118 @@
+"""Operator-differential fuzz: hypothesis-generated tiny corpora,
+the Spark OPERATOR vs its own DuckDB oracle, exact row equality.
+
+The r10 additions carry the engine's hairiest cross-engine logic —
+t21's Viterbi DP (float score sums, FLOOR comparison keys, seg-string
+tie-breaks, equal-product segmentations) and d23's span/piece integer
+arithmetic (pad clipping, island merges, edge-touching pieces). The
+hand pins cover the branches a human thought of; this file searches
+the neighborhood: tiny alphabets maximize seed/segmentation TIES for
+t21, and d23's generator plants eval-slice runs of lengths straddling
+the 13-gram threshold at random offsets (doc start / end / whole-doc
+/ multiple runs) so clipping and piece-counting edges are hit from
+every side."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _write_docs(rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = f"/tmp/opfuzz_{uuid.uuid4().hex}"
+    import os
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/documents.parquet")
+    return d
+
+
+def _oracle(sql_text, sf_dir):
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        return con.execute(sql_text).fetchall()
+    finally:
+        con.close()
+
+
+@st.composite
+def _t21_corpora(draw):
+    # alphabet of 3 chars → maximal piece-count collisions → the DP
+    # hits equal-product ties ({2,6} vs {3,4}) and rounded-score
+    # boundaries far more often than organic text would
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    docs = draw(st.lists(st.lists(word, min_size=1, max_size=8),
+                         min_size=1, max_size=6))
+    return [{"doc_id": i, "text": " ".join(ws), "lang": "en",
+             "source": "s", "n_chars": 1} for i, ws in enumerate(docs)]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_t21_corpora())
+def test_t21_fuzz_matches_oracle(spark, rows):
+    from postgres_scanner_spark.functions.text import (
+        t21_unigram_lm_train, _T21_SQL)
+    d = _write_docs(rows)
+    try:
+        got = sorted(tuple(r) for r in
+                     t21_unigram_lm_train(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(_T21_SQL, d))
+        assert got == exp, (rows, got, exp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@st.composite
+def _d23_corpora(draw):
+    # one eval doc (src0) of 20-40 distinct tokens; train docs are
+    # random interleavings of eval SLICES (lengths 8-20 straddle the
+    # 13-gram threshold) and unique fillers — hits can sit at doc
+    # start, doc end, back-to-back, or cover the whole doc
+    ev_len = draw(st.integers(20, 40))
+    ev = [f"e{i}" for i in range(ev_len)]
+    fresh = iter(range(10000))
+    n_train = draw(st.integers(1, 5))
+    rows = [{"doc_id": 0, "text": " ".join(ev), "lang": "en",
+             "source": "src0", "n_chars": 1}]
+    for t in range(n_train):
+        parts = []
+        for _ in range(draw(st.integers(1, 4))):
+            if draw(st.booleans()):
+                ln = draw(st.integers(8, 20))
+                start = draw(st.integers(0, max(0, ev_len - ln)))
+                parts.extend(ev[start:start + ln])
+            else:
+                parts.extend(f"f{next(fresh)}"
+                             for _ in range(draw(st.integers(1, 15))))
+        rows.append({"doc_id": t + 1, "text": " ".join(parts),
+                     "lang": "en", "source": "src1", "n_chars": 1})
+    return rows
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_d23_corpora())
+def test_d23_fuzz_matches_oracle(spark, rows):
+    from postgres_scanner_spark.operators.dedup import (
+        d23_benchmark_span_excision, _d23_sql)
+    d = _write_docs(rows)
+    try:
+        got = sorted(tuple(r) for r in
+                     d23_benchmark_span_excision(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(_d23_sql(), d))
+        assert got == exp, (rows, got, exp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
