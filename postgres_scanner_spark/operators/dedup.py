@@ -2510,7 +2510,97 @@ ORDER BY doc_id
 """
 
 
+# ---- D24: connected components via large-star/small-star ------------
+_D24_MAX_ROUNDS = 8    # alternation converges in O(log n) rounds
+                       # (Kiveris et al. Thm 2); star-edge inputs
+                       # converge in 2-3 — the cap is a backstop
+
+
+def d24_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over D6's duplicate graph via the
+    LARGE-STAR / SMALL-STAR alternation (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii 2014, "Connected Components in MapReduce
+    and Beyond" — public) — the algorithm D6's docstring promises
+    "at true web scale". Same spec, same output, different machine:
+
+      large-star(u): connect every neighbor v > u to
+                     m = min(Γ(u) ∪ {u})
+      small-star(u): connect every neighbor v < u, and u itself,
+                     to m = min(Γ<(u) ∪ {u})
+
+    alternated until the edge set is stable — at which point every
+    edge points a node at its component's minimum, i.e. the label.
+
+    Why this beats D6's propagation at 100 TB: min-label rounds
+    needed = graph DIAMETER (star edges bound it here, but a general
+    near-dup graph can chain), while LS/SS provably converges in
+    O(log n) rounds on ANY graph and each round is two map-side-
+    combinable groupBys over the CURRENT edge set — which SHRINKS
+    toward one edge per non-root node, so later rounds cost almost
+    nothing. Each round is one action (Observation rides the
+    localCheckpoint, D6's idiom) with a (count, Σu, Σv) signature
+    for the stability test — at web scale swap the sums for a
+    bit_xor of edge hashes to dodge overflow.
+
+    Oracle: _D6_SQL verbatim — the recursive-CTE reachability spec;
+    pinned row-identical to d6_dedup_clusters at two SFs."""
+    _corpus, nodes, edges0 = _d6_graph(spark, sf_dir)
+    labels = _d24_labels(nodes, edges0)
+    return (labels.groupBy(F.col("lbl").alias("cluster_id"))
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.max("doc_id").alias("member_max"))
+            .filter(F.col("n_members") > 1)
+            .orderBy("cluster_id"))
+
+
+def _d24_labels(nodes: DataFrame, edges0: DataFrame) -> DataFrame:
+    """The LS/SS alternation on an arbitrary (src, dst) edge set —
+    factored so tests can drive adversarial topologies (chains,
+    stars of stars) that the corpus graph never produces."""
+    from pyspark.sql import Observation
+    e = (edges0.select(F.greatest("src", "dst").alias("u"),
+                       F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint())
+    prev = None
+    for i in range(_D24_MAX_ROUNDS):
+        # large-star: gather BOTH orientations (a = center)
+        nb = e.select(F.col("u").alias("a"), F.col("v").alias("b")) \
+            .unionAll(e.select(F.col("v").alias("a"),
+                               F.col("u").alias("b")))
+        mins = nb.groupBy("a").agg(F.min("b").alias("mb"))
+        ls = (nb.join(mins, "a")
+              .filter(F.col("b") > F.col("a"))
+              .select(F.col("b").alias("u"),
+                      F.least("mb", F.col("a")).alias("v"))
+              .distinct())
+        # small-star: canonical (u > v) rows ARE the Γ< adjacency
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mb"))
+        ss = (ls.join(mins2, "u")
+              .filter(F.col("v") != F.col("mb"))
+              .select(F.col("v").alias("nu"), F.col("mb").alias("nv"))
+              .unionAll(mins2.select(F.col("u").alias("nu"),
+                                     F.col("mb").alias("nv")))
+              .filter(F.col("nu") != F.col("nv"))
+              .distinct()
+              .select(F.col("nu").alias("u"), F.col("nv").alias("v")))
+        obs = Observation(f"d24_round_{i}")
+        e = ss.observe(obs, F.count(F.lit(1)).alias("c"),
+                       F.sum("u").alias("su"),
+                       F.sum("v").alias("sv")).localCheckpoint()
+        sig = (obs.get["c"], obs.get["su"], obs.get["sv"])
+        if sig == prev:
+            break
+        prev = sig
+    lbl = e.groupBy("u").agg(F.min("v").alias("lbl")) \
+        .select(F.col("u").alias("doc_id"), "lbl")
+    return (nodes.join(lbl, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lbl", "doc_id").alias("lbl")))
+
+
 QUERIES = {
+    "d24_cc_two_phase": d24_cc_two_phase,
     "d23_benchmark_span_excision": d23_benchmark_span_excision,
     "d22_prefix_filter_join": d22_prefix_filter_join,
     "d21_repeated_substring_excision": d21_repeated_substring_excision,
@@ -2537,6 +2627,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d24_cc_two_phase": _D6_SQL,   # same spec, different machine
     "d23_benchmark_span_excision": _d23_sql(),
     "d22_prefix_filter_join": _D22_SQL,
     "d21_repeated_substring_excision": _d21_sql(),

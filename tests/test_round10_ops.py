@@ -314,3 +314,40 @@ def test_stage_symlink_absolutizes_relative_src(tmp_path, monkeypatch):
     assert os.path.exists(link)                   # not dangling
     # and the relative/absolute spellings share one spool
     assert _stage_symlink(src_abs) == stage
+
+
+# ---------------------------------------------------------------------
+# D24 large-star/small-star connected components
+# ---------------------------------------------------------------------
+
+def test_d24_chain_and_adversarial_topologies(spark):
+    """The corpus graph is star-shaped (diameter ≤ 2·key types); the
+    published algorithm's value is ARBITRARY topology. Drive the
+    factored alternation with a 64-node path (diameter 63 — min-label
+    propagation would need 63 rounds; LS/SS must finish within the
+    8-round cap), two descending-id chains, and a disconnected node."""
+    from pyspark.sql import functions as F
+    from postgres_scanner_spark.operators.dedup import _d24_labels
+    # path 0-1-2-...-63 with ids SHUFFLED so edge direction varies
+    ids = [(i * 37) % 64 + 100 for i in range(64)]  # 37 coprime 64
+    edges = [(ids[i], ids[i + 1]) for i in range(63)]
+    # second component: descending chain 900->800->700
+    edges += [(900, 800), (800, 700)]
+    nodes = sorted({x for e in edges for x in e} | {50})  # 50 isolated
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.doc_id: r.lbl for r in _d24_labels(ndf, edf).collect()}
+    assert got[50] == 50                       # isolated labels self
+    assert all(got[i] == 100 for i in ids)     # path comp min = 100
+    assert got[900] == got[800] == got[700] == 700
+    assert got[700] == 700
+
+
+def test_d24_matches_d6_rows(spark):
+    """Same spec, different machine: row-identical to D6 at sf0.01."""
+    from postgres_scanner_spark.operators.dedup import (
+        d6_dedup_clusters, d24_cc_two_phase)
+    sf = "/root/testdata/sf0.01"
+    a = [tuple(r) for r in d6_dedup_clusters(spark, sf).collect()]
+    b = [tuple(r) for r in d24_cc_two_phase(spark, sf).collect()]
+    assert a == b and len(a) > 0
