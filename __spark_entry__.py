@@ -47,31 +47,32 @@ _MODULES = (
 # CORRECTNESS row was recorded — a green row for pre-rewrite code is
 # not a cert for the current code — then (3) plain oldest-cert-first;
 # ties keep the prior cost-ascending order. Current window (r10):
-# tier 1 is the 2 never-driver-graded r10 additions (d23, t21);
-# tier 2 is the 23-entry modified-since-cert cohort (the r7/r8
-# leftovers plus this round's q9/d20/d22 rewrites) — all 25 fit
-# inside the 50-entry window, so the formal record catches up to
-# the code this round; the tail backfills oldest-cert-first from
-# the r5 cohort. Regenerate with tools/rotate_order.py --write
-# after each round (--explain shows the per-query evidence).
+# tier 1 is the 3 never-driver-graded r10 additions (d23, t21,
+# d24); tier 2 is the 23-entry modified-since-cert cohort (the
+# r7/r8 leftovers plus this round's q9/d20/d22 rewrites) — all 26
+# fit inside the 50-entry window, so the formal record catches up
+# to the code this round; the tail backfills oldest-cert-first
+# from the r5 cohort. Regenerate with tools/rotate_order.py
+# --write after each round (--explain shows per-query evidence).
 _COST_ORDER = [
-    "d23_benchmark_span_excision", "t21_unigram_lm_train", "a8_sq8_ann",
-    "a2_lsh_ann", "a7_ann_recall", "d12_dedup_eval", "t15_bpe_encode",
-    "d14_semantic_dedup", "e10_late_data_policy",
-    "e14_streaming_upsert", "e16_connector_stream",
-    "x16_domain_reweight", "x15_length_bucketed_batches",
-    "a1_cosine_topk", "d5_embedding_dedup", "t12_zipf_fit",
-    "t8_entropy_quality", "t7_repetition_stats", "t10_tfidf_keywords",
-    "t9_bigram_logprob", "x9_temperature_mix",
-    "e23_stateful_quota_admission", "q9_product_profit",
-    "d22_prefix_filter_join", "d20_repeated_substrings",
-    "ds3_brand_year", "w2_cube", "p3_decimals", "p7_timestamp_parts",
-    "p11_struct_fields", "p10_verify_checksum", "p8_json",
-    "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
-    "t1_language_id", "t6_pii_redact", "t11_bpe_pairs",
-    "x10_leakage_safe_split", "q14_promo_effect", "w5_lag_delta",
-    "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
-    "ds8_customer_cohort", "q21_suppliers_waiting", "m2_frame_sample",
+    "d23_benchmark_span_excision", "t21_unigram_lm_train",
+    "d24_cc_two_phase", "a8_sq8_ann", "a2_lsh_ann", "a7_ann_recall",
+    "d12_dedup_eval", "t15_bpe_encode", "d14_semantic_dedup",
+    "e10_late_data_policy", "e14_streaming_upsert",
+    "e16_connector_stream", "x16_domain_reweight",
+    "x15_length_bucketed_batches", "a1_cosine_topk",
+    "d5_embedding_dedup", "t12_zipf_fit", "t8_entropy_quality",
+    "t7_repetition_stats", "t10_tfidf_keywords", "t9_bigram_logprob",
+    "x9_temperature_mix", "e23_stateful_quota_admission",
+    "q9_product_profit", "d22_prefix_filter_join",
+    "d20_repeated_substrings", "ds3_brand_year", "w2_cube",
+    "p3_decimals", "p7_timestamp_parts", "p11_struct_fields",
+    "p10_verify_checksum", "p8_json", "w4_moving_avg",
+    "q19_discounted_revenue", "p9_uuid", "t1_language_id",
+    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
+    "q14_promo_effect", "w5_lag_delta", "ds2_weekday_share",
+    "w7_percentiles", "q17_small_quantity", "ds8_customer_cohort",
+    "q21_suppliers_waiting", "m2_frame_sample",
     "e1_hourly_event_rollup", "ds12_order_size_band",
     "ds14_shipping_lag", "x7_dataset_card", "ds10_avg_measures",
     "a9_mih_hamming_ann", "e18_streaming_quality_router",
