@@ -224,8 +224,19 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 permutation minima fold into ONE map-side-combined aggregation
     that also yields the shingle-set sizes — md5 runs 2×|shingles|
     times total, with no higher-order-function interpretation cost."""
+    # partition by the natural key EARLY, while rows are doc-sized:
+    # one ~doc-count shuffle here lets the shingle window, the
+    # signature groupBy and the size lookup all inherit doc_id
+    # co-location through the cache instead of each shuffling the
+    # 50M-row token/gram stream (measured 13.1 -> 7.6 s for
+    # shx+signatures at sf10). Cores-based width, not
+    # spark.sql.shuffle.partitions: the bench profile pins the
+    # latter at 8 for kilobyte shuffles, which would strangle this
+    # corpus-sized stage.
+    corpus = corpus_with_plants(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     shx = scratch_persist(
-        shingle_index(corpus_with_plants(spark, sf_dir), 3)
+        shingle_index(corpus, 3)
     )   # reused by signature+sizes AND verification
     band_rows = scratch_persist(minhash_bands(shx))
     sizes = band_rows.select("doc_id", "n").distinct()
@@ -2208,9 +2219,12 @@ def d22_prefix_filter_join(spark: SparkSession, sf_dir: str
     grams — measured 0.55× shuffle bytes and 175→93 s wall at sf10
     (BENCHSCALE.md r10), result-equality pinned at sf0.01."""
     from pyspark.sql.window import Window
+    # same early natural-key repartition as d2: the per-doc rank
+    # window and the size aggregate inherit doc_id co-location
     shx = scratch_persist(
-        shingle_index(corpus_with_plants(spark, sf_dir), _D22_K,
-                      hashed=hash_grams_enabled()))
+        shingle_index(corpus_with_plants(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"),
+            _D22_K, hashed=hash_grams_enabled()))
     sz = shx.groupBy("doc_id").agg(F.count("*").alias("n"))
     # df via map-side-combined groupBy, NOT a window over s: the
     # window sorts the whole corpus-sized index with no partial agg;
