@@ -48,10 +48,10 @@ _MODULES = (
 # not a cert for the current code — then (3) plain oldest-cert-first;
 # ties keep the prior cost-ascending order. Current window (r10):
 # tier 1 is the 3 never-driver-graded r10 additions (d23, t21,
-# d24); tier 2 is the 23-entry modified-since-cert cohort (the
-# r7/r8 leftovers plus this round's q9/d20/d22 rewrites) — all 26
-# fit inside the 50-entry window, so the formal record catches up
-# to the code this round; the tail backfills oldest-cert-first
+# d24); tier 2 is the 24-entry modified-since-cert cohort (the
+# r7/r8 leftovers plus this round's q9/d2/d20/d22 rewrites) — all
+# 27 fit inside the 50-entry window, so the formal record catches
+# up to the code this round; the tail backfills oldest-cert-first
 # from the r5 cohort. Regenerate with tools/rotate_order.py
 # --write after each round (--explain shows per-query evidence).
 _COST_ORDER = [
@@ -64,15 +64,15 @@ _COST_ORDER = [
     "d5_embedding_dedup", "t12_zipf_fit", "t8_entropy_quality",
     "t7_repetition_stats", "t10_tfidf_keywords", "t9_bigram_logprob",
     "x9_temperature_mix", "e23_stateful_quota_admission",
-    "q9_product_profit", "d22_prefix_filter_join",
-    "d20_repeated_substrings", "ds3_brand_year", "w2_cube",
-    "p3_decimals", "p7_timestamp_parts", "p11_struct_fields",
-    "p10_verify_checksum", "p8_json", "w4_moving_avg",
-    "q19_discounted_revenue", "p9_uuid", "t1_language_id",
-    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
-    "q14_promo_effect", "w5_lag_delta", "ds2_weekday_share",
-    "w7_percentiles", "q17_small_quantity", "ds8_customer_cohort",
-    "q21_suppliers_waiting", "m2_frame_sample",
+    "q9_product_profit", "d2_minhash_lsh_dedup",
+    "d22_prefix_filter_join", "d20_repeated_substrings",
+    "ds3_brand_year", "w2_cube", "p3_decimals", "p7_timestamp_parts",
+    "p11_struct_fields", "p10_verify_checksum", "p8_json",
+    "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
+    "t1_language_id", "t6_pii_redact", "t11_bpe_pairs",
+    "x10_leakage_safe_split", "q14_promo_effect", "w5_lag_delta",
+    "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
+    "ds8_customer_cohort", "q21_suppliers_waiting", "m2_frame_sample",
     "e1_hourly_event_rollup", "ds12_order_size_band",
     "ds14_shipping_lag", "x7_dataset_card", "ds10_avg_measures",
     "a9_mih_hamming_ann", "e18_streaming_quality_router",
@@ -96,9 +96,9 @@ _COST_ORDER = [
     "d6_dedup_clusters", "w6_asof_join", "x1_sketch_aggregates",
     "p13_range_arrays", "t16_quality_classifier", "t14_bpe_train",
     "q1_pricing_summary", "q23_session_sql", "d1_exact_dedup",
-    "d3_simhash_dedup", "d2_minhash_lsh_dedup", "d4_ngram_jaccard",
-    "q13_customer_distribution", "q20_potential_promo", "w1_rollup",
-    "q10_returned_items", "q12_shipmode", "q18_large_volume_customer",
+    "d3_simhash_dedup", "d4_ngram_jaccard", "q13_customer_distribution",
+    "q20_potential_promo", "w1_rollup", "q10_returned_items",
+    "q12_shipmode", "q18_large_volume_customer",
     "q22_global_sales_opportunity", "q16_parts_supplier",
     "t5_filter_pipeline", "q11_important_stock", "q7_volume_shipping",
     "q8_market_share", "q3_shipping_priority", "q4_order_priority",
