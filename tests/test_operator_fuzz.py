@@ -116,3 +116,45 @@ def test_d23_fuzz_matches_oracle(spark, rows):
         assert got == exp, (rows, got, exp)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@st.composite
+def _random_graphs(draw):
+    n = draw(st.integers(2, 40))
+    ids = draw(st.lists(st.integers(0, 10_000), min_size=n, max_size=n,
+                        unique=True))
+    m = draw(st.integers(0, 60))
+    edges = [(ids[draw(st.integers(0, n - 1))],
+              ids[draw(st.integers(0, n - 1))]) for _ in range(m)]
+    return ids, edges
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(g=_random_graphs())
+def test_d24_fuzz_matches_union_find(spark, g):
+    """LS/SS on arbitrary random multigraphs (self-loops, duplicate
+    edges, disconnected nodes) vs a 10-line union-find: every node's
+    label must be its component minimum, within the 8-round cap."""
+    from postgres_scanner_spark.operators.dedup import _d24_labels
+    ids, edges = g
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {i: find(i) for i in ids}
+    ndf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    edf = (spark.createDataFrame(edges or [(ids[0], ids[0])],
+                                 "src long, dst long"))
+    got = {r.doc_id: r.lbl for r in _d24_labels(ndf, edf).collect()}
+    assert got == want, (edges, got, want)
