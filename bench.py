@@ -80,16 +80,29 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(cpus=CPUS)
-    # Benchmark-session tuning, measured at sf0.1 (see PLANS.md):
-    # AQE's stage-by-stage materialization costs 0.5-1.3 s per
-    # sub-second query and buys nothing here — every plan is already
-    # broadcast + single-shuffle with no skew to re-plan around. At
-    # cluster scale AQE goes back on (the gate and all other entry
-    # points keep the default). Small fixed shuffle fan-out for the
-    # same reason: 32-task shuffle stages over kilobytes are pure
-    # scheduling overhead.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # SF-aware benchmark-session tuning (r10 verdict ask #3). Two
+    # regimes, split on on-disk data size:
+    #
+    # SMALL (< ~500 MB parquet, i.e. sf ≤ 1): AQE off + 8 shuffle
+    # partitions — measured at sf0.1 (see PLANS.md): AQE's
+    # stage-by-stage materialization costs 0.5-1.3 s per sub-second
+    # query and buys nothing (every plan is already broadcast +
+    # single-shuffle, no skew), and 32-task shuffle stages over
+    # kilobytes are pure scheduling overhead.
+    #
+    # BIG (≥ 500 MB, sf ≥ ~2): the fixed profile leaves 24 of 32
+    # cores idle on every corpus-sized exchange. Keep AQE on (the
+    # session default — runtime coalesce/skew handling is exactly
+    # what a 100 TB deployment runs with) and give shuffles a
+    # cores-wide fan-out; AQE coalesces the small ones back down.
+    data_bytes = sum(p.stat().st_size
+                     for p in Path(SF_DIR).glob("*.parquet"))
+    if data_bytes < (500 << 20):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    else:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(2 * int(CPUS)))
     tables.warm(spark, SF_DIR)
     qs = entrymod.queries()
     headline = [n for n in HEADLINE if n in qs]

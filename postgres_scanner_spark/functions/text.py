@@ -1347,7 +1347,17 @@ _T21_SEP = "\x01"
 
 def _t21_dr6(x: float) -> float:
     """Python spelling of det_round(...,6) — the driver-side M-step
-    must round exactly like the oracle's FLOOR formula."""
+    must round exactly like the oracle's FLOOR formula.
+
+    Known libm seam (r10 advice, accepted): the M-step scores come
+    from CPython's math.log while the oracle uses DuckDB's ln — both
+    are the platform libm here, but a score landing EXACTLY on a
+    0.5-ulp rounding boundary could in principle round apart across
+    libm builds and flip a DP tie cross-engine. The 1e-6 rounding
+    plus the 1e-5 FLOOR comparison key absorbs last-ulp drift in
+    practice (pinned by the multi-SF oracle runs); if it ever bites,
+    compute ln via one tiny Spark job so both sides share JVM
+    semantics."""
     import math
     return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 

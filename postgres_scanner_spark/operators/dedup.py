@@ -2552,9 +2552,13 @@ def d24_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable groupBys over the CURRENT edge set — which SHRINKS
     toward one edge per non-root node, so later rounds cost almost
     nothing. Each round is one action (Observation rides the
-    localCheckpoint, D6's idiom) with a (count, Σu, Σv) signature
-    for the stability test — at web scale swap the sums for a
-    bit_xor of edge hashes to dodge overflow.
+    localCheckpoint, D6's idiom) with a (count, bit_xor(xxhash64(u,
+    v))) signature for the stability test — overflow-proof at any
+    scale, and a cross-set collision needs a 64-bit xor match at
+    equal cardinality (~2^-64). If the round cap trips before the
+    signature stabilizes, one extra round is checked for TRUE
+    set-equality and non-convergence raises instead of returning
+    possibly-wrong labels (r10 advice).
 
     Oracle: _D6_SQL verbatim — the recursive-CTE reachability spec;
     pinned row-identical to d6_dedup_clusters at two SFs."""
@@ -2567,6 +2571,31 @@ def d24_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_id"))
 
 
+def _d24_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star alternation over a canonical
+    (u > v) edge set; returns the new canonical edge set."""
+    # large-star: gather BOTH orientations (a = center)
+    nb = e.select(F.col("u").alias("a"), F.col("v").alias("b")) \
+        .unionAll(e.select(F.col("v").alias("a"),
+                           F.col("u").alias("b")))
+    mins = nb.groupBy("a").agg(F.min("b").alias("mb"))
+    ls = (nb.join(mins, "a")
+          .filter(F.col("b") > F.col("a"))
+          .select(F.col("b").alias("u"),
+                  F.least("mb", F.col("a")).alias("v"))
+          .distinct())
+    # small-star: canonical (u > v) rows ARE the Γ< adjacency
+    mins2 = ls.groupBy("u").agg(F.min("v").alias("mb"))
+    return (ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("mb"))
+            .select(F.col("v").alias("nu"), F.col("mb").alias("nv"))
+            .unionAll(mins2.select(F.col("u").alias("nu"),
+                                   F.col("mb").alias("nv")))
+            .filter(F.col("nu") != F.col("nv"))
+            .distinct()
+            .select(F.col("nu").alias("u"), F.col("nv").alias("v")))
+
+
 def _d24_labels(nodes: DataFrame, edges0: DataFrame) -> DataFrame:
     """The LS/SS alternation on an arbitrary (src, dst) edge set —
     factored so tests can drive adversarial topologies (chains,
@@ -2577,35 +2606,30 @@ def _d24_labels(nodes: DataFrame, edges0: DataFrame) -> DataFrame:
          .filter(F.col("u") != F.col("v")).distinct()
          .localCheckpoint())
     prev = None
+    converged = False
     for i in range(_D24_MAX_ROUNDS):
-        # large-star: gather BOTH orientations (a = center)
-        nb = e.select(F.col("u").alias("a"), F.col("v").alias("b")) \
-            .unionAll(e.select(F.col("v").alias("a"),
-                               F.col("u").alias("b")))
-        mins = nb.groupBy("a").agg(F.min("b").alias("mb"))
-        ls = (nb.join(mins, "a")
-              .filter(F.col("b") > F.col("a"))
-              .select(F.col("b").alias("u"),
-                      F.least("mb", F.col("a")).alias("v"))
-              .distinct())
-        # small-star: canonical (u > v) rows ARE the Γ< adjacency
-        mins2 = ls.groupBy("u").agg(F.min("v").alias("mb"))
-        ss = (ls.join(mins2, "u")
-              .filter(F.col("v") != F.col("mb"))
-              .select(F.col("v").alias("nu"), F.col("mb").alias("nv"))
-              .unionAll(mins2.select(F.col("u").alias("nu"),
-                                     F.col("mb").alias("nv")))
-              .filter(F.col("nu") != F.col("nv"))
-              .distinct()
-              .select(F.col("nu").alias("u"), F.col("nv").alias("v")))
         obs = Observation(f"d24_round_{i}")
-        e = ss.observe(obs, F.count(F.lit(1)).alias("c"),
-                       F.sum("u").alias("su"),
-                       F.sum("v").alias("sv")).localCheckpoint()
-        sig = (obs.get["c"], obs.get["su"], obs.get["sv"])
+        e = (_d24_round(e)
+             .observe(obs, F.count(F.lit(1)).alias("c"),
+                      F.expr("bit_xor(xxhash64(u, v))").alias("x"))
+             .localCheckpoint())
+        sig = (obs.get["c"], obs.get["x"])
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # round cap hit before the signature stabilized: demand TRUE
+        # stability (one more round must be a set-level no-op) rather
+        # than silently returning possibly-unconverged labels
+        nxt = _d24_round(e).localCheckpoint()
+        if not (nxt.exceptAll(e).isEmpty()
+                and e.exceptAll(nxt).isEmpty()):
+            raise RuntimeError(
+                "d24: large-star/small-star did not converge within "
+                f"{_D24_MAX_ROUNDS} rounds — raise _D24_MAX_ROUNDS "
+                "(O(log n) bound, Kiveris et al. 2014 Thm 2)")
+        e = nxt
     lbl = e.groupBy("u").agg(F.min("v").alias("lbl")) \
         .select(F.col("u").alias("doc_id"), "lbl")
     return (nodes.join(lbl, "doc_id", "left")

@@ -530,14 +530,30 @@ class _Proto:
             # REASON usually sits unread in the receive buffer as the
             # server's final ErrorResponse (57P01 "terminating
             # connection due to administrator command") — surface
-            # THAT, not the bare OS error, matching what libpq shows
+            # THAT, not the bare OS error, matching what libpq shows.
+            # Bound the drain with a short timeout: a half-open peer
+            # (ETIMEDOUT/ENOBUFS with nothing readable) must not hang
+            # the error path forever (r10 advice).
+            old_to = self.sock.gettimeout()
             try:
+                self.sock.settimeout(2.0)
                 while True:
                     self.read_msg()   # raises Error on the pending 'E'
+            except ConnectionClosed:
+                # clean EOF, no ErrorResponse pending — fall through
+                # to the informative send-errno ConnectionClosed below
+                # (ConnectionClosed subclasses Error, so it must be
+                # caught BEFORE the re-raising Error arm)
+                pass
             except Error:
                 raise
             except OSError:
-                pass
+                pass      # incl. socket.timeout: nothing readable
+            finally:
+                try:
+                    self.sock.settimeout(old_to)
+                except OSError:
+                    pass
             raise ConnectionClosed(
                 {"M": f"server closed the connection ({e})"}) from e
 

@@ -61,6 +61,34 @@ def _drain(q, timeout_s: int | None = None) -> None:
         raise TimeoutError(
             f"streaming drain exceeded {timeout_s}s; partial results "
             "discarded")
+    _lint_stream_plan(q)
+
+
+def _lint_stream_plan(q) -> None:
+    """Drain-time scale lint for streaming plans. The batch plan lint
+    (tests/test_scale_patterns.py) skips streaming queries because
+    their plans only materialize per micro-batch, and get_spark()
+    silences WindowExec's "No Partition Defined" WARN session-wide —
+    so an unpartitioned window (or cartesian product) introduced in a
+    streaming op would otherwise be neither warned nor linted (r10
+    advice). Inspect the last executed micro-batch plan here, on
+    every drain, and fail loudly."""
+    try:
+        plan = q._jsq.explainInternal(False)
+    except Exception:
+        return          # no batch executed (empty source) — nothing to lint
+    if "CartesianProduct" in plan:
+        raise AssertionError(
+            f"streaming plan contains CartesianProduct:\n{plan}")
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*: ").strip()
+        # physical Window prints "Window [funcs], [part], [order]"
+        # (3 groups) when partitioned, "Window [funcs], [order]"
+        # (2 groups = one "], [" separator) when global
+        if s.startswith("Window ") and s.count("], [") == 1:
+            raise AssertionError(
+                f"streaming plan contains an UNPARTITIONED window "
+                f"(all rows to one task): {s[:160]}")
 
 
 def _stage_symlink(src: str) -> str:

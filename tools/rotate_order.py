@@ -62,7 +62,13 @@ def ranking() -> list[tuple[tuple, str]]:
     cert_time: dict[int, int] = {}
     for f in sorted(glob.glob(str(_REPO / "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", Path(f).name).group(1))
-        cert_time[rnd] = _git_ct(["--", Path(f).name])
+        # the driver writes CORRECTNESS_rN.json mid-round but only
+        # commits it at round end — an untracked file has no git
+        # commit time (r10 verdict ask #2: the whole just-certified
+        # window showed MODIFIED-since-cert). Fall back to the file
+        # mtime so fresh driver certs count as cert evidence.
+        t = _git_ct(["--", Path(f).name])
+        cert_time[rnd] = t if t else int(Path(f).stat().st_mtime)
         for q, v in json.load(open(f)).items():
             if v.get("hash_match") or v.get("rows_match"):
                 last[q] = max(last.get(q, 0), rnd)
