@@ -1428,6 +1428,16 @@ def t21_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     {2,6} vs {3,4}) resolve identically everywhere. Reference:
     duckdb/postgres_scanner has no trainer; parity anchor is the
     published algorithm itself."""
+    rows = _t21_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "rank INT, piece STRING, n_chars INT, cnt BIGINT, "
+              "logprob DOUBLE")
+
+
+def _t21_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The Viterbi-EM training loop, factored out so T22 (the encode
+    half) can reuse the exact trained model; returns the final
+    (rank, piece, n_chars, cnt, logprob) rows."""
     import math
     d = _t(spark, sf_dir, "documents")
     words = (d.select(F.explode(_tokens()).alias("w"))
@@ -1481,20 +1491,73 @@ def t21_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = float(sum(c for _, c in kept))
     rows = [(p, len(p), c, _t21_dr6(math.log(c) - math.log(tf)))
             for p, c in sorted(kept, key=lambda pc: (-pc[1], pc[0]))]
-    rows = [(i + 1, p, n, c, lp)
+    return [(i + 1, p, n, c, lp)
             for i, (p, n, c, lp) in enumerate(rows)]
-    return spark.createDataFrame(
-        rows, "rank INT, piece STRING, n_chars INT, cnt BIGINT, "
-              "logprob DOUBLE")
 
 
-def _t21_sql() -> str:
+def t22_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the unigram-LM tokenizer loop (Kudo 2018
+    §2: segmentation = Viterbi decode under the trained piece
+    log-probs): apply T21's trained model to every document and
+    report per-doc token counts and compression — train (T21) →
+    apply (T22), symmetric with the BPE pair T14 → T15.
+
+    Scale shape (100 TB): the Viterbi DP runs on the DISTINCT-word
+    table only (one narrow codegen pass — the same single-expression
+    left fold as training, no shuffle, no Python), with the trained
+    model shipped as a 1-row broadcast map exactly as in training
+    (data, not literals — the codegen-cache lesson). Per-doc stats
+    come from joining corpus (doc_id, word) tokens back to the
+    encoded vocabulary, where AQE broadcasts the vocab side. Words
+    longer than the trainer's max word length (_T21_MAX_WLEN — the
+    model never saw them) take the char-fallback path: n_toks =
+    n_chars, SentencePiece's byte-fallback analog, which keeps the
+    encode contract total without an unbounded DP.
+
+    Determinism: identical dr6 scores, identical FLOOR(sc*1e5+0.5)
+    integer DP keys and seg-string tie-break as training, so both
+    engines segment every word identically."""
+    rows = _t21_train(spark, sf_dir)
+    smap = {p: lp for _rank, p, _n, _c, lp in rows}
+    mdf = spark.createDataFrame([(smap,)], "m map<string,double>")
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(_tokens()).alias("w"))
+            .filter(F.col("w") != ""))
+    vocab = toks.select("w").distinct()
+    seg = _t21_best_seg(F.col("w"), F.col("m"))
+    enc = (vocab.filter(F.length("w") <= _T21_MAX_WLEN)
+           .crossJoin(F.broadcast(mdf))
+           .select("w", F.length("w").alias("n_chars"),
+                   F.size(F.filter(F.split(seg, _T21_SEP),
+                                   lambda x: x != "")).alias("n_toks"))
+           .unionByName(
+               vocab.filter(F.length("w") > _T21_MAX_WLEN)
+               .select("w", F.length("w").alias("n_chars"),
+                       F.length("w").alias("n_toks"))))
+    return (toks.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_chars").cast("long").alias("n_base_chars"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"))
+            .select("doc_id", "n_words", "n_base_chars", "n_tokens",
+                    det_round(F.col("n_base_chars").cast("double")
+                              / F.col("n_tokens"), 5)
+                    .alias("compression"))
+            .orderBy("doc_id"))
+
+
+_T21_DR6_SQL = "FLOOR(({}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _t21_parts() -> list[str]:
     """Chained-CTE replay of the exact trainer: unrolled DP (8
     position steps × 3 EM rounds), identical FLOOR comparison keys,
-    identical seed/floor/prune tie-breaks."""
+    identical seed/floor/prune tie-breaks. Returns the CTE list
+    through `kept` (the final pruned vocabulary) so T21's final
+    SELECT and T22's encode CTEs both build on it."""
     S = "chr(1)"
     K, P, W = _T21_ROUNDS, _T21_MAX_PLEN, _T21_MAX_WLEN
-    dr6 = "FLOOR(({}) * 1000000.0 + 0.5) / 1000000.0"
+    dr6 = _T21_DR6_SQL
     parts = [f"""words AS MATERIALIZED (
   SELECT w, COUNT(*) AS freq
   FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
@@ -1564,19 +1627,83 @@ def _t21_sql() -> str:
            ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
     FROM u{K} WHERE length(piece) > 1)
   WHERE rk <= {_T21_VOCAB})""")
+    return parts
+
+
+def _t21_sql() -> str:
     final = f"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
        piece, CAST(length(piece) AS INT) AS n_chars,
        CAST(cnt AS BIGINT) AS cnt,
-       {dr6.format("ln(CAST(cnt AS DOUBLE)) - ln(t.T)")} AS logprob
+       {_T21_DR6_SQL.format("ln(CAST(cnt AS DOUBLE)) - ln(t.T)")} AS logprob
 FROM kept CROSS JOIN (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM kept) t
 ORDER BY rank"""
-    return "WITH " + ",\n".join(parts) + "\n" + final
+    return "WITH " + ",\n".join(_t21_parts()) + "\n" + final
+
+
+def _t22_sql() -> str:
+    """Oracle for the encode half: replay training (shared
+    _t21_parts CTEs through `kept`), score the final vocabulary,
+    Viterbi-decode every distinct corpus word ≤ _T21_MAX_WLEN with
+    the same unrolled DP / FLOOR keys, char-fallback beyond, then
+    join the corpus tokens back for per-doc stats."""
+    S = "chr(1)"
+    P, W = _T21_MAX_PLEN, _T21_MAX_WLEN
+    parts = _t21_parts()
+    parts.append(f"""vf AS MATERIALIZED (
+  SELECT piece,
+         {_T21_DR6_SQL.format("ln(CAST(cnt AS DOUBLE)) - ln(t.T)")} AS score
+  FROM kept CROSS JOIN
+       (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM kept) t)""")
+    parts.append("""ctoks AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents) WHERE w <> '')""")
+    parts.append(f"""cw AS MATERIALIZED (
+  SELECT DISTINCT w FROM ctoks WHERE length(w) <= {W})""")
+    parts.append("""g0 AS (
+  SELECT w, CAST(0.0 AS DOUBLE) AS sc, '' AS seg FROM cw)""")
+    for j in range(1, W + 1):
+        unions = "\n      UNION ALL\n".join(f"""      SELECT b.w, b.sc + v.score AS sc,
+             b.seg || {S} || substr(b.w, {j - l + 1}, {l}) AS seg
+      FROM g{j - l} b JOIN vf v
+        ON v.piece = substr(b.w, {j - l + 1}, {l})
+      WHERE length(b.w) >= {j}""" for l in range(1, min(P, j) + 1))
+        parts.append(f"""g{j} AS MATERIALIZED (
+  SELECT w, sc, seg FROM (
+    SELECT w, sc, seg, ROW_NUMBER() OVER (PARTITION BY w
+           ORDER BY FLOOR(sc * 100000.0 + 0.5) DESC, seg) AS rk
+    FROM (
+{unions}
+    ))
+  WHERE rk = 1)""")
+    segs = "\n  UNION ALL\n".join(
+        f"  SELECT w, seg FROM g{j} WHERE length(w) = {j}"
+        for j in range(1, W + 1))
+    parts.append(f"""encw AS MATERIALIZED (
+  SELECT w, length(w) AS n_chars,
+         len(list_filter(string_split(seg, {S}), x -> x <> '')) AS n_toks
+  FROM (
+{segs})
+  UNION ALL
+  SELECT w, length(w) AS n_chars, length(w) AS n_toks
+  FROM (SELECT DISTINCT w FROM ctoks WHERE length(w) > {W}))""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_base_chars,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       FLOOR(CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE)
+             / SUM(n_toks) * 100000.0 + 0.5) / 100000.0 AS compression
+FROM ctoks JOIN encw USING (w)
+GROUP BY doc_id ORDER BY doc_id""")
 
 
 _T21_SQL = _t21_sql()
+_T22_SQL = _t22_sql()
 
 
 QUERIES = {
+    "t22_unigram_lm_encode": t22_unigram_lm_encode,
     "t21_unigram_lm_train": t21_unigram_lm_train,
     "t20_kneser_ney_logprob": t20_kneser_ney_logprob,
     "t19_source_kl_divergence": t19_source_kl_divergence,
@@ -1601,6 +1728,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t22_unigram_lm_encode": _T22_SQL,
     "t21_unigram_lm_train": _T21_SQL,
     "t20_kneser_ney_logprob": _T20_SQL,
     "t19_source_kl_divergence": _T19_SQL,

@@ -1,0 +1,95 @@
+"""Round-11 operator truth pins: T22 unigram-LM encode (the apply
+half of T21's trainer) and the d24 convergence guard."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, name, texts):
+    rows = [{"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)} for i, t in enumerate(texts)]
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    return d
+
+
+def test_t22_hand_truth(spark, tmp_path):
+    """Same corpus as T21's hand pin (3 docs of "abab cd"): the
+    trained model keeps abab/cd at ln(3/10) and chars at ln(1/10).
+    Encoding: "abab" -> [abab] (one ln(3/10) piece beats any split
+    using ln(1/10) chars), "cd" -> [cd]. Per doc: 2 words, 6 chars,
+    2 tokens, compression 3.0."""
+    from postgres_scanner_spark.functions.text import (
+        t22_unigram_lm_encode)
+    d = _write_docs(tmp_path, "sft22", ["abab cd"] * 3)
+    got = [(r.doc_id, r.n_words, r.n_base_chars, r.n_tokens,
+            r.compression)
+           for r in t22_unigram_lm_encode(spark, str(d)).collect()]
+    assert got == [(i, 2, 6, 2, 3.0) for i in range(3)]
+
+
+def test_t22_long_word_char_fallback(spark, tmp_path):
+    """Words longer than _T21_MAX_WLEN never reach the trainer, so
+    the encoder must char-fallback them: "abcdefghij" (10 chars)
+    costs 10 tokens while "abab" costs 1 -> 2 words, 14 chars,
+    11 tokens, compression floor(14/11*1e5+0.5)/1e5 = 1.27273."""
+    from postgres_scanner_spark.functions.text import (
+        _T21_MAX_WLEN, t22_unigram_lm_encode)
+    assert len("abcdefghij") > _T21_MAX_WLEN
+    d = _write_docs(tmp_path, "sft22b", ["abab abcdefghij"])
+    got = [(r.doc_id, r.n_words, r.n_base_chars, r.n_tokens,
+            r.compression)
+           for r in t22_unigram_lm_encode(spark, str(d)).collect()]
+    assert got == [(0, 2, 14, 11, 1.27273)]
+
+
+def test_t22_matches_oracle_tiny(spark, tmp_path):
+    """Oracle end-to-end on the tie-break corpus (exact-score DP
+    ties resolved by smallest seg string in both engines)."""
+    from postgres_scanner_spark.functions.text import (
+        _T22_SQL, t22_unigram_lm_encode)
+    d = _write_docs(
+        tmp_path, "sft22c",
+        ["xy yz xyz", "xy yz xyz", "xy xy yz yz x z",
+         "supercalifragilistic xyz xy"])
+    got = [tuple(r)
+           for r in t22_unigram_lm_encode(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = [tuple(r) for r in con.execute(_T22_SQL).fetchall()]
+    assert got == want
+
+
+def test_d24_nonconvergence_raises(spark, monkeypatch):
+    """The round cap must not silently return unconverged labels:
+    with the cap forced to 0 rounds, a path graph is NOT stable
+    (one more LS/SS round rewrites its edges), so _d24_labels must
+    raise instead of labeling."""
+    from postgres_scanner_spark.operators import dedup
+    monkeypatch.setattr(dedup, "_D24_MAX_ROUNDS", 0)
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup._d24_labels(nodes, edges).collect()
+
+
+def test_d24_cap_path_accepts_converged(spark, monkeypatch):
+    """Conversely, if the cap trips but the edge set IS stable (a
+    single star is a fixed point after one round), the verification
+    pass must accept and label correctly."""
+    from postgres_scanner_spark.operators import dedup
+    monkeypatch.setattr(dedup, "_D24_MAX_ROUNDS", 1)
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 5)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, k) for k in range(2, 5)], "src long, dst long")
+    got = {r.doc_id: r.lbl for r in
+           dedup._d24_labels(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}

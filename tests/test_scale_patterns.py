@@ -202,6 +202,7 @@ def test_plan_lint_all_queries(spark):
         "t20_kneser_ney_logprob",       # 1-row bigram-type total (N1+(*,*))
         "a13_norm_bound_mips",          # query set (5) + 32-seed broadcast
         "t21_unigram_lm_train",         # 1-row piece-score map broadcast
+        "t22_unigram_lm_encode",        # 1-row trained-model map broadcast
         "m14_page_pruned_scan",         # 1-row max-key scalar, as m12
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
