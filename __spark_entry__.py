@@ -55,25 +55,8 @@ _MODULES = (
 # from the r5 cohort. Regenerate with tools/rotate_order.py
 # --write after each round (--explain shows per-query evidence).
 _COST_ORDER = [
-    "d23_benchmark_span_excision", "t21_unigram_lm_train",
-    "d24_cc_two_phase", "a8_sq8_ann", "a2_lsh_ann", "a7_ann_recall",
-    "d12_dedup_eval", "t15_bpe_encode", "d14_semantic_dedup",
-    "e10_late_data_policy", "e14_streaming_upsert",
-    "e16_connector_stream", "x16_domain_reweight",
-    "x15_length_bucketed_batches", "a1_cosine_topk",
-    "d5_embedding_dedup", "t12_zipf_fit", "t8_entropy_quality",
-    "t7_repetition_stats", "t10_tfidf_keywords", "t9_bigram_logprob",
-    "x9_temperature_mix", "e23_stateful_quota_admission",
-    "q9_product_profit", "d2_minhash_lsh_dedup",
-    "d22_prefix_filter_join", "d20_repeated_substrings",
-    "ds3_brand_year", "w2_cube", "p3_decimals", "p7_timestamp_parts",
-    "p11_struct_fields", "p10_verify_checksum", "p8_json",
-    "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
-    "t1_language_id", "t6_pii_redact", "t11_bpe_pairs",
-    "x10_leakage_safe_split", "q14_promo_effect", "w5_lag_delta",
-    "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
-    "ds8_customer_cohort", "q21_suppliers_waiting", "m2_frame_sample",
-    "e1_hourly_event_rollup", "ds12_order_size_band",
+    "t22_unigram_lm_encode", "d25_chunk_cluster",
+    "t21_unigram_lm_train", "d24_cc_two_phase", "ds12_order_size_band",
     "ds14_shipping_lag", "x7_dataset_card", "ds10_avg_measures",
     "a9_mih_hamming_ann", "e18_streaming_quality_router",
     "w17_ohlc_bars", "e19_idempotent_replay",
@@ -129,7 +112,24 @@ _COST_ORDER = [
     "x4_source_mix", "e7_streaming_dedup", "e6_stateful_anomaly",
     "d19_unicode_shingle_dedup", "t19_source_kl_divergence",
     "ds13_low_revenue_parts", "d7_contamination", "a6_kmeans_lloyd",
-    "a3_ivf_ann",
+    "a3_ivf_ann", "d23_benchmark_span_excision", "a8_sq8_ann",
+    "a2_lsh_ann", "a7_ann_recall", "d12_dedup_eval", "t15_bpe_encode",
+    "d14_semantic_dedup", "e10_late_data_policy",
+    "e14_streaming_upsert", "e16_connector_stream",
+    "x16_domain_reweight", "x15_length_bucketed_batches",
+    "a1_cosine_topk", "d5_embedding_dedup", "t12_zipf_fit",
+    "t8_entropy_quality", "t7_repetition_stats", "t10_tfidf_keywords",
+    "t9_bigram_logprob", "x9_temperature_mix",
+    "e23_stateful_quota_admission", "q9_product_profit",
+    "d2_minhash_lsh_dedup", "d22_prefix_filter_join",
+    "d20_repeated_substrings", "ds3_brand_year", "w2_cube",
+    "p3_decimals", "p7_timestamp_parts", "p11_struct_fields",
+    "p10_verify_checksum", "p8_json", "w4_moving_avg",
+    "q19_discounted_revenue", "p9_uuid", "t1_language_id",
+    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
+    "q14_promo_effect", "w5_lag_delta", "ds2_weekday_share",
+    "w7_percentiles", "q17_small_quantity", "ds8_customer_cohort",
+    "q21_suppliers_waiting", "m2_frame_sample", "e1_hourly_event_rollup",
 ]
 _RANK = {n: i for i, n in enumerate(_COST_ORDER)}
 

@@ -1449,6 +1449,32 @@ _D16_WIN = 3          # rolling-hash window (words)
 _D16_MOD = 16         # boundary when h % MOD == 0 → ~16-word chunks
 
 
+def _d16_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, chunk_id, chunk_hash, n_words) CDC chunk table —
+    D16's chunking machinery, factored so D25 can cluster documents
+    at chunk grain over the identical boundaries."""
+    from pyspark.sql.window import Window
+    c = corpus_with_plants(spark, sf_dir)
+    tok = c.select("doc_id", F.posexplode(_tokens()).alias("pos", "w")) \
+        .filter(F.col("w") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = F.concat_ws(
+        "\x01",
+        F.coalesce(F.lag("w", 2).over(wd), F.lit("")),
+        F.coalesce(F.lag("w", 1).over(wd), F.lit("")), F.col("w"))
+    h = F.conv(F.substring(F.md5(ctx), 1, 8), 16, 10).cast("bigint")
+    flagged = tok.withColumn("boundary",
+                             (h % _D16_MOD == 0).cast("int"))
+    wcum = wd.rowsBetween(Window.unboundedPreceding, -1)
+    chunked = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wcum), F.lit(0)))
+    return (chunked.groupBy("doc_id", "chunk_id")
+            .agg(F.md5(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"]))).alias("chunk_hash"),
+                 F.count("*").cast("long").alias("n_words")))
+
+
 def d16_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (the LBFS/rsync boundary trick):
     a chunk ends wherever the rolling hash of the trailing 3-word
@@ -1466,26 +1492,7 @@ def d16_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly is one (doc, chunk) aggregate; the cross-doc share
     report is ONE shuffle keyed on chunk_hash — only 32-hex hashes
     move, never chunk text."""
-    from pyspark.sql.window import Window
-    c = corpus_with_plants(spark, sf_dir)
-    tok = c.select("doc_id", F.posexplode(_tokens()).alias("pos", "w")) \
-        .filter(F.col("w") != "")
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    ctx = F.concat_ws(
-        "\x01",
-        F.coalesce(F.lag("w", 2).over(wd), F.lit("")),
-        F.coalesce(F.lag("w", 1).over(wd), F.lit("")), F.col("w"))
-    h = F.conv(F.substring(F.md5(ctx), 1, 8), 16, 10).cast("bigint")
-    flagged = tok.withColumn("boundary",
-                             (h % _D16_MOD == 0).cast("int"))
-    wcum = wd.rowsBetween(Window.unboundedPreceding, -1)
-    chunked = flagged.withColumn(
-        "chunk_id", F.coalesce(F.sum("boundary").over(wcum), F.lit(0)))
-    chunks = (chunked.groupBy("doc_id", "chunk_id")
-              .agg(F.md5(F.concat_ws(" ", F.transform(
-                  F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                  lambda x: x["w"]))).alias("chunk_hash"),
-                   F.count("*").cast("long").alias("n_words")))
+    chunks = _d16_chunk_table(spark, sf_dir)
     return (chunks.groupBy("chunk_hash")
             .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
                  F.count("*").cast("long").alias("n_occ"),
@@ -1494,8 +1501,9 @@ def d16_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("chunk_hash"))
 
 
-_D16_SQL = f"""
-WITH corpus AS ({_SQL_CORPUS}),
+# the CDC chunk table CTEs (through `chunks`) — shared verbatim by
+# D16's share report and D25's chunk-grain clustering
+_D16_CHUNK_CTES = f"""corpus AS ({_SQL_CORPUS}),
 tok AS (
   SELECT doc_id, i AS pos, t[CAST(i AS INT) + 1] AS w
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -1518,7 +1526,10 @@ chunks AS (
   SELECT doc_id, chunk_id,
          md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
          CAST(COUNT(*) AS BIGINT) AS n_words
-  FROM chunked GROUP BY doc_id, chunk_id)
+  FROM chunked GROUP BY doc_id, chunk_id)"""
+
+_D16_SQL = f"""
+WITH {_D16_CHUNK_CTES}
 SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_occ,
        CAST(MIN(n_words) AS BIGINT) AS n_words
@@ -2637,7 +2648,102 @@ def _d24_labels(nodes: DataFrame, edges0: DataFrame) -> DataFrame:
                     F.coalesce("lbl", "doc_id").alias("lbl")))
 
 
+# ---- D25: fuzzy-dedup clustering at CDC-chunk grain -----------------
+_D25_MIN_WORDS = 3   # ignore sub-3-word chunks (boundary noise: a
+                     # mod-16 rolling hash emits occasional 1-2 word
+                     # chunks that match across unrelated docs)
+_D25_MAX_DF = 16     # drop non-discriminative chunks shared by more
+                     # docs than this (boilerplate): the standard
+                     # high-DF feature drop that bounds the pair
+                     # explosion of hot buckets (same role as D2's
+                     # band-bucket cap and posting-list pruning in
+                     # prefix-filter joins)
+_D25_K = 2           # docs must share >= K distinct qualifying
+                     # chunks to get an edge (one shared chunk is a
+                     # quotation; two is a derivative document)
+
+
+def d25_chunk_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clusters at SUB-document grain: documents sharing
+    ≥ K content-defined chunks (D16's insertion-robust boundaries)
+    are edges of a similarity graph whose connected components
+    (D24's large-star/small-star) are the cluster labels. This
+    closes the gap the pairwise ops leave open: D2/D22 score whole
+    documents, D16 reports shared passages but doesn't cluster —
+    a chain A~B~C of partially-overlapping rewrites only falls out
+    of the CHUNK-grain transitive closure.
+
+    Scale shape (100 TB): chunking is D16's per-document window
+    work; only (doc_id, 32-hex chunk_hash) pairs ever shuffle. The
+    pair join is bucket-bounded — the DF filter caps every
+    chunk_hash bucket at _D25_MAX_DF docs, so the self-join emits
+    ≤ DF²/2 pairs per chunk (the same bounded-bucket argument as
+    D2's LSH bands), and the component step is D24's O(log n)
+    alternation over the (already tiny) edge set. No all-pairs
+    anywhere.
+
+    Oracle: the same chunk CTEs verbatim (_D16_CHUNK_CTES) + the
+    DF/K filters + recursive-CTE reachability (D6's spec)."""
+    chunks = _d16_chunk_table(spark, sf_dir)
+    q = (chunks.filter(F.col("n_words") >= _D25_MIN_WORDS)
+         .select("doc_id", "chunk_hash").distinct())
+    q = scratch_persist(q)
+    disc = (q.groupBy("chunk_hash")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= _D25_MAX_DF))
+            .select("chunk_hash"))
+    qq = q.join(disc, "chunk_hash")
+    qq = scratch_persist(qq)
+    # q is distinct on (doc_id, chunk_hash), so per (src, dst) group
+    # each shared chunk contributes exactly one row: count(*) IS the
+    # distinct shared-chunk count
+    edges = (qq.select(F.col("doc_id").alias("src"), "chunk_hash")
+             .join(qq.select(F.col("doc_id").alias("dst"),
+                             "chunk_hash"), "chunk_hash")
+             .filter(F.col("src") < F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.count("*").alias("shared"))
+             .filter(F.col("shared") >= _D25_K)
+             .select("src", "dst"))
+    nodes = corpus_with_plants(spark, sf_dir).select("doc_id")
+    labels = _d24_labels(nodes, edges)
+    return (labels.groupBy(F.col("lbl").alias("cluster_id"))
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.max("doc_id").alias("member_max"))
+            .filter(F.col("n_members") > 1)
+            .orderBy("cluster_id"))
+
+
+_D25_SQL = f"""
+WITH RECURSIVE
+{_D16_CHUNK_CTES},
+q AS (
+  SELECT DISTINCT doc_id, chunk_hash FROM chunks
+  WHERE n_words >= {_D25_MIN_WORDS}),
+disc AS (
+  SELECT chunk_hash FROM q GROUP BY chunk_hash
+  HAVING COUNT(*) BETWEEN 2 AND {_D25_MAX_DF}),
+qq AS (SELECT doc_id, chunk_hash FROM q JOIN disc USING (chunk_hash)),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM qq a JOIN qq b USING (chunk_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_D25_K}),
+bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.doc_id),
+comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(doc_id) AS member_max
+FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1 ORDER BY cluster_id
+"""
+
+
 QUERIES = {
+    "d25_chunk_cluster": d25_chunk_cluster,
     "d24_cc_two_phase": d24_cc_two_phase,
     "d23_benchmark_span_excision": d23_benchmark_span_excision,
     "d22_prefix_filter_join": d22_prefix_filter_join,
@@ -2665,6 +2771,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d25_chunk_cluster": _D25_SQL,
     "d24_cc_two_phase": _D6_SQL,   # same spec, different machine
     "d23_benchmark_span_excision": _d23_sql(),
     "d22_prefix_filter_join": _D22_SQL,

@@ -93,3 +93,65 @@ def test_d24_cap_path_accepts_converged(spark, monkeypatch):
     got = {r.doc_id: r.lbl for r in
            dedup._d24_labels(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+# ---------------------------------------------------------------------
+# D25: chunk-grain fuzzy-dedup clustering
+# ---------------------------------------------------------------------
+
+def _block(tag, n=60):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def _write_d25_docs(tmp_path, name, texts):
+    return _write_docs(tmp_path, name, texts)
+
+
+def test_d25_transitive_chain(spark, tmp_path):
+    """A=X+Y, B=Y+Z, C=Z+W with disjoint 60-word blocks: A~B share
+    Y's interior chunks, B~C share Z's — A and C share NOTHING, yet
+    the chunk-grain transitive closure must put all three in one
+    cluster (the case pairwise dedup can't close over). D=V is
+    unrelated. Plants add exact copies at +100000, which share ALL
+    chunks with their originals, so the expected clusters are
+    {0,1,2}+copies and {3, 100003}."""
+    from postgres_scanner_spark.operators.dedup import d25_chunk_cluster
+    X, Y, Z, W, V = (_block(t) for t in ("xa", "yb", "zc", "wd", "ve"))
+    d = _write_d25_docs(tmp_path, "sfd25a",
+                        [f"{X} {Y}", f"{Y} {Z}", f"{Z} {W}", V])
+    got = [(r.cluster_id, r.n_members, r.member_max)
+           for r in d25_chunk_cluster(spark, str(d)).collect()]
+    assert got == [(0, 6, 100002), (3, 2, 100003)]
+
+
+def test_d25_df_cap_drops_boilerplate(spark, tmp_path):
+    """A boilerplate block shared by 20 docs (+ their 20 plant
+    copies = DF 40 > _D25_MAX_DF) must NOT create cross-doc edges;
+    each doc still clusters with its exact plant copy through its
+    unique tail. Expect exactly 20 clusters of exactly 2 members."""
+    from postgres_scanner_spark.operators.dedup import d25_chunk_cluster
+    boiler = _block("bp")
+    d = _write_d25_docs(
+        tmp_path, "sfd25b",
+        [f"{boiler} {_block(f'u{i}x')}" for i in range(20)])
+    rows = d25_chunk_cluster(spark, str(d)).collect()
+    assert len(rows) == 20
+    assert all(r.n_members == 2 for r in rows)
+    assert sorted(r.cluster_id for r in rows) == list(range(20))
+
+
+def test_d25_matches_oracle_synthetic(spark, tmp_path):
+    """Differential vs the recursive-CTE oracle on the chain corpus
+    plus a partial-overlap doc (first half of Y only)."""
+    from postgres_scanner_spark.operators.dedup import (
+        _D25_SQL, d25_chunk_cluster)
+    X, Y, Z = (_block(t) for t in ("xa", "yb", "zc"))
+    half_y = " ".join(Y.split()[:30])
+    d = _write_d25_docs(tmp_path, "sfd25c",
+                        [f"{X} {Y}", f"{Y} {Z}", f"{half_y} {Z}"])
+    got = [tuple(r) for r in d25_chunk_cluster(spark, str(d)).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = [tuple(r) for r in con.execute(_D25_SQL).fetchall()]
+    assert got == want and len(got) >= 1
