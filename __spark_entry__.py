@@ -55,14 +55,14 @@ _MODULES = (
 # from the r5 cohort. Regenerate with tools/rotate_order.py
 # --write after each round (--explain shows per-query evidence).
 _COST_ORDER = [
-    "t22_unigram_lm_encode", "d25_chunk_cluster",
-    "t21_unigram_lm_train", "d24_cc_two_phase", "ds12_order_size_band",
-    "ds14_shipping_lag", "x7_dataset_card", "ds10_avg_measures",
-    "a9_mih_hamming_ann", "e18_streaming_quality_router",
-    "w17_ohlc_bars", "e19_idempotent_replay",
-    "ds16_above_avg_balance_nations", "ds17_substr_cohort_revenue",
-    "ds18_multi_exists_cohort", "d15_source_overlap",
-    "d16_cdc_chunk_dedup", "x13_neardup_safe_split",
+    "t22_unigram_lm_encode", "d25_chunk_cluster", "d26_neardup_apply",
+    "d16_cdc_chunk_dedup", "t21_unigram_lm_train", "d24_cc_two_phase",
+    "ds12_order_size_band", "ds14_shipping_lag", "x7_dataset_card",
+    "ds10_avg_measures", "a9_mih_hamming_ann",
+    "e18_streaming_quality_router", "w17_ohlc_bars",
+    "e19_idempotent_replay", "ds16_above_avg_balance_nations",
+    "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
+    "d15_source_overlap", "x13_neardup_safe_split",
     "m10_webdataset_samples", "p14_timezone_convert",
     "x14_snapshot_diff", "d18_doc_novelty", "w9_continuous_aggregate",
     "w14_first_touch", "w12_range_frame", "w11_grouping_sets",

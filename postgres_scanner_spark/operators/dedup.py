@@ -224,6 +224,13 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 permutation minima fold into ONE map-side-combined aggregation
     that also yields the shingle-set sizes — md5 runs 2×|shingles|
     times total, with no higher-order-function interpretation cost."""
+    return _d2_verified(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _d2_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2's verified (doc_a, doc_b, jaccard) pairs WITHOUT the
+    presentation sort — D26 consumes them as graph edges, where a
+    global order would be a wasted exchange."""
     # partition by the natural key EARLY, while rows are doc-sized:
     # one ~doc-count shuffle here lets the shingle window, the
     # signature groupBy and the size lookup all inherit doc_id
@@ -274,7 +281,6 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ni") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2742,7 +2748,66 @@ FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1 ORDER BY cluster_id
 """
 
 
+# ---- D26: NearDup apply — LSH clusters to keep/remove manifest ------
+def d26_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup APPLY stage (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their NearDup:
+    MinHash-LSH candidate pairs, verified, clustered, one document
+    kept per cluster). D13 applies D6's EXACT clusters; this is its
+    near-dup sibling over D2's Jaccard-verified pairs, closed
+    transitively by D24's large-star/small-star — the end-to-end
+    pipeline a production corpus actually runs before training.
+    Keep policy: the component minimum (earliest doc_id) survives,
+    so kept ⇔ label == own id — no extra window over clusters.
+    Output is the curation report: per language, corpus size, kept
+    and removed counts.
+
+    Scale shape: edges = D2's verified pairs (bounded by band
+    buckets + verification semi-joins), components = D24's O(log n)
+    alternation over the (tiny) edge set, report = one join of the
+    doc-count label table back to the corpus and a |langs|-row
+    aggregate. The corpus text never moves after shingling."""
+    pairs = _d2_verified(spark, sf_dir)
+    nodes = corpus_with_plants(spark, sf_dir).select("doc_id", "lang")
+    labels = _d24_labels(
+        nodes.select("doc_id"),
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    kept = (F.col("lbl") == F.col("doc_id")).cast("long")
+    return (nodes.join(labels, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(kept).cast("long").alias("n_kept"),
+                 (F.count("*") - F.sum(kept)).cast("long")
+                 .alias("n_removed"))
+            .orderBy("lang"))
+
+
+def _d26_sql() -> str:
+    return f"""
+WITH RECURSIVE
+corpus AS ({_SQL_CORPUS}),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_d2_sql().replace(chr(10), chr(10) + '  ')})),
+bidir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.doc_id),
+comp AS (SELECT doc_id, MIN(lbl) AS lbl FROM reach GROUP BY doc_id)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lbl = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN lbl = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed
+FROM corpus JOIN comp USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
+    "d26_neardup_apply": d26_neardup_apply,
     "d25_chunk_cluster": d25_chunk_cluster,
     "d24_cc_two_phase": d24_cc_two_phase,
     "d23_benchmark_span_excision": d23_benchmark_span_excision,
@@ -2771,6 +2836,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d26_neardup_apply": _d26_sql(),
     "d25_chunk_cluster": _D25_SQL,
     "d24_cc_two_phase": _D6_SQL,   # same spec, different machine
     "d23_benchmark_span_excision": _d23_sql(),

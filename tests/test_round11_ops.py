@@ -155,3 +155,37 @@ def test_d25_matches_oracle_synthetic(spark, tmp_path):
                 f"read_parquet('{d}/documents.parquet')")
     want = [tuple(r) for r in con.execute(_D25_SQL).fetchall()]
     assert got == want and len(got) >= 1
+
+
+# ---------------------------------------------------------------------
+# D26: NearDup apply (LSH clusters -> keep/remove manifest)
+# ---------------------------------------------------------------------
+
+def test_d26_neardup_apply_hand_truth(spark, tmp_path):
+    """A, A' (one word mutated: Jaccard ~0.9 >> 0.5) and unrelated B.
+    Plants copy all three at +100000. Expected components:
+    {A, A', copies} (4 members, 3 removed) via near-dup edges and
+    {B, B_copy} (2 members, 1 removed) via the exact-copy edge ->
+    per-lang report (en, 6, 2, 4)."""
+    from postgres_scanner_spark.operators.dedup import d26_neardup_apply
+    A = _block("na")
+    A2 = A.replace("na30", "MUT")
+    B = _block("nb")
+    d = _write_docs(tmp_path, "sfd26", [A, A2, B])
+    got = [tuple(r) for r in d26_neardup_apply(spark, str(d)).collect()]
+    assert got == [("en", 6, 2, 4)]
+
+
+def test_d26_matches_oracle_sf0001(spark):
+    """Differential vs the embedded-d2 + reachability oracle on the
+    real sf0.001 corpus."""
+    import duckdb as _dd
+    from postgres_scanner_spark.operators.dedup import (
+        _d26_sql, d26_neardup_apply)
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in d26_neardup_apply(spark, sf).collect()]
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_d26_sql()).fetchall()]
+    assert got == want and sum(r[1] for r in got) > 0
