@@ -158,3 +158,84 @@ def test_d24_fuzz_matches_union_find(spark, g):
                                  "src long, dst long"))
     got = {r.doc_id: r.lbl for r in _d24_labels(ndf, edf).collect()}
     assert got == want, (edges, got, want)
+
+
+# ---------------------------------------------------------------------
+# r11: d25 chunk-grain clustering + d26 NearDup apply + t22 encode
+# ---------------------------------------------------------------------
+
+@st.composite
+def _shared_block_corpora(draw):
+    """Documents assembled from a small pool of word BLOCKS, so
+    random corpora share chunk/shingle runs with high probability —
+    the regime where d25's chunk graph and d26's near-dup graph have
+    nontrivial transitive structure (random text would produce only
+    the plant edges)."""
+    n_blocks = draw(st.integers(2, 4))
+    blocks = [" ".join(f"b{k}w{i}" for i in range(draw(st.integers(8, 24))))
+              for k in range(n_blocks)]
+    docs = draw(st.lists(
+        st.lists(st.integers(0, n_blocks - 1), min_size=1, max_size=3),
+        min_size=1, max_size=6))
+    return [{"doc_id": i, "text": " ".join(blocks[k] for k in ks),
+             "lang": "en", "source": "s", "n_chars": 1}
+            for i, ks in enumerate(docs)]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_shared_block_corpora())
+def test_d25_fuzz_matches_oracle(spark, rows):
+    from postgres_scanner_spark.operators.dedup import (
+        _D25_SQL, d25_chunk_cluster)
+    d = _write_docs(rows)
+    try:
+        got = sorted(tuple(r) for r in
+                     d25_chunk_cluster(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(_D25_SQL, d))
+        assert got == exp, (rows, got, exp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_shared_block_corpora())
+def test_d26_fuzz_matches_oracle(spark, rows):
+    from postgres_scanner_spark.operators.dedup import (
+        _d26_sql, d26_neardup_apply)
+    d = _write_docs(rows)
+    try:
+        got = sorted(tuple(r) for r in
+                     d26_neardup_apply(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(_d26_sql(), d))
+        assert got == exp, (rows, got, exp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_t21_corpora())
+def test_t22_fuzz_matches_oracle(spark, rows):
+    """T22 reuses t21's tie-maximizing tiny-alphabet corpora: the
+    encode DP must resolve the same score ties the trainer does,
+    plus the char-fallback path for any word the corpus pushes past
+    the trained length (none here — alphabet caps at 8 — but the
+    shared-CTE oracle replays end to end)."""
+    from postgres_scanner_spark.functions.text import (
+        _T22_SQL, t22_unigram_lm_encode)
+    d = _write_docs(rows)
+    try:
+        got = sorted(tuple(r) for r in
+                     t22_unigram_lm_encode(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(_T22_SQL, d))
+        assert got == exp, (rows, got, exp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
