@@ -748,15 +748,27 @@ ORDER BY s_suppkey
 
 # --------------------------------------------------------------- Q21 (adapted: late shippers on finished orders)
 def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape (r11): pre-aggregate the fact stream on l_suppkey
+    BEFORE the supplier join. The old shape joined 60M filtered rows
+    to supplier first — at sf10 supplier sits right at the broadcast
+    threshold, so the planner's choice flipped run-to-run between a
+    broadcast and a full fact-side suppkey exchange (in-suite q21
+    swung 3.8–9.4 s). Aggregating first shuffles only map-combined
+    (suppkey, count) partials (≤ |suppliers| rows per task), and the
+    dimension join then sees |suppliers| rows on BOTH sides at any
+    scale — no borderline decision left to flip."""
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    waits = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.expr("o_orderdate + interval 90 days"))
-        .join(s, l.l_suppkey == s.s_suppkey)
-        .groupBy("s_suppkey", "s_name")
+        .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        waits.join(s, waits.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(20)
     )
