@@ -57,6 +57,7 @@ _MODULES = (
 _COST_ORDER = [
     "t22_unigram_lm_encode", "d25_chunk_cluster", "d26_neardup_apply",
     "d16_cdc_chunk_dedup", "t21_unigram_lm_train", "d24_cc_two_phase",
+    "d2_minhash_lsh_dedup", "q21_suppliers_waiting",
     "ds12_order_size_band", "ds14_shipping_lag", "x7_dataset_card",
     "ds10_avg_measures", "a9_mih_hamming_ann",
     "e18_streaming_quality_router", "w17_ohlc_bars",
@@ -121,15 +122,14 @@ _COST_ORDER = [
     "t8_entropy_quality", "t7_repetition_stats", "t10_tfidf_keywords",
     "t9_bigram_logprob", "x9_temperature_mix",
     "e23_stateful_quota_admission", "q9_product_profit",
-    "d2_minhash_lsh_dedup", "d22_prefix_filter_join",
-    "d20_repeated_substrings", "ds3_brand_year", "w2_cube",
-    "p3_decimals", "p7_timestamp_parts", "p11_struct_fields",
-    "p10_verify_checksum", "p8_json", "w4_moving_avg",
-    "q19_discounted_revenue", "p9_uuid", "t1_language_id",
-    "t6_pii_redact", "t11_bpe_pairs", "x10_leakage_safe_split",
-    "q14_promo_effect", "w5_lag_delta", "ds2_weekday_share",
-    "w7_percentiles", "q17_small_quantity", "ds8_customer_cohort",
-    "q21_suppliers_waiting", "m2_frame_sample", "e1_hourly_event_rollup",
+    "d22_prefix_filter_join", "d20_repeated_substrings",
+    "ds3_brand_year", "w2_cube", "p3_decimals", "p7_timestamp_parts",
+    "p11_struct_fields", "p10_verify_checksum", "p8_json",
+    "w4_moving_avg", "q19_discounted_revenue", "p9_uuid",
+    "t1_language_id", "t6_pii_redact", "t11_bpe_pairs",
+    "x10_leakage_safe_split", "q14_promo_effect", "w5_lag_delta",
+    "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
+    "ds8_customer_cohort", "m2_frame_sample", "e1_hourly_event_rollup",
 ]
 _RANK = {n: i for i, n in enumerate(_COST_ORDER)}
 
