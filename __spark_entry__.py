@@ -56,8 +56,8 @@ _MODULES = (
 # --write after each round (--explain shows per-query evidence).
 _COST_ORDER = [
     "t22_unigram_lm_encode", "d25_chunk_cluster", "d26_neardup_apply",
-    "d16_cdc_chunk_dedup", "t21_unigram_lm_train", "d24_cc_two_phase",
-    "d2_minhash_lsh_dedup", "q21_suppliers_waiting",
+    "m15_dhash_neardup", "d16_cdc_chunk_dedup", "t21_unigram_lm_train",
+    "d24_cc_two_phase", "d2_minhash_lsh_dedup", "q21_suppliers_waiting",
     "ds12_order_size_band", "ds14_shipping_lag", "x7_dataset_card",
     "ds10_avg_measures", "a9_mih_hamming_ann",
     "e18_streaming_quality_router", "w17_ohlc_bars",

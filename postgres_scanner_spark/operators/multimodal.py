@@ -1596,7 +1596,143 @@ FROM g ORDER BY page_id
 """
 
 
+# ---- M15: perceptual near-dup payload dedup (dHash + banded Hamming)
+_M15_SAMPLES = 65     # 65 nearest-neighbor samples -> 64 difference bits
+_M15_R = 3            # Hamming radius; 4 x 16-bit bands guarantee a
+                      # band match for any pair within it (pigeonhole)
+
+
+def _m15_pos(i, n):
+    # nearest-neighbor downsample grid: sample i of 65 sits at
+    # 1 + floor(i*(n-1)/64). /64.0 is a power-of-two division —
+    # EXACT in IEEE doubles, so both engines index identical chars
+    return (F.floor(F.lit(float(i)) * (n - F.lit(1)) / F.lit(64.0))
+            .cast("int") + F.lit(1))
+
+
+def m15_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over the BINARY payload column —
+    the multimodal sibling of D3's SimHash text dedup, using the
+    published dHash/difference-hash scheme (the pHash family:
+    downsample, then 1 bit per adjacent-sample comparison). A real
+    deployment resizes decoded pixels; the container has no codec,
+    so the stubbed decode samples the raw byte signal on a fixed
+    65-point nearest-neighbor grid (exactly PIL's NEAREST downsample
+    in 1-D; bytes ≡ codepoints on the ASCII corpus — M1's oracle
+    contract) and derives the canonical 64-bit signature: bit i set
+    iff sample[i+1] > sample[i]. Payloads shorter than the grid are
+    thumbnails out of scope (filtered, both engines).
+
+    Matching is D3's banded-Hamming idiom: the 64 bits split into
+    4 × 16-bit band integers; any pair within Hamming radius 3 must
+    agree exactly on ≥1 band (pigeonhole), so candidates come from
+    4 equi-join buckets — never an all-pairs scan — and the full
+    Hamming distance (Σ bit_count(xor(band))) verifies candidates.
+    Planted last-byte mutants (+300000) flip ≤2 difference bits and
+    must land inside the radius; exact copies (+100000) at 0.
+
+    Scale shape (100 TB): the signature is one codegen pass over the
+    corpus (65 unrolled char probes, no shuffle); only (k, 16-bit
+    band, doc_id) tuples shuffle; verification joins the 4-int
+    signature table — payloads never move."""
+    from .. import tables
+    from ..runtime import scratch_persist
+    tables.ensure_session_defaults(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    mut = (d.filter(F.col("doc_id") < 10)
+           .select((F.col("doc_id") + 300000).alias("doc_id"),
+                   F.expr("concat(substr(text, 1, length(text)-1), 'z')")
+                   .alias("text")))
+    corpus = (d.select("doc_id", "text")
+              .unionByName(
+                  d.filter(F.col("doc_id") < 10)
+                  .select((F.col("doc_id") + 100000).alias("doc_id"),
+                          "text"))
+              .unionByName(mut)
+              .filter(F.length("text") >= _M15_SAMPLES))
+    n = F.length("text")
+    samples = F.array(*[
+        F.ascii(F.col("text").substr(_m15_pos(i, n), F.lit(1)))
+        for i in range(_M15_SAMPLES)])
+    sig = corpus.select("doc_id", samples.alias("s"))
+    bands = [
+        sum((F.element_at(F.col("s"), 16 * k + j + 2)
+             > F.element_at(F.col("s"), 16 * k + j + 1)).cast("int")
+            * F.lit(1 << j) for j in range(16)).alias(f"band{k}")
+        for k in range(4)]
+    sig = scratch_persist(sig.select("doc_id", *bands))
+    bl = sig.select("doc_id", F.expr(
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (k, bv)"))
+    cand = (bl.alias("a")
+            .join(bl.alias("b"),
+                  (F.col("a.k") == F.col("b.k"))
+                  & (F.col("a.bv") == F.col("b.bv"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    ham = sum(F.bit_count(F.col(f"sa.band{k}")
+                          .bitwiseXOR(F.col(f"sb.band{k}")))
+              for k in range(4)).cast("int")
+    return (cand
+            .join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= _M15_R)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _m15_sql() -> str:
+    def band(k):
+        terms = []
+        for j in range(16):
+            i = 16 * k + j
+            p1 = f"CAST(FLOOR({i}.0 * (n-1) / 64.0) AS INT) + 1"
+            p2 = f"CAST(FLOOR({i + 1}.0 * (n-1) / 64.0) AS INT) + 1"
+            terms.append(
+                f"CASE WHEN ord(substr(text, {p2}, 1)) "
+                f"> ord(substr(text, {p1}, 1)) THEN {1 << j} ELSE 0 END")
+        return " + ".join(terms)
+
+    bands = ",\n         ".join(
+        f"CAST({band(k)} AS INT) AS band{k}" for k in range(4))
+    hamming = " + ".join(
+        f"bit_count(xor(sa.band{k}, sb.band{k}))" for k in range(4))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 300000, substr(text, 1, length(text)-1) || 'z'
+  FROM documents WHERE doc_id < 10),
+c2 AS (
+  SELECT doc_id, text, length(text) AS n FROM corpus
+  WHERE length(text) >= {_M15_SAMPLES}),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {bands}
+  FROM c2),
+bl AS (
+  SELECT doc_id, 0 AS k, band0 AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, band1 FROM sig
+  UNION ALL SELECT doc_id, 2, band2 FROM sig
+  UNION ALL SELECT doc_id, 3, band3 FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bl a JOIN bl b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({hamming} AS INT) AS hamming
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE {hamming} <= {_M15_R}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
+    "m15_dhash_neardup": m15_dhash_neardup,
     "m14_page_pruned_scan": m14_page_pruned_scan,
     "m13_bloom_pruned_probe": m13_bloom_pruned_probe,
     "m12_pruned_rowgroup_scan": m12_pruned_rowgroup_scan,
@@ -1614,6 +1750,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "m15_dhash_neardup": _m15_sql(),
     "m14_page_pruned_scan": _M14_SQL,
     "m13_bloom_pruned_probe": _M13_SQL,
     "m12_pruned_rowgroup_scan": _M12_SQL,

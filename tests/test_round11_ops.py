@@ -189,3 +189,51 @@ def test_d26_matches_oracle_sf0001(spark):
                 f"'{sf}/documents.parquet'")
     want = [tuple(r) for r in con.execute(_d26_sql()).fetchall()]
     assert got == want and sum(r[1] for r in got) > 0
+
+
+# ---------------------------------------------------------------------
+# M15: perceptual near-dup payload dedup (dHash + banded Hamming)
+# ---------------------------------------------------------------------
+
+def test_m15_plants_and_radius(spark):
+    """Exact copies (+100000) must pair with their originals at
+    hamming 0; last-byte mutants (+300000) flip at most 2 difference
+    bits and must land within the radius; all reported pairs honor
+    hamming <= 3 and doc_a < doc_b."""
+    from postgres_scanner_spark.operators.multimodal import (
+        _M15_SAMPLES, m15_dhash_neardup)
+    sf = "/root/testdata/sf0.001"
+    rows = m15_dhash_neardup(spark, sf).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    long_ids = {r.doc_id for r in
+                spark.read.parquet(f"{sf}/documents.parquet")
+                .filter(f"length(text) >= {_M15_SAMPLES} AND doc_id < 10")
+                .select("doc_id").collect()}
+    assert long_ids, "corpus too short for the test to mean anything"
+    for i in long_ids:
+        assert pairs.get((i, i + 100000)) == 0, f"copy pair {i}"
+        assert pairs.get((i, i + 300000), 99) <= 2, f"mutant pair {i}"
+        # copy and mutant of the same doc differ by the same <=2 bits
+        assert pairs.get((i + 100000, i + 300000), 99) <= 2
+    assert all(h <= 3 for h in pairs.values())
+    assert all(a < b for a, b in pairs)
+
+
+def test_m15_matches_oracle_tiny(spark, tmp_path):
+    """Differential on a synthetic corpus with a known near-pair:
+    two 100-char ramps differing by one interior byte, plus an
+    unrelated noise doc."""
+    import duckdb as _dd
+    from postgres_scanner_spark.operators.multimodal import (
+        _m15_sql, m15_dhash_neardup)
+    ramp = "".join(chr(65 + (i % 26)) for i in range(100))
+    ramp2 = ramp[:50] + "z" + ramp[51:]
+    noise = "".join(chr(65 + (i * 17 % 26)) for i in range(100))
+    d = _write_docs(tmp_path, "sfm15", [ramp, ramp2, noise])
+    got = [tuple(r) for r in m15_dhash_neardup(spark, str(d)).collect()]
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = [tuple(r) for r in con.execute(_m15_sql()).fetchall()]
+    assert got == want
+    assert (0, 1) in {(a, b) for a, b, _ in got}
