@@ -51,6 +51,56 @@ def _data_key(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
+class _StageMetrics:
+    """Per-query executor diagnostics from the in-process
+    AppStatusStore (the store behind the REST status API — populated
+    even with spark.ui.enabled=false). Stage IDs are monotonic within
+    a SparkContext, so the stages created since the last snapshot are
+    exactly the just-finished query's stages; summing their metrics
+    attributes GC / spill / shuffle-fetch-wait per query with no
+    job-group bookkeeping. Recorded so a slow draw (the r11 verdict's
+    q9 6-19 s spread) carries its own diagnosis in the BENCH json."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._store = sc._jsc.sc().statusStore()
+        self._empty = sc._jvm.java.util.ArrayList()
+        self._darr = sc._gateway.new_array(sc._jvm.double, 0)
+        self._watermark = -1
+
+    def snapshot(self) -> dict:
+        it = self._store.stageList(
+            self._empty, False, False, self._darr, self._empty).iterator()
+        agg = {"gc_ms": 0, "spill_mb": 0.0, "fetch_wait_ms": 0,
+               "run_ms": 0, "cpu_ms": 0, "shuf_r_mb": 0.0,
+               "shuf_w_mb": 0.0, "in_mb": 0.0, "tasks": 0, "stages": 0,
+               "max_stage_run_ms": 0}
+        hi = self._watermark
+        while it.hasNext():
+            s = it.next()
+            sid = s.stageId()
+            if sid <= self._watermark:
+                continue
+            hi = max(hi, sid)
+            run = s.executorRunTime()
+            agg["gc_ms"] += s.jvmGcTime()
+            agg["spill_mb"] += (s.memoryBytesSpilled()
+                                + s.diskBytesSpilled()) / 1e6
+            agg["fetch_wait_ms"] += s.shuffleFetchWaitTime()
+            agg["run_ms"] += run
+            agg["cpu_ms"] += s.executorCpuTime() // 1_000_000
+            agg["shuf_r_mb"] += s.shuffleReadBytes() / 1e6
+            agg["shuf_w_mb"] += s.shuffleWriteBytes() / 1e6
+            agg["in_mb"] += s.inputBytes() / 1e6
+            agg["tasks"] += s.numCompleteTasks()
+            agg["stages"] += 1
+            agg["max_stage_run_ms"] = max(agg["max_stage_run_ms"], run)
+        self._watermark = hi
+        for k in ("spill_mb", "shuf_r_mb", "shuf_w_mb", "in_mb"):
+            agg[k] = round(agg[k], 1)
+        return agg
+
+
 def _bench_duckdb(oracles: dict[str, str], names: list[str]) -> dict:
     """Time each oracle SQL on the same parquet with the same CPU
     budget; two passes, per-query min (same protocol as Spark)."""
@@ -77,6 +127,7 @@ def main() -> None:
     os.environ["SPARK_GRAFT_CACHE"] = "1"   # bench mode: partitioned table cache
     sys.path.insert(0, str(_REPO / "tests"))
     from postgres_scanner_spark import get_spark, tables
+    from postgres_scanner_spark.runtime import release_scratch
     import __spark_entry__ as entrymod
 
     spark = get_spark(cpus=CPUS)
@@ -104,8 +155,13 @@ def main() -> None:
     # LSH plan, so it stays off in bench mode at every SF (the gate
     # and all non-bench entry points keep the AQE-on default, which
     # is the right 1000-executor posture).
+    # rglob: a nested/partitioned layout must not silently read as
+    # "0 bytes" and select the small-data profile (r11 advice)
     data_bytes = sum(p.stat().st_size
-                     for p in Path(SF_DIR).glob("*.parquet"))
+                     for p in Path(SF_DIR).rglob("*.parquet"))
+    if data_bytes <= 0:
+        raise SystemExit(f"bench: no parquet found under {SF_DIR!r} — "
+                         "wrong SPARK_GRAFT_SF_DIR?")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions",
                    "8" if data_bytes < (500 << 20) else CPUS)
@@ -117,17 +173,33 @@ def main() -> None:
     qs["q6_forecast_revenue"](spark, SF_DIR).collect()
     # two passes, report the per-query minimum: first execution pays
     # codegen JIT + shuffle-file creation; the min is the steady-state
-    # throughput a long-running cluster actually sustains
+    # throughput a long-running cluster actually sustains. Every pass's
+    # wall AND its stage-metric deltas are recorded ("passes"/"diag")
+    # so a slow draw is diagnosable from the artifact alone.
+    metrics = _StageMetrics(spark)
+    metrics.snapshot()  # drain warm-up stages
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {n: [] for n in headline}
+    diag: dict[str, list[dict]] = {n: [] for n in headline}
     for _pass in range(2):
         for name in headline:
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count() if name.startswith(("d", "a", "e", "t")) else len(df.collect())
             dt = round(time.perf_counter() - t0, 3)
+            passes[name].append(dt)
+            diag[name].append(metrics.snapshot())
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             _ = n
+            # Release per-query scratch persists, exactly like the
+            # driver (__spark_entry__) and the gate do. Without this
+            # the r11 slow-draw mode appears: 24 executions' worth of
+            # scratch accumulates, the storage pool fills, blocks
+            # evict, branches RECOMPUTE (diag showed 2.4x task CPU on
+            # d2's slow pass) and GC churns — with the eviction victim
+            # varying run to run (q9 one run, d2 the next).
+            release_scratch()
     spark.stop()
     duck = _bench_duckdb(entrymod.oracle_sql(), headline)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -138,6 +210,8 @@ def main() -> None:
         "duckdb": duck,
         "duckdb_total": round(sum(duck.values()), 3),
         "data_key": _data_key(SF_DIR),
+        "passes": passes,
+        "diag": diag,
     }))
 
 

@@ -1702,7 +1702,180 @@ _T21_SQL = _t21_sql()
 _T22_SQL = _t22_sql()
 
 
+# ---- T23/T24: fastText-style quality classifier, TRAIN then APPLY ----
+# (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+# Classification"): linear classifier over hashing-trick bag-of-words
+# buckets. T16 is the APPLY shape with a stand-in md5 weight layer;
+# T23 TRAINS a real layer in-engine and T24 applies it — completing
+# the train→apply pair the way T14→T15 and T21→T22 did for tokenizers.
+#
+# Labels are the GPT-3/CCNet weak-supervision recipe: the trusted
+# reference domain (source = 'src0', T17's _T17_REF_SOURCE) is the
+# positive class, the rest of the crawl is negative.
+#
+# The optimizer is ONE closed-form diagonal-Newton step of logistic
+# regression from w = 0 (fastText's SGD is sequential, hence
+# shuffle-order-dependent — unusable under the engine's exactness
+# contract). At w = 0 every σ(w·x) is exactly 1/2, so
+#   gradient   g_h = Σ_d c_dh (y_d − 1/2)        → 2g_h  integer
+#   d.Hessian  H_hh = 1/4 Σ_d c_dh² + λ          → 4H_hh integer
+#   w_h = g_h / H_hh = 2·(2g_h) / (4H_hh)
+# Every aggregate is an INTEGER sum (exact, order-invariant); the one
+# float op is the final division — identical IEEE in both engines —
+# and the weight quantizes half-up onto T16's integer layer
+# ([-_T16_WSCALE, _T16_WSCALE], so the trained table drops into the
+# same apply plan). Scale: two map-side-combined aggregates
+# ((doc_id,h) then (h)); the model is |buckets| ≤ 64 rows.
+_T23_L2x4 = 4          # 4λ — ridge term keeping rare buckets tame
+
+
+def t23_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     (F.col("source") == F.lit(_T17_REF_SOURCE))
+                     .cast("int").alias("y"),
+                     F.explode(_tokens()).alias("w"))
+            .filter(F.col("w") != ""))
+    bucket = (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
+              .cast("bigint") % _T16_DIM)
+    per_doc = (toks.select("doc_id", "y", bucket.alias("h"))
+               .groupBy("doc_id", "h")
+               .agg(F.first("y").alias("y"),
+                    F.count("*").cast("long").alias("c")))
+    stats = (per_doc.groupBy("h")
+             .agg(F.sum(F.col("c") * (F.lit(2) * F.col("y") - F.lit(1)))
+                  .cast("long").alias("g2"),
+                  F.sum(F.col("c") * F.col("c"))
+                  .cast("long").alias("css"),
+                  F.count("*").cast("long").alias("n_docs"),
+                  F.sum("c").cast("long").alias("n_tokens")))
+    h4 = (F.col("css") + F.lit(_T23_L2x4)).cast("long")
+    # 2.0e3 not 2000.0: a plain decimal literal parses as DECIMAL in
+    # DuckDB and the ratio would width-size; scientific notation pins
+    # DOUBLE in both engines (same-text-SQL rule)
+    raw = F.lit(2.0) * float(_T16_WSCALE) * F.col("g2") / h4.cast("double")
+    wt = F.least(F.greatest(F.floor(raw + F.lit(0.5)).cast("long"),
+                            F.lit(-_T16_WSCALE)),
+                 F.lit(_T16_WSCALE))
+    return (stats.select("h", "n_docs", "n_tokens", "g2",
+                         h4.alias("h4"), wt.alias("wt"))
+            .orderBy("h"))
+
+
+_T23_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN source = '{_T17_REF_SOURCE}' THEN 1 ELSE 0 END AS y,
+         w
+  FROM (SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''),
+per_doc AS (
+  SELECT doc_id, MIN(y) AS y,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_T16_DIM} AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_T16_DIM}),
+stats AS (
+  SELECT h,
+         CAST(SUM(c * (2 * y - 1)) AS BIGINT) AS g2,
+         CAST(SUM(c * c) + {_T23_L2x4} AS BIGINT) AS h4,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY h)
+SELECT h, n_docs, n_tokens, g2, h4,
+       LEAST(GREATEST(
+           CAST(FLOOR(2.0e0 * {_T16_WSCALE}.0e0 * g2 / CAST(h4 AS DOUBLE)
+                      + 0.5e0) AS BIGINT),
+           -{_T16_WSCALE}), {_T16_WSCALE}) AS wt
+FROM stats ORDER BY h
+"""
+
+
+def t24_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with T23's trained layer and report the
+    4-cell confusion matrix against the weak labels. The per-doc
+    score Σ_h wt_h·c_dh is an integer dot product (exact in any
+    shuffle order); the decision matches T16's kept = score > 0.
+    Scale: the trained layer is ≤ 64 rows — broadcast onto the
+    (doc_id, h) counts; the corpus shuffles once on doc_id; output
+    is the constant-size confusion matrix."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     (F.col("source") == F.lit(_T17_REF_SOURCE))
+                     .alias("label"),
+                     F.explode(_tokens()).alias("w"))
+            .filter(F.col("w") != ""))
+    bucket = (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
+              .cast("bigint") % _T16_DIM)
+    counts = (toks.select("doc_id", "label", bucket.alias("h"))
+              .groupBy("doc_id", "h")
+              .agg(F.first("label").alias("label"),
+                   F.count("*").cast("long").alias("c")))
+    wts = t23_classifier_train(spark, sf_dir).select("h", "wt")
+    scored = (counts.join(F.broadcast(wts), "h")
+              .groupBy("doc_id")
+              .agg(F.first("label").alias("label"),
+                   F.sum(F.col("c") * F.col("wt"))
+                   .cast("long").alias("score"),
+                   F.sum("c").cast("long").alias("n_tokens")))
+    return (scored
+            .groupBy("label", (F.col("score") > 0).alias("predicted"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"))
+            .orderBy("label", "predicted"))
+
+
+_T24_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source = '{_T17_REF_SOURCE}' AS label, w
+  FROM (SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''),
+counts AS (
+  SELECT doc_id, MIN(CAST(label AS INT)) = 1 AS label,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_T16_DIM} AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_T16_DIM}),
+train_doc AS (
+  SELECT doc_id, MIN(y) AS y,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_T16_DIM} AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               CASE WHEN source = '{_T17_REF_SOURCE}' THEN 1 ELSE 0 END AS y,
+               w
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> '') GROUP BY doc_id,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_T16_DIM}),
+wts AS (
+  SELECT h,
+         LEAST(GREATEST(
+             CAST(FLOOR(2.0e0 * {_T16_WSCALE}.0e0
+                        * CAST(SUM(c * (2 * y - 1)) AS BIGINT)
+                        / CAST(SUM(c * c) + {_T23_L2x4} AS DOUBLE)
+                        + 0.5e0) AS BIGINT),
+             -{_T16_WSCALE}), {_T16_WSCALE}) AS wt
+  FROM train_doc GROUP BY h),
+scored AS (
+  SELECT doc_id, MIN(CAST(label AS INT)) = 1 AS label,
+         CAST(SUM(c * wt) AS BIGINT) AS score,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM counts JOIN wts USING (h) GROUP BY doc_id)
+SELECT label, score > 0 AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM scored GROUP BY label, score > 0
+ORDER BY label, predicted
+"""
+
+
 QUERIES = {
+    "t24_classifier_apply": t24_classifier_apply,
+    "t23_classifier_train": t23_classifier_train,
     "t22_unigram_lm_encode": t22_unigram_lm_encode,
     "t21_unigram_lm_train": t21_unigram_lm_train,
     "t20_kneser_ney_logprob": t20_kneser_ney_logprob,
@@ -1728,6 +1901,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t24_classifier_apply": _T24_SQL,
+    "t23_classifier_train": _T23_SQL,
     "t22_unigram_lm_encode": _T22_SQL,
     "t21_unigram_lm_train": _T21_SQL,
     "t20_kneser_ney_logprob": _T20_SQL,

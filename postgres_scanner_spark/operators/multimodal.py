@@ -1600,6 +1600,12 @@ FROM g ORDER BY page_id
 _M15_SAMPLES = 65     # 65 nearest-neighbor samples -> 64 difference bits
 _M15_R = 3            # Hamming radius; 4 x 16-bit bands guarantee a
                       # band match for any pair within it (pigeonhole)
+_M15_MAX_DF = 64      # band-bucket occupancy above which the bucket is
+                      # refined by second-level sub-bands instead of
+                      # self-joined directly (r11 verdict: 16-bit band
+                      # values over text-derived signatures concentrate
+                      # on byte rhythm, so unbounded buckets go
+                      # quadratic at 100x corpus)
 
 
 def _m15_pos(i, n):
@@ -1628,8 +1634,27 @@ def m15_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly on ≥1 band (pigeonhole), so candidates come from
     4 equi-join buckets — never an all-pairs scan — and the full
     Hamming distance (Σ bit_count(xor(band))) verifies candidates.
-    Planted last-byte mutants (+300000) flip ≤2 difference bits and
-    must land inside the radius; exact copies (+100000) at 0.
+    Planted last-byte mutants (+2P) flip ≤2 difference bits and must
+    land inside the radius; exact copies (+P) at 0 — with
+    P = max(doc_id)+1 so plant ids stay disjoint from real ids at
+    EVERY corpus size (r11 advice: the old fixed +100000/+300000
+    offsets collide with real ids once the corpus passes 100k docs,
+    which sf1/sf10 already do).
+
+    Hot buckets (r11 verdict): band values over text-derived
+    signatures concentrate on the corpus's byte rhythm, so a single
+    (k, band-value) bucket's occupancy grows with corpus size and its
+    within-bucket self-join goes quadratic. Buckets above _M15_MAX_DF
+    are therefore RE-BANDED one level down instead of self-joined:
+    the 48 complement bits (the other 3 bands) split into 4 × 12-bit
+    sub-bands, and the pigeonhole argument recurses — a radius-3 pair
+    that agrees exactly on band k has ≤3 flips left among those 48
+    bits, so it agrees exactly on ≥1 of the 4 sub-bands. Candidate
+    coverage is EXACTLY preserved (same result set, same oracle); hot
+    buckets shrink multiplicatively (×2^12 sub-bucket keys). Exact-
+    signature clusters stay together at every level, but their pairs
+    are genuine radius-0 output — quadratic in the RESULT, not the
+    algorithm.
 
     Scale shape (100 TB): the signature is one codegen pass over the
     corpus (65 unrolled char probes, no shuffle); only (k, 16-bit
@@ -1639,14 +1664,22 @@ def m15_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..runtime import scratch_persist
     tables.ensure_session_defaults(spark)
     d = tables.load(spark, sf_dir, "documents")
+    # plant offset P = max(doc_id)+1: one single-column agg driver-side
+    # (footer-cheap relative to the corpus pass), matching the oracle's
+    # scalar subquery — sound at any corpus size: plants land strictly
+    # above every real id, and since every planted doc_id ≤ max < P
+    # the copy family stays inside [P, 2P) and the mutant family
+    # inside [2P, 3P), never colliding with each other either
+    mx = d.agg(F.max("doc_id")).first()[0]
+    p_off = int(mx or 0) + 1
     mut = (d.filter(F.col("doc_id") < 10)
-           .select((F.col("doc_id") + 300000).alias("doc_id"),
+           .select((F.col("doc_id") + F.lit(2 * p_off)).alias("doc_id"),
                    F.expr("concat(substr(text, 1, length(text)-1), 'z')")
                    .alias("text")))
     corpus = (d.select("doc_id", "text")
               .unionByName(
                   d.filter(F.col("doc_id") < 10)
-                  .select((F.col("doc_id") + 100000).alias("doc_id"),
+                  .select((F.col("doc_id") + F.lit(p_off)).alias("doc_id"),
                           "text"))
               .unionByName(mut)
               .filter(F.length("text") >= _M15_SAMPLES))
@@ -1661,16 +1694,51 @@ def m15_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1 << j) for j in range(16)).alias(f"band{k}")
         for k in range(4)]
     sig = scratch_persist(sig.select("doc_id", *bands))
-    bl = sig.select("doc_id", F.expr(
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (k, bv)"))
-    cand = (bl.alias("a")
-            .join(bl.alias("b"),
-                  (F.col("a.k") == F.col("b.k"))
-                  & (F.col("a.bv") == F.col("b.bv"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    bl = sig.select("doc_id", "band0", "band1", "band2", "band3",
+                    F.expr("stack(4, 0, band0, 1, band1, 2, band2, "
+                           "3, band3) AS (k, bv)"))
+    # bucket occupancy decides the path; the count shuffles the same
+    # (k, bv) key the bucket join needs, so no extra exchange shape
+    occ = bl.groupBy("k", "bv").count()
+    bl = scratch_persist(bl.join(occ, ["k", "bv"]))
+    cold = bl.filter(F.col("count") <= _M15_MAX_DF)
+    cand_cold = (cold.alias("a")
+                 .join(cold.alias("b"),
+                       (F.col("a.k") == F.col("b.k"))
+                       & (F.col("a.bv") == F.col("b.bv"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b")))
+    # hot path: 12-bit sub-bands over the 48 complement bits of band k.
+    # Pack the 3 complement bands in index order, 16 bits each:
+    # comp = b_lo | b_mid << 16 | b_hi << 32 (the layout only needs to
+    # be deterministic GIVEN k, and both sides of a bucket share k)
+    others = F.filter(
+        F.array(*[F.struct(F.lit(kk).alias("i"),
+                           F.col(f"band{kk}").cast("bigint").alias("v"))
+                  for kk in range(4)]),
+        lambda s: s["i"] != F.col("k"))
+    comp = (F.element_at(others, 1)["v"]
+            + F.shiftleft(F.element_at(others, 2)["v"], 16)
+            + F.shiftleft(F.element_at(others, 3)["v"], 32))
+    hot = (bl.filter(F.col("count") > _M15_MAX_DF)
+           .select("doc_id", "k", "bv", comp.alias("comp")))
+    hot = hot.select(
+        "doc_id", "k", "bv",
+        F.expr("stack(4, 0, shiftright(comp, 0)  & 4095, "
+               "1, shiftright(comp, 12) & 4095, "
+               "2, shiftright(comp, 24) & 4095, "
+               "3, shiftright(comp, 36) & 4095) AS (j, sbv)"))
+    cand_hot = (hot.alias("a")
+                .join(hot.alias("b"),
+                      (F.col("a.k") == F.col("b.k"))
+                      & (F.col("a.bv") == F.col("b.bv"))
+                      & (F.col("a.j") == F.col("b.j"))
+                      & (F.col("a.sbv") == F.col("b.sbv"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b")))
+    cand = cand_cold.unionByName(cand_hot).distinct()
     ham = sum(F.bit_count(F.col(f"sa.band{k}")
                           .bitwiseXOR(F.col(f"sb.band{k}")))
               for k in range(4)).cast("int")
@@ -1699,12 +1767,17 @@ def _m15_sql() -> str:
     hamming = " + ".join(
         f"bit_count(xor(sa.band{k}, sb.band{k}))" for k in range(4))
     return f"""
-WITH corpus AS (
+WITH poff AS (
+  SELECT CAST(COALESCE(MAX(doc_id), 0) + 1 AS BIGINT) AS p
+  FROM documents),
+corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+  SELECT doc_id + (SELECT p FROM poff), text
+  FROM documents WHERE doc_id < 10
   UNION ALL
-  SELECT doc_id + 300000, substr(text, 1, length(text)-1) || 'z'
+  SELECT doc_id + 2 * (SELECT p FROM poff),
+         substr(text, 1, length(text)-1) || 'z'
   FROM documents WHERE doc_id < 10),
 c2 AS (
   SELECT doc_id, text, length(text) AS n FROM corpus

@@ -52,6 +52,7 @@ import re
 import socket
 import ssl as _ssl
 import struct
+import time as _time          # datetime.time is imported below
 import unicodedata
 from collections import namedtuple
 from datetime import date, datetime, time, timezone
@@ -533,11 +534,15 @@ class _Proto:
             # THAT, not the bare OS error, matching what libpq shows.
             # Bound the drain with a short timeout: a half-open peer
             # (ETIMEDOUT/ENOBUFS with nothing readable) must not hang
-            # the error path forever (r10 advice).
+            # the error path forever (r10 advice). The per-read timeout
+            # alone is not a total bound — a peer that keeps streaming
+            # readable non-error messages resets it every message — so
+            # cap the whole drain with a wall deadline too (r11 advice).
             old_to = self.sock.gettimeout()
+            deadline = _time.monotonic() + 5.0
             try:
                 self.sock.settimeout(2.0)
-                while True:
+                while _time.monotonic() < deadline:
                     self.read_msg()   # raises Error on the pending 'E'
             except ConnectionClosed:
                 # clean EOF, no ErrorResponse pending — fall through

@@ -80,15 +80,33 @@ def _lint_stream_plan(q) -> None:
     if "CartesianProduct" in plan:
         raise AssertionError(
             f"streaming plan contains CartesianProduct:\n{plan}")
-    for line in plan.splitlines():
-        s = line.strip().lstrip("+-*: ").strip()
-        # physical Window prints "Window [funcs], [part], [order]"
-        # (3 groups) when partitioned, "Window [funcs], [order]"
-        # (2 groups = one "], [" separator) when global
-        if s.startswith("Window ") and s.count("], [") == 1:
-            raise AssertionError(
-                f"streaming plan contains an UNPARTITIONED window "
-                f"(all rows to one task): {s[:160]}")
+    # Unpartitioned-window check reads partitionSpec() off the executed
+    # plan OBJECTS rather than counting "], [" groups in the text form:
+    # Spark elides empty arg lists when printing, so a partitioned
+    # window with an empty ORDER BY prints the same two bracket groups
+    # as a global window and the text heuristic false-positives (r11
+    # advice). The object walk is exact for every *Window*Exec variant.
+    try:
+        root = q._jsq.streamingQuery().lastExecution().executedPlan()
+    except Exception:
+        return          # wrapper/plan shape changed — text lint above ran
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if "Window" in name:
+            try:
+                unpartitioned = node.partitionSpec().isEmpty()
+            except Exception:
+                unpartitioned = False   # variant without a partitionSpec
+            if unpartitioned:
+                raise AssertionError(
+                    f"streaming plan contains an UNPARTITIONED window "
+                    f"(all rows to one task): {name}: "
+                    f"{node.simpleString(160)}")
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
 
 
 def _stage_symlink(src: str) -> str:

@@ -196,25 +196,28 @@ def test_d26_matches_oracle_sf0001(spark):
 # ---------------------------------------------------------------------
 
 def test_m15_plants_and_radius(spark):
-    """Exact copies (+100000) must pair with their originals at
-    hamming 0; last-byte mutants (+300000) flip at most 2 difference
-    bits and must land within the radius; all reported pairs honor
-    hamming <= 3 and doc_a < doc_b."""
+    """Exact copies (+P) must pair with their originals at hamming 0;
+    last-byte mutants (+2P) flip at most 2 difference bits and must
+    land within the radius; all reported pairs honor hamming <= 3 and
+    doc_a < doc_b. P = max(doc_id)+1 (r12: derived offset, so plant
+    ids stay disjoint from real ids at any corpus size)."""
     from postgres_scanner_spark.operators.multimodal import (
         _M15_SAMPLES, m15_dhash_neardup)
     sf = "/root/testdata/sf0.001"
     rows = m15_dhash_neardup(spark, sf).collect()
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p = docs.agg({"doc_id": "max"}).first()[0] + 1
     long_ids = {r.doc_id for r in
-                spark.read.parquet(f"{sf}/documents.parquet")
-                .filter(f"length(text) >= {_M15_SAMPLES} AND doc_id < 10")
+                docs.filter(f"length(text) >= {_M15_SAMPLES} "
+                            "AND doc_id < 10")
                 .select("doc_id").collect()}
     assert long_ids, "corpus too short for the test to mean anything"
     for i in long_ids:
-        assert pairs.get((i, i + 100000)) == 0, f"copy pair {i}"
-        assert pairs.get((i, i + 300000), 99) <= 2, f"mutant pair {i}"
+        assert pairs.get((i, i + p)) == 0, f"copy pair {i}"
+        assert pairs.get((i, i + 2 * p), 99) <= 2, f"mutant pair {i}"
         # copy and mutant of the same doc differ by the same <=2 bits
-        assert pairs.get((i + 100000, i + 300000), 99) <= 2
+        assert pairs.get((i + p, i + 2 * p), 99) <= 2
     assert all(h <= 3 for h in pairs.values())
     assert all(a < b for a, b in pairs)
 

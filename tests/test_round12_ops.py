@@ -1,0 +1,142 @@
+"""Round-12 operator truth pins: M15's two-level hot-bucket
+re-banding (semantics-preserving — the hot path must return exactly
+the naive path's pairs) and the plant-offset guard."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, name, texts, first_id=0, sources=None):
+    rows = [{"doc_id": first_id + i, "text": t, "lang": "en",
+             "source": (sources[i] if sources else "s"),
+             "n_chars": len(t)}
+            for i, t in enumerate(texts)]
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    return d
+
+
+# ---------------------------------------------------------------------
+# M15 hot-bucket re-banding
+# ---------------------------------------------------------------------
+
+def test_m15_hot_path_equals_cold_path(spark, monkeypatch, tmp_path):
+    """Force EVERY bucket down the sub-band refinement path
+    (_M15_MAX_DF = 0) and require the result to be identical to the
+    default run — the pigeonhole recursion must preserve candidate
+    coverage exactly, not approximately."""
+    from postgres_scanner_spark.operators import multimodal as mm
+    ramp = "".join(chr(65 + (i % 26)) for i in range(100))
+    texts = [ramp,                       # near-pair with the mutant
+             ramp[:50] + "z" + ramp[51:],
+             "".join(chr(65 + (i * 17 % 26)) for i in range(100)),
+             "".join(chr(97 + (i * 5 % 26)) for i in range(120)),
+             ramp[::-1]]
+    d = _write_docs(tmp_path, "sfm15hot", texts)
+    base = [tuple(r) for r in
+            mm.m15_dhash_neardup(spark, str(d)).collect()]
+    monkeypatch.setattr(mm, "_M15_MAX_DF", 0)
+    hot = [tuple(r) for r in
+           mm.m15_dhash_neardup(spark, str(d)).collect()]
+    assert hot == base
+    assert (0, 1) in {(a, b) for a, b, _ in base}
+
+
+def test_m15_hot_path_on_real_corpus(spark, monkeypatch):
+    """Same equivalence on the sf0.001 corpus (plants included):
+    every planted copy/mutant pair survives the refinement path."""
+    from postgres_scanner_spark.operators import multimodal as mm
+    sf = "/root/testdata/sf0.001"
+    base = [tuple(r) for r in mm.m15_dhash_neardup(spark, sf).collect()]
+    monkeypatch.setattr(mm, "_M15_MAX_DF", 0)
+    hot = [tuple(r) for r in mm.m15_dhash_neardup(spark, sf).collect()]
+    assert hot == base and len(base) > 0
+
+
+# ---------------------------------------------------------------------
+# T23 classifier train / T24 apply (fastText-style, diagonal-Newton)
+# ---------------------------------------------------------------------
+
+def _t23_corpus(tmp_path, name):
+    """aa/bb/cc/dd hash to distinct buckets 36/45/43/50 (asserted);
+    5 positive 'dd' docs push that bucket past the weight clamp."""
+    import hashlib
+    hs = {w: int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 64
+          for w in ("aa", "bb", "cc", "dd")}
+    assert len(set(hs.values())) == 4, hs
+    texts = ["aa bb", "aa cc cc"] + ["dd"] * 5
+    sources = ["src0", "src1"] + ["src0"] * 5
+    return _write_docs(tmp_path, name, texts, sources=sources), hs
+
+
+def test_t23_hand_truth(spark, tmp_path):
+    """One diagonal-Newton step from w=0, computed by hand:
+      h(aa): docs (y=1,c=1),(y=0,c=1) -> g2=0,  h4=6, wt=0
+      h(dd): 5 docs (y=1,c=1)         -> g2=5,  h4=9, wt=clamp(1111)=1000
+      h(bb): (y=1,c=1)                -> g2=1,  h4=5, wt=400
+      h(cc): (y=0,c=2)                -> g2=-2, h4=8, wt=-500"""
+    from postgres_scanner_spark.functions.text import t23_classifier_train
+    d, hs = _t23_corpus(tmp_path, "sft23")
+    got = {r.h: (r.n_docs, r.n_tokens, r.g2, r.h4, r.wt)
+           for r in t23_classifier_train(spark, str(d)).collect()}
+    assert got == {hs["aa"]: (2, 2, 0, 6, 0),
+                   hs["dd"]: (5, 5, 5, 9, 1000),
+                   hs["bb"]: (1, 1, 1, 5, 400),
+                   hs["cc"]: (1, 2, -2, 8, -500)}
+
+
+def test_t24_hand_truth(spark, tmp_path):
+    """Scores with the trained layer: doc0 = 400 (T,T), doc1 = -1000
+    (F,F), dd docs = 1000 each (T,T) -> perfect confusion matrix."""
+    from postgres_scanner_spark.functions.text import t24_classifier_apply
+    d, _ = _t23_corpus(tmp_path, "sft24")
+    got = [tuple(r) for r in t24_classifier_apply(spark, str(d)).collect()]
+    assert got == [(False, False, 1, 3), (True, True, 6, 7)]
+
+
+@pytest.mark.parametrize("op", ["t23", "t24"])
+def test_t23_t24_match_oracle_sf0001(spark, op):
+    import duckdb
+    from postgres_scanner_spark.functions.text import (
+        _T23_SQL, _T24_SQL, t23_classifier_train, t24_classifier_apply)
+    fn = t23_classifier_train if op == "t23" else t24_classifier_apply
+    sql = _T23_SQL if op == "t23" else _T24_SQL
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in fn(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_m15_plant_offset_scales_with_corpus(spark, tmp_path):
+    """Plant offsets derive from max(doc_id)+1 (r11 advice), so a
+    corpus living ABOVE the old fixed +100000 offset still gets
+    disjoint plant ids: reals at 100000/100001 -> P = 100002, copy
+    pair at (100000, 200002) with hamming 0."""
+    from postgres_scanner_spark.operators import multimodal as mm
+    ramp = "".join(chr(65 + (i % 26)) for i in range(100))
+    noise = "".join(chr(65 + (i * 17 % 26)) for i in range(100))
+    d = _write_docs(tmp_path, "sfm15big", [ramp, noise], first_id=100000)
+    # plants only copy doc_id < 10, so none exist here — no pairs at
+    # all unless ramp/noise collide (they don't); now add low-id docs
+    rows = mm.m15_dhash_neardup(spark, str(d)).collect()
+    assert rows == []
+    d2 = _write_docs(tmp_path, "sfm15big2", [ramp], first_id=0)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(str(d2 / "documents.parquet"))
+    extra = _pa.Table.from_pylist(
+        [{"doc_id": 100000, "text": noise, "lang": "en", "source": "s",
+          "n_chars": len(noise)}], schema=t.schema)
+    _pq.write_table(_pa.concat_tables([t, extra]),
+                    str(d2 / "documents.parquet"))
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in mm.m15_dhash_neardup(spark, str(d2)).collect()}
+    p = 100001
+    assert pairs.get((0, p)) == 0          # copy plant disjoint from reals
+    assert pairs.get((0, 2 * p), 99) <= 2  # mutant plant within radius
