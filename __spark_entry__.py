@@ -55,25 +55,8 @@ _MODULES = (
 # from the r5 cohort. Regenerate with tools/rotate_order.py
 # --write after each round (--explain shows per-query evidence).
 _COST_ORDER = [
-    "t22_unigram_lm_encode", "d25_chunk_cluster", "d26_neardup_apply",
-    "m15_dhash_neardup", "d16_cdc_chunk_dedup", "t21_unigram_lm_train",
-    "d24_cc_two_phase", "d2_minhash_lsh_dedup", "q21_suppliers_waiting",
-    "ds12_order_size_band", "ds14_shipping_lag", "x7_dataset_card",
-    "ds10_avg_measures", "a9_mih_hamming_ann",
-    "e18_streaming_quality_router", "w17_ohlc_bars",
-    "e19_idempotent_replay", "ds16_above_avg_balance_nations",
-    "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
-    "d15_source_overlap", "x13_neardup_safe_split",
-    "m10_webdataset_samples", "p14_timezone_convert",
-    "x14_snapshot_diff", "d18_doc_novelty", "w9_continuous_aggregate",
-    "w14_first_touch", "w12_range_frame", "w11_grouping_sets",
-    "w10_skew_join", "x6_global_shuffle", "e2_sessionization",
-    "d8_incremental_dedup", "m5_video_container", "ds5_nation_share",
-    "t18_script_id", "a12_ivfpq_ann", "w20_asof_directional",
-    "m3_image_dims", "ds7_yoy_growth", "m8_jsonl_shard_codec",
-    "ds9_channel_rollup", "m6_tar_shard_manifest", "a4_knn_label",
-    "d10_boilerplate_removal", "e12_stream_static_join",
-    "e13_checkpoint_resume", "e11_streaming_sessions", "a5_pq_ann",
+    "t23_classifier_train", "t24_classifier_apply",
+    "d27_scaled_semantic_dedup", "m15_dhash_neardup",
     "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
     "d11_verbatim_spans", "d9_incremental_lsh", "e3_streaming_hourly",
     "e15_stream_left_outer", "e8_stream_stream_join", "d13_dedup_apply",
@@ -130,6 +113,25 @@ _COST_ORDER = [
     "x10_leakage_safe_split", "q14_promo_effect", "w5_lag_delta",
     "ds2_weekday_share", "w7_percentiles", "q17_small_quantity",
     "ds8_customer_cohort", "m2_frame_sample", "e1_hourly_event_rollup",
+    "t22_unigram_lm_encode", "d25_chunk_cluster", "d26_neardup_apply",
+    "d16_cdc_chunk_dedup", "t21_unigram_lm_train", "d24_cc_two_phase",
+    "d2_minhash_lsh_dedup", "q21_suppliers_waiting",
+    "ds12_order_size_band", "ds14_shipping_lag", "x7_dataset_card",
+    "ds10_avg_measures", "a9_mih_hamming_ann",
+    "e18_streaming_quality_router", "w17_ohlc_bars",
+    "e19_idempotent_replay", "ds16_above_avg_balance_nations",
+    "ds17_substr_cohort_revenue", "ds18_multi_exists_cohort",
+    "d15_source_overlap", "x13_neardup_safe_split",
+    "m10_webdataset_samples", "p14_timezone_convert",
+    "x14_snapshot_diff", "d18_doc_novelty", "w9_continuous_aggregate",
+    "w14_first_touch", "w12_range_frame", "w11_grouping_sets",
+    "w10_skew_join", "x6_global_shuffle", "e2_sessionization",
+    "d8_incremental_dedup", "m5_video_container", "ds5_nation_share",
+    "t18_script_id", "a12_ivfpq_ann", "w20_asof_directional",
+    "m3_image_dims", "ds7_yoy_growth", "m8_jsonl_shard_codec",
+    "ds9_channel_rollup", "m6_tar_shard_manifest", "a4_knn_label",
+    "d10_boilerplate_removal", "e12_stream_static_join",
+    "e13_checkpoint_resume", "e11_streaming_sessions", "a5_pq_ann",
 ]
 _RANK = {n: i for i, n in enumerate(_COST_ORDER)}
 

@@ -124,7 +124,10 @@ def _bench_duckdb(oracles: dict[str, str], names: list[str]) -> dict:
 
 
 def main() -> None:
-    os.environ["SPARK_GRAFT_CACHE"] = "1"   # bench mode: partitioned table cache
+    # bench mode: partitioned table cache (size-capped — see
+    # tables._cache_max_bytes). setdefault so an explicit
+    # SPARK_GRAFT_CACHE=0 A/B run can measure the raw-scan path.
+    os.environ.setdefault("SPARK_GRAFT_CACHE", "1")
     sys.path.insert(0, str(_REPO / "tests"))
     from postgres_scanner_spark import get_spark, tables
     from postgres_scanner_spark.runtime import release_scratch

@@ -2806,7 +2806,204 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --------------- D27 scaled SemDeDup: balanced-leaf embedding dedup
+_D27_TAU = _D14_TAU    # same near-dup threshold as D14
+_D27_S = 64            # target leaf size: leaves hold ≤ S+1 vectors,
+                       # so the within-leaf pair space is ≤ L·n·S/2 —
+                       # LINEAR in corpus size (D14's is Σ cluster²
+                       # with a FIXED cluster count: quadratic at 100×)
+_D27_L = 4             # independent projections: a near-pair is found
+                       # if co-leafed under ANY of them, so a boundary
+                       # miss must happen L times independently
+import hashlib as _hashlib
+_D27_W = [[int(_hashlib.md5(f"d27p{l}d{i}".encode()).hexdigest()[:4],
+               16) % 31 - 15 for i in range(64)]
+          for l in range(_D27_L)]   # deterministic projection dirs
+
+
+def d27_scaled_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at scaled cluster count (r11 verdict stretch): D14
+    keeps A6's FIXED k=4 clusters, so its within-cluster pair tiles
+    grow quadratically with the corpus. Here the effective cluster
+    count grows with corpus size instead: inside each of A6's trained
+    clusters, vectors are split into ceil(n_c / S) BALANCED leaves by
+    rank along each of L fixed random projections (the split rule of
+    RP-trees, Dasgupta & Freund 2008; the L-repetition recall
+    amplification is the standard LSH band trick — Charikar 2002's
+    projection family), and near-duplicates are searched only within
+    a leaf. Candidates from all L splits union (DISTINCT) and verify
+    against the signature table, m15-style. Leaves hold ≤ S+1 vectors
+    by construction, so the candidate space is ≤ L·n·S/2 at any
+    corpus size and assignment is LINEAR (L projection dots per
+    vector — no n×K centroid scoring; at 100 TB the split recurses
+    per level, log-depth, still linear per level). Recall: a pair is
+    missed only if EVERY projection cuts it across a leaf boundary —
+    the L-fold analog of SemDeDup's own cluster-boundary miss.
+
+    Planted truth (m15's idiom): exact vector copies (+P) and
+    one-dimension mutants (+2P, x[0]·1.0625 — an exact binary factor,
+    cos ≈ 0.999) of vec_id < 10, P = max(vec_id)+1, INHERIT their
+    source's trained cluster (so D14's clustering is untouched) and
+    must be recovered: a copy shares its source's exact projection
+    scores, so rank tie-breaking makes the pair leaf-adjacent under
+    every projection — a miss needs the quantile cut to land exactly
+    between them L independent times. These pin the high-similarity
+    regime the operator exists for; pairs barely above τ (cos ≈ 0.46
+    on this corpus) may cross leaf boundaries — the SAME accepted
+    boundary miss as SemDeDup's own clusters (Abbas et al. 2023 §3).
+
+    Determinism: projection directions are fixed integer vectors
+    (md5-derived constants baked into BOTH engines' text); score
+    folds run in array-index order (the d14/t17 ordered-fold
+    contract); ranks tie-break by vec_id; the leaf index is pure
+    integer arithmetic ((rank-1)·k2 div n). Survivor rule and cos
+    verification are exactly D14's (min-id witness, det_round 5).
+
+    Scale shape (100 TB): embeddings shuffle once on (cluster, l) for
+    the ranked splits and once on (cluster, l, sub) for the leaf
+    self-join over (id, norm-free) keys; verification joins the slim
+    (vec_id, x, norm) signature table; nothing quadratic ever
+    materializes."""
+    from .. import tables
+    from .ann import km_trained_assignment
+    from pyspark.sql.window import Window
+    e = tables.load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"))
+    p_off = int(vecs.agg(F.max("vec_id")).first()[0] or 0) + 1
+    a2 = km_trained_assignment(vecs)
+
+    def dot(u: Column, v: Column) -> Column:
+        return F.aggregate(F.zip_with(u, v, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, z: acc + z)
+
+    base = a2.select("vec_id", "x",
+                     F.col("cluster").cast("int").alias("cluster"))
+    seeds = base.filter(F.col("vec_id") < 10)
+    mut_x = F.concat(F.array(F.element_at("x", 1) * F.lit(1.0625)),
+                     F.slice("x", 2, 63))
+    plants = (seeds.select((F.col("vec_id") + F.lit(p_off))
+                           .alias("vec_id"), "x", "cluster")
+              .unionByName(
+                  seeds.select((F.col("vec_id") + F.lit(2 * p_off))
+                               .alias("vec_id"),
+                               mut_x.alias("x"), "cluster")))
+    sig = scratch_persist(
+        base.unionByName(plants)
+        .select("vec_id", "x", "cluster",
+                F.sqrt(dot(F.col("x"), F.col("x"))).alias("norm")))
+    scores = [dot(F.col("x"), F.array(*[F.lit(float(w)) for w in wl]))
+              for wl in _D27_W]
+    stack = ", ".join(f"{l}, s{l}" for l in range(_D27_L))
+    proj = (sig.select(
+        "vec_id", "cluster",
+        *[s.alias(f"s{l}") for l, s in enumerate(scores)])
+        .select("vec_id", "cluster",
+                F.expr(f"stack({_D27_L}, {stack}) AS (l, score)")))
+    win = Window.partitionBy("cluster", "l").orderBy("score", "vec_id")
+    sz = proj.groupBy("cluster", "l").agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.count("*") + F.lit(_D27_S - 1))
+         .cast("long") / F.lit(_D27_S)).cast("long").alias("k2"))
+    leaf = (proj.withColumn("rn", F.row_number().over(win))
+            .join(F.broadcast(sz), ["cluster", "l"])
+            .select("vec_id", "cluster", "l",
+                    F.expr("CAST((rn - 1) * k2 DIV n AS INT)")
+                    .alias("sub")))
+    rhs = leaf.select(F.col("cluster").alias("cl2"),
+                      F.col("l").alias("l2"),
+                      F.col("sub").alias("sub2"),
+                      F.col("vec_id").alias("vec_id2"))
+    cand = (leaf.join(
+        rhs, (F.col("cluster") == F.col("cl2"))
+        & (F.col("l") == F.col("l2"))
+        & (F.col("sub") == F.col("sub2"))
+        & (F.col("vec_id") < F.col("vec_id2")))
+        .select(F.col("vec_id").alias("u"),
+                F.col("vec_id2").alias("v"),
+                F.col("cluster").alias("cl"))
+        .distinct())
+    cos = dot(F.col("sa.x"), F.col("sb.x")) / (F.col("sa.norm")
+                                               * F.col("sb.norm"))
+    pairs = (cand
+             .join(sig.alias("sa"), F.col("u") == F.col("sa.vec_id"))
+             .join(sig.alias("sb"), F.col("v") == F.col("sb.vec_id"))
+             .select("u", "v", F.col("cl").alias("cluster"),
+                     det_round(cos, 5).alias("cos_sim"))
+             .filter(F.col("cos_sim") > _D27_TAU))
+    return (pairs.groupBy("v", "cluster")
+            .agg(F.min(F.struct("u", "cos_sim")).alias("w"))
+            .select(F.col("v").alias("dropped_vec"),
+                    F.col("w.u").alias("kept_vec"),
+                    "cluster",
+                    F.col("w.cos_sim").alias("cos_sim"))
+            .orderBy("dropped_vec"))
+
+
+def _d27_sql() -> str:
+    from .ann import _km_sql_ctes
+    dt = ("list_sum(list_transform(range(len({u})), "
+          "i -> {u}[i+1] * {v}[i+1]))")
+    score_arms = " ".join(
+        "WHEN {l} THEN {d}".format(
+            l=l, d=dt.format(
+                u="x", v="[" + ", ".join(f"{w}.0e0" for w in wl) + "]"))
+        for l, wl in enumerate(_D27_W))
+    cos = (f"FLOOR(({dt.format(u='sa.x', v='sb.x')}"
+           " / (sa.norm * sb.norm)) * 100000.0 + 0.5) / 100000.0")
+    return f"""
+WITH {_km_sql_ctes()},
+poff AS (
+  SELECT CAST(COALESCE(MAX(vec_id), 0) + 1 AS BIGINT) AS p FROM vecs),
+base AS (
+  SELECT a2.vec_id, CAST(a2.cluster AS INT) AS cluster, v.x
+  FROM a2 JOIN vecs v USING (vec_id)),
+withplants AS (
+  SELECT vec_id, cluster, x FROM base
+  UNION ALL
+  SELECT vec_id + (SELECT p FROM poff), cluster, x
+  FROM base WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 2 * (SELECT p FROM poff), cluster,
+         list_prepend(x[1] * 1.0625e0, x[2:]) AS x
+  FROM base WHERE vec_id < 10),
+sig AS MATERIALIZED (
+  SELECT vec_id, cluster, x,
+         sqrt({dt.format(u='x', v='x')}) AS norm
+  FROM withplants),
+proj AS (
+  SELECT vec_id, cluster, l, CASE l {score_arms} END AS score
+  FROM sig CROSS JOIN (SELECT unnest(range({_D27_L})) AS l)),
+sz AS (
+  SELECT cluster, l, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST((COUNT(*) + {_D27_S - 1}) // {_D27_S} AS BIGINT) AS k2
+  FROM proj GROUP BY cluster, l),
+leaf AS (
+  SELECT vec_id, cluster, l,
+         CAST((row_number() OVER (PARTITION BY cluster, l
+                                  ORDER BY score, vec_id) - 1)
+              * k2 // n AS INT) AS sub
+  FROM proj JOIN sz USING (cluster, l)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v, a.cluster
+  FROM leaf a JOIN leaf b
+    ON a.cluster = b.cluster AND a.l = b.l AND a.sub = b.sub
+   AND a.vec_id < b.vec_id),
+prs AS (
+  SELECT u, v, cand.cluster AS cluster, {cos} AS cos_sim
+  FROM cand
+  JOIN sig sa ON u = sa.vec_id
+  JOIN sig sb ON v = sb.vec_id
+  WHERE {cos} > {_D27_TAU})
+SELECT v AS dropped_vec, MIN(u) AS kept_vec, cluster,
+       arg_min(cos_sim, u) AS cos_sim
+FROM prs GROUP BY v, cluster ORDER BY dropped_vec
+"""
+
+
 QUERIES = {
+    "d27_scaled_semantic_dedup": d27_scaled_semantic_dedup,
     "d26_neardup_apply": d26_neardup_apply,
     "d25_chunk_cluster": d25_chunk_cluster,
     "d24_cc_two_phase": d24_cc_two_phase,
@@ -2836,6 +3033,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "d27_scaled_semantic_dedup": _d27_sql(),
     "d26_neardup_apply": _d26_sql(),
     "d25_chunk_cluster": _D25_SQL,
     "d24_cc_two_phase": _D6_SQL,   # same spec, different machine

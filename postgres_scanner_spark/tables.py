@@ -58,6 +58,20 @@ def ensure_session_defaults(spark: SparkSession) -> None:
         pass
 
 
+def _cache_max_bytes() -> int:
+    """Per-table cache admission cap (bench mode). Tables larger than
+    this on disk are NOT persisted: at big SF the corpus-sized caches
+    (lineitem sf10 ≈ 2.4 GB parquet → several GB columnar) overflow
+    the storage pool once a heavy query's own intermediates arrive,
+    blocks silently evict, and the NEXT query over that table pays a
+    full recompute of the repartition — measured as the r11/r12
+    slow-draw mode (q9 task CPU doubling run-to-run with zero spill).
+    A 1000-executor deployment would not RAM-pin its fact table
+    either; dims stay cached, facts stream from parquet via the OS
+    page cache. Override with SPARK_GRAFT_CACHE_MAX_MB."""
+    return int(os.environ.get("SPARK_GRAFT_CACHE_MAX_MB", "512")) << 20
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     path = f"{sf_dir}/{name}.parquet"
@@ -66,11 +80,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark._jsparkSession), sf_dir, name)
     if key not in _CACHE:
         df = spark.read.parquet(path)
-        k = _KEYS.get(name)
-        n = spark.sparkContext.defaultParallelism
-        if k is not None:
-            df = df.repartition(n, k)
-        _CACHE[key] = df.persist()
+        try:
+            big = os.path.getsize(path) > _cache_max_bytes()
+        except OSError:
+            big = False
+        if big:
+            # raw scan: no persist (eviction churn) and no eager
+            # repartition (an unpersisted exchange is a full-table
+            # shuffle paid per query whether or not the plan wants
+            # that key) — each plan schedules its own exchanges
+            _CACHE[key] = df
+        else:
+            k = _KEYS.get(name)
+            n = spark.sparkContext.defaultParallelism
+            if k is not None:
+                df = df.repartition(n, k)
+            _CACHE[key] = df.persist()
     return _CACHE[key]
 
 

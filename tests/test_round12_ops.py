@@ -57,6 +57,63 @@ def test_m15_hot_path_on_real_corpus(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------
+# D27 scaled SemDeDup (balanced random-projection leaves)
+# ---------------------------------------------------------------------
+
+def test_d27_matches_oracle_sf0001(spark):
+    import duckdb
+    from postgres_scanner_spark.operators.dedup import (
+        _d27_sql, d27_scaled_semantic_dedup)
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in d27_scaled_semantic_dedup(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = [tuple(r) for r in con.execute(_d27_sql()).fetchall()]
+    assert got == want
+
+
+def test_d27_small_leaves_match_oracle(spark, monkeypatch):
+    """Shrinking the leaf target (S=8) forces many balanced splits on
+    the 500-vector corpus; the oracle (regenerated with the same S)
+    must still agree — the leaf-index arithmetic is what's on trial."""
+    import duckdb
+    from postgres_scanner_spark.operators import dedup as dd
+    monkeypatch.setattr(dd, "_D27_S", 8)
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r)
+           for r in dd.d27_scaled_semantic_dedup(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = [tuple(r) for r in con.execute(dd._d27_sql()).fetchall()]
+    assert got == want
+
+
+def test_d27_plants_and_subset_of_d14(spark):
+    """The planted high-similarity pairs — the regime the operator
+    exists for — must ALL be recovered: every copy (+P) drops with
+    its source as witness, every mutant (+2P) drops. Restricted to
+    real ids, D27's drops must be a subset of D14's (leaves only
+    shrink the candidate space; plants inherit clusters so D14's
+    clustering is untouched)."""
+    from postgres_scanner_spark.operators.dedup import (
+        d14_semantic_dedup, d27_scaled_semantic_dedup)
+    sf = "/root/testdata/sf0.001"
+    rows = d27_scaled_semantic_dedup(spark, sf).collect()
+    drops = {r.dropped_vec: r.kept_vec for r in rows}
+    import pyarrow.parquet as pq
+    p = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"])
+    p = max(p.column(0).to_pylist()) + 1
+    for i in range(10):
+        assert drops.get(i + p) == i, f"copy plant {i}"
+        assert i + 2 * p in drops, f"mutant plant {i}"
+    d27_real = {v for v in drops if v < p}
+    d14 = {r.dropped_vec for r in d14_semantic_dedup(spark, sf).collect()}
+    assert d27_real <= d14
+
+
+# ---------------------------------------------------------------------
 # T23 classifier train / T24 apply (fastText-style, diagonal-Newton)
 # ---------------------------------------------------------------------
 
