@@ -165,7 +165,11 @@ def main() -> None:
     if data_bytes <= 0:
         raise SystemExit(f"bench: no parquet found under {SF_DIR!r} — "
                          "wrong SPARK_GRAFT_SF_DIR?")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # SPARK_GRAFT_BENCH_AQE=1 flips AQE on for A/B runs (r11 ask #5:
+    # re-examine the AQE-off choice with per-run spread, not means)
+    spark.conf.set("spark.sql.adaptive.enabled",
+                   "true" if os.environ.get("SPARK_GRAFT_BENCH_AQE") == "1"
+                   else "false")
     spark.conf.set("spark.sql.shuffle.partitions",
                    "8" if data_bytes < (500 << 20) else CPUS)
     tables.warm(spark, SF_DIR)

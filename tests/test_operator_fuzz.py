@@ -239,3 +239,155 @@ def test_t22_fuzz_matches_oracle(spark, rows):
         assert got == exp, (rows, got, exp)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- r12
+@st.composite
+def _labeled_corpora(draw):
+    # tiny alphabet → maximal md5-bucket collisions; sources split
+    # across the weak-label boundary (src0 = positive) including
+    # all-positive / all-negative corpora, where g2 = ±Σc and the
+    # clamp arms of T23's weight quantizer are hit
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    docs = draw(st.lists(st.lists(word, min_size=1, max_size=8),
+                         min_size=1, max_size=8))
+    srcs = draw(st.lists(st.sampled_from(["src0", "src1", "src2"]),
+                         min_size=len(docs), max_size=len(docs)))
+    return [{"doc_id": i, "text": " ".join(ws), "lang": "en",
+             "source": srcs[i], "n_chars": 1}
+            for i, ws in enumerate(docs)]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_labeled_corpora())
+def test_t23_fuzz_matches_oracle(spark, rows):
+    from postgres_scanner_spark.functions.text import (
+        _T23_SQL, t23_classifier_train)
+    d = _write_docs(rows)
+    try:
+        got = sorted(tuple(r) for r in
+                     t23_classifier_train(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(_T23_SQL, d))
+        assert got == exp, (rows, got, exp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_labeled_corpora())
+def test_t24_fuzz_matches_oracle(spark, rows):
+    from postgres_scanner_spark.functions.text import (
+        _T24_SQL, t24_classifier_apply)
+    d = _write_docs(rows)
+    try:
+        got = sorted(tuple(r) for r in
+                     t24_classifier_apply(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(_T24_SQL, d))
+        assert got == exp, (rows, got, exp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@st.composite
+def _byte_signal_corpora(draw):
+    # ≥65-char texts over a 2-4 letter alphabet: dHash bands
+    # concentrate maximally (the hot-bucket regime), plus exact
+    # repeats so the banded join always has work; the hot-path cap is
+    # drawn too — 0 forces EVERY bucket down the sub-band refinement,
+    # and the oracle (cap-independent by the pigeonhole recursion)
+    # must agree regardless
+    alpha = draw(st.sampled_from(["ab", "abc", "abcd"]))
+    n = draw(st.integers(min_value=2, max_value=8))
+    texts = [
+        "".join(draw(st.sampled_from(alpha))
+                for _ in range(draw(st.integers(65, 90))))
+        for _ in range(n)]
+    if draw(st.booleans()) and texts:
+        texts.append(texts[0])          # exact repeat
+    cap = draw(st.sampled_from([0, 2, 64]))
+    return [{"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)} for i, t in enumerate(texts)], cap
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rc=_byte_signal_corpora())
+def test_m15_fuzz_matches_oracle(spark, rc):
+    from postgres_scanner_spark.operators import multimodal as mm
+    rows, cap = rc
+    d = _write_docs(rows)
+    old = mm._M15_MAX_DF
+    try:
+        mm._M15_MAX_DF = cap
+        got = sorted(tuple(r) for r in
+                     mm.m15_dhash_neardup(spark, d).collect())
+        exp = sorted(tuple(r) for r in _oracle(mm._m15_sql(), d))
+        assert got == exp, (rows, cap, got, exp)
+    finally:
+        mm._M15_MAX_DF = old
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_embeddings(vecs):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = f"/tmp/opfuzz_{uuid.uuid4().hex}"
+    os.makedirs(d)
+    rows = [{"vec_id": i, "embedding": v, "label": "l"}
+            for i, v in enumerate(vecs)]
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/embeddings.parquet")
+    return d
+
+
+@st.composite
+def _tied_embeddings(draw):
+    # coordinates from a 5-value set → massive projection-score and
+    # distance TIES (the rank tie-break and lower-centroid-id rules
+    # are what's on trial); dim 0 forced nonzero so norms never
+    # vanish; the leaf target S is drawn down to 2 to force deep
+    # balanced splits on tiny corpora
+    n = draw(st.integers(min_value=2, max_value=24))
+    vals = [0.0, 0.5, 1.0, -1.0, 0.25]
+    vecs = [[draw(st.sampled_from(vals)) for _ in range(64)]
+            for _ in range(n)]
+    for v in vecs:
+        v[0] = draw(st.sampled_from([1.0, 0.5, -1.0]))
+    s = draw(st.sampled_from([2, 8, 64]))
+    return vecs, s
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(vs=_tied_embeddings())
+def test_d27_fuzz_matches_oracle(spark, vs):
+    from postgres_scanner_spark.operators import dedup as dd
+    vecs, s = vs
+    d = _write_embeddings(vecs)
+    old = dd._D27_S
+    try:
+        dd._D27_S = s
+        got = sorted(tuple(r) for r in
+                     dd.d27_scaled_semantic_dedup(spark, d).collect())
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                        f"'{d}/embeddings.parquet'")
+            exp = sorted(tuple(r) for r in
+                         con.execute(dd._d27_sql()).fetchall())
+        finally:
+            con.close()
+        assert got == exp, (vecs, s, got, exp)
+    finally:
+        dd._D27_S = old
+        shutil.rmtree(d, ignore_errors=True)
