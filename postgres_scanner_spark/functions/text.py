@@ -1729,8 +1729,10 @@ _T22_SQL = _t22_sql()
 _T23_L2x4 = 4          # 4λ — ridge term keeping rare buckets tame
 
 
-def t23_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+def _t23_per_doc(d: DataFrame) -> DataFrame:
+    """The shared corpus pass: per-(doc, bucket) token counts with the
+    weak label — the ONE expensive stage (explode + (doc_id, h)
+    shuffle) of both the trainer and the apply."""
     toks = (d.select("doc_id",
                      (F.col("source") == F.lit(_T17_REF_SOURCE))
                      .cast("int").alias("y"),
@@ -1738,10 +1740,16 @@ def t23_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("w") != ""))
     bucket = (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
               .cast("bigint") % _T16_DIM)
-    per_doc = (toks.select("doc_id", "y", bucket.alias("h"))
-               .groupBy("doc_id", "h")
-               .agg(F.first("y").alias("y"),
-                    F.count("*").cast("long").alias("c")))
+    return (toks.select("doc_id", "y", bucket.alias("h"))
+            .groupBy("doc_id", "h")
+            .agg(F.first("y").alias("y"),
+                 F.count("*").cast("long").alias("c")))
+
+
+def _t23_stats(per_doc: DataFrame) -> DataFrame:
+    """Closed-form diagonal-Newton step from the per-doc counts; used
+    verbatim by T23 (output) and T24 (weight layer) so the two can't
+    drift."""
     stats = (per_doc.groupBy("h")
              .agg(F.sum(F.col("c") * (F.lit(2) * F.col("y") - F.lit(1)))
                   .cast("long").alias("g2"),
@@ -1757,9 +1765,13 @@ def t23_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = F.least(F.greatest(F.floor(raw + F.lit(0.5)).cast("long"),
                             F.lit(-_T16_WSCALE)),
                  F.lit(_T16_WSCALE))
-    return (stats.select("h", "n_docs", "n_tokens", "g2",
-                         h4.alias("h4"), wt.alias("wt"))
-            .orderBy("h"))
+    return stats.select("h", "n_docs", "n_tokens", "g2",
+                        h4.alias("h4"), wt.alias("wt"))
+
+
+def t23_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return _t23_stats(_t23_per_doc(d)).orderBy("h")
 
 
 _T23_SQL = f"""
@@ -1797,30 +1809,23 @@ def t24_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-cell confusion matrix against the weak labels. The per-doc
     score Σ_h wt_h·c_dh is an integer dot product (exact in any
     shuffle order); the decision matches T16's kept = score > 0.
-    Scale: the trained layer is ≤ 64 rows — broadcast onto the
-    (doc_id, h) counts; the corpus shuffles once on doc_id; output
+    Scale: train and apply share ONE corpus pass — the (doc_id, h)
+    counts are scratch-persisted, the ≤64-row layer aggregates off
+    the persisted counts (no second explode/shuffle) and broadcasts
+    back onto them; the corpus then shuffles once on doc_id; output
     is the constant-size confusion matrix."""
     d = _t(spark, sf_dir, "documents")
-    toks = (d.select("doc_id",
-                     (F.col("source") == F.lit(_T17_REF_SOURCE))
-                     .alias("label"),
-                     F.explode(_tokens()).alias("w"))
-            .filter(F.col("w") != ""))
-    bucket = (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
-              .cast("bigint") % _T16_DIM)
-    counts = (toks.select("doc_id", "label", bucket.alias("h"))
-              .groupBy("doc_id", "h")
-              .agg(F.first("label").alias("label"),
-                   F.count("*").cast("long").alias("c")))
-    wts = t23_classifier_train(spark, sf_dir).select("h", "wt")
+    counts = scratch_persist(_t23_per_doc(d))
+    wts = _t23_stats(counts).select("h", "wt")
     scored = (counts.join(F.broadcast(wts), "h")
               .groupBy("doc_id")
-              .agg(F.first("label").alias("label"),
+              .agg(F.first("y").alias("y"),
                    F.sum(F.col("c") * F.col("wt"))
                    .cast("long").alias("score"),
                    F.sum("c").cast("long").alias("n_tokens")))
     return (scored
-            .groupBy("label", (F.col("score") > 0).alias("predicted"))
+            .groupBy((F.col("y") == 1).alias("label"),
+                     (F.col("score") > 0).alias("predicted"))
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("sum_tokens"))
             .orderBy("label", "predicted"))
