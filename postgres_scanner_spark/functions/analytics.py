@@ -2373,7 +2373,240 @@ FROM credited GROUP BY view_id ORDER BY view_id
 """
 
 
+# ---- W22: LTOB time-series downsampling ------------------------------
+# Bucket count = the target display width (Steinarsson 2013 frames
+# downsampling as "n points for an n-pixel chart"); fixed at any SF —
+# the OUTPUT is constant-size, that is the op's point.
+_W22_BUCKETS = 48
+
+
+def w22_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket time-series downsampling
+    (Steinarsson 2013, "Downsampling Time Series for Visual
+    Representation" §4.2): per event_type, split the series into
+    _W22_BUCKETS equal-width time buckets and keep from each the
+    point with the largest effective triangle area against its
+    ACTUAL series neighbors — the observability-grade downsampler
+    that preserves spikes where avg/first-per-bucket smears them.
+    LTOB (one-bucket) is the parallel member of the family: unlike
+    LTTB its selection depends only on fixed neighbors, never on the
+    previously selected point, so every bucket ranks independently —
+    the variant a distributed engine should run. The global first
+    and last points are always kept (the paper's convention).
+
+    Determinism: x is integer epoch-micros, bucket assignment is
+    pure BIGINT arithmetic ((x−t0)·B div span), the triangle area is
+    one fixed-shape IEEE expression over exactly-representable
+    inputs (micros < 2⁵³), and the per-bucket argmax ranks on
+    FLOOR(area·10⁴+.5) with (x, event_id) tiebreak — a total order
+    both engines replay bit-identically.
+
+    Scale: the oracle's full-series lag/lead would sort each type
+    through ONE task (the unbounded per-key window w16 documents);
+    here neighbor access is (type, bucket)-partitioned — fully
+    parallel — and bucket-edge rows stitch through a (type, bucket)-
+    grained edge table (≤ |types|·B rows, metadata-sized: min_by/
+    max_by first/last per bucket, lag/lead over NON-EMPTY buckets =
+    exactly the previous/next series point). One corpus pass, one
+    bounded window family, constant output."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = (e.groupBy("event_type")
+            .agg(F.min(us).alias("t0"), F.max(us).alias("t1")))
+    key = F.concat(
+        F.lpad(F.col("x").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"))
+    pts = (e.select("event_type", us.alias("x"), "value", "event_id")
+           .join(F.broadcast(span), "event_type")
+           .withColumn("bucket",
+                       F.expr(f"((x - t0) * {_W22_BUCKETS}) "
+                              "div (t1 - t0 + 1)"))
+           .withColumn("k", key)
+           .drop("t0", "t1"))
+    w = (Window.partitionBy("event_type", "bucket")
+         .orderBy("x", "event_id"))
+    nbr = pts.select(
+        "event_type", "bucket", "x", "value", "event_id",
+        F.lag("x").over(w).alias("lax"),
+        F.lag("value").over(w).alias("lay"),
+        F.lead("x").over(w).alias("lcx"),
+        F.lead("value").over(w).alias("lcy"))
+    edges = (pts.groupBy("event_type", "bucket")
+             .agg(F.min_by(F.struct("x", "value"), "k").alias("fp"),
+                  F.max_by(F.struct("x", "value"), "k").alias("lp")))
+    ew = Window.partitionBy("event_type").orderBy("bucket")
+    stitch = edges.select(
+        "event_type", "bucket",
+        F.lag("lp").over(ew).alias("prev_lp"),
+        F.lead("fp").over(ew).alias("next_fp"))
+    j = (nbr.join(F.broadcast(stitch), ["event_type", "bucket"])
+         .select("event_type", "bucket", "x", "value", "event_id",
+                 F.coalesce("lax", F.col("prev_lp.x")).alias("ax"),
+                 F.coalesce("lay", F.col("prev_lp.value")).alias("ay"),
+                 F.coalesce("lcx", F.col("next_fp.x")).alias("cx"),
+                 F.coalesce("lcy", F.col("next_fp.value")).alias("cy")))
+    area = (F.abs((F.col("ax") - F.col("cx")) * (F.col("value")
+                                                 - F.col("ay"))
+                  - (F.col("ax") - F.col("x")) * (F.col("cy")
+                                                  - F.col("ay")))
+            / F.lit(2.0))
+    mid = (j.filter(F.col("ax").isNotNull() & F.col("cx").isNotNull())
+           .withColumn("area", area)
+           .withColumn("ak", F.floor(F.col("area") * F.lit(1.0e4)
+                                     + F.lit(0.5)).cast("long")))
+    rw = (Window.partitionBy("event_type", "bucket")
+          .orderBy(F.desc("ak"), "x", "event_id"))
+    peaks = (mid.withColumn("rn", F.row_number().over(rw))
+             .filter(F.col("rn") == 1)
+             .select("event_type", "bucket", F.lit("peak").alias("kind"),
+                     "x", "value",
+                     (F.col("ak").cast("double") / F.lit(1.0e4))
+                     .alias("area4")))
+    ends = (j.filter(F.col("ax").isNull() | F.col("cx").isNull())
+            .select("event_type", "bucket",
+                    F.when(F.col("ax").isNull(), F.lit("first"))
+                    .otherwise(F.lit("last")).alias("kind"),
+                    "x", "value", F.lit(-1.0).alias("area4")))
+    return (peaks.unionByName(ends)
+            .orderBy("event_type", "bucket", "kind", "x"))
+
+
+_W22_SQL = f"""
+WITH span AS (
+  SELECT event_type, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+  FROM events GROUP BY event_type),
+pts AS (
+  SELECT e.event_type, epoch_us(ts) AS x, value, event_id,
+         ((epoch_us(ts) - t0) * {_W22_BUCKETS}) // (t1 - t0 + 1)
+           AS bucket
+  FROM events e JOIN span USING (event_type)),
+nbr AS (
+  SELECT event_type, bucket, x, value, event_id,
+         LAG(x)      OVER w AS ax, LAG(value)  OVER w AS ay,
+         LEAD(x)     OVER w AS cx, LEAD(value) OVER w AS cy
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id)),
+mid AS (
+  SELECT event_type, bucket, x, value, event_id,
+         CAST(FLOOR(ABS((ax - cx) * (value - ay)
+                        - (ax - x) * (cy - ay)) / 2.0e0
+                    * 1.0e4 + 0.5e0) AS BIGINT) AS ak
+  FROM nbr WHERE ax IS NOT NULL AND cx IS NOT NULL),
+peaks AS (
+  SELECT event_type, bucket, 'peak' AS kind, x, value,
+         CAST(ak AS DOUBLE) / 1.0e4 AS area4
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+               ORDER BY ak DESC, x, event_id) AS rn
+        FROM mid)
+  WHERE rn = 1),
+ends AS (
+  SELECT event_type, bucket,
+         CASE WHEN ax IS NULL THEN 'first' ELSE 'last' END AS kind,
+         x, value, -1.0e0 AS area4
+  FROM nbr WHERE ax IS NULL OR cx IS NULL)
+SELECT * FROM (SELECT * FROM peaks UNION ALL SELECT * FROM ends)
+ORDER BY event_type, bucket, kind, x
+"""
+
+
+# ---- X19: count-min sketch heavy hitters ------------------------------
+# Grid shape: d rows x w buckets. eps = e/w ~ 0.27% of the token
+# stream per bucket; the GRID is d*w rows at any corpus size — the
+# fixed-memory property that makes CMS the streaming/distributed
+# frequency sketch (Cormode & Muthukrishnan 2005).
+_X19_D = 4
+_X19_W = 1024
+_X19_K = 25
+
+
+def _x19_bucket(i, tk):
+    """Row-i CMS bucket of a token: the leading 32 bits of
+    md5(i:token) mod w — pairwise-independent enough for the CM
+    bound, deterministic and identically spelled in both engines."""
+    return (F.conv(F.substring(F.md5(F.concat(i.cast("string"),
+                                              F.lit(":"), tk)), 1, 8),
+                   16, 10).cast("bigint") % _X19_W)
+
+
+def x19_cms_heavy_hitters(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Count-min sketch frequency estimation audited against exact
+    counts (Cormode & Muthukrishnan 2005): build the d×w counter
+    grid over the corpus token stream, estimate each of the top-K
+    exact heavy hitters as min_i grid[i][h_i(token)], and emit the
+    overestimate — BY THE THEOREM never negative (est ≥ exact
+    always; the sketch only ever adds collisions), pinned by test.
+    X1's HLL/quantile sketches self-audit against exact companions;
+    X19 goes further — the sketch ARITHMETIC itself is replayed
+    exactly in the oracle, so the grade covers the estimator, not
+    just the exact columns.
+
+    Scale: the token stream collapses to (token, count) in one
+    map-side-combined shuffle (Zipf-hot keys — AQE's skew handling,
+    T9's note); the grid is a |vocab|→d·w aggregate (4096 rows at
+    ANY corpus size — the whole point of a sketch); the top-K is a
+    TakeOrdered (no window); estimates join the broadcast grid.
+    The d·w grid is exactly what a 1000-executor fleet would
+    merge-reduce per partition and union by + — associativity is
+    why the sketch distributes for free."""
+    from ..runtime import scratch_persist
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select(F.explode(F.split(F.lower("text"), " "))
+                    .alias("tk"))
+           .filter(F.col("tk") != ""))
+    vocab = scratch_persist(
+        tok.groupBy("tk").agg(F.count("*").cast("long").alias("cnt")))
+    ii = F.explode(F.array(*[F.lit(i) for i in range(_X19_D)])).alias("i")
+    grid = (vocab.select("tk", "cnt", ii)
+            .select("cnt", "i",
+                    _x19_bucket(F.col("i"), F.col("tk")).alias("b"))
+            .groupBy("i", "b")
+            .agg(F.sum("cnt").cast("long").alias("total")))
+    topk = (vocab.orderBy(F.desc("cnt"), "tk").limit(_X19_K))
+    est = (topk.select("tk", "cnt", ii)
+           .withColumn("b", _x19_bucket(F.col("i"), F.col("tk")))
+           .join(F.broadcast(grid), ["i", "b"])
+           .groupBy("tk", "cnt")
+           .agg(F.min("total").cast("long").alias("cms_est")))
+    return (est.select(F.col("tk").alias("token"),
+                       F.col("cnt").alias("exact_cnt"), "cms_est",
+                       (F.col("cms_est") - F.col("cnt")).cast("long")
+                       .alias("overest"))
+            .orderBy(F.desc("exact_cnt"), "token"))
+
+
+_X19_BUCKET_SQL = ("CAST(('0x' || substr(md5(CAST(i AS VARCHAR) "
+                   f"|| ':' || tk), 1, 8)) AS BIGINT) % {_X19_W}")
+
+_X19_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tk FROM documents),
+vocab AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok WHERE tk <> '' GROUP BY tk),
+hashed AS (
+  SELECT tk, cnt, i, {_X19_BUCKET_SQL} AS b
+  FROM vocab, (SELECT unnest(range({_X19_D})) AS i)),
+grid AS (
+  SELECT i, b, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM hashed GROUP BY i, b),
+topk AS (
+  SELECT tk, cnt FROM vocab ORDER BY cnt DESC, tk LIMIT {_X19_K}),
+est AS (
+  SELECT t.tk, t.cnt, CAST(MIN(g.total) AS BIGINT) AS cms_est
+  FROM (SELECT tk, cnt, i, {_X19_BUCKET_SQL} AS b
+        FROM topk, (SELECT unnest(range({_X19_D})) AS i)) t
+  JOIN grid g USING (i, b)
+  GROUP BY t.tk, t.cnt)
+SELECT tk AS token, cnt AS exact_cnt, cms_est,
+       CAST(cms_est - cnt AS BIGINT) AS overest
+FROM est ORDER BY exact_cnt DESC, token
+"""
+
+
 QUERIES = {
+    "w22_ltob_downsample": w22_ltob_downsample,
+    "x19_cms_heavy_hitters": x19_cms_heavy_hitters,
     "x18_weighted_reservoir_sample": x18_weighted_reservoir_sample,
     "w21_time_decay_attribution": w21_time_decay_attribution,
     "x15_length_bucketed_batches": x15_length_bucketed_batches,
@@ -2416,6 +2649,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w22_ltob_downsample": _W22_SQL,
+    "x19_cms_heavy_hitters": _X19_SQL,
     "x18_weighted_reservoir_sample": _X18_SQL,
     "w21_time_decay_attribution": _W21_SQL,
     "x15_length_bucketed_batches": _X15_SQL,

@@ -197,3 +197,147 @@ def test_m15_plant_offset_scales_with_corpus(spark, tmp_path):
     p = 100001
     assert pairs.get((0, p)) == 0          # copy plant disjoint from reals
     assert pairs.get((0, 2 * p), 99) <= 2  # mutant plant within radius
+
+
+# ---------------------------------------------------------------------
+# W22 LTOB downsampling / X19 count-min heavy hitters
+# ---------------------------------------------------------------------
+
+def _write_events(tmp_path, name, rows):
+    """rows: list of (event_id, ts_us, event_type, value)."""
+    import datetime as dt
+    tbl = pa.Table.from_pylist(
+        [{"event_id": i, "ts": dt.datetime(1970, 1, 1)
+          + dt.timedelta(microseconds=us),
+          "user_id": i % 7, "event_type": et, "value": v,
+          "props": "{}"}
+         for i, us, et, v in rows],
+        schema=pa.schema([
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string())]))
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return d
+
+
+def _ltob_python(rows, n_buckets):
+    """Pure-Python LTOB replay: full-series neighbors, equal-width
+    time buckets, floor(area*1e4+.5) argmax key, endpoint rows."""
+    import math
+    out = []
+    by_type = {}
+    for i, us, et, v in rows:
+        by_type.setdefault(et, []).append((us, i, v))
+    for et, pts in by_type.items():
+        pts.sort()
+        t0, t1 = pts[0][0], max(x for x, _, _ in pts)
+        span = t1 - t0 + 1
+        bk = [((x - t0) * n_buckets) // span for x, _, _ in pts]
+        best = {}
+        for j in range(len(pts)):
+            x, i, y = pts[j]
+            if j == 0:
+                out.append((et, bk[j], "first", x, y, -1.0))
+                continue
+            if j == len(pts) - 1:
+                out.append((et, bk[j], "last", x, y, -1.0))
+                continue
+            ax, _, ay = pts[j - 1]
+            cx, _, cy = pts[j + 1]
+            area = abs((ax - cx) * (y - ay) - (ax - x) * (cy - ay)) / 2.0
+            ak = math.floor(area * 1.0e4 + 0.5)
+            key = (-ak, x, i)
+            if bk[j] not in best or key < best[bk[j]][0]:
+                best[bk[j]] = (key, (et, bk[j], "peak", x, y, ak / 1.0e4))
+        out.extend(v for _, v in best.values())
+    return sorted(out)
+
+
+def test_w22_matches_python_replay(spark, tmp_path):
+    """Full LTOB replay on a synthetic two-type series with spikes,
+    empty buckets (bucket-edge stitching must reach across them),
+    and ties."""
+    from postgres_scanner_spark.functions import analytics as an
+    rows = []
+    eid = 0
+    for et, base in (("click", 0), ("view", 3)):
+        for j in range(120):
+            # lumpy spacing leaves some buckets empty; spike every 17
+            us = base * 1000 + j * j * 7919
+            v = 100.0 if j % 17 == 0 else float(j % 5)
+            rows.append((eid, us, et, v))
+            eid += 1
+    d = _write_events(tmp_path, "sfw22", rows)
+    got = sorted(tuple(r) for r in
+                 an.w22_ltob_downsample(spark, str(d)).collect())
+    want = _ltob_python(rows, an._W22_BUCKETS)
+    assert got == want and len(got) > 4
+
+
+def test_w22_endpoints_and_single_peak(spark):
+    """Real corpus invariants: exactly one 'first' and one 'last'
+    per type (at the series extremes), at most one peak per
+    (type, bucket), every area non-negative."""
+    from postgres_scanner_spark.functions import analytics as an
+    rows = an.w22_ltob_downsample(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    seen = {}
+    for r in rows:
+        if r.kind == "peak":
+            assert r.area4 >= 0.0
+            key = (r.event_type, r.bucket)
+            assert key not in seen
+            seen[key] = True
+    for k in ("first", "last"):
+        per = [r for r in rows if r.kind == k]
+        assert len(per) == len({r.event_type for r in rows})
+
+
+def _cms_python(texts, d, w, k):
+    import hashlib
+    from collections import Counter
+    cnt = Counter(t for s in texts for t in s.lower().split(" ") if t)
+    grid = Counter()
+    for tk, c in cnt.items():
+        for i in range(d):
+            b = int(hashlib.md5(f"{i}:{tk}".encode())
+                    .hexdigest()[:8], 16) % w
+            grid[(i, b)] += c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    out = []
+    for tk, c in top:
+        est = min(grid[(i, int(hashlib.md5(f"{i}:{tk}".encode())
+                               .hexdigest()[:8], 16) % w)]
+                  for i in range(d))
+        out.append((tk, c, est, est - c))
+    return out
+
+
+def test_x19_matches_python_replay(spark, tmp_path):
+    """Full CMS replay: the estimate must equal the hand-computed
+    min-over-rows bucket sum, including a forced collision (tiny w
+    would be better, but real w with many tokens collides too)."""
+    from postgres_scanner_spark.functions import analytics as an
+    texts = [" ".join(f"tok{(i * j) % 97}" for j in range(50))
+             for i in range(40)]
+    d = _write_docs(tmp_path, "sfx19", texts)
+    got = [tuple(r) for r in
+           an.x19_cms_heavy_hitters(spark, str(d)).collect()]
+    want = _cms_python(texts, an._X19_D, an._X19_W, an._X19_K)
+    assert got == want and len(got) == an._X19_K
+
+
+def test_x19_overestimate_theorem(spark):
+    """CMS never underestimates — est >= exact for every reported
+    token on the real corpus (the sketch only adds collisions)."""
+    from postgres_scanner_spark.functions import analytics as an
+    rows = an.x19_cms_heavy_hitters(spark,
+                                    "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.overest >= 0 and r.cms_est >= r.exact_cnt
+               for r in rows)

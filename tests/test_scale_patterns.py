@@ -177,6 +177,7 @@ def test_plan_lint_all_queries(spark):
         "d7_contamination",    # 1-row Bloom bitmap broadcast over train
         "d12_dedup_eval",      # three scalar aggregates cross-joined
         "d14_semantic_dedup",  # corpus × 4 centroids (A6's assignment)
+        "d27_scaled_semantic_dedup",  # corpus × 4 centroids, as d14
         "q11_important_stock",     # scalar total-value threshold
         "q22_global_sales_opportunity",  # scalar avg balance
         "t10_tfidf_keywords",      # scalar corpus size N → idf
