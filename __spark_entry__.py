@@ -56,7 +56,8 @@ _MODULES = (
 # --write after each round (--explain shows per-query evidence).
 _COST_ORDER = [
     "t23_classifier_train", "t24_classifier_apply",
-    "d27_scaled_semantic_dedup", "m15_dhash_neardup",
+    "d27_scaled_semantic_dedup", "w22_ltob_downsample",
+    "x19_cms_heavy_hitters", "m15_dhash_neardup",
     "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
     "d11_verbatim_spans", "d9_incremental_lsh", "e3_streaming_hourly",
     "e15_stream_left_outer", "e8_stream_stream_join", "d13_dedup_apply",
