@@ -2450,24 +2450,31 @@ def w22_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - (F.col("ax") - F.col("x")) * (F.col("cy")
                                                   - F.col("ay")))
             / F.lit(2.0))
-    mid = (j.filter(F.col("ax").isNotNull() & F.col("cx").isNotNull())
-           .withColumn("area", area)
-           .withColumn("ak", F.floor(F.col("area") * F.lit(1.0e4)
-                                     + F.lit(0.5)).cast("long")))
+    # ONE pass for peaks AND endpoints: a peaks/ends branch union
+    # recomputes the whole corpus lineage twice (measured in the
+    # executed plan: 6 FileScans); instead endpoints sort LAST inside
+    # their bucket's rank window and are kept unconditionally, so the
+    # same window emits the bucket argmax and the series endpoints
+    ep = F.col("ax").isNull() | F.col("cx").isNull()
+    scored = (j.withColumn("endpoint", ep)
+              .withColumn("ak",
+                          F.when(ep, F.lit(-1)).otherwise(
+                              F.floor(area * F.lit(1.0e4) + F.lit(0.5)))
+                          .cast("long")))
     rw = (Window.partitionBy("event_type", "bucket")
-          .orderBy(F.desc("ak"), "x", "event_id"))
-    peaks = (mid.withColumn("rn", F.row_number().over(rw))
-             .filter(F.col("rn") == 1)
-             .select("event_type", "bucket", F.lit("peak").alias("kind"),
-                     "x", "value",
-                     (F.col("ak").cast("double") / F.lit(1.0e4))
-                     .alias("area4")))
-    ends = (j.filter(F.col("ax").isNull() | F.col("cx").isNull())
+          .orderBy(F.col("endpoint").cast("int"), F.desc("ak"),
+                   "x", "event_id"))
+    return (scored.withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("endpoint")
+                    | ((F.col("rn") == 1) & ~F.col("endpoint")))
             .select("event_type", "bucket",
                     F.when(F.col("ax").isNull(), F.lit("first"))
-                    .otherwise(F.lit("last")).alias("kind"),
-                    "x", "value", F.lit(-1.0).alias("area4")))
-    return (peaks.unionByName(ends)
+                    .when(F.col("cx").isNull(), F.lit("last"))
+                    .otherwise(F.lit("peak")).alias("kind"),
+                    "x", "value",
+                    F.when(F.col("endpoint"), F.lit(-1.0))
+                    .otherwise(F.col("ak").cast("double")
+                               / F.lit(1.0e4)).alias("area4"))
             .orderBy("event_type", "bucket", "kind", "x"))
 
 
