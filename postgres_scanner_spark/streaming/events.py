@@ -1921,7 +1921,150 @@ FROM cum GROUP BY user_id ORDER BY user_id
 """
 
 
+# --------- E24 streaming sketch maintenance (X19's CMS in the loop)
+def e24_streaming_cms_maintenance(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """X19's count-min sketch maintained INSIDE the ingest loop: each
+    micro-batch reduces to its own d×w counter grid and MERGES into
+    the store's grid by + — the property that makes CMS the streaming
+    frequency sketch (Cormode & Muthukrishnan 2005: sketches of
+    unions add), and the reason the final grid is INDEPENDENT of how
+    the stream happened to batch: + is associative and commutative,
+    so any batching, any arrival order, any executor count produces
+    the bit-identical grid X19's one-shot batch build produces. After
+    the drain the grid serves frequency queries: the static corpus's
+    top-K exact heavy hitters probe the streamed grid with
+    min-over-rows estimates.
+
+    State is FIXED-SIZE: the store holds d·w = 4096 counter rows no
+    matter how much stream has passed — the sketch's point, and the
+    contrast with e17's corpus-proportional hash index. Each batch
+    costs one token-stream aggregate plus one metadata-sized snapshot
+    rewrite (ManagedStore.merge on (i, b), e14's idiom). The merge is
+    made idempotent under foreachBatch's at-least-once contract with
+    e19's guard at O(1) cost: the last applied batch_id rides the
+    table META (one JSON read, no store scan), and replayed batch ids
+    skip — counts in a sketch are not idempotently re-insertable, so
+    unlike e17's min-id dedup the guard is load-bearing here.
+
+    Staged stream: e17's 3 mtime-ordered batches with shifted-id
+    re-deliveries — the copies are REAL token mass (distinct doc
+    ids), so the streamed corpus is documents ∪ shifted copies and
+    the oracle unrolls exactly that union before replaying X19's
+    grid arithmetic."""
+    import hashlib
+    import os
+    import shutil
+    from ..functions.analytics import _X19_D, _X19_K, _x19_bucket
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stage, key = _stage_doc_batches(src, "pg_spark_cmsin_")
+    root = os.path.join(
+        "/tmp", "pg_spark_cmsst_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    store.create_table("cms_grid", spark.createDataFrame(
+        [], "i INT, b BIGINT, total BIGINT"))
+
+    ii = F.explode(F.array(*[F.lit(i) for i in range(_X19_D)])).alias("i")
+
+    def grid_of(df: DataFrame) -> DataFrame:
+        tok = (df.select(F.explode(F.split(F.lower("text"), " "))
+                         .alias("tk"))
+               .filter(F.col("tk") != ""))
+        return (tok.groupBy("tk")
+                .agg(F.count("*").cast("long").alias("cnt"))
+                .select("tk", "cnt", ii)
+                .select(F.col("i").cast("int").alias("i"),
+                        _x19_bucket(F.col("i"), F.col("tk")).alias("b"),
+                        "cnt")
+                .groupBy("i", "b")
+                .agg(F.sum("cnt").cast("long").alias("total")))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = store.table_meta("cms_grid")
+        if batch_id <= meta.get("last_batch_id", -1):
+            return                      # e19's idempotent-replay guard
+        new = (store.scan("cms_grid").unionByName(grid_of(batch_df))
+               .groupBy("i", "b")
+               .agg(F.sum("total").cast("long").alias("total")))
+        store.merge("cms_grid", new, on=["i", "b"])
+        store.set_table_meta("cms_grid",
+                             {**meta, "last_batch_id": batch_id})
+
+    schema = spark.read.parquet(src).schema
+    ckpt = os.path.join(root, "_ckpt")
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema).parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        _drain(q)
+    docs = _tb.load(spark, sf_dir, "documents")
+    tok = (docs.select(F.explode(F.split(F.lower("text"), " "))
+                       .alias("tk"))
+           .filter(F.col("tk") != ""))
+    probes = (tok.groupBy("tk")
+              .agg(F.count("*").cast("long").alias("cnt"))
+              .orderBy(F.desc("cnt"), "tk").limit(_X19_K))
+    est = (probes.select("tk", ii)
+           .select("tk", F.col("i").cast("int").alias("i"),
+                   _x19_bucket(F.col("i"), F.col("tk")).alias("b"))
+           .join(F.broadcast(store.scan("cms_grid")), ["i", "b"])
+           .groupBy("tk")
+           .agg(F.min("total").cast("long").alias("cms_est")))
+    return (est.select(F.col("tk").alias("token"), "cms_est")
+            .orderBy("token"))
+
+
+def _e24_sql() -> str:
+    from ..functions.analytics import _X19_BUCKET_SQL, _X19_D, _X19_K
+    return f"""
+WITH p AS (SELECT COUNT(*) AS nn, MAX(doc_id) + 1 AS mx1
+           FROM documents),
+streamed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + GREATEST(500000, 10 * mx1), text
+  FROM documents, p WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + GREATEST(600000, 20 * mx1), text
+  FROM documents, p WHERE doc_id >= 10 AND doc_id < 20
+  UNION ALL
+  SELECT doc_id + GREATEST(700000, 30 * mx1) + g.i, text
+  FROM documents, (SELECT unnest(range(2)) AS i) g, p
+  WHERE doc_id = nn - 1),
+svocab AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tk
+        FROM streamed)
+  WHERE tk <> '' GROUP BY tk),
+grid AS (
+  SELECT i, {_X19_BUCKET_SQL} AS b, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM svocab, (SELECT unnest(range({_X19_D})) AS i)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT tk FROM (
+    SELECT tk, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tk
+          FROM documents)
+    WHERE tk <> '' GROUP BY tk)
+  ORDER BY cnt DESC, tk LIMIT {_X19_K}),
+est AS (
+  SELECT t.tk, CAST(MIN(g.total) AS BIGINT) AS cms_est
+  FROM (SELECT tk, i, {_X19_BUCKET_SQL} AS b
+        FROM probes, (SELECT unnest(range({_X19_D})) AS i)) t
+  JOIN grid g USING (i, b)
+  GROUP BY t.tk)
+SELECT tk AS token, cms_est FROM est ORDER BY token
+"""
+
+
 QUERIES = {
+    "e24_streaming_cms_maintenance": e24_streaming_cms_maintenance,
     "e23_stateful_quota_admission": e23_stateful_quota_admission,
     "e22_streaming_contamination_guard": e22_streaming_contamination_guard,
     "e1_hourly_event_rollup": e1_hourly_event_rollup,
@@ -1948,6 +2091,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e24_streaming_cms_maintenance": _e24_sql(),
     "e23_stateful_quota_admission": _E23_SQL,
     "e22_streaming_contamination_guard": _e22_sql(),
     "e17_streaming_dedup_ingest": _E17_SQL,

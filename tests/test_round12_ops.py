@@ -341,3 +341,47 @@ def test_x19_overestimate_theorem(spark):
     assert len(rows) > 0
     assert all(r.overest >= 0 and r.cms_est >= r.exact_cnt
                for r in rows)
+
+
+# ---------------------------------------------------------------------
+# E24 streaming CMS maintenance
+# ---------------------------------------------------------------------
+
+def test_e24_matches_python_replay(spark, tmp_path):
+    """Pure-Python replay of the WHOLE pipeline: the staged stream's
+    re-delivery algebra (docs ∪ shifted copies of ids <10, 10..19,
+    and two copies of the last doc — e17's stager), the merged CMS
+    grid over the streamed token mass, and min-over-rows estimates
+    for the PLAIN corpus's top-K tokens."""
+    from postgres_scanner_spark.functions import analytics as an
+    from postgres_scanner_spark.streaming import events as ev
+    texts = [" ".join(f"w{(i * j) % 31}" for j in range(30))
+             for i in range(24)]
+    d = _write_docs(tmp_path, "sfe24", texts)
+    got = [tuple(r) for r in
+           ev.e24_streaming_cms_maintenance(spark, str(d)).collect()]
+    # streamed corpus per the stager: ids are 0..23 so all three
+    # re-delivery arms fire (ids <10, 10..19, last id twice)
+    streamed = (texts + texts[:10] + texts[10:20]
+                + [texts[-1], texts[-1]])
+    replay = _cms_python(streamed, an._X19_D, an._X19_W, 10 ** 9)
+    grid_est = {tk: est for tk, _, est, _ in replay}
+    plain = _cms_python(texts, an._X19_D, an._X19_W, an._X19_K)
+    want = sorted((tk, grid_est[tk]) for tk, _, _, _ in plain)
+    assert got == want and len(got) == min(an._X19_K, len(want))
+
+
+def test_e24_estimates_dominate_streamed_counts(spark):
+    """On the real corpus: 25 probe rows, every estimate at least
+    the token's PLAIN-corpus exact count (streamed mass ⊇ plain
+    corpus, and CMS never underestimates)."""
+    from postgres_scanner_spark.functions import analytics as an
+    from postgres_scanner_spark.streaming import events as ev
+    sf = "/root/testdata/sf0.001"
+    got = {r.token: r.cms_est for r in
+           ev.e24_streaming_cms_maintenance(spark, sf).collect()}
+    exact = {r.token: r.exact_cnt for r in
+             an.x19_cms_heavy_hitters(spark, sf).collect()}
+    assert len(got) == an._X19_K
+    assert set(got) == set(exact)
+    assert all(got[t] >= exact[t] for t in got)
