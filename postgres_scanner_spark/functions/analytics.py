@@ -2611,9 +2611,111 @@ FROM est ORDER BY exact_cnt DESC, token
 """
 
 
+# ---- X20: cross-source shingle overlap matrix ------------------------
+_X20_K = 5     # word-shingle width: 5-grams are the decontamination
+               # grain (D7/E22) — distinctive enough that overlap
+               # means shared text, not shared vocabulary
+
+
+def x20_source_overlap_matrix(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Corpus-level overlap audit: exact shingle-set Jaccard between
+    every pair of sources — the crawl-curation question ("how much of
+    snapshot B is already in snapshot A?", "which domains mirror each
+    other?") that doc-level dedup (D1-D27) never answers because it
+    collapses pairs, not collections. Dump dedup practice (Lee et al.
+    2022 §6 measure cross-split overlap the same way: distinct n-gram
+    sets intersected per corpus slice).
+
+    Exact, not sketched: the per-source DISTINCT shingle sets
+    intersect via ONE shingle-keyed equi-self-join whose per-key
+    fan-out is bounded by |sources|² (20 sources at every SF — a
+    corpus-frequent shingle contributes ≤ 190 pairs, never a
+    quadratic bucket), then |A∪B| = |A|+|B|−|A∩B| closes the matrix
+    arithmetically. The full |sources|² pair grid (including
+    zero-overlap pairs — their absence IS the finding) comes from a
+    20-row × 20-row broadcast join; the matrix is metadata-sized.
+
+    Scale: shingling reuses D2's codegen'd posexplode+lead machinery
+    (dedup.py:114); (source, shingle) distinct is one map-side-
+    combined shuffle; the self-join shuffles the same key. At 100 TB
+    the distinct set, not the token stream, is the working set —
+    exactly the ExactSubstr/decontamination shuffle shape D20/D7
+    already certify."""
+    from ..operators.dedup import shingle_index
+    from ..runtime import scratch_persist
+    d = _t(spark, sf_dir, "documents")
+    shx = shingle_index(d, _X20_K)
+    ss = scratch_persist(
+        shx.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "s").distinct())
+    sizes = ss.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"))
+    inter = (ss.alias("a")
+             .join(ss.alias("b"),
+                   (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.count("*").cast("long").alias("inter")))
+    grid = (sizes.alias("x")
+            .join(F.broadcast(sizes.alias("y")),
+                  F.col("x.source") < F.col("y.source"))
+            .select(F.col("x.source").alias("source_a"),
+                    F.col("y.source").alias("source_b"),
+                    F.col("x.n").alias("n_a"),
+                    F.col("y.n").alias("n_b")))
+    un = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (grid.join(inter, ["source_a", "source_b"], "left")
+            .withColumn("inter",
+                        F.coalesce("inter", F.lit(0)).cast("long"))
+            .select("source_a", "source_b", "n_a", "n_b", "inter",
+                    un.alias("union_n"),
+                    det_round(F.col("inter").cast("double")
+                              / un.cast("double"), 6).alias("jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
+def _x20_sql() -> str:
+    from ..operators.dedup import _sql_shingles
+    from ..runtime import det_round_sql
+    j6 = det_round_sql("CAST(inter AS DOUBLE) / CAST(union_n AS DOUBLE)",
+                       6)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS t
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT source, {_sql_shingles(_X20_K)} AS shingles
+  FROM tok WHERE len(t) >= {_X20_K}),
+ss AS MATERIALIZED (
+  SELECT DISTINCT source, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ss GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2),
+grid AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         x.n AS n_a, y.n AS n_b
+  FROM sizes x JOIN sizes y ON x.source < y.source)
+SELECT source_a, source_b, n_a, n_b, inter, union_n,
+       {j6} AS jaccard
+FROM (SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+             CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+             g.n_a + g.n_b - CAST(COALESCE(i.inter, 0) AS BIGINT)
+               AS union_n
+      FROM grid g LEFT JOIN inter i USING (source_a, source_b))
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "w22_ltob_downsample": w22_ltob_downsample,
     "x19_cms_heavy_hitters": x19_cms_heavy_hitters,
+    "x20_source_overlap_matrix": x20_source_overlap_matrix,
     "x18_weighted_reservoir_sample": x18_weighted_reservoir_sample,
     "w21_time_decay_attribution": w21_time_decay_attribution,
     "x15_length_bucketed_batches": x15_length_bucketed_batches,
@@ -2658,6 +2760,7 @@ QUERIES = {
 ORACLE = {
     "w22_ltob_downsample": _W22_SQL,
     "x19_cms_heavy_hitters": _X19_SQL,
+    "x20_source_overlap_matrix": _x20_sql(),
     "x18_weighted_reservoir_sample": _X18_SQL,
     "w21_time_decay_attribution": _W21_SQL,
     "x15_length_bucketed_batches": _X15_SQL,

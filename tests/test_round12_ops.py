@@ -385,3 +385,65 @@ def test_e24_estimates_dominate_streamed_counts(spark):
     assert len(got) == an._X19_K
     assert set(got) == set(exact)
     assert all(got[t] >= exact[t] for t in got)
+
+
+# ---------------------------------------------------------------------
+# X20 cross-source shingle overlap matrix
+# ---------------------------------------------------------------------
+
+def _x20_python(rows, k):
+    """rows: (source, text). Exact per-source distinct k-gram sets →
+    full pair matrix with Jaccard (det_round 6)."""
+    import itertools
+    import math
+    sets = {}
+    for src, text in rows:
+        t = text.lower().split(" ")
+        sets.setdefault(src, set()).update(
+            " ".join(t[i:i + k]) for i in range(len(t) - k + 1))
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        na, nb = len(sets[a]), len(sets[b])
+        inter = len(sets[a] & sets[b])
+        un = na + nb - inter
+        j = math.floor(inter / un * 1e6 + 0.5) / 1e6
+        out.append((a, b, na, nb, inter, un, j))
+    return out
+
+
+def test_x20_matches_python_replay(spark, tmp_path):
+    """Three sources: A/B share a sentence (overlap), C is disjoint
+    (zero-row must still appear in the matrix), plus within-source
+    duplicate shingles (set semantics must collapse them)."""
+    from postgres_scanner_spark.functions import analytics as an
+    shared = "the quick brown fox jumps over the lazy dog today"
+    texts = [("sa", shared + " alpha beta gamma delta epsilon"),
+             ("sa", shared + " alpha beta gamma delta epsilon"),
+             ("sb", shared + " zeta eta theta iota kappa"),
+             ("sc", "completely different words with no overlap "
+                    "whatsoever in any five gram window here")]
+    d = _write_docs(tmp_path, "sfx20",
+                    [t for _, t in texts],
+                    sources=[s for s, _ in texts])
+    got = [tuple(r) for r in
+           an.x20_source_overlap_matrix(spark, str(d)).collect()]
+    want = _x20_python(texts, an._X20_K)
+    assert got == want
+    by_pair = {(a, b): i for a, b, _, _, i, _, _ in got}
+    assert by_pair[("sa", "sb")] > 0      # shared sentence found
+    assert by_pair[("sa", "sc")] == 0     # disjoint pair still a row
+    assert by_pair[("sb", "sc")] == 0
+
+
+def test_x20_matrix_invariants(spark):
+    """Real corpus: 20 sources → 190 pair rows; inter ≤ min(n_a,
+    n_b); jaccard in [0, 1]; matrix covers every source pair."""
+    from postgres_scanner_spark.functions import analytics as an
+    rows = an.x20_source_overlap_matrix(
+        spark, "/root/testdata/sf0.001").collect()
+    srcs = {r.source_a for r in rows} | {r.source_b for r in rows}
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        assert r.inter <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.union_n == r.n_a + r.n_b - r.inter
