@@ -1804,7 +1804,119 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---- M16: dictionary-encoding audit (parquet internals, rung 5) -----
+def m16_dictionary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoding audit that closes the parquet-internals ladder
+    (file M11 → row group M12 → page M14 → bloom M13 → DICTIONARY
+    pages): per (row group, column chunk), is the chunk dictionary-
+    encoded and how many distinct entries does its dictionary hold —
+    the compression-regression signal a lakehouse watches (a chunk
+    whose dictionary stops fitting falls back to PLAIN and bloats;
+    RLE_DICTIONARY efficiency is entries/values). pyarrow exposes a
+    has_dictionary_page flag but NOT the entry count; that lives
+    only in the DictionaryPageHeader on disk, so the audit walks the
+    footer's ColumnMetaData (parquet.thrift fields 3/4/5/9/11) and
+    parses the thrift-compact PageHeader at each chunk's
+    dictionary_page_offset — headers are stored uncompressed even
+    under a codec, so each chunk costs a ~64-byte read, never a
+    decompress (parquet_bloom.py's spec-built reader family).
+
+    The staged layout (m12's idiom: sorted by doc_id, derived
+    rows-per-group, doc_id/lang/source dictionary-encoded, text
+    forced PLAIN) is what gives the oracle full arithmetic
+    reconstruction: a parquet dictionary is built per column chunk
+    from that chunk's values, so entry count ≡ COUNT(DISTINCT col)
+    within the row group's doc_id-rank slice — the audit's numbers
+    are the truth, cross-engine, not a parser assertion. The PLAIN
+    text column pins the no-dictionary path (has_dict=false must
+    come from an ABSENT offset, not a parse fallback).
+
+    Scale: at 100 TB the audit runs on the lake's own files — no
+    stage; cost = footer tails + one header read per chunk, fanned
+    over executors via mapInPandas (M11's argument: MBs, not TBs)."""
+    import hashlib
+    import os
+    from .. import tables
+    tables.ensure_session_defaults(spark)
+    import pyarrow.parquet as pq
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    rg_rows = max(_M12_RG_ROWS, n_src // _M12_MAX_GROUPS)
+    key = f"v1:{src}:{st.st_mtime_ns}:{st.st_size}:{rg_rows}:dict"
+    stage = os.path.join(
+        "/tmp", "pg_spark_dictstage_"
+        + hashlib.md5(key.encode()).hexdigest()[:8] + ".parquet")
+    if not os.path.exists(stage):
+        t = (pq.read_table(src, columns=["doc_id", "lang", "source",
+                                         "text"])
+             .sort_by("doc_id"))
+        import uuid
+        tmp = f"{stage}.tmp.{uuid.uuid4().hex}"
+        pq.write_table(t, tmp, row_group_size=rg_rows,
+                       use_dictionary=["doc_id", "lang", "source"])
+        os.replace(tmp, stage)
+
+    files = spark.createDataFrame([(stage,)], "path STRING")
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..parquet_bloom import (footer_dict_index,
+                                     read_dict_page_header)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                idx = footer_dict_index(r.path)
+                with open(r.path, "rb") as f:
+                    for rec in idx:
+                        off = rec["dictionary_page_offset"]
+                        nd = (read_dict_page_header(f, off)["num_values"]
+                              if off is not None else 0)
+                        rows.append((rec["row_group"], rec["column"],
+                                     rec["num_values"],
+                                     off is not None, nd))
+            yield pd.DataFrame(rows, columns=[
+                "rg_id", "col_name", "n_values", "has_dict",
+                "n_dict_entries"])
+
+    schema = T.StructType([
+        T.StructField("rg_id", T.IntegerType()),
+        T.StructField("col_name", T.StringType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("has_dict", T.BooleanType()),
+        T.StructField("n_dict_entries", T.LongType()),
+    ])
+    return (files.mapInPandas(audit, schema=schema)
+            .orderBy("rg_id", "col_name"))
+
+
+_M16_SQL = f"""
+WITH r AS (SELECT doc_id, lang, source,
+                  row_number() OVER (ORDER BY doc_id) - 1 AS rk
+           FROM documents),
+b AS (SELECT GREATEST({_M12_RG_ROWS},
+                      COUNT(*) // {_M12_MAX_GROUPS}) AS rgr
+      FROM documents),
+g AS (SELECT CAST(rk // rgr AS INT) AS rg_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_id,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS d_lang,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS d_src
+      FROM r, b GROUP BY 1)
+SELECT rg_id, col_name, n_values, has_dict, n_dict_entries FROM (
+  SELECT rg_id, 'doc_id' AS col_name, n AS n_values,
+         TRUE AS has_dict, d_id AS n_dict_entries FROM g
+  UNION ALL
+  SELECT rg_id, 'lang', n, TRUE, d_lang FROM g
+  UNION ALL
+  SELECT rg_id, 'source', n, TRUE, d_src FROM g
+  UNION ALL
+  SELECT rg_id, 'text', n, FALSE, 0 FROM g)
+ORDER BY rg_id, col_name
+"""
+
+
 QUERIES = {
+    "m16_dictionary_audit": m16_dictionary_audit,
     "m15_dhash_neardup": m15_dhash_neardup,
     "m14_page_pruned_scan": m14_page_pruned_scan,
     "m13_bloom_pruned_probe": m13_bloom_pruned_probe,
@@ -1823,6 +1935,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "m16_dictionary_audit": _M16_SQL,
     "m15_dhash_neardup": _m15_sql(),
     "m14_page_pruned_scan": _M14_SQL,
     "m13_bloom_pruned_probe": _M13_SQL,

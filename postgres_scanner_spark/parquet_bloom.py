@@ -442,3 +442,126 @@ def read_column_index_int64(f: BinaryIO, offset: int, length: int
     return [{"page": i, "null_page": nulls[i] if nulls else False,
              "key_min": mins[i], "key_max": maxs[i]}
             for i in range(len(mins))]
+
+
+# ---------------------------------------------------------------------
+# Dictionary-page audit (parquet-format Encodings.md / parquet.thrift):
+# ColumnMetaData (3: path_in_schema, 4: codec, 5: num_values,
+# 9: data_page_offset, 11: dictionary_page_offset) and the PageHeader
+# at that offset (1: type, 2/3: sizes, 7: DictionaryPageHeader
+# {1: num_values, 2: encoding, 3: is_sorted}). pyarrow exposes the
+# chunk's has_dictionary_page flag but NOT the dictionary ENTRY
+# count — that lives only in the page header on disk.
+# ---------------------------------------------------------------------
+
+
+def footer_dict_index(path: str) -> list[dict]:
+    """One entry per (row_group, column chunk): dotted column path,
+    value count, codec, and the dictionary/data page offsets. Reads
+    ONLY the footer tail bytes (the same walk as
+    footer_bloom_index, different ColumnMetaData fields)."""
+    with open(path, "rb") as f:
+        f.seek(-8, 2)
+        n, magic = struct.unpack("<I4s", f.read(8))
+        if magic != b"PAR1":
+            raise ValueError(f"{path}: not a parquet file")
+        f.seek(-8 - n, 2)
+        b = f.read(n)
+    out: list[dict] = []
+    top = _StructReader(b, 0)
+    rg_no = 0
+    for fid, t in top:
+        if not (fid == 4 and t == 9):
+            top.skip(t)
+            continue
+        n_rg, _et, top.i = _list_head(b, top.i)
+        for _ in range(n_rg):
+            rg = _StructReader(b, top.i)
+            for fid2, t2 in rg:
+                if not (fid2 == 1 and t2 == 9):
+                    rg.skip(t2)
+                    continue
+                n_col, _ct, rg.i = _list_head(b, rg.i)
+                for _c in range(n_col):
+                    cc = _StructReader(b, rg.i)
+                    rec = {"row_group": rg_no, "column": None,
+                           "codec": None, "num_values": None,
+                           "data_page_offset": None,
+                           "dictionary_page_offset": None}
+                    for fid3, t3 in cc:
+                        if fid3 == 3 and t3 == 12:
+                            cm = _StructReader(b, cc.i)
+                            for fid4, t4 in cm:
+                                if fid4 == 3 and t4 == 9:
+                                    np_, _pt, cm.i = _list_head(b, cm.i)
+                                    parts = []
+                                    for _p in range(np_):
+                                        ln, cm.i = _varint(b, cm.i)
+                                        parts.append(
+                                            b[cm.i:cm.i + ln].decode())
+                                        cm.i += ln
+                                    rec["column"] = ".".join(parts)
+                                elif fid4 == 4 and t4 == 5:
+                                    rec["codec"] = cm.int_val()
+                                elif fid4 == 5 and t4 == 6:
+                                    rec["num_values"] = cm.int_val()
+                                elif fid4 == 9 and t4 == 6:
+                                    rec["data_page_offset"] = \
+                                        cm.int_val()
+                                elif fid4 == 11 and t4 == 6:
+                                    rec["dictionary_page_offset"] = \
+                                        cm.int_val()
+                                else:
+                                    cm.skip(t4)
+                            cc.i = cm.i
+                        else:
+                            cc.skip(t3)
+                    out.append(rec)
+                    rg.i = cc.i
+            top.i = rg.i
+            rg_no += 1
+    return out
+
+
+def read_dict_page_header(f: BinaryIO, offset: int) -> dict:
+    """Parse the thrift-compact PageHeader at a chunk's
+    dictionary_page_offset and return {type, uncompressed_size,
+    compressed_size, num_values, encoding, is_sorted}. The header is
+    stored UNCOMPRESSED even when the page body is codec-compressed,
+    so the entry count costs a ~64-byte read, never a decompress.
+    Raises if the page at the offset is not a DICTIONARY_PAGE (2) —
+    a wrong offset must fail loudly, not count a data page's rows."""
+    f.seek(offset)
+    raw = f.read(512)
+    r = _StructReader(raw, 0)
+    out = {"type": None, "uncompressed_size": None,
+           "compressed_size": None, "num_values": None,
+           "encoding": None, "is_sorted": None}
+    for fid, t in r:
+        if fid == 1 and t == 5:
+            out["type"] = r.int_val()
+        elif fid == 2 and t == 5:
+            out["uncompressed_size"] = r.int_val()
+        elif fid == 3 and t == 5:
+            out["compressed_size"] = r.int_val()
+        elif fid == 7 and t == 12:
+            dh = _StructReader(raw, r.i)
+            for fid2, t2 in dh:
+                if fid2 == 1 and t2 == 5:
+                    out["num_values"] = dh.int_val()
+                elif fid2 == 2 and t2 == 5:
+                    out["encoding"] = dh.int_val()
+                elif fid2 == 3 and t2 in (1, 2):
+                    out["is_sorted"] = (t2 == 1)
+                else:
+                    dh.skip(t2)
+            r.i = dh.i
+        else:
+            r.skip(t)
+    if out["type"] != 2:
+        raise ValueError(
+            f"page at offset={offset} is type={out['type']}, "
+            "not DICTIONARY_PAGE(2)")
+    if out["num_values"] is None or out["num_values"] < 0:
+        raise ValueError(f"bad dictionary num_values at {offset}")
+    return out

@@ -447,3 +447,60 @@ def test_x20_matrix_invariants(spark):
         assert r.inter <= min(r.n_a, r.n_b)
         assert 0.0 <= r.jaccard <= 1.0
         assert r.union_n == r.n_a + r.n_b - r.inter
+
+
+# ---------------------------------------------------------------------
+# M16 dictionary-encoding audit
+# ---------------------------------------------------------------------
+
+def test_m16_matches_rank_slice_distincts(spark, tmp_path):
+    """Python replay: with rows-per-group = 64 (the floor), every
+    chunk's dictionary entry count must equal the distinct count of
+    that column within the row group's doc_id-rank slice, text must
+    have NO dictionary, and n_values must equal the slice size —
+    including the short final group."""
+    from postgres_scanner_spark.operators import multimodal as mm
+    langs = ["en", "de", "fr", "pt"]
+    texts = [f"body {i % 7}" for i in range(200)]
+    rows = [{"doc_id": i, "text": texts[i], "lang": langs[i % 4],
+             "source": f"s{i % 3}", "n_chars": len(texts[i])}
+            for i in range(200)]
+    d = tmp_path / "sfm16"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    got = [tuple(r) for r in
+           mm.m16_dictionary_audit(spark, str(d)).collect()]
+    want = []
+    for rg in range(4):                       # 64+64+64+8 rows
+        lo, hi = rg * 64, min(200, (rg + 1) * 64)
+        n = hi - lo
+        want += [
+            (rg, "doc_id", n, True, n),
+            (rg, "lang", n, True, len({langs[i % 4]
+                                       for i in range(lo, hi)})),
+            (rg, "source", n, True, len({f"s{i % 3}"
+                                         for i in range(lo, hi)})),
+            (rg, "text", n, False, 0)]
+    assert got == sorted(want)
+
+
+def test_m16_wrong_offset_fails_loudly(spark, tmp_path):
+    """read_dict_page_header must REFUSE a non-dictionary page: a
+    wrong offset has to raise, never count a data page's rows as
+    dictionary entries."""
+    import pytest as _pytest
+    from postgres_scanner_spark.parquet_bloom import (
+        footer_dict_index, read_dict_page_header)
+    t = pa.table({"k": list(range(100)), "s": ["a"] * 100})
+    p = str(tmp_path / "probe.parquet")
+    pq.write_table(t, p, row_group_size=50, use_dictionary=["k", "s"])
+    idx = footer_dict_index(p)
+    with open(p, "rb") as f:
+        # sanity: the real dictionary offsets parse
+        for rec in idx:
+            assert rec["dictionary_page_offset"] is not None
+            assert read_dict_page_header(
+                f, rec["dictionary_page_offset"])["num_values"] > 0
+        with _pytest.raises(ValueError):
+            read_dict_page_header(f, idx[0]["data_page_offset"])
