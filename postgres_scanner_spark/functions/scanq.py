@@ -397,7 +397,81 @@ FROM events GROUP BY 1, 2""" for z in _P14_ZONES
 ) + " ORDER BY zone, local_hour"
 
 
+# ---- P15: bucketed-table co-located join (exchange-free SMJ) ---------
+_P15_BUCKETS = 16
+import threading as _threading
+_P15_LOCK = _threading.Lock()
+
+
+def p15_bucketed_colocated_join(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The storage-layout join the 100 TB design depends on: orders
+    and lineitem written ONCE as Hive-bucketed tables (bucketBy(16,
+    orderkey) + sortBy), so every subsequent orderkey join is
+    CO-LOCATED — the planner reads the catalog's bucket spec and
+    feeds the SortMergeJoin directly from the bucketed scans with NO
+    shuffle exchange on either side (pinned by test: zero
+    `hashpartitioning(o_orderkey/l_orderkey)` exchanges in the
+    executed plan; the only exchange left is the final tiny
+    per-priority aggregate). At lake scale this is the difference
+    between re-shuffling 100 TB per join and paying the shuffle once
+    at write time — the same contract as the reference's clustered
+    storage, expressed through Spark's native bucketing (the brief's
+    `repartition()/bucketing for co-located joins` axis, exercised
+    nowhere else in the registry).
+
+    Staging is once per (sf_dir, mtime) into /tmp-backed EXTERNAL
+    tables under the in-memory catalog; gate workers are THREADS of
+    one pid, so a plain lock serializes the create (the m13 spool
+    race class). Values are decimal-cast sums (q1's idiom) — the
+    bucketing changes the PLAN, never the numbers, which is exactly
+    what the oracle grades."""
+    import hashlib
+    import os
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:8]
+    to, tl = f"p15_orders_{key}", f"p15_lineitem_{key}"
+    with _P15_LOCK:
+        if not spark.catalog.tableExists(to):
+            path = f"/tmp/pg_spark_bktstage_{key}"
+            (_t(spark, sf_dir, "orders")
+             .select("o_orderkey", "o_orderpriority")
+             .write.mode("overwrite").option("path", f"{path}/o")
+             .bucketBy(_P15_BUCKETS, "o_orderkey")
+             .sortBy("o_orderkey").saveAsTable(to))
+            (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_quantity")
+             .write.mode("overwrite").option("path", f"{path}/l")
+             .bucketBy(_P15_BUCKETS, "l_orderkey")
+             .sortBy("l_orderkey").saveAsTable(tl))
+    o, l = spark.table(to), spark.table(tl)
+    # hint("merge"): at driver SFs the orders side fits the broadcast
+    # threshold and Catalyst would (correctly) broadcast — but the op
+    # exists to certify the bucketed SMJ plan, which is the one that
+    # survives when BOTH sides are 100 TB and neither broadcasts; the
+    # hint pins that plan shape at every SF so the exchange-free
+    # property is what the test and the driver always grade
+    return (o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_qty"))
+            .orderBy("o_orderpriority"))
+
+
+_P15_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+            AS DOUBLE) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "p15_bucketed_colocated_join": p15_bucketed_colocated_join,
     "p14_timezone_convert": p14_timezone_convert,
     "p13_range_arrays": p13_range_arrays,
     "p1_count_star": p1_count_star,
@@ -415,6 +489,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "p15_bucketed_colocated_join": _P15_SQL,
     "p14_timezone_convert": _P14_SQL,
     "p13_range_arrays": _P13_SQL,
     "p1_count_star": _P1_SQL,

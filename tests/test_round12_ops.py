@@ -504,3 +504,26 @@ def test_m16_wrong_offset_fails_loudly(spark, tmp_path):
                 f, rec["dictionary_page_offset"])["num_values"] > 0
         with _pytest.raises(ValueError):
             read_dict_page_header(f, idx[0]["data_page_offset"])
+
+
+# ---------------------------------------------------------------------
+# P15 bucketed co-located join
+# ---------------------------------------------------------------------
+
+def test_p15_join_is_exchange_free(spark):
+    """The op's raison d'être: both sides read as BUCKETED scans and
+    the orderkey join runs with ZERO shuffle exchanges on the join
+    key — the only exchange left in the plan is the final tiny
+    per-priority aggregate. If the catalog bucket spec ever stops
+    reaching the planner, this pin fails before the driver sees a
+    slow plan."""
+    from postgres_scanner_spark.functions import scanq
+    df = scanq.p15_bucketed_colocated_join(spark,
+                                           "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    rows = df.collect()
+    assert len(rows) == 5 and all(r.n_items > 0 for r in rows)
