@@ -391,3 +391,139 @@ def test_d27_fuzz_matches_oracle(spark, vs):
     finally:
         dd._D27_S = old
         shutil.rmtree(d, ignore_errors=True)
+# Appended to tests/test_operator_fuzz.py after the suite run.
+
+
+def _write_events_fuzz(rows):
+    """rows: (event_id, us, event_type, value)."""
+    import datetime as dt
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = f"/tmp/opfuzz_{uuid.uuid4().hex}"
+    os.makedirs(d)
+    tbl = pa.Table.from_pylist(
+        [{"event_id": i, "ts": dt.datetime(1970, 1, 1)
+          + dt.timedelta(microseconds=us),
+          "user_id": i % 3, "event_type": et, "value": v,
+          "props": "{}"}
+         for i, us, et, v in rows],
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string())]))
+    pq.write_table(tbl, f"{d}/events.parquet")
+    return d
+
+
+def _oracle_events(sql_text, sf_dir):
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        return con.execute(sql_text).fetchall()
+    finally:
+        con.close()
+
+
+@st.composite
+def _ltob_series(draw):
+    # values from a 3-point set and REPEATED timestamps maximize
+    # exact area ties (the FLOOR key + (x, event_id) tie-break is
+    # the cross-engine hazard); lumpy micros leave buckets empty so
+    # the edge-stitch path runs constantly
+    n = draw(st.integers(min_value=2, max_value=36))
+    rows = []
+    for i in range(n):
+        us = draw(st.integers(min_value=0, max_value=4000))
+        et = draw(st.sampled_from(["a", "b"]))
+        v = draw(st.sampled_from([0.0, 1.0, 100.0]))
+        rows.append((i, us * 997, et, v))
+    return rows
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_ltob_series())
+def test_w22_fuzz_matches_oracle(spark, rows):
+    """LTOB vs its oracle on random spiky series: repeated x values,
+    forced equal-area ties, empty buckets, 1- and 2-point types."""
+    from postgres_scanner_spark.functions import analytics as an
+    d = _write_events_fuzz(rows)
+    try:
+        got = [tuple(r) for r in
+               an.w22_ltob_downsample(spark, d).collect()]
+        want = [tuple(r) for r in
+                _oracle_events(an._W22_SQL, d)]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@st.composite
+def _x19_corpora(draw):
+    # tiny vocabulary → masses of equal counts → the top-K boundary
+    # tie-break (cnt DESC, tk) is exercised on almost every draw
+    word = st.sampled_from([f"w{i}" for i in range(30)])
+    docs = draw(st.lists(st.lists(word, min_size=1, max_size=20),
+                         min_size=1, max_size=8))
+    return [{"doc_id": i, "text": " ".join(ws), "lang": "en",
+             "source": "s", "n_chars": 1} for i, ws in enumerate(docs)]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_x19_corpora())
+def test_x19_fuzz_matches_oracle(spark, rows):
+    """CMS grid + top-K estimates vs the oracle on tie-heavy tiny
+    vocabularies (the K-boundary ordering is the hazard; the grid
+    arithmetic is integer-exact by construction)."""
+    from postgres_scanner_spark.functions import analytics as an
+    d = _write_docs(rows)
+    try:
+        got = [tuple(r) for r in
+               an.x19_cms_heavy_hitters(spark, d).collect()]
+        want = [tuple(r) for r in _oracle(an._X19_SQL, d)]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@st.composite
+def _x20_corpora(draw):
+    # short shared phrases across sources: 5-gram overlap appears
+    # only when docs genuinely share a 5-window, so draws cover
+    # zero-overlap pairs, partial overlap, and identical sources
+    word = st.sampled_from([f"t{i}" for i in range(12)])
+    docs = draw(st.lists(
+        st.tuples(st.sampled_from(["sa", "sb", "sc"]),
+                  st.lists(word, min_size=5, max_size=14)),
+        min_size=1, max_size=8))
+    return [{"doc_id": i, "text": " ".join(ws), "lang": "en",
+             "source": src, "n_chars": 1}
+            for i, (src, ws) in enumerate(docs)]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_x20_corpora())
+def test_x20_fuzz_matches_oracle(spark, rows):
+    """Source-overlap matrix vs the oracle on random tiny corpora:
+    the full pair grid (including absent sources and zero-overlap
+    pairs) must match exactly."""
+    from postgres_scanner_spark.functions import analytics as an
+    d = _write_docs(rows)
+    try:
+        got = [tuple(r) for r in
+               an.x20_source_overlap_matrix(spark, d).collect()]
+        want = [tuple(r) for r in
+                _oracle(an.ORACLE["x20_source_overlap_matrix"], d)]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
