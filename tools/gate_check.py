@@ -98,6 +98,19 @@ def main() -> None:
     data_bytes = sum(p.stat().st_size
                      for p in Path(sf_dir).glob("*.parquet"))
     tiny = data_bytes < 100 * 1024 * 1024   # sf0.1 ≈ 24 MB, sf1 ≈ 240 MB
+    if not tiny and not os.environ.get("SPARK_GRAFT_DUCKDB_MEM"):
+        # at sf1+ each worker's DuckDB connection defaults to 80% of
+        # box RAM — jobs of them overcommit once the heavy-oracle LPT
+        # head runs concurrently (observed: d17's oracle OOMs, then a
+        # sibling connection SEGFAULTS the whole gate python, exit 0).
+        # Bound each connection to a fair share with spill enabled
+        # (the harness reads this env per connection); an explicit
+        # env always wins.
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        share = max(4, int(total * 0.6 / jobs / 2 ** 30))
+        os.environ["SPARK_GRAFT_DUCKDB_MEM"] = f"{share}GB"
+        print(f"duckdb per-connection memory bounded to {share}GB "
+              f"({jobs} workers)", flush=True)
 
     def _worker() -> None:
         # child session: own conf + own temp-view namespace for
