@@ -1878,7 +1878,98 @@ ORDER BY label, predicted
 """
 
 
+# ---- T25: PMI collocation mining (Church & Hanks 1990) ---------------
+_T25_MIN_C = 5     # bigram support floor — the published practice that
+                   # tames PMI's low-count bias (a 1-occurrence pair of
+                   # two hapaxes has maximal PMI and zero evidence)
+_T25_K = 50
+
+
+def t25_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation table: top-K adjacent word pairs by
+    pointwise mutual information (Church & Hanks 1990) — the
+    association mining every corpus-linguistics / phrase-vocabulary
+    pipeline runs (word2vec's phrase pass is this scoring with a
+    discount). PMI = ln p(a,b) − ln p(a) − ln p(b) with p(a,b) over
+    the bigram stream and p(·) over the token stream, written as ONE
+    fixed-shape expression over logs of exact integers
+    (ln c − ln T_bi − ln c_a − ln c_b + 2·ln T_u), so both engines
+    produce bit-identical doubles; ranking is on FLOOR(pmi·10⁶+.5)
+    with (w1, w2) tiebreak — a total order.
+
+    Scale: T9's bigram machinery (posexplode + per-doc lead — the
+    corpus is doc_id-partitioned, the window needs no exchange); the
+    bigram shuffle is ONE map-side-combined (w1, w2) aggregate with
+    the support filter applied BEFORE the vocabulary joins (the ≥5
+    floor drops the Zipf tail, which is most of the distinct mass);
+    unigram counts are a second vocab-sized aggregate; the two
+    totals ride a 1-row broadcast. The output is K rows at any
+    corpus size."""
+    from pyspark.sql.window import Window
+    from ..runtime import scratch_persist
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.posexplode(_tokens()).alias("pos", "w"))
+           .filter(F.col("w") != ""))
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tok.select("doc_id", F.col("w").alias("w1"),
+                     F.lead("w").over(wn).alias("w2"))
+          .filter(F.col("w2").isNotNull()))
+    uni = scratch_persist(
+        tok.groupBy("w").agg(F.count("*").cast("long").alias("cu")))
+    pdoc = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    tot = (pdoc.agg(F.sum("n").cast("long").alias("tu"),
+                    F.count("*").cast("long").alias("dd")))
+    big = (bg.groupBy("w1", "w2")
+           .agg(F.count("*").cast("long").alias("c"))
+           .filter(F.col("c") >= _T25_MIN_C))
+    pmi = (F.log("c") - F.log(F.col("tu") - F.col("dd"))
+           - F.log("cu1") - F.log("cu2")
+           + F.lit(2.0) * F.log("tu"))
+    scored = (big
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("cu").alias("cu1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("cu").alias("cu2")), "w2")
+              .crossJoin(F.broadcast(tot))    # 1-row totals scalar
+              .withColumn("ak", F.floor(pmi * F.lit(1.0e6) + F.lit(0.5))
+                          .cast("long")))
+    return (scored.orderBy(F.desc("ak"), "w1", "w2").limit(_T25_K)
+            .select("w1", "w2", "c", "cu1", "cu2",
+                    (F.col("ak").cast("double") / F.lit(1.0e6))
+                    .alias("pmi6")))
+
+
+_T25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, i AS pos, t[CAST(i AS INT) + 1] AS w
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents), UNNEST(range(len(t))) AS u(i))
+  WHERE w <> ''),
+bg AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok QUALIFY w2 IS NOT NULL),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY w),
+pdoc AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tu,
+               CAST(COUNT(*) AS BIGINT) AS dd FROM pdoc),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= {_T25_MIN_C}),
+scored AS (
+  SELECT w1, w2, c, a.cu AS cu1, b.cu AS cu2,
+         CAST(FLOOR((ln(c) - ln(tu - dd) - ln(a.cu) - ln(b.cu)
+                     + 2.0e0 * ln(tu)) * 1.0e6 + 0.5e0) AS BIGINT)
+           AS ak
+  FROM big JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w, tot)
+SELECT w1, w2, c, cu1, cu2, CAST(ak AS DOUBLE) / 1.0e6 AS pmi6
+FROM scored ORDER BY ak DESC, w1, w2 LIMIT {_T25_K}
+"""
+
+
 QUERIES = {
+    "t25_pmi_collocations": t25_pmi_collocations,
     "t24_classifier_apply": t24_classifier_apply,
     "t23_classifier_train": t23_classifier_train,
     "t22_unigram_lm_encode": t22_unigram_lm_encode,
@@ -1906,6 +1997,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t25_pmi_collocations": _T25_SQL,
     "t24_classifier_apply": _T24_SQL,
     "t23_classifier_train": _T23_SQL,
     "t22_unigram_lm_encode": _T22_SQL,

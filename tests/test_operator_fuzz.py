@@ -527,3 +527,35 @@ def test_x20_fuzz_matches_oracle(spark, rows):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@st.composite
+def _t25_corpora(draw):
+    # 4-word vocabulary with 10-25-token docs: most of the 16
+    # possible bigrams clear the support floor, and the tiny float
+    # range puts many pairs on the SAME rounded PMI key — the
+    # (ak, w1, w2) ordering is the cross-engine hazard
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    docs = draw(st.lists(st.lists(word, min_size=10, max_size=25),
+                         min_size=2, max_size=8))
+    return [{"doc_id": i, "text": " ".join(ws), "lang": "en",
+             "source": "s", "n_chars": 1} for i, ws in enumerate(docs)]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(rows=_t25_corpora())
+def test_t25_fuzz_matches_oracle(spark, rows):
+    """PMI collocations vs the oracle on tie-dense tiny-vocabulary
+    corpora (identical rounded keys force the (w1, w2) tiebreak)."""
+    from postgres_scanner_spark.functions import text as tx
+    d = _write_docs(rows)
+    try:
+        got = [tuple(r) for r in
+               tx.t25_pmi_collocations(spark, d).collect()]
+        want = [tuple(r) for r in _oracle(tx._T25_SQL, d)]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

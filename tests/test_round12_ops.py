@@ -527,3 +527,74 @@ def test_p15_join_is_exchange_free(spark):
     assert "hashpartitioning(l_orderkey" not in plan
     rows = df.collect()
     assert len(rows) == 5 and all(r.n_items > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------
+# T25 PMI collocations
+# ---------------------------------------------------------------------
+
+def _pmi_python(texts, min_c, k):
+    import math
+    from collections import Counter
+    uni, big = Counter(), Counter()
+    tu = dd = 0
+    for s in texts:
+        t = [w for w in s.lower().split(" ") if w]
+        if not t:
+            continue
+        dd += 1
+        tu += len(t)
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+    tbi = tu - dd
+    rows = []
+    for (w1, w2), c in big.items():
+        if c < min_c:
+            continue
+        pmi = (math.log(c) - math.log(tbi) - math.log(uni[w1])
+               - math.log(uni[w2]) + 2.0 * math.log(tu))
+        ak = math.floor(pmi * 1.0e6 + 0.5)
+        rows.append((-ak, w1, w2, c, uni[w1], uni[w2]))
+    rows.sort()
+    return [(w1, w2, c, c1, c2, -nak / 1.0e6)
+            for nak, w1, w2, c, c1, c2 in rows[:k]]
+
+
+def test_t25_matches_python_replay(spark, tmp_path):
+    """Full PMI replay: a strongly-associated pair ('new york'
+    always adjacent), a frequent-but-independent pair, and bigrams
+    below the support floor that must be absent."""
+    from postgres_scanner_spark.functions import text as tx
+    texts = (["new york is big and the cat sat on the mat"] * 6
+             + ["york new appears just once here today now"]
+             + ["the dog sat on a rug in new york today"] * 5)
+    d = tmp_path / "sft25"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(
+        [{"doc_id": i, "text": t, "lang": "en", "source": "s",
+          "n_chars": len(t)} for i, t in enumerate(texts)]),
+        str(d / "documents.parquet"))
+    got = [tuple(r) for r in
+           tx.t25_pmi_collocations(spark, str(d)).collect()]
+    want = _pmi_python(texts, tx._T25_MIN_C, tx._T25_K)
+    assert got == want
+    pairs = [(r[0], r[1]) for r in got]
+    assert ("new", "york") in pairs
+    assert ("york", "new") not in pairs       # c=1 < support floor
+    # the always-adjacent pair must outrank a weakly-associated one
+    # ('on the': 'on' also precedes 'a', 'the' follows many words)
+    assert pairs.index(("new", "york")) < pairs.index(("on", "the"))
+
+
+def test_t25_real_corpus_invariants(spark):
+    """sf0.001: every row respects the support floor, c <= min
+    marginal, output ranked by the rounded key then (w1, w2)."""
+    from postgres_scanner_spark.functions import text as tx
+    rows = [tuple(r) for r in
+            tx.t25_pmi_collocations(spark,
+                                    "/root/testdata/sf0.001").collect()]
+    assert 0 < len(rows) <= tx._T25_K
+    keys = [(-round(p * 1e6), w1, w2) for w1, w2, c, c1, c2, p in rows]
+    assert keys == sorted(keys)
+    for w1, w2, c, c1, c2, p in rows:
+        assert c >= tx._T25_MIN_C and c <= min(c1, c2)

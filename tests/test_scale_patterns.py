@@ -206,6 +206,7 @@ def test_plan_lint_all_queries(spark):
         "t22_unigram_lm_encode",        # 1-row trained-model map broadcast
         "m14_page_pruned_scan",         # 1-row max-key scalar, as m12
         "x20_source_overlap_matrix",    # 20-row per-source size grid
+        "t25_pmi_collocations",         # 1-row token/bigram totals scalar
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
