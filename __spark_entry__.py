@@ -60,14 +60,14 @@ _COST_ORDER = [
     "x19_cms_heavy_hitters", "e24_streaming_cms_maintenance",
     "x20_source_overlap_matrix", "m16_dictionary_audit",
     "p15_bucketed_colocated_join", "t25_pmi_collocations",
-    "m15_dhash_neardup", "e9_stream_ingest_store", "m1_decode_features",
-    "w8_range_join", "d11_verbatim_spans", "d9_incremental_lsh",
-    "e3_streaming_hourly", "e15_stream_left_outer",
-    "e8_stream_stream_join", "d13_dedup_apply", "d6_dedup_clusters",
-    "w6_asof_join", "x1_sketch_aggregates", "p13_range_arrays",
-    "t16_quality_classifier", "t14_bpe_train", "q1_pricing_summary",
-    "q23_session_sql", "d1_exact_dedup", "d3_simhash_dedup",
-    "d4_ngram_jaccard", "q13_customer_distribution",
+    "e25_streaming_hll_distinct", "m15_dhash_neardup",
+    "e9_stream_ingest_store", "m1_decode_features", "w8_range_join",
+    "d11_verbatim_spans", "d9_incremental_lsh", "e3_streaming_hourly",
+    "e15_stream_left_outer", "e8_stream_stream_join", "d13_dedup_apply",
+    "d6_dedup_clusters", "w6_asof_join", "x1_sketch_aggregates",
+    "p13_range_arrays", "t16_quality_classifier", "t14_bpe_train",
+    "q1_pricing_summary", "q23_session_sql", "d1_exact_dedup",
+    "d3_simhash_dedup", "d4_ngram_jaccard", "q13_customer_distribution",
     "q20_potential_promo", "w1_rollup", "q10_returned_items",
     "q12_shipmode", "q18_large_volume_customer",
     "q22_global_sales_opportunity", "q16_parts_supplier",

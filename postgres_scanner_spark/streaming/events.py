@@ -2063,7 +2063,157 @@ SELECT tk AS token, cms_est FROM est ORDER BY token
 """
 
 
+# --------- E25 streaming HLL distinct maintenance (max-merge class)
+_E25_M = 512          # 2^9 registers; standard error 1.04/sqrt(m) ~ 4.6%
+_E25_ALPHA = 0.7213 / (1 + 1.079 / 512)   # Flajolet et al. 2007 alpha_m
+
+
+def e25_streaming_hll_distinct(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """HyperLogLog distinct-token counting maintained INSIDE the
+    ingest loop — the MAX-merge sketch class next to e24's +-merge
+    CMS (Flajolet et al. 2007): each micro-batch reduces its tokens
+    to 512 register maxima and merges into the store by GREATEST.
+    Because max is IDEMPOTENT (unlike +), re-delivered batches are
+    absorbed with NO replay guard — the staged stream's shifted-id
+    copies re-hash to the same registers and change nothing, which
+    is also why the drained registers equal the one-shot batch build
+    bit-for-bit under ANY batching/order/replay.
+
+    The register math is integer end-to-end: a 60-bit md5-derived
+    hash splits into a 9-bit register index and a 51-bit word whose
+    rank is 52 − bit_length(word) (string-free in neither engine —
+    both compute it as length(ltrim(bin(w), '0')), value-identical);
+    the estimator's harmonic sum uses the EXACT integer numerator
+    Σ 2^(52−M_j) (≤ 2^61, no float accumulation-order hazard), so
+    the one float expression — alpha·m²·2^52/N with Flajolet's
+    small-range linear-counting branch — is bit-identical cross-
+    engine. The exact distinct rides along as the self-audit (X1's
+    contract); at 100 TB only the 512-register table ever moves.
+
+    Scale: per batch one distinct-token aggregate + a ≤512-row
+    snapshot rewrite; state is CONSTANT in stream length and merge
+    distributes over any fleet by GREATEST."""
+    import hashlib
+    import os
+    import shutil
+    from ..runtime import det_round
+    from ..storage import ManagedStore
+    from .. import tables as _tb
+    _tb.ensure_session_defaults(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stage, key = _stage_doc_batches(src, "pg_spark_hllin_")
+    root = os.path.join(
+        "/tmp", "pg_spark_hllst_" + hashlib.md5(key.encode()).hexdigest()[:8])
+    shutil.rmtree(root, ignore_errors=True)
+    store = ManagedStore(spark, root)
+    store.create_table("hll_regs", spark.createDataFrame(
+        [], "j BIGINT, m INT"))
+
+    def regs_of(df: DataFrame) -> DataFrame:
+        tok = (df.select(F.explode(F.split(F.lower("text"), " "))
+                         .alias("tk"))
+               .filter(F.col("tk") != "").distinct())
+        h = (F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10)
+             .cast("bigint"))
+        return (tok.select(h.alias("h"))
+                .select(F.expr("h div 2251799813685248").alias("j"),
+                        (F.col("h") % F.lit(1 << 51)).alias("w"))
+                .select("j", (F.lit(52)
+                              - F.expr("length(ltrim('0', bin(w)))"))
+                        .cast("int").alias("m"))
+                .groupBy("j").agg(F.max("m").alias("m")))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # NO batch_id guard on purpose: GREATEST-merge is idempotent,
+        # so an at-least-once replay is a no-op by algebra (e24's CMS
+        # needs the guard; HLL does not — that contrast is the op)
+        new = (store.scan("hll_regs").unionByName(regs_of(batch_df))
+               .groupBy("j").agg(F.max("m").alias("m")))
+        store.merge("hll_regs", new, on=["j"])
+
+    schema = spark.read.parquet(src).schema
+    ckpt = os.path.join(root, "_ckpt")
+    with _stream_shuffle(spark):
+        q = (spark.readStream.schema(schema).parquet(stage)
+             .writeStream.foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        _drain(q)
+    regs = store.scan("hll_regs")
+    summ = regs.agg(
+        F.count("*").cast("long").alias("m_used"),
+        F.max("m").cast("int").alias("max_rank"),
+        F.sum("m").cast("long").alias("sum_rank"),
+        F.sum(F.col("m") * (F.col("j") + F.lit(1))).cast("long")
+        .alias("checksum"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m)"))
+        .cast("long").alias("pow_sum"))
+    docs = _tb.load(spark, sf_dir, "documents")
+    exact = (docs.select(F.explode(F.split(F.lower("text"), " "))
+                         .alias("tk"))
+             .filter(F.col("tk") != "")
+             .agg(F.count_distinct("tk").cast("long")
+                  .alias("exact_distinct")))
+    m = float(_E25_M)
+    n_int = (F.col("pow_sum")
+             + (F.lit(_E25_M) - F.col("m_used")) * F.lit(1 << 52))
+    raw = (F.lit(_E25_ALPHA) * F.lit(m) * F.lit(m)
+           * F.lit(float(1 << 52)) / n_int.cast("double"))
+    v = (F.lit(_E25_M) - F.col("m_used")).cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > F.lit(0.0)),
+                 F.lit(m) * F.log(F.lit(m) / v)).otherwise(raw)
+    return (summ.crossJoin(F.broadcast(exact))   # two 1-row aggs
+            .select("m_used", "max_rank", "sum_rank", "checksum",
+                    det_round(est, 4).alias("hll_estimate"),
+                    "exact_distinct"))
+
+
+_E25_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT tk FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS tk
+    FROM documents)
+  WHERE tk <> ''),
+hashed AS (
+  SELECT CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h
+  FROM tok),
+regs AS (
+  SELECT j, MAX(m) AS m FROM (
+    SELECT h // 2251799813685248 AS j,
+           CAST(52 - length(ltrim(bin(h % 2251799813685248), '0'))
+                AS INT) AS m
+    FROM hashed)
+  GROUP BY j),
+summ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_used,
+         CAST(MAX(m) AS INT) AS max_rank,
+         CAST(SUM(m) AS BIGINT) AS sum_rank,
+         CAST(SUM(m * (j + 1)) AS BIGINT) AS checksum,
+         CAST(SUM(CAST(1 AS BIGINT) << (52 - m)) AS BIGINT) AS pow_sum
+  FROM regs),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM tok),
+calc AS (
+  SELECT *,
+         {_E25_ALPHA!r}e0 * {float(_E25_M)!r}e0 * {float(_E25_M)!r}e0
+           * {float(1 << 52)!r}e0
+           / CAST(pow_sum + ({_E25_M} - m_used)
+                  * CAST(4503599627370496 AS BIGINT) AS DOUBLE) AS raw,
+         CAST({_E25_M} - m_used AS DOUBLE) AS v
+  FROM summ, ex)
+SELECT m_used, max_rank, sum_rank, checksum,
+       FLOOR((CASE WHEN raw <= {2.5 * _E25_M!r}e0 AND v > 0.0e0
+                   THEN {float(_E25_M)!r}e0 * ln({float(_E25_M)!r}e0 / v)
+                   ELSE raw END) * 10000.0e0 + 0.5e0) / 10000.0e0
+         AS hll_estimate,
+       exact_distinct
+FROM calc
+"""
+
+
 QUERIES = {
+    "e25_streaming_hll_distinct": e25_streaming_hll_distinct,
     "e24_streaming_cms_maintenance": e24_streaming_cms_maintenance,
     "e23_stateful_quota_admission": e23_stateful_quota_admission,
     "e22_streaming_contamination_guard": e22_streaming_contamination_guard,
@@ -2091,6 +2241,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e25_streaming_hll_distinct": _E25_SQL,
     "e24_streaming_cms_maintenance": _e24_sql(),
     "e23_stateful_quota_admission": _E23_SQL,
     "e22_streaming_contamination_guard": _e22_sql(),

@@ -598,3 +598,58 @@ def test_t25_real_corpus_invariants(spark):
     assert keys == sorted(keys)
     for w1, w2, c, c1, c2, p in rows:
         assert c >= tx._T25_MIN_C and c <= min(c1, c2)
+
+
+# ---------------------------------------------------------------------
+# E25 streaming HLL distinct maintenance
+# ---------------------------------------------------------------------
+
+def _hll_python(texts, m=512, alpha=0.7213 / (1 + 1.079 / 512)):
+    import hashlib
+    import math
+    toks = {t for s in texts for t in s.lower().split(" ") if t}
+    regs = {}
+    for tk in toks:
+        h = int(hashlib.md5(tk.encode()).hexdigest()[:15], 16)
+        j, w = h // (1 << 51), h % (1 << 51)
+        rank = 52 - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rank)
+    m_used = len(regs)
+    pow_sum = sum(1 << (52 - r) for r in regs.values())
+    n = pow_sum + (m - m_used) * (1 << 52)
+    raw = alpha * float(m) * float(m) * float(1 << 52) / float(n)
+    v = float(m - m_used)
+    est = (float(m) * math.log(float(m) / v)
+           if raw <= 2.5 * m and v > 0.0 else raw)
+    return (m_used, max(regs.values()), sum(regs.values()),
+            sum(r * (j + 1) for j, r in regs.items()),
+            math.floor(est * 1e4 + 0.5) / 1e4, len(toks))
+
+
+def test_e25_matches_python_replay(spark, tmp_path):
+    """Full replay: register construction, integer harmonic
+    numerator, linear-counting branch (small corpora always take
+    it), and the exact companion. Re-delivered stream copies must
+    change nothing (max-merge idempotence) — the replay uses the
+    PLAIN token set, which must equal the streamed result."""
+    from postgres_scanner_spark.streaming import events as ev
+    texts = [" ".join(f"tok{(i * 13 + j) % 211}" for j in range(40))
+             for i in range(24)]
+    d = _write_docs(tmp_path, "sfe25", texts)
+    got = [tuple(r) for r in
+           ev.e25_streaming_hll_distinct(spark, str(d)).collect()]
+    assert got == [_hll_python(texts)]
+
+
+def test_e25_accuracy_on_real_corpus(spark):
+    """sf0.001: one row, m_used <= 512, and the estimate within
+    3 standard errors (3 * 1.04/sqrt(512) ~ 13.8%) of the exact
+    distinct — a deterministic property of this fixed corpus."""
+    from postgres_scanner_spark.streaming import events as ev
+    rows = ev.e25_streaming_hll_distinct(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r.m_used <= 512
+    assert abs(r.hll_estimate - r.exact_distinct) \
+        <= 0.138 * r.exact_distinct

@@ -207,6 +207,7 @@ def test_plan_lint_all_queries(spark):
         "m14_page_pruned_scan",         # 1-row max-key scalar, as m12
         "x20_source_overlap_matrix",    # 20-row per-source size grid
         "t25_pmi_collocations",         # 1-row token/bigram totals scalar
+        "e25_streaming_hll_distinct",   # two 1-row aggs cross-joined
     }
     streaming = {"e3_streaming_hourly", "e6_stateful_anomaly",
                  "e7_streaming_dedup", "e8_stream_stream_join",
