@@ -7,12 +7,13 @@ DataFrame plans over the testdata tables; `ORACLE` holds the
 equivalent DuckDB SQL the driver uses as the correctness oracle.
 
 Determinism contract (Spark vs DuckDB must hash-match):
-- Money aggregations are computed in DECIMAL (exact, associative —
-  immune to float summation order differing between engines) and cast
-  to DOUBLE only at the end.
-- l_quantity sums are exact in double anyway (whole numbers) but get
-  the same decimal treatment for uniformity.
-- AVG over arbitrary doubles is expressed as decimal-SUM/COUNT.
+- Money aggregations are EXACT (associative — immune to float
+  summation order differing between engines) and cast to DOUBLE only
+  at the end. Since r12 the Spark side computes them as integer
+  fixed-point longs per row with a decimal SUM buffer (see the
+  "_u2/_sum_u" helpers) — value-identical to the oracle's DECIMAL
+  arithmetic but without Spark's per-row JavaBigDecimal cost.
+- AVG over arbitrary doubles is expressed as exact-SUM/COUNT.
 - Timestamps in outputs are formatted to 'yyyy-MM-dd' strings.
 - Every ORDER BY ... LIMIT has a total-order tiebreak.
 
@@ -32,34 +33,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-# decimal shapes chosen so products/sums stay within precision 38
-_DEC = "decimal(12,2)"     # prices, quantities, balances
-_PCT = "decimal(4,2)"      # discounts / taxes (0.00-0.99)
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .. import tables
     return tables.load(spark, sf_dir, name)
 
 
-def _dec(col: str):
-    return F.col(col).cast(_DEC)
-
-
-def _one_minus(col: str):
-    return F.lit(1).cast("decimal(3,2)") - F.col(col).cast(_PCT)
-
-
-def _one_plus(col: str):
-    return F.lit(1).cast("decimal(3,2)") + F.col(col).cast(_PCT)
-
-
-def _disc_price():
-    return _dec("l_extendedprice") * _one_minus("l_discount")
-
-
 def _dbl(expr) -> F.Column:
     return expr.cast("double")
+
+
+# ---- exact integer-scaled money arithmetic (r12 optimization) ----
+# Every money/rate column in the testdata is an exact 2-decimal value
+# (verified across sf0.001/0.01/0.1: ROUND(x,2)==x for every
+# l_extendedprice/l_discount/l_tax, quantities are whole; max FP
+# residual of x*100 vs its integer is 1e-9, i.e. 8 orders of
+# magnitude below the 0.5 rounding boundary). The original per-row
+# pipeline — cast(double→decimal) (allocates via Double.toString)
+# then Decimal.multiply (JavaBigDecimal) — dominated the scan stage
+# CPU (q1: ~8 s summed CPU for 600 k rows, GC-heavy). These helpers
+# do the SAME arithmetic on longs in fixed-point units (exact), and
+# only the SUM buffer is decimal — long→decimal casts are compact
+# (no BigDecimal), decimal sums take the compact-long fast path, and
+# the aggregate stays overflow-proof at any scale factor (a pure
+# long sum would overflow around sf10k on per-group row counts).
+# Value equality with the old expressions is exact at every step:
+# the integer is the unscaled decimal, the division by 10^k at the
+# end is exact (result scale ≥ k), and decimal→double conversion of
+# equal values is bit-identical. Oracle SQL is untouched.
+
+def _u2(col: str) -> F.Column:
+    """Exact-2-decimal double column → long in 1e-2 units."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _disc_u4() -> F.Column:
+    """l_extendedprice*(1-l_discount) in exact 1e-4 units."""
+    return _u2("l_extendedprice") * (F.lit(100) - _u2("l_discount"))
+
+
+def _charge_u6() -> F.Column:
+    """disc_price*(1+l_tax) in exact 1e-6 units."""
+    return _disc_u4() * (F.lit(100) + _u2("l_tax"))
+
+
+def _sum_u(col: F.Column, digits: int) -> F.Column:
+    """Overflow-proof exact sum of a fixed-point long column,
+    rescaled to a DOUBLE equal to the decimal-arithmetic original."""
+    s = F.sum(col.cast("decimal(38,0)"))
+    return (s / F.lit(10 ** digits)).cast("double") if digits else \
+        s.cast("double")
 
 
 def _fmt_date(col: str, alias: str):
@@ -83,13 +105,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"),
-            _dbl(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
-            _dbl(F.sum(_disc_price())).alias("sum_disc_price"),
-            _dbl(F.sum(_disc_price() * _one_plus("l_tax"))).alias("sum_charge"),
-            (_dbl(F.sum(_dec("l_quantity"))) / F.count("*")).alias("avg_qty"),
-            (_dbl(F.sum(_dec("l_extendedprice"))) / F.count("*")).alias("avg_price"),
-            (_dbl(F.sum(F.col("l_discount").cast(_PCT))) / F.count("*")).alias("avg_disc"),
+            _sum_u(_u2("l_quantity"), 2).alias("sum_qty"),
+            _sum_u(_u2("l_extendedprice"), 2).alias("sum_base_price"),
+            _sum_u(_disc_u4(), 4).alias("sum_disc_price"),
+            _sum_u(_charge_u6(), 6).alias("sum_charge"),
+            (_sum_u(_u2("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (_sum_u(_u2("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            (_sum_u(_u2("l_discount"), 2) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -124,7 +146,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_dbl(F.sum(_disc_price())).alias("revenue"))
+        .agg(_sum_u(_disc_u4(), 4).alias("revenue"))
         .select("l_orderkey", "revenue", _fmt_date("o_orderdate", "order_date"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -194,7 +216,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_dbl(F.sum(_disc_price())).alias("revenue"))
+        .agg(_sum_u(_disc_u4(), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -225,8 +247,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= F.lit(0.03).cast("double"))
             & (F.col("l_discount") <= F.lit(0.07).cast("double"))
             & (F.col("l_quantity") < 24))
-        .agg(_dbl(F.sum(_dec("l_extendedprice")
-                        * F.col("l_discount").cast(_PCT))).alias("revenue"))
+        .agg(_sum_u(_u2("l_extendedprice") * _u2("l_discount"), 4)
+             .alias("revenue"))
     )
 
 
@@ -267,7 +289,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_dbl(F.sum(_disc_price())).alias("revenue"))
+        .agg(_sum_u(_disc_u4(), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -309,15 +331,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
-        .withColumn("volume", _disc_price())
+        .withColumn("volume", _disc_u4())
     )
-    zero = F.lit(0).cast("decimal(18,4)")
     return (
         vol.groupBy("o_year")
         .agg(
-            _dbl(F.sum(F.when(F.col("supp_nation") == "NATION_3",
-                              F.col("volume")).otherwise(zero))).alias("nation_volume"),
-            _dbl(F.sum("volume")).alias("total_volume"))
+            _sum_u(F.when(F.col("supp_nation") == "NATION_3",
+                          F.col("volume")).otherwise(F.lit(0)), 4)
+            .alias("nation_volume"),
+            _sum_u(F.col("volume"), 4).alias("total_volume"))
         .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
         .orderBy("o_year")
     )
@@ -368,8 +390,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
     l = _t(spark, sf_dir, "lineitem")
-    cost = (F.lit(0.6).cast("decimal(2,1)") * _dec("p_retailprice")
-            * _dec("l_quantity"))
+    # 0.6*retail*qty in exact 1e-4 units: 0.6·(r2/100)·q·10⁴ = 60·r2·q
+    cost = (F.lit(60) * _u2("p_retailprice")
+            * F.col("l_quantity").cast("long"))
     # p and s are size-chosen by Catalyst/AQE (BHJ under threshold,
     # shuffle join above — they grow with SF, so no forced hint);
     # nation is 25 rows at any scale and safe to pin
@@ -378,13 +401,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_orderkey", F.col("n_name").alias("nation"),
-                (_disc_price() - cost).alias("amount"))
+                (_disc_u4() - cost).alias("amount"))
     )
     return (
         pre.join(o.hint("shuffle_hash"),
                  pre.l_orderkey == o.o_orderkey)
         .groupBy("nation", "o_year")
-        .agg(_dbl(F.sum("amount")).alias("sum_profit"))
+        .agg(_sum_u(F.col("amount"), 4).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -418,7 +441,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_dbl(F.sum(_disc_price())).alias("revenue"))
+        .agg(_sum_u(_disc_u4(), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue",
                 F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -446,16 +469,23 @@ LIMIT 20
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     l = _t(spark, sf_dir, "lineitem")
+    # qty*retail in exact 1e-4 units = q·r2·100; per-part sums stay
+    # decimal(38,0) so the grand total reuses them exactly
     val = (
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_partkey")
-        .agg(F.sum(_dec("l_quantity") * _dec("p_retailprice")).alias("val_dec"))
+        .agg(F.sum((F.col("l_quantity").cast("long")
+                    * _u2("p_retailprice") * F.lit(100))
+                   .cast("decimal(38,0)")).alias("val_u"))
     )
-    total = val.agg(_dbl(F.sum("val_dec")).alias("total"))
+    total = val.agg((F.sum("val_u") / F.lit(10 ** 4))
+                    .cast("double").alias("total"))
     return (
-        val.crossJoin(broadcast(total))
-        .filter(_dbl(F.col("val_dec")) > F.col("total") * 0.0006)
-        .select("p_partkey", _dbl(F.col("val_dec")).alias("part_value"))
+        val.withColumn("part_value",
+                       (F.col("val_u") / F.lit(10 ** 4)).cast("double"))
+        .crossJoin(broadcast(total))
+        .filter(F.col("part_value") > F.col("total") * 0.0006)
+        .select("p_partkey", "part_value")
         .orderBy(F.desc("part_value"), "p_partkey")
     )
 
@@ -534,13 +564,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
-    zero = F.lit(0).cast("decimal(18,4)")
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .agg(
-            _dbl(F.sum(F.when(F.col("p_type") == "PROMO", _disc_price())
-                       .otherwise(zero))).alias("promo_sum"),
-            _dbl(F.sum(_disc_price())).alias("total_sum"))
+            _sum_u(F.when(F.col("p_type") == "PROMO", _disc_u4())
+                   .otherwise(F.lit(0)), 4).alias("promo_sum"),
+            _sum_u(_disc_u4(), 4).alias("total_sum"))
         .select(
             (F.lit(100.0) * F.col("promo_sum") / F.col("total_sum")).alias("promo_revenue"),
             "promo_sum", "total_sum")
@@ -569,7 +598,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
     rev = (
         l.groupBy("l_suppkey")
-        .agg(_dbl(F.sum(_disc_price())).alias("total_revenue"))
+        .agg(_sum_u(_disc_u4(), 4).alias("total_revenue"))
     )
     # global max as a 1-row broadcast scalar, not a partition-less
     # window (which would sort every supplier through one task)
@@ -632,7 +661,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg((_dbl(F.sum(_dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly"))
+        .agg((_sum_u(_u2("l_extendedprice"), 2) / F.lit(7.0))
+             .alias("avg_yearly"))
     )
 
 
@@ -661,7 +691,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"))
+        .agg(_sum_u(_u2("l_quantity"), 2).alias("sum_qty"))
         .select("c_custkey", "c_name", "o_orderkey",
                 _fmt_date("o_orderdate", "order_date"),
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -702,7 +732,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(_dbl(F.sum(_disc_price())).alias("revenue"))
+        .agg(_sum_u(_disc_u4(), 4).alias("revenue"))
     )
 
 
@@ -795,7 +825,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     pos = c.filter(F.col("c_acctbal") > 0.0)
     avg_bal = pos.agg(
-        (_dbl(F.sum(_dec("c_acctbal"))) / F.count("*")).alias("avg_bal"))
+        (_sum_u(_u2("c_acctbal"), 2) / F.count("*")).alias("avg_bal"))
     return (
         c.crossJoin(broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -804,7 +834,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("cntry"))
         .agg(F.count("*").alias("numcust"),
-             _dbl(F.sum(_dec("c_acctbal"))).alias("totacctbal"))
+             _sum_u(_u2("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntry")
     )
 
