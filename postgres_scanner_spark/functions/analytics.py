@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..runtime import det_round
+from ..runtime import det_round, money_u as _money_u, sum_money as _sum_money
 
 _DEC = "decimal(12,2)"
 
@@ -156,10 +156,9 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("user_id")
         .agg(F.count("*").alias("n_deltas"),
-             F.sum(F.col("delta").cast("decimal(16,2)")).cast("double")
-             .alias("sum_delta"),
-             F.max(F.col("delta").cast("decimal(16,2)")).cast("double")
-             .alias("max_delta"))
+             _sum_money(_money_u("delta"), 2).alias("sum_delta"),
+             (F.max(_money_u("delta")).cast("decimal(38,0)") / 100)
+             .cast("double").alias("max_delta"))
         .orderBy("user_id")
     )
 
@@ -549,7 +548,7 @@ def w8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("value") < F.col("hi")))     # exact refine
         .groupBy("band")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("sum_value"))
         .orderBy("band")
     )
@@ -586,7 +585,7 @@ def w9_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
     agg = lambda df: (df.groupBy(hour.alias("hour"))     # noqa: E731
                       .agg(F.count("*").alias("n"),
-                           F.sum(F.col("value").cast("decimal(14,2)"))
+                           F.sum(_money_u("value").cast("decimal(38,0)"))
                            .alias("sv")))
     materialized = agg(e.filter(F.col("ts") < _W9_CUTOVER))
     tail = agg(e.filter(F.col("ts") >= _W9_CUTOVER))
@@ -594,7 +593,8 @@ def w9_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialized.unionByName(tail)
         # hour buckets never straddle the cutover (it is on the hour),
         # so the union IS the final rollup — no re-aggregation needed
-        .select("hour", "n", F.col("sv").cast("double").alias("sum_value"))
+        .select("hour", "n",
+                (F.col("sv") / 100).cast("double").alias("sum_value"))
         .orderBy("hour")
     )
 
@@ -672,7 +672,7 @@ def w10_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("segment")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("sum_value"))
         .orderBy("segment")
     )
@@ -1009,7 +1009,7 @@ def w15_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.date_trunc("hour", "ts")
     agg = (e.groupBy(F.col("event_type"), hour.alias("h"))
            .agg(F.count("*").alias("n"),
-                (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                (_sum_money(_money_u("value"), 2)
                  / F.count("*")).alias("avg_raw")))
     span = e.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
                  F.date_trunc("hour", F.max("ts")).alias("h1"))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import money_u as _money_u, sum_money as _sum_money
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .. import tables
@@ -53,13 +55,13 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # ---- P3: decimal arithmetic (reference: test/sql/scanner/decimals.test)
 def p3_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    tax_amt = (F.col("l_extendedprice").cast("decimal(12,2)")
-               * F.col("l_tax").cast("decimal(4,2)"))
+    tax_amt_u4 = _money_u("l_extendedprice") * _money_u("l_tax")
     return (
         l.groupBy("l_linestatus")
-        .agg(F.sum(tax_amt).cast("double").alias("sum_tax_amt"),
-             F.sum(F.col("l_tax").cast("decimal(4,2)")).cast("double").alias("sum_tax"),
-             F.max(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("max_price"))
+        .agg(_sum_money(tax_amt_u4, 4).alias("sum_tax_amt"),
+             _sum_money(_money_u("l_tax"), 2).alias("sum_tax"),
+             (F.max(_money_u("l_extendedprice")).cast("decimal(38,0)")
+              / 100).cast("double").alias("max_price"))
         .orderBy("l_linestatus")
     )
 
@@ -87,7 +89,7 @@ def p4_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.filter(cond).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        _sum_money(_money_u("p_retailprice"), 2).alias("sum_price"),
         F.min("p_partkey").alias("min_key"),
         F.max("p_partkey").alias("max_key"))
 
@@ -183,7 +185,7 @@ def p8_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("k_bucket", k % 10)
         .groupBy("k_bucket")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"))
+             _sum_money(_money_u("value"), 2).alias("sum_value"))
         .orderBy("k_bucket")
     )
 
@@ -230,7 +232,7 @@ def p10_verify_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("l_orderkey") * F.col("l_linenumber")).alias("sum_ok_ln"),
         F.sum(F.col("l_partkey") + F.col("l_suppkey")).alias("sum_pk_sk"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        _sum_money(_money_u("l_quantity"), 2).alias("sum_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"))
 
 
@@ -263,8 +265,8 @@ def p11_struct_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select(rec.alias("rec"))
         .groupBy(F.col("rec.flag").alias("flag"))
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("rec.metrics.qty").cast("decimal(18,2)"))
-             .cast("double").alias("sum_qty"),
+             _sum_money(_money_u(F.col("rec.metrics.qty")), 2)
+             .alias("sum_qty"),
              F.max(F.col("rec.metrics.price")).alias("max_price"))
         .orderBy("flag")
     )
@@ -456,8 +458,8 @@ def p15_bucketed_colocated_join(spark: SparkSession, sf_dir: str
     return (o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
             .groupBy("o_orderpriority")
             .agg(F.count("*").cast("long").alias("n_items"),
-                 F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-                 .cast("double").alias("sum_qty"))
+                 _sum_money(_money_u("l_quantity"), 2)
+                 .alias("sum_qty"))
             .orderBy("o_orderpriority"))
 
 

@@ -30,9 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..runtime import det_round
-
-_DEC = "decimal(12,2)"
+from ..runtime import det_round, money_u as _money_u, sum_money as _sum_money
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,10 +38,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return tables.load(spark, sf_dir, name)
 
 
+# r12: money arithmetic runs on exact fixed-point longs per row (see
+# runtime.money_u — the cast(double→decimal)+Decimal.multiply path
+# allocated a JavaBigDecimal per row). Aggregates that feed further
+# decimal semantics (decimal divisions, comparisons, window sums) are
+# cast BACK to the decimal type the legacy sum produced, so every
+# downstream expression keeps its exact pre-r12 type and rounding.
+
 def _rev(l) -> F.Column:
-    return (F.col("l_extendedprice").cast(_DEC)
-            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast("decimal(4,2)"))
-            ).alias("rev_dec")
+    """l_extendedprice*(1-l_discount) in exact 1e-4 units (long)."""
+    return (_money_u("l_extendedprice")
+            * (F.lit(100) - _money_u("l_discount"))).alias("rev_dec")
+
+
+def _sum_u_dec(col, digits: int, dectype: str) -> F.Column:
+    """Exact sum of fixed-point longs, rescaled and cast back to the
+    decimal type the legacy decimal-sum produced (value-exact: the
+    quotient has ≤`digits` decimals and the target scale covers it)."""
+    return ((F.sum(col.cast("decimal(38,0)")) / F.lit(10 ** digits))
+            .cast(dectype))
 
 
 # ---- DS1 (TPC-DS Q1 shape): customers above 1.2x their nation's
@@ -55,7 +68,8 @@ def ds1_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_nationkey")
-        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_dec"))
+        .agg(_sum_u_dec(_money_u("o_totalprice"), 2, "decimal(22,2)")
+             .alias("total_dec"))
     )
     # nation-grain averages as a groupBy + broadcast join, NOT an
     # aggregate window over customer-grain rows: a window partitioned
@@ -101,7 +115,8 @@ def ds2_weekday_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.weekday("l_shipdate") + 1).cast("int").alias("dow"),
                  _rev(l))
         .groupBy("yr", "dow")
-        .agg(F.sum("rev_dec").alias("rev_dec"))
+        .agg(_sum_u_dec(F.col("rev_dec"), 4, "decimal(36,4)")
+             .alias("rev_dec"))
     )
     w = Window.partitionBy("yr")
     return (
@@ -138,7 +153,7 @@ def ds3_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("l_shipdate").cast("int").alias("yr"),
                 F.col("p_brand"), _rev(l))
         .groupBy("yr", "p_brand")
-        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
+        .agg(_sum_money(F.col("rev_dec"), 4).alias("revenue"))
         .orderBy("yr", F.desc("revenue"), "p_brand")
     )
 
@@ -200,7 +215,8 @@ def ds5_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("r_name", "n_name", _rev(l))
         .groupBy("r_name", "n_name")
-        .agg(F.sum("rev_dec").alias("rev_dec"))
+        .agg(_sum_u_dec(F.col("rev_dec"), 4, "decimal(36,4)")
+             .alias("rev_dec"))
     )
     w = Window.partitionBy("r_name")
     return (
@@ -246,7 +262,8 @@ def ds6_top_customers_per_region(spark: SparkSession,
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "c_custkey", "c_name")
-        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_dec"))
+        .agg(_sum_u_dec(_money_u("o_totalprice"), 2, "decimal(22,2)")
+             .alias("total_dec"))
     )
     # two-phase top-k (hier.salted_topk): a region is ~customers/5,
     # one task's worth under a plain per-region window at scale
@@ -292,7 +309,8 @@ def ds7_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name"), F.year("l_shipdate").cast("int").alias("yr"),
                 _rev(l))
         .groupBy("n_name", "yr")
-        .agg(F.sum("rev_dec").alias("rev_dec"))
+        .agg(_sum_u_dec(F.col("rev_dec"), 4, "decimal(36,4)")
+             .alias("rev_dec"))
     )
     w = Window.partitionBy("n_name").orderBy("yr")
     prev = F.lag(F.col("rev_dec")).over(w)
@@ -370,12 +388,12 @@ def ds9_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.lit("demand").alias("channel"),
                 F.col("n_name").alias("nation"),
-                F.col("o_totalprice").cast(_DEC).alias("rev_dec"))
+                (_money_u("o_totalprice") * 100).alias("rev_dec"))
     )
     return (
         supply.unionByName(demand)
         .rollup("channel", "nation")
-        .agg(F.sum("rev_dec").cast("double").alias("amount"),
+        .agg(_sum_money(F.col("rev_dec"), 4).alias("amount"),
              F.count("*").alias("n_rows"))
         .select(F.coalesce("channel", F.lit("ALL")).alias("channel"),
                 F.coalesce("nation", F.lit("ALL")).alias("nation"),
@@ -418,12 +436,12 @@ def ds10_avg_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .filter(F.col("l_returnflag").isin("A", "R"))
         .groupBy("p_brand")
-        .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-              .cast("double") / F.count("*")).alias("avg_qty"),
-             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-              .cast("double") / F.count("*")).alias("avg_price"),
-             (F.sum(F.col("l_discount").cast("decimal(18,2)"))
-              .cast("double") / F.count("*")).alias("avg_disc"),
+        .agg((_sum_money(_money_u("l_quantity"), 2)
+              / F.count("*")).alias("avg_qty"),
+             (_sum_money(_money_u("l_extendedprice"), 2)
+              / F.count("*")).alias("avg_price"),
+             (_sum_money(_money_u("l_discount"), 2)
+              / F.count("*")).alias("avg_disc"),
              F.count("*").alias("n_lines"))
         .orderBy("p_brand")
     )
@@ -541,7 +559,7 @@ def ds13_low_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB HALF_EVEN — the exact sum sidesteps the mode difference
     per_part = (
         l.groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_rev(l)).alias("rev_dec")))
+        .agg(_sum_u_dec(_rev(l), 4, "decimal(36,4)").alias("rev_dec")))
     # the per-supplier average divides in DOUBLE on both engines —
     # decimal-division scale rules differ between Spark and DuckDB
     per_supp = (per_part.groupBy("l_suppkey")
@@ -644,8 +662,9 @@ def ds15_channel_growth_ratio(spark: SparkSession, sf_dir: str
 
     def tot(is_pri, year, name):
         cond = (pri if is_pri else ~pri) & (yr == year)
-        return F.sum(F.when(cond, F.col("o_totalprice").cast(_DEC))
-                     .otherwise(F.lit(0).cast(_DEC))).alias(name)
+        return _sum_u_dec(F.when(cond, _money_u("o_totalprice"))
+                          .otherwise(F.lit(0)), 2,
+                          "decimal(22,2)").alias(name)
 
     # sargable range instead of year() IN (...): the predicate must
     # reach the parquet scan (PushedFilters) / remote WHERE
@@ -711,7 +730,7 @@ def ds16_above_avg_balance_nations(spark: SparkSession, sf_dir: str
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    gavg = c.agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+    gavg = c.agg((_sum_money(_money_u("c_acctbal"), 2)
                   / F.count("*")).alias("global_avg"))
     active = (o.filter((F.col("o_orderdate") >= "1994-01-01")
                        & (F.col("o_orderdate") < "1995-01-01"))
@@ -762,7 +781,7 @@ def ds17_substr_cohort_revenue(spark: SparkSession, sf_dir: str
     suffix = F.substring(F.col("c_name"), -2, 2)
     in_list = c.filter(suffix.isin("11", "24", "37", "42", "59", "73",
                                    "86", "98")).select("c_custkey")
-    gavg = c.agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+    gavg = c.agg((_sum_money(_money_u("c_acctbal"), 2)
                   / F.count("*")).alias("ga"))
     preferred = (c.crossJoin(broadcast(gavg))
                  .filter(F.col("c_acctbal").cast("double") > F.col("ga"))
@@ -774,7 +793,7 @@ def ds17_substr_cohort_revenue(spark: SparkSession, sf_dir: str
             .join(broadcast(n), F.col("c_nationkey") == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"))
             .agg(F.count("*").cast("long").alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+                 _sum_money(_money_u("o_totalprice"), 2)
                  .alias("revenue"))
             .orderBy("nation"))
 
@@ -859,24 +878,26 @@ def ds19_two_fact_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = (o.filter((F.col("o_orderdate") >= "1994-01-01")
                      & (F.col("o_orderdate") < "1996-01-01"))
             .groupBy(F.col("o_custkey").alias("custkey"))
-            .agg(F.sum(F.when(yr_o == 1994,
-                              F.col("o_totalprice").cast(_DEC))
-                       .otherwise(F.lit(0).cast(_DEC))).alias("h94"),
-                 F.sum(F.when(yr_o == 1995,
-                              F.col("o_totalprice").cast(_DEC))
-                       .otherwise(F.lit(0).cast(_DEC))).alias("h95")))
+            .agg(_sum_u_dec(F.when(yr_o == 1994,
+                                   _money_u("o_totalprice"))
+                            .otherwise(F.lit(0)), 2,
+                            "decimal(22,2)").alias("h94"),
+                 _sum_u_dec(F.when(yr_o == 1995,
+                                   _money_u("o_totalprice"))
+                            .otherwise(F.lit(0)), 2,
+                            "decimal(22,2)").alias("h95")))
     yr_l = F.year("l_shipdate")
     rev = (l.join(o.select("o_orderkey", "o_custkey"),
                   l.l_orderkey == F.col("o_orderkey"))
            .filter((F.col("l_shipdate") >= "1994-01-01")
                    & (F.col("l_shipdate") < "1996-01-01"))
            .groupBy(F.col("o_custkey").alias("custkey"))
-           .agg(F.sum(F.when(yr_l == 1994, _rev(l))
-                      .otherwise(F.lit(0).cast("decimal(14,4)")))
-                .alias("r94"),
-                F.sum(F.when(yr_l == 1995, _rev(l))
-                      .otherwise(F.lit(0).cast("decimal(14,4)")))
-                .alias("r95")))
+           .agg(_sum_u_dec(F.when(yr_l == 1994, _rev(l))
+                           .otherwise(F.lit(0)), 4,
+                           "decimal(36,4)").alias("r94"),
+                _sum_u_dec(F.when(yr_l == 1995, _rev(l))
+                           .otherwise(F.lit(0)), 4,
+                           "decimal(36,4)").alias("r95")))
     hr = F.col("h95").cast("double") / F.col("h94").cast("double")
     rr = F.col("r95").cast("double") / F.col("r94").cast("double")
     return (head.join(rev, "custkey")
@@ -940,7 +961,7 @@ def ds20_category_share_window(spark: SparkSession, sf_dir: str
                     & (F.col("l_shipdate") < "1994-01-31"))
            .join(p, l.l_partkey == p.p_partkey)
            .groupBy("p_brand", "p_type")
-           .agg(F.sum(_rev(l)).alias("rev_dec")))
+           .agg(_sum_u_dec(_rev(l), 4, "decimal(36,4)").alias("rev_dec")))
     w = Window.partitionBy("p_brand")
     return (win.withColumn(
         "brand_share",
@@ -988,13 +1009,13 @@ def ds21_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.join(o, l.l_orderkey == o.o_orderkey).filter(pred)
     return (j.groupBy("l_returnflag")
             .agg(F.count("*").cast("long").alias("n"),
-                 det_round(F.sum(F.col("l_quantity").cast(_DEC))
-                           .cast("double") / F.count("*"), 6)
+                 det_round(_sum_money(_money_u("l_quantity"), 2)
+                           / F.count("*"), 6)
                  .alias("avg_qty"),
-                 det_round(F.sum(F.col("l_extendedprice").cast(_DEC))
-                           .cast("double") / F.count("*"), 6)
+                 det_round(_sum_money(_money_u("l_extendedprice"), 2)
+                           / F.count("*"), 6)
                  .alias("avg_price"),
-                 F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+                 _sum_money(_money_u("o_totalprice"), 2)
                  .alias("sum_order_total"))
             .orderBy("l_returnflag"))
 

@@ -62,18 +62,12 @@ def _dbl(expr) -> F.Column:
 # equal values is bit-identical. Oracle SQL is untouched.
 
 def _u2(col: str) -> F.Column:
-    """Exact-2-decimal double column → long in 1e-2 units.
-
-    floor(x·100 + 0.5), not round(): Spark's round() on a DOUBLE goes
-    through BigDecimal.valueOf(x).setScale(...) per row — the very
-    allocation this rewrite removes — while floor() is Math.floor.
-    Exactness: x·100 is within 1e-9 of the true integer n (measured),
-    so floor(n ± 1e-9 + 0.5) = n for positive and negative values
-    alike (floor rounds toward −∞, so the +0.5 midpoint shift is
-    sign-correct). Measured on q1's aggregate: round+decimal-sum
-    0.80 s steady-state vs floor+decimal-sum 0.41 s (noop sink,
-    min-of-4, sf0.1)."""
-    return F.floor(F.col(col) * 100 + F.lit(0.5))
+    """Exact-2-decimal double column → long in 1e-2 units (see
+    runtime.money_u: floor(x·100+0.5) — measured on q1's aggregate:
+    round+decimal-sum 0.80 s steady-state vs floor+decimal-sum
+    0.41 s, noop sink, min-of-4, sf0.1)."""
+    from ..runtime import money_u
+    return money_u(col, 2)
 
 
 def _disc_u4() -> F.Column:
@@ -87,11 +81,9 @@ def _charge_u6() -> F.Column:
 
 
 def _sum_u(col: F.Column, digits: int) -> F.Column:
-    """Overflow-proof exact sum of a fixed-point long column,
-    rescaled to a DOUBLE equal to the decimal-arithmetic original."""
-    s = F.sum(col.cast("decimal(38,0)"))
-    return (s / F.lit(10 ** digits)).cast("double") if digits else \
-        s.cast("double")
+    """Overflow-proof exact fixed-point sum (runtime.sum_money)."""
+    from ..runtime import sum_money
+    return sum_money(col, digits)
 
 
 def _fmt_date(col: str, alias: str):

@@ -64,6 +64,34 @@ def release_scratch() -> int:
     return n
 
 
+def money_u(col, digits: int = 2):
+    """Exact-k-decimal DOUBLE column → long in 1e-k fixed-point units.
+
+    floor(x·10ᵏ + 0.5), not round()/cast(decimal): both of those
+    allocate a JavaBigDecimal per row (round via BigDecimal.valueOf,
+    cast via Double.toString) and dominated the money-aggregate scan
+    stages (r12 profile: q1 8 s summed CPU → 2 s after the switch).
+    Exact for positive and negative values: x·10ᵏ is within ~1e-9 of
+    the true integer n (the data is verified exact at k decimals), so
+    floor(n ± ε + 0.5) = n — floor rounds toward −∞, which makes the
+    +0.5 shift sign-correct."""
+    from pyspark.sql import functions as F
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.floor(c * (10 ** digits) + F.lit(0.5))
+
+
+def sum_money(col, digits: int = 2):
+    """Overflow-proof exact SUM of a fixed-point long column, rescaled
+    to the DOUBLE the legacy decimal-sum produced (bit-identical:
+    the division by 10^digits is exact — result scale ≥ digits — and
+    decimal→double of equal values is the same double). The buffer is
+    decimal(38,0): compact-long fast path per add, never wraps."""
+    from pyspark.sql import functions as F
+    s = F.sum(col.cast("decimal(38,0)"))
+    return (s / F.lit(10 ** digits)).cast("double") if digits else \
+        s.cast("double")
+
+
 def det_round(col, n: int):
     """Engine-deterministic rounding of a DOUBLE to n decimals:
     floor(x·10ⁿ + 0.5)/10ⁿ — every step is an exactly-specified IEEE

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..runtime import money_u as _money_u, sum_money as _sum_money
+
 _GAP_MIN = 30
 
 # State-store instances scale with shuffle partitions; size them to
@@ -153,7 +155,7 @@ def e1_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "yyyy-MM-dd HH:00").alias("hour"),
             "event_type")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("sum_value"))
         .orderBy("hour", "event_type")
     )
@@ -250,7 +252,7 @@ def e4_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("total_value"))
         .orderBy(F.desc("total_value"), "user_id")
         .limit(10)
@@ -524,7 +526,7 @@ def e9_stream_ingest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.scan("events_bronze")
         .groupBy("event_type")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("sum_value"))
         .orderBy("event_type")
     )
@@ -698,7 +700,7 @@ def e12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dim, "user_id")                    # stream ⋈ static
         .groupBy("segment", "event_type")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("value").cast("decimal(14,2)")).alias("sv"))
+             _sum_money(_money_u("value"), 2).alias("sv"))
     )
     with _stream_shuffle(spark):
         q = (stream.writeStream.format("memory")
@@ -710,7 +712,7 @@ def e12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("e12_enriched")
         .select("segment", "event_type", "n",
-                F.col("sv").cast("double").alias("sum_value"))
+                F.col("sv").alias("sum_value"))
         .orderBy("segment", "event_type")
     )
 
@@ -818,7 +820,7 @@ def e13_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(sink_dir)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("sum_value"))
         .withColumn("run2_rows", F.lit(counts[2]).cast("long"))
         .orderBy("event_type")
@@ -1031,7 +1033,7 @@ def e16_connector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("stream_key", "event_id").load()
         .groupBy("event_type")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("sum_value"))
     )
     with _stream_shuffle(spark):
@@ -1515,7 +1517,7 @@ def e21_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n"),
-             F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+             _sum_money(_money_u("value"), 2)
              .alias("sum_value"))
     )
     with _stream_shuffle(spark):
@@ -1600,7 +1602,7 @@ def e19_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (store.scan("events_once")
             .groupBy("event_type")
             .agg(F.count("*").cast("long").alias("n"),
-                 F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                 _sum_money(_money_u("value"), 2)
                  .alias("sum_value"))
             .orderBy("event_type"))
 
