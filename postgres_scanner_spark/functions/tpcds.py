@@ -54,7 +54,10 @@ def _rev(l) -> F.Column:
 def _sum_u_dec(col, digits: int, dectype: str) -> F.Column:
     """Exact sum of fixed-point longs, rescaled and cast back to the
     decimal type the legacy decimal-sum produced (value-exact: the
-    quotient has ≤`digits` decimals and the target scale covers it)."""
+    quotient has ≤`digits` decimals and the target scale covers it).
+    digits <= 6 is a hard limit: Spark caps the quotient scale of
+    decimal(38,0)/lit at 6 (r12 ADVICE)."""
+    assert digits <= 6, f"_sum_u_dec rescale is exact only to 6 digits, got {digits}"
     return ((F.sum(col.cast("decimal(38,0)")) / F.lit(10 ** digits))
             .cast(dectype))
 
@@ -110,21 +113,29 @@ ORDER BY c_custkey
 # ---- DS2 (Q2 shape): revenue share per ISO weekday within each year
 def ds2_weekday_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+    # r13: u4 carry-through (w9 pattern) — the window sums the exact
+    # decimal(38,0) count of 1e-4 units instead of decimal(36,4)
+    # group values; both rescale paths cast back through the exact
+    # legacy decimal types (decimal(36,4) per group, decimal(38,4)
+    # for the window total), so every double is bit-identical.
     per = (
         l.select(F.year("l_shipdate").cast("int").alias("yr"),
                  (F.weekday("l_shipdate") + 1).cast("int").alias("dow"),
                  _rev(l))
         .groupBy("yr", "dow")
-        .agg(_sum_u_dec(F.col("rev_dec"), 4, "decimal(36,4)")
-             .alias("rev_dec"))
+        .agg(F.sum(F.col("rev_dec").cast("decimal(38,0)"))
+             .alias("rev_u4"))
     )
     w = Window.partitionBy("yr")
+    rev_dec = (F.col("rev_u4") / F.lit(10 ** 4)).cast("decimal(36,4)")
+    win_dec = ((F.sum("rev_u4").over(w) / F.lit(10 ** 4))
+               .cast("decimal(38,4)"))
     return (
         per.select(
             "yr", "dow",
-            F.col("rev_dec").cast("double").alias("revenue"),
-            (F.col("rev_dec").cast("double")
-             / F.sum("rev_dec").over(w).cast("double")).alias("share"))
+            rev_dec.cast("double").alias("revenue"),
+            (rev_dec.cast("double")
+             / win_dec.cast("double")).alias("share"))
         .orderBy("yr", "dow")
     )
 
@@ -215,17 +226,22 @@ def ds5_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("r_name", "n_name", _rev(l))
         .groupBy("r_name", "n_name")
-        .agg(_sum_u_dec(F.col("rev_dec"), 4, "decimal(36,4)")
-             .alias("rev_dec"))
+        .agg(F.sum(F.col("rev_dec").cast("decimal(38,0)"))
+             .alias("rev_u4"))
     )
+    # r13: u4 carry-through, same construction as ds2 (bit-identical
+    # doubles via the legacy decimal(36,4)/decimal(38,4) cast-backs)
     w = Window.partitionBy("r_name")
+    rev_dec = (F.col("rev_u4") / F.lit(10 ** 4)).cast("decimal(36,4)")
+    win_dec = ((F.sum("rev_u4").over(w) / F.lit(10 ** 4))
+               .cast("decimal(38,4)"))
     return (
         per.select(
             F.col("r_name").alias("region"),
             F.col("n_name").alias("nation"),
-            F.col("rev_dec").cast("double").alias("revenue"),
-            (F.col("rev_dec").cast("double")
-             / F.sum("rev_dec").over(w).cast("double")).alias("region_share"))
+            rev_dec.cast("double").alias("revenue"),
+            (rev_dec.cast("double")
+             / win_dec.cast("double")).alias("region_share"))
         .orderBy("region", F.desc("revenue"), "nation")
     )
 
@@ -961,14 +977,18 @@ def ds20_category_share_window(spark: SparkSession, sf_dir: str
                     & (F.col("l_shipdate") < "1994-01-31"))
            .join(p, l.l_partkey == p.p_partkey)
            .groupBy("p_brand", "p_type")
-           .agg(_sum_u_dec(_rev(l), 4, "decimal(36,4)").alias("rev_dec")))
+           .agg(F.sum(_rev(l).cast("decimal(38,0)")).alias("rev_u4")))
+    # r13: u4 carry-through, same construction as ds2/ds5
     w = Window.partitionBy("p_brand")
+    rev_dec = (F.col("rev_u4") / F.lit(10 ** 4)).cast("decimal(36,4)")
+    win_dec = ((F.sum("rev_u4").over(w) / F.lit(10 ** 4))
+               .cast("decimal(38,4)"))
     return (win.withColumn(
         "brand_share",
-        det_round(F.col("rev_dec").cast("double")
-                  / F.sum("rev_dec").over(w).cast("double"), 6))
+        det_round(rev_dec.cast("double")
+                  / win_dec.cast("double"), 6))
         .select("p_brand", "p_type",
-                F.col("rev_dec").cast("double").alias("revenue"),
+                rev_dec.cast("double").alias("revenue"),
                 "brand_share")
         .orderBy("p_brand", "p_type"))
 

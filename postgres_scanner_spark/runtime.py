@@ -85,8 +85,13 @@ def sum_money(col, digits: int = 2):
     to the DOUBLE the legacy decimal-sum produced (bit-identical:
     the division by 10^digits is exact — result scale ≥ digits — and
     decimal→double of equal values is the same double). The buffer is
-    decimal(38,0): compact-long fast path per add, never wraps."""
+    decimal(38,0): compact-long fast path per add, never wraps.
+
+    Hard limit digits <= 6: Spark's decimal-division precision
+    adjustment caps the quotient scale of decimal(38,0)/lit at 6, so
+    a larger `digits` would silently round the rescale (r12 ADVICE)."""
     from pyspark.sql import functions as F
+    assert digits <= 6, f"sum_money rescale is exact only to 6 digits, got {digits}"
     s = F.sum(col.cast("decimal(38,0)"))
     return (s / F.lit(10 ** digits)).cast("double") if digits else \
         s.cast("double")

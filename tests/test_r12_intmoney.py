@@ -45,6 +45,24 @@ def test_money_columns_exact_2dec(spark, sf_dir):
     assert bad == 0
 
 
+def test_money_columns_exact_2dec_all_tables(spark, sf_dir):
+    # r13 (ADVICE): money_u is applied beyond lineitem — to
+    # o_totalprice, c_acctbal, s_acctbal, p_retailprice and
+    # events.value. For negative non-exact inputs floor(x*100+0.5)
+    # (half-up toward +inf) diverges from the legacy decimal cast
+    # (HALF_UP away from zero), so a testdata regeneration with
+    # >2-decimal values must fail HERE, loudly, not silently change
+    # results.
+    for table, col in [("orders", "o_totalprice"),
+                       ("customer", "c_acctbal"),
+                       ("supplier", "s_acctbal"),
+                       ("part", "p_retailprice"),
+                       ("events", "value")]:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        bad = df.filter(F.col(col) != F.round(F.col(col), 2)).count()
+        assert bad == 0, (table, col)
+
+
 def test_rowwise_fixed_point_equals_decimal(spark, sf_dir):
     from postgres_scanner_spark.functions.tpch import (
         _charge_u6, _disc_u4, _u2,
