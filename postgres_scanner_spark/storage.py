@@ -529,16 +529,43 @@ class ManagedStore:
         missing = [c for c in cur.columns if c not in source.columns]
         if missing:
             raise ValueError(f"MERGE source lacks column(s) {missing}")
-        # several passes read the source (dup check, counts, union):
-        # one materialization
+        # several passes read the source (stats, union): one
+        # materialization
         src = source.select([F.col(c).cast(schema[c].dataType)
                              for c in cur.columns]).persist()
         try:
+            # ONE stats job replaces the former three (dup-key check +
+            # n_upd count + n_ins count): a streaming caller pays this
+            # per micro-batch, so each merge was 4 Spark actions where
+            # 2 suffice (r13; guide §2.6 — fewer serialized driver
+            # round-trips, same answers). Per key:
+            #   _scnt = source rows, _tcnt = matching target rows.
             # NULL-keyed source rows can never match a target row
             # (ON equality is not true for NULL = NULL), so they are
-            # exempt from the cardinality rule and always insert
-            if src.dropna(subset=on).groupBy(*on).count() \
-                    .filter("count > 1").limit(1).count():
+            # exempt from the cardinality rule and always insert;
+            # groupBy collapses them into one all-NULL key row that a
+            # key-equality join also never matches, keeping their
+            # _tcnt NULL.
+            nonnull = F.lit(True)
+            for c in on:
+                nonnull = nonnull & F.col(c).isNotNull()
+            stats = (src.groupBy(*on).agg(F.count("*").alias("_scnt"))
+                     .withColumn("_keyed", nonnull)
+                     .join(cur.groupBy(*on).agg(
+                         F.count("*").alias("_tcnt")), on, "left_outer")
+                     .agg(
+                         F.max(F.when(F.col("_keyed")
+                                      & (F.col("_scnt") > 1), 1)
+                               .otherwise(0)).alias("_dup"),
+                         F.sum(F.when(F.col("_keyed")
+                                      & F.col("_tcnt").isNotNull(),
+                                      F.col("_tcnt")).otherwise(0))
+                         .alias("_n_upd"),
+                         F.sum(F.when(F.col("_keyed")
+                                      & F.col("_tcnt").isNotNull(), 0)
+                               .otherwise(F.col("_scnt")))
+                         .alias("_n_ins")).collect()[0])
+            if stats["_dup"]:
                 raise ValueError(
                     "MERGE source has duplicate join keys — a target "
                     "row may match at most one source row")
@@ -550,8 +577,8 @@ class ManagedStore:
             matched = (cur.select(*on).join(src, on, "inner")
                        .select(*cur.columns))
             unmatched = src.join(key_set, on, "left_anti")
-            n_upd = matched.count() if update_all else 0
-            n_ins = unmatched.count() if insert_all else 0
+            n_upd = int(stats["_n_upd"] or 0) if update_all else 0
+            n_ins = int(stats["_n_ins"] or 0) if insert_all else 0
             kept = (cur.join(src.select(*on).distinct(), on, "left_anti")
                     if update_all else cur)
             out = kept

@@ -1370,12 +1370,20 @@ def e20_streaming_neardup_ingest(spark: SparkSession, sf_dir: str
             coll = (bands.join(within.select("doc_id"), "doc_id", "left_semi")
                     .join(idx, ["band_id", "band_hash"], "left_semi")
                     .select("doc_id").distinct())
-            kept = within.join(coll, "doc_id", "left_anti")
-            store.insert("docs_lsh", kept)
-            store.insert("band_index",
-                         bands.join(kept.select("doc_id"), "doc_id",
-                                    "left_semi")
-                         .select("band_id", "band_hash", "doc_id"))
+            # persist the survivors too: the band_index insert's plan
+            # re-reads kept via the left_semi below, and without this
+            # the whole within-batch self-join + store-index probe
+            # recomputes per insert (2 actions share one computation —
+            # r13, guide §2.6)
+            kept = within.join(coll, "doc_id", "left_anti").persist()
+            try:
+                store.insert("docs_lsh", kept)
+                store.insert("band_index",
+                             bands.join(kept.select("doc_id"), "doc_id",
+                                        "left_semi")
+                             .select("band_id", "band_hash", "doc_id"))
+            finally:
+                kept.unpersist()
         finally:
             bands.unpersist()
 
