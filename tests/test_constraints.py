@@ -29,6 +29,7 @@ def _rows(cat, sql):
 
 # ---- attach_constraints.test ------------------------------------
 
+@pytest.mark.slow
 def test_primary_key(db):
     pg_execute(db, "s1", "CREATE OR REPLACE TABLE test(i INTEGER PRIMARY KEY)")
     pg_execute(db, "s1", "INSERT INTO test VALUES (42)")
@@ -39,6 +40,7 @@ def test_primary_key(db):
     assert _rows(db, "SELECT * FROM test") == [(42,)]
 
 
+@pytest.mark.slow
 def test_unique(db):
     pg_execute(db, "s1", "CREATE OR REPLACE TABLE test2(i INTEGER UNIQUE)")
     pg_execute(db, "s1", "INSERT INTO test2 VALUES (42)")
@@ -49,6 +51,7 @@ def test_unique(db):
     assert _rows(db, "SELECT * FROM test2") == [(42,), (None,)]
 
 
+@pytest.mark.slow
 def test_compound_primary_key(db):
     pg_execute(db, "s1",
                "CREATE OR REPLACE TABLE test3(i INTEGER, j INTEGER, "
@@ -268,6 +271,7 @@ def test_join_across_attached_databases(spark, tmp_path, sf_dir):
 
 # ---- review-fix regressions -------------------------------------
 
+@pytest.mark.slow
 def test_update_with_function_call_and_no_where(db):
     pg_execute(db, "s1", "CREATE OR REPLACE TABLE uf(a INT, b INT)")
     pg_execute(db, "s1", "INSERT INTO uf VALUES (1, 5)")
@@ -282,6 +286,7 @@ def test_update_with_function_call_and_no_where(db):
     assert _rows(db, "SELECT * FROM uf") == []
 
 
+@pytest.mark.slow
 def test_update_enforces_constraints(db):
     pg_execute(db, "s1",
                "CREATE OR REPLACE TABLE uc(i INT PRIMARY KEY, "

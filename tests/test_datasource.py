@@ -310,6 +310,7 @@ def test_read_live_pg_with_mocked_psycopg(monkeypatch):
                       'TO STDOUT (FORMAT binary)']
 
 
+@pytest.mark.slow
 def test_write_datasource_roundtrip(registered, tmp_path):
     spark = registered
     """df.write.format('postgres_scan') → duckdb backend → read back

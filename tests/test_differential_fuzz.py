@@ -28,6 +28,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# hypothesis fuzzers = the verify-window tail (r13): excluded from
+# the default run, still gate every round via -m slow
+pytestmark = pytest.mark.slow
+
+
 SF = "/root/testdata/sf0.001"
 _TABLES = ("lineitem", "orders")
 _KEYS = {

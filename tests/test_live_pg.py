@@ -47,8 +47,12 @@ def _have_server() -> bool:
     return True
 
 
-pytestmark = pytest.mark.skipif(
-    not _have_server(), reason="no postgres server binaries in PATH")
+# slow: live-PG connector surface = verify-window tail (r13)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not _have_server(), reason="no postgres server binaries in PATH"),
+]
 
 
 @pytest.fixture(scope="module")

@@ -4,6 +4,8 @@ engine parses, and literal quoting must round-trip hostile strings
 (reference: postgres_filter_pushdown.cpp handles arbitrary constants
 from the planner)."""
 
+import pytest
+
 import duckdb
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -53,6 +55,7 @@ def test_rendered_where_parses(filters):
     con.close()
 
 
+@pytest.mark.slow
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=60))
 def test_string_literal_roundtrip(s):

@@ -213,6 +213,7 @@ def test_d20_hash_grams_path_equal(spark, monkeypatch):
     assert base == hashed and len(base) > 0
 
 
+@pytest.mark.slow
 def test_d22_hash_grams_path_equal(spark, monkeypatch):
     """Prefix filtering is exact under ANY consistent global shingle
     order; hashing permutes the (df, s) order and therefore the
@@ -343,6 +344,7 @@ def test_d24_chain_and_adversarial_topologies(spark):
     assert got[700] == 700
 
 
+@pytest.mark.slow
 def test_d24_matches_d6_rows(spark):
     """Same spec, different machine: row-identical to D6 at sf0.01."""
     from postgres_scanner_spark.operators.dedup import (

@@ -17,6 +17,7 @@ def _write_docs(tmp_path, name, texts):
     return d
 
 
+@pytest.mark.slow
 def test_t22_hand_truth(spark, tmp_path):
     """Same corpus as T21's hand pin (3 docs of "abab cd"): the
     trained model keeps abab/cd at ln(3/10) and chars at ln(1/10).
@@ -32,6 +33,7 @@ def test_t22_hand_truth(spark, tmp_path):
     assert got == [(i, 2, 6, 2, 3.0) for i in range(3)]
 
 
+@pytest.mark.slow
 def test_t22_long_word_char_fallback(spark, tmp_path):
     """Words longer than _T21_MAX_WLEN never reach the trainer, so
     the encoder must char-fallback them: "abcdefghij" (10 chars)
@@ -47,6 +49,7 @@ def test_t22_long_word_char_fallback(spark, tmp_path):
     assert got == [(0, 2, 14, 11, 1.27273)]
 
 
+@pytest.mark.slow
 def test_t22_matches_oracle_tiny(spark, tmp_path):
     """Oracle end-to-end on the tie-break corpus (exact-score DP
     ties resolved by smallest seg string in both engines)."""
@@ -80,6 +83,7 @@ def test_d24_nonconvergence_raises(spark, monkeypatch):
         dedup._d24_labels(nodes, edges).collect()
 
 
+@pytest.mark.slow
 def test_d24_cap_path_accepts_converged(spark, monkeypatch):
     """Conversely, if the cap trips but the edge set IS stable (a
     single star is a fixed point after one round), the verification
@@ -107,6 +111,7 @@ def _write_d25_docs(tmp_path, name, texts):
     return _write_docs(tmp_path, name, texts)
 
 
+@pytest.mark.slow
 def test_d25_transitive_chain(spark, tmp_path):
     """A=X+Y, B=Y+Z, C=Z+W with disjoint 60-word blocks: A~B share
     Y's interior chunks, B~C share Z's — A and C share NOTHING, yet
@@ -124,6 +129,7 @@ def test_d25_transitive_chain(spark, tmp_path):
     assert got == [(0, 6, 100002), (3, 2, 100003)]
 
 
+@pytest.mark.slow
 def test_d25_df_cap_drops_boilerplate(spark, tmp_path):
     """A boilerplate block shared by 20 docs (+ their 20 plant
     copies = DF 40 > _D25_MAX_DF) must NOT create cross-doc edges;
@@ -140,6 +146,7 @@ def test_d25_df_cap_drops_boilerplate(spark, tmp_path):
     assert sorted(r.cluster_id for r in rows) == list(range(20))
 
 
+@pytest.mark.slow
 def test_d25_matches_oracle_synthetic(spark, tmp_path):
     """Differential vs the recursive-CTE oracle on the chain corpus
     plus a partial-overlap doc (first half of Y only)."""
@@ -195,6 +202,7 @@ def test_d26_matches_oracle_sf0001(spark):
 # M15: perceptual near-dup payload dedup (dHash + banded Hamming)
 # ---------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_m15_plants_and_radius(spark):
     """Exact copies (+P) must pair with their originals at hamming 0;
     last-byte mutants (+2P) flip at most 2 difference bits and must
@@ -222,6 +230,7 @@ def test_m15_plants_and_radius(spark):
     assert all(a < b for a, b in pairs)
 
 
+@pytest.mark.slow
 def test_m15_matches_oracle_tiny(spark, tmp_path):
     """Differential on a synthetic corpus with a known near-pair:
     two 100-char ramps differing by one interior byte, plus an

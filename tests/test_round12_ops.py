@@ -23,6 +23,7 @@ def _write_docs(tmp_path, name, texts, first_id=0, sources=None):
 # M15 hot-bucket re-banding
 # ---------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_m15_hot_path_equals_cold_path(spark, monkeypatch, tmp_path):
     """Force EVERY bucket down the sub-band refinement path
     (_M15_MAX_DF = 0) and require the result to be identical to the
@@ -60,6 +61,7 @@ def test_m15_hot_path_on_real_corpus(spark, monkeypatch):
 # D27 scaled SemDeDup (balanced random-projection leaves)
 # ---------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_d27_matches_oracle_sf0001(spark):
     import duckdb
     from postgres_scanner_spark.operators.dedup import (
@@ -90,6 +92,7 @@ def test_d27_small_leaves_match_oracle(spark, monkeypatch):
     assert got == want
 
 
+@pytest.mark.slow
 def test_d27_plants_and_subset_of_d14(spark):
     """The planted high-similarity pairs — the regime the operator
     exists for — must ALL be recovered: every copy (+P) drops with
@@ -170,6 +173,7 @@ def test_t23_t24_match_oracle_sf0001(spark, op):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_m15_plant_offset_scales_with_corpus(spark, tmp_path):
     """Plant offsets derive from max(doc_id)+1 (r11 advice), so a
     corpus living ABOVE the old fixed +100000 offset still gets

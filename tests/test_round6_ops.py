@@ -1,6 +1,8 @@
 """Behavioral pins for round-6 operators (beyond the parametrized
 oracle gate in test_oracle.py)."""
 
+import pytest
+
 from postgres_scanner_spark.functions import text
 
 SF = "/root/testdata/sf0.001"
@@ -353,6 +355,7 @@ def test_d16_replay_and_insertion_robustness(spark):
     assert len(expected & shifted) / len(expected) > 0.5
 
 
+@pytest.mark.slow
 def test_e20_drops_all_planted_neardups(spark):
     """Every planted copy (doc_id ≥ 500000) band-collides with its
     original and must be dropped: the kept id_sum can only contain

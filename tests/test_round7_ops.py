@@ -57,6 +57,7 @@ def test_d19_finds_planted_cjk_dups(spark):
     assert not any(910004 in p or 910005 in p for p in got)
 
 
+@pytest.mark.slow
 def test_d19_oracle_parity(spark):
     from postgres_scanner_spark.operators.dedup import (
         d19_unicode_shingle_dedup, _d19_sql,
@@ -87,6 +88,7 @@ def test_unicode_tokenizer_option(spark):
     assert ws[1] == ["التعلم", "الآلي،ممتع"]       # ASCII split can't
 
 
+@pytest.mark.slow
 def test_d19_word_branch_uses_unicode_tokens(spark):
     """A Cyrillic near-dup pair separated only by punctuation
     placement still pairs through the word branch (the ASCII
@@ -171,6 +173,7 @@ def test_m12_oracle_parity(spark):
     assert ok, problems
 
 
+@pytest.mark.slow
 def test_e22_guard_quarantines_eval_overlap(spark):
     """Every streamed doc lands exactly once (kept + quarantined =
     stream size incl. the planted re-deliveries); every src0 doc with
@@ -191,6 +194,7 @@ def test_e22_guard_quarantines_eval_overlap(spark):
     assert sum(r.n_kept for r in rows) > 0
 
 
+@pytest.mark.slow
 def test_e22_oracle_parity(spark):
     from postgres_scanner_spark.streaming.events import (
         e22_streaming_contamination_guard, _e22_sql,
@@ -202,6 +206,7 @@ def test_e22_oracle_parity(spark):
     assert ok, problems
 
 
+@pytest.mark.slow
 def test_a12_ivfpq_properties(spark):
     """IVF-PQ returns TOP_K rows per query, every neighbor comes
     from a probed coarse list, and recall@3 vs the exact baseline
@@ -227,6 +232,7 @@ def test_a12_ivfpq_properties(spark):
     assert sorted(r.rank for r in got if r.query_id == 0) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_a12_oracle_parity(spark):
     from postgres_scanner_spark.operators.ann import (
         a12_ivfpq_ann, _a12_sql,
@@ -237,6 +243,7 @@ def test_a12_oracle_parity(spark):
     assert ok, problems
 
 
+@pytest.mark.slow
 def test_w20_directional_asof_properties(spark):
     """Direction algebra: nearest matches exactly when either
     direction does (n_near = |bg∪fg| per user), the nearest gap sum
@@ -256,6 +263,7 @@ def test_w20_directional_asof_properties(spark):
     assert w20 == w6          # same purchase universe as the w6 join
 
 
+@pytest.mark.slow
 def test_w20_oracle_parity(spark):
     from postgres_scanner_spark.functions.analytics import (
         w20_asof_directional, _W20_SQL,

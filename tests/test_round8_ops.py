@@ -28,6 +28,7 @@ def _batch_split(sf_dir):
     return per
 
 
+@pytest.mark.slow
 def test_e23_quota_algebra_and_state_carry(spark):
     from postgres_scanner_spark.streaming.events import (
         _E23_QUOTA, e23_stateful_quota_admission,
@@ -61,6 +62,7 @@ def test_e23_quota_algebra_and_state_carry(spark):
     assert any(o > 1 for o in ords), sorted(ords)
 
 
+@pytest.mark.slow
 def test_x15_batch_plan_algebra(spark):
     """Per bucket: batches fill to exactly _X15_BATCH docs
     (n_batches == ceil(n_docs / B)), padding can only help
@@ -82,6 +84,7 @@ def test_x15_batch_plan_algebra(spark):
                    - round(r.real_tokens / r.padded_tokens, 4)) < 1e-9
 
 
+@pytest.mark.slow
 def test_x16_reweight_properties(spark):
     """Weights are a distribution (sum 1), strictly monotone in the
     loss proxy (harder domains upweighted), and uniform iff losses
@@ -98,6 +101,7 @@ def test_x16_reweight_properties(spark):
             assert b.weight > a.weight
 
 
+@pytest.mark.slow
 def test_e23_oracle_parity(spark):
     from postgres_scanner_spark.streaming.events import (
         _E23_SQL, e23_stateful_quota_admission,

@@ -8,6 +8,8 @@ The span algebra (runs of duplicated K-grams, >= MIN_SPAN filter,
 interval union) is pinned against hand-computable plants.
 """
 
+import pytest
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -18,6 +20,7 @@ def _d20(spark):
     return {r.doc_id: r for r in rows}, _D20_MIN_SPAN
 
 
+@pytest.mark.slow
 def test_d20_marks_original_and_copy(spark):
     """Tokens 1-20 of docs 0-9 are embedded in fresh docs 400000+i:
     the GLOBAL miner must mark the span in BOTH directions — the
@@ -30,6 +33,7 @@ def test_d20_marks_original_and_copy(spark):
         assert by_id[i].dup_tokens >= 20
 
 
+@pytest.mark.slow
 def test_d20_hot_block_survives_no_df_cap(spark):
     """The 15-token boilerplate block appears in 20 docs — a
     document-frequency cap (D11's hot-phrase guard) would drop it;
@@ -41,6 +45,7 @@ def test_d20_hot_block_survives_no_df_cap(spark):
         assert r.dup_tokens == 15 and r.n_spans == 1, r
 
 
+@pytest.mark.slow
 def test_d20_span_algebra_invariants(spark):
     """Every reported doc satisfies the span algebra: merged
     intervals are each >= MIN_SPAN tokens, disjoint (so
@@ -122,6 +127,7 @@ def test_d20_handcrafted_truth(spark, tmp_path):
     assert set(got) == {100, 101, 102, 105, 106, 107, 108, 109}
 
 
+@pytest.mark.slow
 def test_d21_excises_the_d20_spans(spark, tmp_path):
     """D21 on the same handcrafted corpus: cleaned_text is the doc
     minus exactly the D20 merged intervals, and the count algebra
@@ -708,6 +714,7 @@ def test_d22_matches_brute_force(spark, tmp_path):
     assert (300, 301) not in got      # below threshold
 
 
+@pytest.mark.slow
 def test_d22_exact_where_d4_cap_distorts(spark, tmp_path):
     """The differential vs D4: a pair whose similarity rides
     CORPUS-FREQUENT shingles (df above D4's cap) is reported by D22

@@ -156,6 +156,7 @@ def test_d6_converges_in_few_rounds(spark):
     assert c0.member_max == 200000
 
 
+@pytest.mark.slow
 def test_plan_lint_all_queries(spark):
     """Engine-wide plan lint: NO CartesianProduct anywhere, and
     BroadcastNestedLoopJoin only where a tiny side is broadcast BY
