@@ -477,6 +477,103 @@ ORDER BY doc_a, doc_b
 
 # ------------------------------------- D5 embedding cosine near-dup
 _D5_BLOCKS = 8     # block-pair grid; raise with cluster size
+_TILE_CHUNK_ELEMS = 8_000_000   # 64 MB fp64 scratch per lhs chunk
+_TILE_GUARD_BAND = 1e-6   # ~700x the GEMM-vs-fold bound on t (see below)
+
+
+def _cos_tile_fn(emb: str, emb2: str, tau: float, dim: int,
+                 out_a: str, out_b: str, cluster_col: str | None = None):
+    """Cogrouped-tile cosine kernel, bit-identical to the per-pair
+    interpreted `_dot` HOF fold it replaces (guide §4.2).
+
+    Fast path: the tile dot matrix comes from one BLAS GEMM. GEMM
+    reorders the 64-term summation, so a pair's double can differ
+    from the left-to-right fold by ≤ 2·γ₆₄·Σ|xᵢyᵢ| (standard fp
+    summation bound, γ₆₄ = 64u/(1−64u), u = 2⁻⁵³) — after dividing
+    by the norm product and scaling to t = cos·1e5 + 0.5, at most
+    ~1.5e-9. The only way that difference can survive det_round's
+    floor is t sitting within it of an integer, so every pair with
+    |t − nearest-integer| ≤ 1e-6 (≈700× the bound) is recomputed
+    with the EXACT fold — one multiply + one add per term in
+    k-order, seeded 0.0, then the same norm-product divide and
+    det_round steps Catalyst performs. Non-flagged pairs floor to
+    the identical integer by construction; flagged pairs are
+    replayed exactly; hence bit-identical output at GEMM speed.
+    Emits only pairs above tau, already least/greatest oriented, so
+    the O(n²) pair space never crosses the Arrow boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [(out_a, pa.int64()), (out_b, pa.int64())]
+        + ([("cluster", pa.int32())] if cluster_col else [])
+        + [("cos_sim", pa.float64())])
+
+    def _mat(tbl, name):
+        flat = tbl.column(name).combine_chunks().flatten()
+        x = flat.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        return np.ascontiguousarray(x.reshape(-1, dim))
+
+    def fn(left: pa.Table, right: pa.Table) -> pa.Table:
+        nl, nr = left.num_rows, right.num_rows
+        if nl == 0 or nr == 0:
+            return schema.empty_table()
+        same = (left.column("bi")[0].as_py()
+                == left.column("bj")[0].as_py())
+        idl = left.column("vec_id").to_numpy()
+        idr = right.column("vec_id2").to_numpy()
+        el, er = _mat(left, emb), _mat(right, emb2)
+        nml = left.column("norm").to_numpy()
+        nmr = right.column("norm2").to_numpy()
+        out_va, out_vb, out_cs = [], [], []
+        step = max(1, _TILE_CHUNK_ELEMS // nr)
+        for s in range(0, nl, step):
+            e = min(nl, s + step)
+            acc = el[s:e] @ er.T
+            tmp = np.multiply(nml[s:e, None], nmr[None, :])
+            np.divide(acc, tmp, out=acc)
+            if not np.isfinite(acc).all():
+                # a non-finite cosine would hit engine-specific NaN
+                # comparison semantics — fail loudly, never diverge
+                raise ValueError("non-finite cosine in tile kernel")
+            acc *= 100000.0
+            acc += 0.5
+            ii, jj = np.nonzero(
+                np.abs(acc - np.rint(acc)) <= _TILE_GUARD_BAND)
+            np.floor(acc, out=acc)
+            acc /= 100000.0
+            if ii.size:
+                # exact left-to-right fold replay for boundary pairs
+                xf, yf = el[s + ii], er[jj]
+                d = np.zeros(ii.size)
+                for k in range(dim):
+                    d += xf[:, k] * yf[:, k]
+                c = d / (nml[s + ii] * nmr[jj])
+                acc[ii, jj] = np.floor(c * 100000.0 + 0.5) / 100000.0
+            keep = acc > tau
+            if same:
+                keep &= idl[s:e, None] < idr[None, :]
+            ii, jj = np.nonzero(keep)
+            if ii.size:
+                a, b = idl[s + ii], idr[jj]
+                out_va.append(np.minimum(a, b))
+                out_vb.append(np.maximum(a, b))
+                out_cs.append(acc[ii, jj])
+        if not out_va:
+            return schema.empty_table()
+        va = np.concatenate(out_va)
+        vb = np.concatenate(out_vb)
+        cs = np.concatenate(out_cs)
+        cols = [pa.array(va, pa.int64()), pa.array(vb, pa.int64())]
+        if cluster_col:
+            cl = left.column(cluster_col)[0].as_py()
+            cols.append(pa.array(
+                np.full(va.size, cl, np.int32), pa.int32()))
+        cols.append(pa.array(cs, pa.float64()))
+        return pa.table(cols, schema=schema)
+
+    return fn
 
 
 def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,21 +620,19 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("vec_id2"),
                 F.col("embedding").alias("embedding2"),
                 F.col("norm").alias("norm2"))
-    cos = dot(F.col("embedding"), F.col("embedding2")) \
-        / (F.col("norm") * F.col("norm2"))
-    # same-block tiles order by id; cross-block tiles see each unordered
-    # pair exactly once, so only orient the output columns
-    joined = (
-        lhs.join(rhs, F.col("pair_id") == F.col("pid2"))
-        .filter((F.col("bi") != F.col("bj"))
-                | (F.col("vec_id") < F.col("vec_id2")))
-    )
+    # per-tile Arrow kernel instead of a pair-exploding equi-join +
+    # per-pair interpreted HOF dot: same tile decomposition, same
+    # same-block id-order filter, bit-identical doubles (the kernel
+    # replays the exact fold; see _cos_tile_fn), but the O(n²) pair
+    # space stays inside NumPy — nothing per-pair is shuffled or
+    # interpreted (guide §4.2)
     return (
-        joined.select(
-            F.least("vec_id", "vec_id2").alias("vec_a"),
-            F.greatest("vec_id", "vec_id2").alias("vec_b"),
-            det_round(cos, 5).alias("cos_sim"))
-        .filter(F.col("cos_sim") > 0.45)
+        lhs.groupBy("pair_id")
+        .cogroup(rhs.groupBy("pid2"))
+        .applyInArrow(
+            _cos_tile_fn("embedding", "embedding2", 0.45, 64,
+                         "vec_a", "vec_b"),
+            schema="vec_a bigint, vec_b bigint, cos_sim double")
         .orderBy("vec_a", "vec_b")
     )
 
@@ -1352,19 +1447,18 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("vec_id2"),
                 F.col("x").alias("x2"),
                 F.col("norm").alias("norm2"))
-    joined = (
-        lhs.join(rhs, (F.col("tile_id") == F.col("tid2"))
-                 & (F.col("cluster") == F.col("cl2")))
-        .filter((F.col("bi") != F.col("bj"))
-                | (F.col("vec_id") < F.col("vec_id2")))
-    )
-    cos = dot(F.col("x"), F.col("x2")) / (F.col("norm") * F.col("norm2"))
-    pairs = (joined.select(
-        F.least("vec_id", "vec_id2").alias("u"),
-        F.greatest("vec_id", "vec_id2").alias("v"),
-        "cluster",
-        det_round(cos, 5).alias("cos_sim"))
-        .filter(F.col("cos_sim") > _D14_TAU))
+    # per-(tile, cluster) Arrow kernel — D5's exact-fold tile kernel
+    # with the cluster key folded into the cogroup, so the quadratic
+    # step still never leaves a cluster and nothing per-pair is
+    # shuffled or interpreted (guide §4.2); doubles bit-identical to
+    # the HOF pipeline (see _cos_tile_fn)
+    pairs = (
+        lhs.groupBy("tile_id", "cluster")
+        .cogroup(rhs.groupBy("tid2", "cl2"))
+        .applyInArrow(
+            _cos_tile_fn("x", "x2", _D14_TAU, 64, "u", "v",
+                         cluster_col="cluster"),
+            schema="u bigint, v bigint, cluster int, cos_sim double"))
     return (pairs.groupBy("v", "cluster")
             .agg(F.min(F.struct("u", "cos_sim")).alias("w"))
             .select(F.col("v").alias("dropped_vec"),
