@@ -515,6 +515,14 @@ def _cos_tile_fn(emb: str, emb2: str, tau: float, dim: int,
             np.float64, copy=False)
         return np.ascontiguousarray(x.reshape(-1, dim))
 
+    def _norms(m):
+        # sqrt of the same left-to-right x·x fold the HOF performed,
+        # vectorized across rows — bit-identical per vector
+        acc = np.zeros(m.shape[0])
+        for k in range(dim):
+            acc += m[:, k] * m[:, k]
+        return np.sqrt(acc)
+
     def fn(left: pa.Table, right: pa.Table) -> pa.Table:
         nl, nr = left.num_rows, right.num_rows
         if nl == 0 or nr == 0:
@@ -524,8 +532,7 @@ def _cos_tile_fn(emb: str, emb2: str, tau: float, dim: int,
         idl = left.column("vec_id").to_numpy()
         idr = right.column("vec_id2").to_numpy()
         el, er = _mat(left, emb), _mat(right, emb2)
-        nml = left.column("norm").to_numpy()
-        nmr = right.column("norm2").to_numpy()
+        nml, nmr = _norms(el), _norms(er)
         out_va, out_vb, out_cs = [], [], []
         step = max(1, _TILE_CHUNK_ELEMS // nr)
         for s in range(0, nl, step):
@@ -595,31 +602,21 @@ def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import tables
     e = tables.load(spark, sf_dir, "embeddings")
 
-    def dot(u: Column, v: Column) -> Column:
-        # HOF fold, NOT an unrolled fixed-dim sum: a 64-term unrolled
-        # expression measured SLOWER end-to-end (codegen compile time
-        # for the giant expression dominates a one-shot run)
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, z: acc + z)
-
-    # norms are HOF-computed (interpreted) — persist so the lhs/rhs
-    # block expansions don't evaluate every dot product twice
+    # norms are computed inside the tile kernel (the identical x·x
+    # fold + sqrt, vectorized) — no interpreted HOF pass remains
     n = scratch_persist(e.select(
         "vec_id", "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         (F.col("vec_id") % _D5_BLOCKS).alias("blk")))
     B = _D5_BLOCKS
     pairs = spark.createDataFrame(
         [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
         "pair_id INT, bi INT, bj INT")
     lhs = n.join(F.broadcast(pairs), F.col("blk") == F.col("bi")) \
-        .select("pair_id", "bi", "bj", "vec_id", "embedding", "norm")
+        .select("pair_id", "bi", "bj", "vec_id", "embedding")
     rhs = n.join(F.broadcast(pairs), F.col("blk") == F.col("bj")) \
         .select(F.col("pair_id").alias("pid2"),
                 F.col("vec_id").alias("vec_id2"),
-                F.col("embedding").alias("embedding2"),
-                F.col("norm").alias("norm2"))
+                F.col("embedding").alias("embedding2"))
     # per-tile Arrow kernel instead of a pair-exploding equi-join +
     # per-pair interpreted HOF dot: same tile decomposition, same
     # same-block id-order filter, bit-identical doubles (the kernel
@@ -1427,26 +1424,22 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda v: v.cast("double")).alias("x"))
     a2 = km_trained_assignment(vecs)
 
-    def dot(u: Column, v: Column) -> Column:
-        return F.aggregate(F.zip_with(u, v, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, z: acc + z)
-
+    # norms are computed inside the tile kernel (the identical x·x
+    # fold + sqrt, vectorized) — no interpreted HOF pass remains
     m = scratch_persist(a2.select(
         "vec_id", "x", F.col("cluster").cast("int").alias("cluster"),
-        F.sqrt(dot(F.col("x"), F.col("x"))).alias("norm"),
         (F.col("vec_id") % _D14_BLOCKS).alias("blk")))
     B = _D14_BLOCKS
     tiles = spark.createDataFrame(
         [(i * B + j, i, j) for i in range(B) for j in range(i, B)],
         "tile_id INT, bi INT, bj INT")
     lhs = m.join(F.broadcast(tiles), F.col("blk") == F.col("bi")) \
-        .select("tile_id", "bi", "bj", "cluster", "vec_id", "x", "norm")
+        .select("tile_id", "bi", "bj", "cluster", "vec_id", "x")
     rhs = m.join(F.broadcast(tiles), F.col("blk") == F.col("bj")) \
         .select(F.col("tile_id").alias("tid2"),
                 F.col("cluster").alias("cl2"),
                 F.col("vec_id").alias("vec_id2"),
-                F.col("x").alias("x2"),
-                F.col("norm").alias("norm2"))
+                F.col("x").alias("x2"))
     # per-(tile, cluster) Arrow kernel — D5's exact-fold tile kernel
     # with the cluster key folded into the cogroup, so the quadratic
     # step still never leaves a cluster and nothing per-pair is

@@ -149,8 +149,11 @@ def test_cluster_column_and_empty_sides():
 
 def test_nonfinite_cosine_fails_loudly():
     _, _, _, _, _, _, left, right = _mk(20, 20, 9)
-    zn = np.zeros(20)
-    left = left.set_column(5, "norm", pa.array(zn))
+    # an all-zero vector -> norm 0 -> 0/0 cosine: must raise, never
+    # silently apply NumPy's NaN-comparison semantics
+    zero_emb = pa.array([[0.0] * DIM] + left["embedding"].to_pylist()[1:],
+                        pa.list_(pa.float32()))
+    left = left.set_column(4, "embedding", zero_emb)
     fn = dd._cos_tile_fn("embedding", "embedding2", 0.45, DIM,
                          "vec_a", "vec_b")
     with pytest.raises(ValueError, match="non-finite"):
