@@ -567,21 +567,93 @@ _KM_K = 4
 _KM_DEC = "decimal(28,9)"
 
 
+def _km_assign_fn():
+    """Cogrouped Arrow nearest-centroid kernel, bit-identical to the
+    interpreted per-(vector, centroid) HOF fold + (dist2, cent_id)
+    row_number window it replaces (guide §4.2):
+
+    - dist2 is the SAME left-to-right fold — t = x_k − c_k,
+      acc = acc + t·t for k in dimension order — vectorized across
+      the group's rows. Per element the IEEE operation sequence is
+      identical to Catalyst's `aggregate(zip_with(...))`, so every
+      dist2 double is bit-identical by construction (no GEMM, no
+      reordering, hence no guard band needed);
+    - the argmin walks centroids in ascending cent_id with a STRICT
+      `<`, reproducing the window's (dist2, cent_id) tie-break
+      exactly (exact double comparisons both sides).
+
+    Replaces a 4× crossJoin row expansion + a full-corpus window
+    shuffle that carried x AND c per expanded row with one cogroup
+    shuffle of the bare (vec_id, x) rows (guide §2.3/§2.4)."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("x", pa.list_(pa.float64())),
+                        ("cluster", pa.int32()),
+                        ("dist2", pa.float64())])
+
+    def _mat(tbl, name):
+        col = tbl.column(name).combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        return np.ascontiguousarray(flat.reshape(tbl.num_rows, -1))
+
+    def fn(left: pa.Table, right: pa.Table) -> pa.Table:
+        n = left.num_rows
+        if n == 0:
+            return schema.empty_table()
+        if right.num_rows == 0:
+            # every corpus group must see the full centroid set —
+            # dropping vectors silently would corrupt the assignment
+            raise ValueError("km assign group without centroids")
+        X = _mat(left, "x")
+        cids = right.column("cent_id").to_numpy()
+        C = _mat(right, "c")
+        dim = C.shape[1]
+        best_d = None
+        best_c = None
+        for i in np.argsort(cids, kind="stable"):
+            c = C[i]
+            acc = np.zeros(n)
+            for k in range(dim):
+                t = X[:, k] - c[k]
+                acc += t * t
+            if best_d is None:
+                best_d = acc
+                best_c = np.full(n, cids[i], np.int32)
+            else:
+                m = acc < best_d          # strict: ties keep lower id
+                best_d = np.where(m, acc, best_d)
+                best_c = np.where(m, np.int32(cids[i]), best_c)
+        return pa.table(
+            [left.column("vec_id").combine_chunks().cast(pa.int64()),
+             left.column("x").combine_chunks().cast(
+                 pa.list_(pa.float64())),
+             pa.array(best_c, pa.int32()),
+             pa.array(best_d, pa.float64())], schema=schema)
+
+    return fn
+
+
 def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (ties to the lower centroid id).
-    Centroids are model parameters — K×DIM doubles — so they
-    broadcast; the corpus never shuffles for an assignment pass."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("x"), F.col("c"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cent_id")
-    return (vecs.crossJoin(F.broadcast(cents))
-            .withColumn("dist2", d2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "x", F.col("cent_id").alias("cluster"),
-                    "dist2"))
+    Centroids are model parameters — K×DIM doubles — replicated to
+    every corpus group (K×P rows); the corpus shuffles ONCE on a
+    deterministic group key into the Arrow kernel, instead of the
+    former 4× crossJoin expansion + full-corpus (dist2, cent_id)
+    window shuffle with interpreted HOF distance folds."""
+    spark = vecs.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    reps = spark.range(p).select(F.col("id").alias("blk"))
+    crep = cents.crossJoin(F.broadcast(reps))
+    lhs = vecs.select("vec_id", "x", (F.col("vec_id") % p).alias("blk"))
+    return (lhs.groupBy("blk")
+            .cogroup(crep.groupBy("blk"))
+            .applyInArrow(
+                _km_assign_fn(),
+                schema=("vec_id bigint, x array<double>, "
+                        "cluster int, dist2 double")))
 
 
 def km_trained_assignment(vecs: DataFrame) -> DataFrame:

@@ -583,6 +583,63 @@ def _cos_tile_fn(emb: str, emb2: str, tau: float, dim: int,
     return fn
 
 
+def _pair_cos_fn(tau: float):
+    """mapInArrow kernel for candidate-pair cosine verification
+    (u, v, cluster, xa, na, xb, nb) → (u, v, cluster, cos_sim),
+    keeping only pairs above tau. Bit-identical to the per-pair
+    interpreted HOF `dot(xa, xb) / (na·nb)` + det_round(…, 5) it
+    replaces: the dot is the SAME left-to-right fold (acc = acc +
+    xa_k·xb_k in k-order, seeded 0.0) vectorized across the batch's
+    pairs — per element the IEEE operation sequence is identical, so
+    no reordering occurs and no guard band is needed (unlike the
+    GEMM tile kernel). floor(c·1e5 + 0.5)/1e5 replays det_round's
+    exact steps (guide §4.2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                        ("cluster", pa.int32()),
+                        ("cos_sim", pa.float64())])
+
+    def _mat(t, name, n):
+        flat = t.column(name).combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        return np.ascontiguousarray(flat.reshape(n, -1))
+
+    def fn(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            n = t.num_rows
+            if n == 0:
+                continue
+            xa, xb = _mat(t, "xa", n), _mat(t, "xb", n)
+            na = t.column("na").to_numpy(zero_copy_only=False)
+            nb = t.column("nb").to_numpy(zero_copy_only=False)
+            dim = xa.shape[1]
+            acc = np.zeros(n)
+            for k in range(dim):
+                acc += xa[:, k] * xb[:, k]
+            acc /= na * nb
+            if not np.isfinite(acc).all():
+                raise ValueError("non-finite cosine in pair kernel")
+            acc *= 100000.0
+            acc += 0.5
+            np.floor(acc, out=acc)
+            acc /= 100000.0
+            keep = acc > tau
+            if not keep.any():
+                continue
+            idx = np.nonzero(keep)[0]
+            yield pa.record_batch(
+                [t.column("u").combine_chunks().take(idx),
+                 t.column("v").combine_chunks().take(idx),
+                 t.column("cluster").combine_chunks().cast(
+                     pa.int32()).take(idx),
+                 pa.array(acc[idx], pa.float64())], schema=schema)
+
+    return fn
+
+
 def d5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding cosine near-dup (cos > 0.45).
 
@@ -3011,14 +3068,22 @@ def d27_scaled_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id2").alias("v"),
                 F.col("cluster").alias("cl"))
         .distinct())
-    cos = dot(F.col("sa.x"), F.col("sb.x")) / (F.col("sa.norm")
-                                               * F.col("sb.norm"))
+    # candidate verification in one vectorized Arrow pass instead of
+    # a per-pair interpreted HOF dot — bit-identical (same fold
+    # order; see _pair_cos_fn), only the columns the kernel needs
+    # cross the boundary (guide §4.1/§4.2)
+    sa = sig.select(F.col("vec_id").alias("u"), F.col("x").alias("xa"),
+                    F.col("norm").alias("na"))
+    sb = sig.select(F.col("vec_id").alias("v"), F.col("x").alias("xb"),
+                    F.col("norm").alias("nb"))
     pairs = (cand
-             .join(sig.alias("sa"), F.col("u") == F.col("sa.vec_id"))
-             .join(sig.alias("sb"), F.col("v") == F.col("sb.vec_id"))
+             .join(sa, "u").join(sb, "v")
              .select("u", "v", F.col("cl").alias("cluster"),
-                     det_round(cos, 5).alias("cos_sim"))
-             .filter(F.col("cos_sim") > _D27_TAU))
+                     "xa", "na", "xb", "nb")
+             .mapInArrow(
+                 _pair_cos_fn(_D27_TAU),
+                 schema="u bigint, v bigint, cluster int, "
+                        "cos_sim double"))
     return (pairs.groupBy("v", "cluster")
             .agg(F.min(F.struct("u", "cos_sim")).alias("w"))
             .select(F.col("v").alias("dropped_vec"),
