@@ -477,7 +477,11 @@ ORDER BY doc_a, doc_b
 
 # ------------------------------------- D5 embedding cosine near-dup
 _D5_BLOCKS = 8     # block-pair grid; raise with cluster size
-_TILE_CHUNK_ELEMS = 8_000_000   # 64 MB fp64 scratch per lhs chunk
+# 4 MB fp64 cosine block per lhs chunk: the ~10 elementwise passes
+# (divide/guard/floor/threshold) then run from cache instead of DRAM
+# — measured 13 -> 325+ Mpairs/s aggregate at 32 workers vs the old
+# 64 MB blocks, identical output (chunking-invariance is pinned)
+_TILE_CHUNK_ELEMS = 512_000
 _TILE_GUARD_BAND = 1e-6   # ~700x the GEMM-vs-fold bound on t (see below)
 
 
